@@ -1,13 +1,98 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.events.TestDataAdapter
+import graft.analytics._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the key inventory.
+  * Every implemented operator has a `queries` entry; every
+  * SQL-expressible one has a matching DuckDB `oracleSql` entry whose
+  * column names/aliases match the Spark output exactly. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Applications.appList(
+      TestDataAdapter.canonical(spark, "/root/testdata/sf0.001"))
+
+  private def canon(s: SparkSession, dir: String): DataFrame =
+    TestDataAdapter.canonical(s, dir)
+
+  /** Canonical-frame dump (parse + typed hot-field extraction).
+    * `event_time` (timestamp) is excluded: the raw table is ns-precision
+    * while Spark truncates to micros; `event_time_us` carries the
+    * cross-engine-exact value. */
+  private def eventsParse(s: SparkSession, dir: String): DataFrame =
+    canon(s, dir).select(
+      col("event_id"), col("app_id"), col("event_type"),
+      col("event_time_us"), col("event_date"), col("job_id"),
+      col("stage_id"), col("task_id"), col("duration_ms"),
+      col("executor_id"), col("host"), col("cores"), col("max_memory"),
+      col("run_time_ms"), col("cpu_time_ns"), col("gc_time_ms"),
+      col("input_bytes"), col("output_bytes"), col("shuffle_read_bytes"),
+      col("shuffle_write_bytes"), col("memory_spilled_bytes"),
+      col("disk_spilled_bytes"), col("peak_memory_bytes"),
+      col("jvm_heap_bytes"), col("locality"), col("end_reason"),
+      col("app_user"), col("spark_version"), col("app_name"))
+      .orderBy("event_id")
+
+  private val eventsParseOracle: String = TestDataAdapter.canonCte + """
+SELECT event_id, app_id, event_type, event_time_us, event_date, job_id,
+       stage_id, task_id, duration_ms, executor_id, host, cores,
+       max_memory, run_time_ms, cpu_time_ns, gc_time_ms, input_bytes,
+       output_bytes, shuffle_read_bytes, shuffle_write_bytes,
+       memory_spilled_bytes, disk_spilled_bytes, peak_memory_bytes,
+       jvm_heap_bytes, locality, end_reason, app_user, spark_version,
+       app_name
+FROM canon
+ORDER BY event_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_parse" -> eventsParse _,
+    "app_list" -> ((s, d) => Applications.appList(canon(s, d),
+      Some("2024-01-05"), Some("2024-01-25"), 100)),
+    "app_events" -> ((s, d) => Applications.appEvents(canon(s, d), "app-7")),
+    "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
+    "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
+    "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
+    "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
+    "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
+    "gc_trends" -> ((s, d) => Trends.gcTrends(canon(s, d))),
+    "cpu_util" -> ((s, d) => Trends.cpuUtil(canon(s, d))),
+    "mem_usage" -> ((s, d) => Trends.memUsage(canon(s, d))),
+    "capacity_trends" -> ((s, d) => Trends.capacityTrends(canon(s, d))),
+    "cross_app_summary" -> ((s, d) => CrossApp.crossAppSummary(canon(s, d))),
+    "task_distribution" -> ((s, d) => CrossApp.taskDistribution(canon(s, d))),
+    "executor_utilization" -> ((s, d) => CrossApp.executorUtilization(canon(s, d))),
+    "resource_util_metrics" -> ((s, d) => CrossApp.resourceUtilMetrics(canon(s, d))),
+    "resource_hogs" -> ((s, d) => Optimization.resourceHogs(canon(s, d))),
+    "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
+    "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "events_parse" -> eventsParseOracle,
+    "app_list" -> Applications.appListOracle,
+    "app_events" -> Applications.appEventsOracle,
+    "app_attempts" -> Applications.appAttemptsOracle,
+    "api_applications" -> Applications.apiApplicationsOracle,
+    "resource_usage" -> Resources.resourceUsageOracle,
+    "executor_summary" -> Resources.executorSummaryOracle,
+    "perf_trends" -> Trends.perfTrendsOracle,
+    "gc_trends" -> Trends.gcTrendsOracle,
+    "cpu_util" -> Trends.cpuUtilOracle,
+    "mem_usage" -> Trends.memUsageOracle,
+    "capacity_trends" -> Trends.capacityTrendsOracle,
+    "cross_app_summary" -> CrossApp.crossAppSummaryOracle,
+    "task_distribution" -> CrossApp.taskDistributionOracle,
+    "executor_utilization" -> CrossApp.executorUtilizationOracle,
+    "resource_util_metrics" -> CrossApp.resourceUtilMetricsOracle,
+    "resource_hogs" -> Optimization.resourceHogsOracle,
+    "efficiency_analysis" -> Optimization.efficiencyAnalysisOracle,
+    "cost_optimization" -> Optimization.costOptimizationOracle
+  )
 }

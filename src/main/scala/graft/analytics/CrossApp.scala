@@ -1,0 +1,241 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.events.EventModel._
+import graft.events.TestDataAdapter.canonCte
+
+/**
+ * Cross-application analytics: corpus rollup, per-stage task
+ * distribution, executor utilization, and the wide per-(app, executor,
+ * host) resource-utilization rollup.
+ *
+ * Reference behavior:
+ *  - cross-app summary: src/storage/duckdb_store_backup.rs:801-858
+ *  - task distribution: src/storage/duckdb_store_backup.rs:860-931
+ *  - executor utilization: src/storage/duckdb_store_backup.rs:933-1008
+ *  - resource-utilization metrics: src/storage/duckdb_store_backup.rs:1010-1153
+ *
+ * Scale notes: single aggregation passes; the only join
+ * (resourceUtilMetrics x app-status) is per-app cardinality and
+ * broadcastable. `collect_set(app_id)` per executor is bounded by the
+ * number of applications an executor served, not by task count.
+ */
+object CrossApp {
+
+  private val taskEnd = col("event_type") === TaskEnd
+
+  /** Single-row corpus rollup. Reference: duckdb_store_backup.rs:807-830.
+   *  (The reference's `active_applications` counts distinct app_ids over
+   *  non-ApplicationEnd rows — reproduced faithfully.) */
+  def crossAppSummary(canon: DataFrame): DataFrame =
+    canon.agg(
+      countDistinct("app_id").as("total_applications"),
+      countDistinct(when(col("event_type") =!= AppEnd, col("app_id")))
+        .as("active_applications"),
+      count(lit(1)).as("total_events"),
+      count(when(taskEnd && col("end_reason") === "Success", 1))
+        .as("total_tasks_completed"),
+      count(when(taskEnd && col("end_reason") =!= "Success", 1))
+        .as("total_tasks_failed"),
+      round(avg(when(taskEnd, col("duration_ms"))), 4).as("avg_task_duration_ms"),
+      round(sum("input_bytes") / lit(1073741824.0), 4).as("total_data_processed_gb"),
+      coalesce(max("cores").cast("long"), lit(0L)).as("peak_concurrent_executors"),
+      min("event_time_us").as("start_date_us"),
+      max("event_time_us").as("end_date_us"))
+
+  val crossAppSummaryOracle: String = canonCte + """
+SELECT CAST(COUNT(DISTINCT app_id) AS BIGINT) AS total_applications,
+       CAST(COUNT(DISTINCT CASE WHEN event_type <> 'SparkListenerApplicationEnd' THEN app_id END) AS BIGINT) AS active_applications,
+       CAST(COUNT(*) AS BIGINT) AS total_events,
+       CAST(COUNT(CASE WHEN event_type = 'SparkListenerTaskEnd' AND end_reason = 'Success' THEN 1 END) AS BIGINT) AS total_tasks_completed,
+       CAST(COUNT(CASE WHEN event_type = 'SparkListenerTaskEnd' AND end_reason <> 'Success' THEN 1 END) AS BIGINT) AS total_tasks_failed,
+       ROUND(AVG(CASE WHEN event_type = 'SparkListenerTaskEnd' THEN duration_ms END), 4) AS avg_task_duration_ms,
+       ROUND(CAST(SUM(input_bytes) AS BIGINT) / 1073741824.0, 4) AS total_data_processed_gb,
+       CAST(COALESCE(MAX(cores), 0) AS BIGINT) AS peak_concurrent_executors,
+       MIN(event_time_us) AS start_date_us,
+       MAX(event_time_us) AS end_date_us
+FROM canon"""
+
+  /** Per-(app, stage) task counts, duration stats, locality histogram.
+   *  Reference: duckdb_store_backup.rs:866-893. */
+  def taskDistribution(canon: DataFrame, limit: Int = 1000): DataFrame =
+    canon.filter(taskEnd && col("stage_id").isNotNull)
+      .groupBy("app_id", "stage_id")
+      .agg(
+        count(lit(1)).as("total_tasks"),
+        count(when(col("end_reason") === "Success", 1)).as("completed_tasks"),
+        count(when(col("end_reason") =!= "Success", 1)).as("failed_tasks"),
+        round(avg("duration_ms"), 4).as("avg_duration_ms"),
+        min("duration_ms").as("min_duration_ms"),
+        max("duration_ms").as("max_duration_ms"),
+        count(when(col("locality") === "PROCESS_LOCAL", 1)).as("process_local"),
+        count(when(col("locality") === "NODE_LOCAL", 1)).as("node_local"),
+        count(when(col("locality") === "RACK_LOCAL", 1)).as("rack_local"),
+        count(when(col("locality") === "ANY", 1)).as("any_locality"))
+      .orderBy("app_id", "stage_id")
+      .limit(limit)
+
+  val taskDistributionOracle: String = canonCte + """
+SELECT app_id, stage_id,
+       CAST(COUNT(*) AS BIGINT) AS total_tasks,
+       CAST(COUNT(CASE WHEN end_reason = 'Success' THEN 1 END) AS BIGINT) AS completed_tasks,
+       CAST(COUNT(CASE WHEN end_reason <> 'Success' THEN 1 END) AS BIGINT) AS failed_tasks,
+       ROUND(AVG(duration_ms), 4) AS avg_duration_ms,
+       MIN(duration_ms) AS min_duration_ms,
+       MAX(duration_ms) AS max_duration_ms,
+       CAST(COUNT(CASE WHEN locality = 'PROCESS_LOCAL' THEN 1 END) AS BIGINT) AS process_local,
+       CAST(COUNT(CASE WHEN locality = 'NODE_LOCAL' THEN 1 END) AS BIGINT) AS node_local,
+       CAST(COUNT(CASE WHEN locality = 'RACK_LOCAL' THEN 1 END) AS BIGINT) AS rack_local,
+       CAST(COUNT(CASE WHEN locality = 'ANY' THEN 1 END) AS BIGINT) AS any_locality
+FROM canon
+WHERE event_type = 'SparkListenerTaskEnd' AND stage_id IS NOT NULL
+GROUP BY app_id, stage_id
+ORDER BY app_id, stage_id
+LIMIT 1000"""
+
+  /** Per-(executor, host) utilization with the served-apps list.
+   *  Reference: duckdb_store_backup.rs:939-971. */
+  def executorUtilization(canon: DataFrame, limit: Int = 50): DataFrame =
+    canon.filter(taskEnd && col("executor_id").isNotNull &&
+        col("executor_id") =!= "driver")
+      .groupBy("executor_id", "host")
+      .agg(
+        count(lit(1)).as("total_tasks"),
+        sum("duration_ms").as("total_duration_ms"),
+        countDistinct("app_id").as("apps_count"),
+        count(when(col("locality").isin("PROCESS_LOCAL", "NODE_LOCAL"), 1))
+          .as("locality_hits"),
+        expr("max(peak_memory_bytes div 1048576)").as("peak_memory_mb"),
+        array_join(array_sort(collect_set(col("app_id"))), ",").as("apps_served"))
+      .orderBy(col("total_tasks").desc, col("executor_id"), col("host"))
+      .limit(limit)
+
+  val executorUtilizationOracle: String = canonCte + """
+SELECT executor_id, host,
+       CAST(COUNT(*) AS BIGINT) AS total_tasks,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(COUNT(DISTINCT app_id) AS BIGINT) AS apps_count,
+       CAST(COUNT(CASE WHEN locality IN ('PROCESS_LOCAL', 'NODE_LOCAL') THEN 1 END) AS BIGINT) AS locality_hits,
+       CAST(MAX(peak_memory_bytes // 1048576) AS BIGINT) AS peak_memory_mb,
+       array_to_string(list_sort(list_distinct(list(app_id))), ',') AS apps_served
+FROM canon
+WHERE event_type = 'SparkListenerTaskEnd' AND executor_id IS NOT NULL
+  AND executor_id <> 'driver'
+GROUP BY executor_id, host
+ORDER BY total_tasks DESC, executor_id, host
+LIMIT 50"""
+
+  /** Wide per-(app, executor, host) rollup + per-app active flag.
+   *  Reference: duckdb_store_backup.rs:1016-1101. */
+  def resourceUtilMetrics(canon: DataFrame, limit: Int = 2000): DataFrame = {
+    val em = canon.filter(taskEnd)
+      .groupBy(
+        col("app_id"),
+        coalesce(col("executor_id"), lit("driver")).as("executor_id"),
+        coalesce(col("host"), lit("localhost")).as("host"))
+      .agg(
+        count(lit(1)).as("total_tasks"),
+        count(when(col("end_reason") === "Success", 1)).as("completed_tasks"),
+        count(when(col("end_reason") =!= "Success", 1)).as("failed_tasks"),
+        sum("duration_ms").as("total_duration_ms"),
+        round(avg("duration_ms"), 4).as("avg_task_duration_ms"),
+        expr("sum(cpu_time_ns) div 1000000").as("cpu_time_ms"),
+        coalesce(sum("gc_time_ms"), lit(0L)).as("gc_time_ms"),
+        coalesce(expr("max(peak_memory_bytes div 1048576)"), lit(0L)).as("peak_memory_usage_mb"),
+        coalesce(expr("max(jvm_heap_bytes div 1048576)"), lit(1024L)).as("max_memory_mb"),
+        coalesce(sum("input_bytes"), lit(0L)).as("input_bytes"),
+        coalesce(sum("output_bytes"), lit(0L)).as("output_bytes"),
+        coalesce(sum("shuffle_read_bytes"), lit(0L)).as("shuffle_read_bytes"),
+        coalesce(sum("shuffle_write_bytes"), lit(0L)).as("shuffle_write_bytes"),
+        coalesce(sum("disk_spilled_bytes"), lit(0L)).as("disk_spill_bytes"),
+        coalesce(sum("memory_spilled_bytes"), lit(0L)).as("memory_spill_bytes"),
+        count(when(col("locality") === "PROCESS_LOCAL", 1)).as("data_locality_process_local"),
+        count(when(col("locality") === "NODE_LOCAL", 1)).as("data_locality_node_local"),
+        count(when(col("locality") === "RACK_LOCAL", 1)).as("data_locality_rack_local"),
+        count(when(col("locality") === "ANY", 1)).as("data_locality_any"),
+        min("event_time_us").as("start_time_us"),
+        max("event_time_us").as("end_time_us"))
+      .withColumn("memory_utilization_percent",
+        when(col("max_memory_mb") > 0,
+          round(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb"), 4))
+          .otherwise(lit(0.0)))
+
+    // Per-app active flag: an app with no ApplicationEnd event is active
+    // (reference: duckdb_store_backup.rs:1051-1058). Tiny frame -> AQE
+    // broadcasts it.
+    val status = canon
+      .filter(col("event_type").isin(AppStart, AppEnd))
+      .groupBy("app_id")
+      .agg(when(count(when(col("event_type") === AppEnd, 1)) > 0, 0L)
+        .otherwise(1L).as("status_is_active"))
+
+    em.join(status, Seq("app_id"), "left")
+      .withColumn("is_active", coalesce(col("status_is_active"), lit(1L)))
+      .drop("status_is_active")
+      .select("executor_id", "host", "app_id", "total_tasks",
+        "completed_tasks", "failed_tasks", "total_duration_ms",
+        "avg_task_duration_ms", "cpu_time_ms", "gc_time_ms",
+        "peak_memory_usage_mb", "max_memory_mb", "memory_utilization_percent",
+        "input_bytes", "output_bytes", "shuffle_read_bytes",
+        "shuffle_write_bytes", "disk_spill_bytes", "memory_spill_bytes",
+        "data_locality_process_local", "data_locality_node_local",
+        "data_locality_rack_local", "data_locality_any",
+        "start_time_us", "end_time_us", "is_active")
+      .orderBy("app_id", "executor_id", "host")
+      .limit(limit)
+  }
+
+  val resourceUtilMetricsOracle: String = canonCte + """
+, em AS (
+  SELECT app_id,
+         COALESCE(executor_id, 'driver') AS executor_id,
+         COALESCE(host, 'localhost') AS host,
+         CAST(COUNT(*) AS BIGINT) AS total_tasks,
+         CAST(COUNT(CASE WHEN end_reason = 'Success' THEN 1 END) AS BIGINT) AS completed_tasks,
+         CAST(COUNT(CASE WHEN end_reason <> 'Success' THEN 1 END) AS BIGINT) AS failed_tasks,
+         CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+         ROUND(AVG(duration_ms), 4) AS avg_task_duration_ms,
+         CAST(SUM(cpu_time_ns) AS BIGINT) // 1000000 AS cpu_time_ms,
+         CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) AS gc_time_ms,
+         CAST(COALESCE(MAX(peak_memory_bytes // 1048576), 0) AS BIGINT) AS peak_memory_usage_mb,
+         CAST(COALESCE(MAX(jvm_heap_bytes // 1048576), 1024) AS BIGINT) AS max_memory_mb,
+         CAST(COALESCE(SUM(input_bytes), 0) AS BIGINT) AS input_bytes,
+         CAST(COALESCE(SUM(output_bytes), 0) AS BIGINT) AS output_bytes,
+         CAST(COALESCE(SUM(shuffle_read_bytes), 0) AS BIGINT) AS shuffle_read_bytes,
+         CAST(COALESCE(SUM(shuffle_write_bytes), 0) AS BIGINT) AS shuffle_write_bytes,
+         CAST(COALESCE(SUM(disk_spilled_bytes), 0) AS BIGINT) AS disk_spill_bytes,
+         CAST(COALESCE(SUM(memory_spilled_bytes), 0) AS BIGINT) AS memory_spill_bytes,
+         CAST(COUNT(CASE WHEN locality = 'PROCESS_LOCAL' THEN 1 END) AS BIGINT) AS data_locality_process_local,
+         CAST(COUNT(CASE WHEN locality = 'NODE_LOCAL' THEN 1 END) AS BIGINT) AS data_locality_node_local,
+         CAST(COUNT(CASE WHEN locality = 'RACK_LOCAL' THEN 1 END) AS BIGINT) AS data_locality_rack_local,
+         CAST(COUNT(CASE WHEN locality = 'ANY' THEN 1 END) AS BIGINT) AS data_locality_any,
+         MIN(event_time_us) AS start_time_us,
+         MAX(event_time_us) AS end_time_us
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+  GROUP BY app_id, COALESCE(executor_id, 'driver'), COALESCE(host, 'localhost')),
+status AS (
+  SELECT app_id,
+         CAST(CASE WHEN COUNT(CASE WHEN event_type = 'SparkListenerApplicationEnd' THEN 1 END) > 0
+                   THEN 0 ELSE 1 END AS BIGINT) AS status_is_active
+  FROM canon
+  WHERE event_type IN ('SparkListenerApplicationStart', 'SparkListenerApplicationEnd')
+  GROUP BY app_id)
+SELECT em.executor_id, em.host, em.app_id, em.total_tasks,
+       em.completed_tasks, em.failed_tasks, em.total_duration_ms,
+       em.avg_task_duration_ms, em.cpu_time_ms, em.gc_time_ms,
+       em.peak_memory_usage_mb, em.max_memory_mb,
+       CASE WHEN em.max_memory_mb > 0
+            THEN ROUND(em.peak_memory_usage_mb * 100.0 / em.max_memory_mb, 4)
+            ELSE 0.0 END AS memory_utilization_percent,
+       em.input_bytes, em.output_bytes, em.shuffle_read_bytes,
+       em.shuffle_write_bytes, em.disk_spill_bytes, em.memory_spill_bytes,
+       em.data_locality_process_local, em.data_locality_node_local,
+       em.data_locality_rack_local, em.data_locality_any,
+       em.start_time_us, em.end_time_us,
+       COALESCE(status.status_is_active, 1) AS is_active
+FROM em LEFT JOIN status ON em.app_id = status.app_id
+ORDER BY em.app_id, em.executor_id, em.host
+LIMIT 2000"""
+}

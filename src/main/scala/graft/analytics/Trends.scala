@@ -1,0 +1,236 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.events.EventModel._
+import graft.events.TestDataAdapter.canonCte
+
+/**
+ * Daily trend analytics over TaskEnd events.
+ *
+ * Reference behavior:
+ *  - performance trends: src/storage/duckdb_store_backup.rs:488-547
+ *  - GC-time trends: src/storage/duckdb_store_backup.rs:549-614
+ *  - CPU-utilization analysis: src/storage/duckdb_store_backup.rs:616-697
+ *  - memory-usage analysis: src/storage/duckdb_store_backup.rs:699-799
+ *  - capacity usage trends: src/storage/duckdb_store_backup.rs:1363-1427
+ *
+ * All are single `groupBy().agg()` passes (map-side partial aggregation);
+ * sums run over integer columns so cross-engine results are exact, and
+ * ratios are computed once from the exact sums.
+ */
+object Trends {
+
+  private val taskEnd = col("event_type") === TaskEnd
+
+  /** Daily per-app task aggregates. Reference: duckdb_store_backup.rs:494-513. */
+  def perfTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
+    canon.filter(taskEnd)
+      .groupBy(col("event_date").as("date"), col("app_id"))
+      .agg(
+        round(avg("duration_ms"), 4).as("avg_task_duration_ms"),
+        count(lit(1)).as("total_tasks"),
+        sum(when(col("end_reason") =!= "Success", 1L).otherwise(0L)).as("failed_tasks"),
+        round(avg("input_bytes"), 4).as("avg_input_bytes"),
+        round(avg("output_bytes"), 4).as("avg_output_bytes"))
+      .orderBy(col("date").desc, col("app_id"))
+      .limit(limit)
+
+  val perfTrendsOracle: String = canonCte + """
+SELECT event_date AS date, app_id,
+       ROUND(AVG(duration_ms), 4) AS avg_task_duration_ms,
+       CAST(COUNT(*) AS BIGINT) AS total_tasks,
+       CAST(SUM(CASE WHEN end_reason <> 'Success' THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks,
+       ROUND(AVG(input_bytes), 4) AS avg_input_bytes,
+       ROUND(AVG(output_bytes), 4) AS avg_output_bytes
+FROM canon
+WHERE event_type = 'SparkListenerTaskEnd'
+GROUP BY event_date, app_id
+ORDER BY date DESC, app_id
+LIMIT 1000"""
+
+  /** Daily per-app GC totals. Reference: duckdb_store_backup.rs:556-575. */
+  def gcTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
+    canon.filter(taskEnd)
+      .groupBy(col("event_date").as("date"), col("app_id"))
+      .agg(
+        coalesce(sum("gc_time_ms"), lit(0L)).as("total_gc_time_ms"),
+        round(coalesce(avg("gc_time_ms"), lit(0.0)), 4).as("avg_gc_time_ms"),
+        count(lit(1)).as("total_tasks"))
+      .withColumn("gc_time_per_task_ms",
+        round(col("total_gc_time_ms") * lit(1.0) / col("total_tasks"), 4))
+      .orderBy(col("date").desc, col("app_id"))
+      .limit(limit)
+
+  val gcTrendsOracle: String = canonCte + """
+SELECT event_date AS date, app_id,
+       CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) AS total_gc_time_ms,
+       ROUND(COALESCE(AVG(gc_time_ms), 0), 4) AS avg_gc_time_ms,
+       CAST(COUNT(*) AS BIGINT) AS total_tasks,
+       ROUND(CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) * 1.0 / COUNT(*), 4) AS gc_time_per_task_ms
+FROM canon
+WHERE event_type = 'SparkListenerTaskEnd'
+GROUP BY event_date, app_id
+ORDER BY date DESC, app_id
+LIMIT 1000"""
+
+  /** Actual vs theoretical CPU time per (day, app, executor) + rating.
+   *  Reference: duckdb_store_backup.rs:623-697. The reference divides
+   *  each task's CPU ns by 1e6 before summing; graft sums the exact ns
+   *  and divides once — deterministic at any parallelism. */
+  def cpuUtil(canon: DataFrame, limit: Int = 2000): DataFrame =
+    canon.filter(taskEnd)
+      .groupBy(col("event_date").as("date"), col("app_id"),
+        coalesce(col("executor_id"), lit("driver")).as("executor_id"))
+      .agg(
+        count(lit(1)).as("total_tasks"),
+        sum("duration_ms").as("total_duration_ms"),
+        expr("sum(cpu_time_ns) div 1000000").as("actual_cpu_time_ms"))
+      .withColumn("theoretical_cpu_time_ms", col("total_duration_ms"))
+      .withColumn("idle_cpu_time_ms",
+        greatest(col("theoretical_cpu_time_ms") - col("actual_cpu_time_ms"), lit(0L)))
+      .withColumn("cpu_utilization_percent",
+        when(col("theoretical_cpu_time_ms") > 0,
+          round(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms"), 4)))
+      .withColumn("efficiency_rating",
+        when(col("theoretical_cpu_time_ms") <= 0, "Unknown")
+          .when(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms") >= 80.0, "High")
+          .when(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms") >= 50.0, "Medium")
+          .otherwise("Low"))
+      .orderBy(col("date").desc, col("app_id"), col("executor_id"))
+      .limit(limit)
+
+  val cpuUtilOracle: String = canonCte + """
+, g AS (
+  SELECT event_date AS date, app_id,
+         COALESCE(executor_id, 'driver') AS executor_id,
+         CAST(COUNT(*) AS BIGINT) AS total_tasks,
+         CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+         CAST(SUM(cpu_time_ns) AS BIGINT) // 1000000 AS actual_cpu_time_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+  GROUP BY event_date, app_id, COALESCE(executor_id, 'driver'))
+SELECT date, app_id, executor_id, total_tasks, total_duration_ms,
+       actual_cpu_time_ms,
+       total_duration_ms AS theoretical_cpu_time_ms,
+       GREATEST(total_duration_ms - actual_cpu_time_ms, 0) AS idle_cpu_time_ms,
+       CASE WHEN total_duration_ms > 0
+            THEN ROUND(actual_cpu_time_ms * 100.0 / total_duration_ms, 4) END AS cpu_utilization_percent,
+       CASE WHEN total_duration_ms <= 0 THEN 'Unknown'
+            WHEN actual_cpu_time_ms * 100.0 / total_duration_ms >= 80.0 THEN 'High'
+            WHEN actual_cpu_time_ms * 100.0 / total_duration_ms >= 50.0 THEN 'Medium'
+            ELSE 'Low' END AS efficiency_rating
+FROM g
+ORDER BY date DESC, app_id, executor_id
+LIMIT 2000"""
+
+  /** Memory usage + spill per (day, app, executor) with efficiency
+   *  rating. Reference: duckdb_store_backup.rs:705-741 (rating logic
+   *  from the Rust post-processing at :758-775). */
+  def memUsage(canon: DataFrame, limit: Int = 2000): DataFrame =
+    canon.filter(taskEnd)
+      .groupBy(col("event_date").as("date"), col("app_id"),
+        coalesce(col("executor_id"), lit("driver")).as("executor_id"))
+      .agg(
+        count(lit(1)).as("total_tasks"),
+        coalesce(expr("max(jvm_heap_bytes div 1048576)"), lit(1024L)).as("max_memory_mb"),
+        coalesce(expr("max(peak_memory_bytes div 1048576)"), lit(0L)).as("peak_memory_usage_mb"),
+        round(coalesce(expr("avg(peak_memory_bytes div 1048576)"), lit(0.0)), 4).as("avg_memory_usage_mb"),
+        coalesce(expr("sum(memory_spilled_bytes div 1048576)"), lit(0L)).as("memory_spill_mb"),
+        coalesce(expr("sum(disk_spilled_bytes div 1048576)"), lit(0L)).as("disk_spill_mb"))
+      .withColumn("memory_utilization_percent",
+        when(col("max_memory_mb") > 0,
+          round(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("spill_ratio",
+        when(col("peak_memory_usage_mb") > 0,
+          round(col("memory_spill_mb") * lit(1.0) / col("peak_memory_usage_mb"), 4)))
+      .withColumn("memory_efficiency_rating", {
+        val util = col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb")
+        when(col("memory_spill_mb") === 0 && util < 70.0, "Excellent")
+          .when(col("memory_spill_mb") === 0, "Good")
+          .when(util > 95.0 && col("memory_spill_mb") > 100, "Critical")
+          .otherwise("Poor")
+      })
+      .select("date", "app_id", "executor_id", "max_memory_mb",
+        "peak_memory_usage_mb", "avg_memory_usage_mb",
+        "memory_utilization_percent", "memory_spill_mb", "disk_spill_mb",
+        "total_tasks", "memory_efficiency_rating", "spill_ratio")
+      .orderBy(col("date").desc, col("app_id"), col("executor_id"))
+      .limit(limit)
+
+  val memUsageOracle: String = canonCte + """
+, g AS (
+  SELECT event_date AS date, app_id,
+         COALESCE(executor_id, 'driver') AS executor_id,
+         CAST(COUNT(*) AS BIGINT) AS total_tasks,
+         CAST(COALESCE(MAX(jvm_heap_bytes // 1048576), 1024) AS BIGINT) AS max_memory_mb,
+         CAST(COALESCE(MAX(peak_memory_bytes // 1048576), 0) AS BIGINT) AS peak_memory_usage_mb,
+         ROUND(COALESCE(AVG(peak_memory_bytes // 1048576), 0), 4) AS avg_memory_usage_mb,
+         CAST(COALESCE(SUM(memory_spilled_bytes // 1048576), 0) AS BIGINT) AS memory_spill_mb,
+         CAST(COALESCE(SUM(disk_spilled_bytes // 1048576), 0) AS BIGINT) AS disk_spill_mb
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+  GROUP BY event_date, app_id, COALESCE(executor_id, 'driver'))
+SELECT date, app_id, executor_id, max_memory_mb, peak_memory_usage_mb,
+       avg_memory_usage_mb,
+       CASE WHEN max_memory_mb > 0
+            THEN ROUND(peak_memory_usage_mb * 100.0 / max_memory_mb, 4)
+            ELSE 0.0 END AS memory_utilization_percent,
+       memory_spill_mb, disk_spill_mb, total_tasks,
+       CASE WHEN memory_spill_mb = 0 AND peak_memory_usage_mb * 100.0 / max_memory_mb < 70.0 THEN 'Excellent'
+            WHEN memory_spill_mb = 0 THEN 'Good'
+            WHEN peak_memory_usage_mb * 100.0 / max_memory_mb > 95.0 AND memory_spill_mb > 100 THEN 'Critical'
+            ELSE 'Poor' END AS memory_efficiency_rating,
+       CASE WHEN peak_memory_usage_mb > 0
+            THEN ROUND(memory_spill_mb * 1.0 / peak_memory_usage_mb, 4) END AS spill_ratio
+FROM g
+ORDER BY date DESC, app_id, executor_id
+LIMIT 2000"""
+
+  /** Daily corpus-level capacity rollup.
+   *  Reference: duckdb_store_backup.rs:1369-1398. */
+  def capacityTrends(canon: DataFrame, limit: Int = 30): DataFrame =
+    canon.filter(taskEnd)
+      .groupBy(col("event_date").as("date"))
+      .agg(
+        sum("peak_memory_bytes").as("peak_sum"),
+        countDistinct("app_id").as("concurrent_apps"),
+        count(lit(1)).as("total_tasks"),
+        avg("cpu_time_ns").as("avg_cpu_ns"))
+      .select(
+        col("date"),
+        round(col("peak_sum") / lit(1073741824.0), 4).as("total_memory_gb_used"),
+        round((col("avg_cpu_ns") / lit(1000000000.0)) * col("concurrent_apps"), 4)
+          .as("total_cpu_cores_used"),
+        col("concurrent_apps").as("peak_concurrent_applications"),
+        col("total_tasks"),
+        round(col("peak_sum") / lit(1073741824.0) / col("concurrent_apps"), 4)
+          .as("average_resource_utilization"),
+        round(least(lit(100.0),
+          col("peak_sum") / lit(1073741824.0) / lit(1024.0) * lit(100.0)), 4)
+          .as("cluster_capacity_percentage"))
+      .orderBy(col("date").desc)
+      .limit(limit)
+
+  val capacityTrendsOracle: String = canonCte + """
+, g AS (
+  SELECT event_date AS date,
+         CAST(SUM(peak_memory_bytes) AS BIGINT) AS peak_sum,
+         CAST(COUNT(DISTINCT app_id) AS BIGINT) AS concurrent_apps,
+         CAST(COUNT(*) AS BIGINT) AS total_tasks,
+         AVG(cpu_time_ns) AS avg_cpu_ns
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+  GROUP BY event_date)
+SELECT date,
+       ROUND(peak_sum / 1073741824.0, 4) AS total_memory_gb_used,
+       ROUND((avg_cpu_ns / 1000000000.0) * concurrent_apps, 4) AS total_cpu_cores_used,
+       concurrent_apps AS peak_concurrent_applications,
+       total_tasks,
+       ROUND(peak_sum / 1073741824.0 / concurrent_apps, 4) AS average_resource_utilization,
+       ROUND(LEAST(100.0, peak_sum / 1073741824.0 / 1024.0 * 100.0), 4) AS cluster_capacity_percentage
+FROM g
+ORDER BY date DESC
+LIMIT 30"""
+}
