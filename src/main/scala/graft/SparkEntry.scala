@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.events.TestDataAdapter
 import graft.analytics._
+import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the key inventory.
   * Every implemented operator has a `queries` entry; every
@@ -69,8 +70,25 @@ ORDER BY event_id"""
     "resource_util_metrics" -> ((s, d) => CrossApp.resourceUtilMetrics(canon(s, d))),
     "resource_hogs" -> ((s, d) => Optimization.resourceHogs(canon(s, d))),
     "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
-    "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d)))
+    "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d))),
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
+    "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
+    "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
+    "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d))),
+    "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d))),
+    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d)))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,6 +111,18 @@ ORDER BY event_id"""
     "resource_util_metrics" -> CrossApp.resourceUtilMetricsOracle,
     "resource_hogs" -> Optimization.resourceHogsOracle,
     "efficiency_analysis" -> Optimization.efficiencyAnalysisOracle,
-    "cost_optimization" -> Optimization.costOptimizationOracle
+    "cost_optimization" -> Optimization.costOptimizationOracle,
+    "text_stats" -> TextAnalysis.textStatsOracle,
+    "lang_id" -> TextAnalysis.langIdOracle,
+    "quality_score" -> TextAnalysis.qualityScoreOracle,
+    "fingerprint" -> TextAnalysis.fingerprintOracle,
+    "dedup_exact" -> Dedup.dedupExactOracle,
+    "dedup_ngram" -> Dedup.dedupNgramOracle,
+    "dedup_minhash" -> Dedup.dedupMinhashOracle,
+    "dedup_simhash" -> Dedup.dedupSimhashOracle,
+    "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
+    "ann_topk" -> Embeddings.annTopKOracle,
+    "ann_lsh" -> Embeddings.annLshOracle,
+    "multimodal_features" -> Multimodal.multimodalFeaturesOracle
   )
 }

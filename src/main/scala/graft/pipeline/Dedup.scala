@@ -1,0 +1,281 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for an LLM training-data pipeline, over the
+ * `documents` table.
+ *
+ * Scale design (the part that must survive 100 TB):
+ *  - exact dedup: hash -> groupBy(hash) window, never a self-join on
+ *    full text;
+ *  - near-dup (MinHash/SimHash/n-gram): candidate pairs come ONLY from
+ *    bucket joins (LSH band buckets, rare-gram inverted index, SimHash
+ *    nibble bands) — there is no crossJoin anywhere in these plans;
+ *  - SimHash banding is *exact* for hamming <= bands-1 (pigeonhole), so
+ *    the bucketed plan returns the identical pair set a brute-force
+ *    scan would.
+ *
+ * Cross-engine determinism: shingles get integer ids via a global
+ * sorted ROW_NUMBER (mirrored by the DuckDB oracle); hash families are
+ * affine maps (a_j*gid + b_j) mod P over those ids — pure integer
+ * arithmetic, identical in any engine. At 100 TB the library swaps the
+ * sorted-id assignment for `xxhash64(gram)` (`deterministicIds=false`)
+ * which removes the global sort; the algorithm is otherwise unchanged.
+ */
+object Dedup {
+
+  val Prime = 1000003L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Exact dedup: first doc_id wins per content hash; emits survivors
+   *  with their duplicate count. Partitioned by the hash via the
+   *  window shuffle — no text ever compared pairwise. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val h = md5(col("text"))
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    docs.select(col("doc_id"), h.as("content_hash"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy("content_hash")))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("content_hash"), col("dup_count"))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactOracle: String = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+  FROM documents)
+SELECT doc_id, content_hash, dup_count
+FROM h WHERE rk = 1
+ORDER BY doc_id"""
+
+  // ---- shared shingle machinery -------------------------------------
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, gram). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .distinct()
+
+  /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
+   *  static 1..4000 index table — docs are < 4000 tokens). */
+  val shinglesCte: String = """
+nums AS (SELECT unnest(range(1, 4001)) AS i),
+toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shingle AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM toked, nums
+  WHERE i + 2 <= len(toks))"""
+
+  /** Deterministic gram ids: global sorted row_number (oracle parity
+   *  mode). Scale mode uses xxhash64 and skips the sort. */
+  def gramIds(sh: DataFrame, deterministicIds: Boolean = true): DataFrame =
+    if (deterministicIds)
+      sh.select("gram").distinct()
+        .withColumn("gid", row_number().over(Window.orderBy("gram")).cast("long"))
+    else
+      sh.select("gram").distinct().withColumn("gid", xxhash64(col("gram")))
+
+  val gramIdsCte: String = """
+vocab AS (
+  SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY gram) AS BIGINT) AS gid
+  FROM (SELECT DISTINCT gram FROM shingle))"""
+
+  /** n-gram Jaccard near-dup with rare-gram blocking: candidate pairs
+   *  share at least one gram whose document frequency is <= maxDf (the
+   *  inverted-index bucket join), then exact Jaccard >= minJaccard is
+   *  verified on the shingle sets. */
+  def dedupNgram(docs: DataFrame, maxDf: Long = 20L,
+                 minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(docs).cache()
+    val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
+    val rareSh = sh.join(rare, "gram")
+    val cands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    cands.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter_n"), col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramOracle: String = "WITH " + shinglesCte + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 20),
+raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
+       ROUND(i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n), 4) AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY c.doc_a, c.doc_b"""
+
+  /** MinHash + banded LSH near-dup: 16 affine min-hashes over gram ids,
+   *  4 bands x 4 rows; candidate pairs share a full band signature
+   *  (bucket join on (band, signature)); exact Jaccard verified. */
+  def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
+                   deterministicIds: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs).cache()
+    val ids = gramIds(sh, deterministicIds)
+    val shId = sh.join(ids, "gram").select("doc_id", "gid")
+    val hashes = (0 until NumHashes).map(j => (j.toLong, 37L + 101L * j, 17L + 257L * j))
+      .toDF("j", "a", "b")
+    val sig = shId.crossJoin(broadcast(hashes))
+      .groupBy("doc_id", "j")
+      .agg(min((col("a") * col("gid") + col("b")) % Prime).as("mh"))
+    val bandSig = sig
+      .withColumn("band", expr(s"j div $RowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => x("mh").cast("string")), "-").as("bsig"))
+    val cands = bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+      .join(bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_b")),
+        Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    cands.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashOracle: String = "WITH " + shinglesCte + "," + gramIdsCte + """,
+shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
+hashes AS (
+  SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
+  FROM (SELECT unnest(range(0, 16)) AS j)),
+sig AS (
+  SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
+  FROM shid s CROSS JOIN hashes h
+  GROUP BY s.doc_id, h.j),
+bandsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS bsig
+  FROM sig GROUP BY doc_id, j // 4),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n), 4) AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY c.doc_a, c.doc_b"""
+
+  /** SimHash near-dup: 16-bit majority fingerprint over gram-id hash
+   *  bits; candidates share >=1 of 4 nibble bands (exact for
+   *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
+  def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
+                   deterministicIds: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs).cache()
+    val ids = gramIds(sh, deterministicIds)
+    val shId = sh.join(ids, "gram").select("doc_id", "gid")
+    val bits = (0 until NumHashes).map(b => (b.toLong, 37L + 101L * b, 17L + 257L * b))
+      .toDF("b", "a", "c")
+    val fp = shId.crossJoin(broadcast(bits))
+      .withColumn("contrib",
+        when(((col("a") * col("gid") + col("c")) % Prime) % 2 === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("fp"))
+    val nibbles = fp.select(col("doc_id"), col("fp"),
+        explode(expr("transform(sequence(0, 3), bd -> " +
+          "named_struct('band', cast(bd as long), 'nib', shiftright(fp, 4 * bd) & 15))"))
+          .as("nb"))
+      .select(col("doc_id"), col("fp"), col("nb.band").as("band"), col("nb.nib").as("nib"))
+    val cands = nibbles.select(col("band"), col("nib"),
+        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      .join(nibbles.select(col("band"), col("nib"),
+        col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("band", "nib"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashOracle: String = "WITH " + shinglesCte + "," + gramIdsCte + """,
+shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
+bits AS (
+  SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
+  FROM (SELECT unnest(range(0, 16)) AS b)),
+persum AS (
+  SELECT s.doc_id, bt.b,
+         SUM(CASE WHEN ((bt.a * s.gid + bt.c) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS sm
+  FROM shid s CROSS JOIN bits bt
+  GROUP BY s.doc_id, bt.b),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+  FROM persum GROUP BY doc_id),
+nib AS (
+  SELECT doc_id, fp, bd.band, (fp >> (4 * bd.band)) & 15 AS nib
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) bd),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM nib a JOIN nib b
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, fp_a, fp_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+ORDER BY doc_a, doc_b"""
+}

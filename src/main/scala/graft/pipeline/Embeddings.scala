@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search + embedding near-dup over the
+ * `embeddings(vec_id, embedding: array<float>, label)` table.
+ *
+ * Vectors are quantized to integer milli-units
+ * (`q_i = round(x_i * 1000)`) so dot products and norms are exact
+ * integers — cosine similarity is then one double division, identical
+ * across engines and aggregation orders. At 100 TB the same pipeline
+ * runs un-quantized; quantization costs ~1e-3 relative error, well
+ * under any useful similarity threshold.
+ *
+ * Scale design: the query set is broadcast for brute-force top-k (a
+ * broadcast nested-loop over the corpus — the correct baseline plan);
+ * the LSH variants bucket by sign-bit nibbles and join per bucket — no
+ * all-pairs crossJoin of the corpus with itself.
+ */
+object Embeddings {
+
+  val Dims = 64
+  val NumPlanes = 16
+  val NibbleBands = 4
+
+  /** vec_id -> quantized components (vec_id, i, q). */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).as("i"),
+        expr("CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+
+  /** Squared norms per vector (exact integers). */
+  private def norms(qv: DataFrame): DataFrame =
+    qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nq"))
+
+  /** Brute-force cosine top-k: query set = vec_id % 100 == 0,
+   *  broadcast against the corpus; exact integer dot products. */
+  def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val qv = quantized(emb).cache()
+    val nr = norms(qv)
+    val queries = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("i"), col("q").as("q_q"))
+    val dots = broadcast(queries)
+      .join(qv.select(col("vec_id"), col("i"), col("q")), "i")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("q_q") * col("q")).as("dot"))
+    val sims = dots
+      .join(broadcast(nr.select(col("vec_id").as("query_id"), col("nq").as("nq_q"))),
+        "query_id")
+      .join(nr, "vec_id")
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
+    sims
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annTopKOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+queries AS (SELECT vec_id AS query_id, i, q AS q_q FROM qv WHERE vec_id % 100 = 0),
+dots AS (
+  SELECT qs.query_id, v.vec_id, CAST(SUM(qs.q_q * v.q) AS BIGINT) AS dot
+  FROM queries qs JOIN qv v ON qs.i = v.i
+  WHERE qs.query_id <> v.vec_id
+  GROUP BY qs.query_id, v.vec_id),
+sims AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (sqrt(nq_a.nq) * sqrt(nq_b.nq)) AS cosine
+  FROM dots d
+  JOIN nr nq_a ON d.query_id = nq_a.vec_id
+  JOIN nr nq_b ON d.vec_id = nq_b.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM sims)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
+       ROUND(cosine, 4) AS cosine
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rank"""
+
+  /** Deterministic integer "random" hyperplanes:
+   *  h_p[i] = ((37+101p)*i + 17+257p) mod 97 - 48. */
+  private def planeFp(qv: DataFrame): DataFrame = {
+    val spark = qv.sparkSession
+    import spark.implicits._
+    val planes = (0 until NumPlanes)
+      .map(p => (p.toLong, 37L + 101L * p, 17L + 257L * p)).toDF("p", "pa", "pb")
+    qv.crossJoin(broadcast(planes))
+      .withColumn("h", (col("pa") * col("i") + col("pb")) % 97L - 48L)
+      .groupBy("vec_id", "p")
+      .agg(sum(col("h") * col("q")).as("pdot"))
+      .withColumn("bit", when(col("pdot") > 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("fp"))
+  }
+
+  private val planeFpCte: String = """
+dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+planes AS (
+  SELECT p, 37 + 101 * p AS pa, 17 + 257 * p AS pb
+  FROM (SELECT unnest(range(0, 16)) AS p)),
+pdots AS (
+  SELECT v.vec_id, pl.p, SUM(((pl.pa * v.i + pl.pb) % 97 - 48) * v.q) AS pdot
+  FROM qv v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.p),
+fp AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+  FROM pdots GROUP BY vec_id),
+nib AS (
+  SELECT vec_id, fp, bd.band, (fp >> (4 * bd.band)) & 15 AS nibv
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) bd)"""
+
+  /** LSH-bucketed ANN: queries (vec_id % 100 == 0) probe only vectors
+   *  sharing a sign-bit nibble; candidates verified with exact
+   *  quantized cosine >= minCosine. */
+  def annLsh(emb: DataFrame, minCosine: Double = 0.3): DataFrame = {
+    val qv = quantized(emb).cache()
+    val nr = norms(qv)
+    val nib = planeFp(qv)
+      .select(col("vec_id"), col("fp"),
+        explode(expr("transform(sequence(0, 3), bd -> " +
+          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 4 * bd) & 15))"))
+          .as("nb"))
+      .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
+    val cands = nib.filter(col("vec_id") % 100 === 0)
+      .select(col("band"), col("nibv"), col("vec_id").as("query_id"))
+      .join(nib.select(col("band"), col("nibv"), col("vec_id")), Seq("band", "nibv"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val dots = cands
+      .join(qv.select(col("vec_id").as("query_id"), col("i"), col("q").as("q_q")),
+        Seq("query_id"))
+      .join(qv.select(col("vec_id"), col("i"), col("q")), Seq("vec_id", "i"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("q_q") * col("q")).as("dot"))
+    dots
+      .join(nr.select(col("vec_id").as("query_id"), col("nq").as("nq_q")), "query_id")
+      .join(nr, "vec_id")
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "vec_id")
+  }
+
+  val annLshOracle: String = "WITH " + planeFpCte + """,
+cands AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+dots AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM cands c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.vec_id)
+SELECT d.query_id, d.vec_id,
+       ROUND(d.dot / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cosine
+FROM dots d
+JOIN nr na ON d.query_id = na.vec_id
+JOIN nr nb ON d.vec_id = nb.vec_id
+WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.3
+ORDER BY d.query_id, d.vec_id"""
+
+  /** Embedding-cosine near-dup: all pairs sharing an LSH nibble bucket,
+   *  verified at exact quantized cosine >= minCosine. Bucket join only
+   *  — the corpus is never self-crossJoined. */
+  def dedupEmbedding(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val qv = quantized(emb).cache()
+    val nr = norms(qv)
+    val nib = planeFp(qv)
+      .select(col("vec_id"),
+        explode(expr("transform(sequence(0, 3), bd -> " +
+          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 4 * bd) & 15))"))
+          .as("nb"))
+      .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
+    val cands = nib.select(col("band"), col("nibv"), col("vec_id").as("vec_a"))
+      .join(nib.select(col("band"), col("nibv"), col("vec_id").as("vec_b")),
+        Seq("band", "nibv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val dots = cands
+      .join(qv.select(col("vec_id").as("vec_a"), col("i"), col("q").as("q_a")),
+        Seq("vec_a"))
+      .join(qv.select(col("vec_id").as("vec_b"), col("i"), col("q").as("q_b")),
+        Seq("vec_b", "i"))
+      .groupBy("vec_a", "vec_b")
+      .agg(sum(col("q_a") * col("q_b")).as("dot"))
+    dots
+      .join(nr.select(col("vec_id").as("vec_a"), col("nq").as("nq_a")), "vec_a")
+      .join(nr.select(col("vec_id").as("vec_b"), col("nq").as("nq_b")), "vec_b")
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingOracle: String = "WITH " + planeFpCte + """,
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.vec_a, c.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM cands c
+  JOIN qv qa ON qa.vec_id = c.vec_a
+  JOIN qv qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  GROUP BY c.vec_a, c.vec_b)
+SELECT d.vec_a, d.vec_b,
+       ROUND(d.dot / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cosine
+FROM dots d
+JOIN nr na ON d.vec_a = na.vec_id
+JOIN nr nb ON d.vec_b = nb.vec_id
+WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.4
+ORDER BY d.vec_a, d.vec_b"""
+}
