@@ -58,12 +58,17 @@ ORDER BY doc_id"""
 
   // ---- shared shingle machinery -------------------------------------
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, gram). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, gram). Docs
+   *  shorter than n words produce no shingles (explode of an empty
+   *  array) — sequence(1, 0) would count DOWN in Spark, hence the
+   *  explicit guard. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+        s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n))) " +
+          "ELSE array() END")).as("gram"))
       .distinct()
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.events.EventLogParser
+
+/**
+ * Event-log directory listing + batched reading over any Hadoop
+ * filesystem (file://, hdfs://, s3a://). The reference implements three
+ * separate readers (src/storage/file_reader.rs:32-62 local, :69-338
+ * HDFS, :341-516 S3); on Spark the Hadoop FS API is the shared
+ * abstraction — one code path, scheme picked by URI.
+ */
+object EventLogSource {
+
+  /** Known event-log file extensions (reference filters the same set,
+   *  src/storage/file_reader.rs:44-55). */
+  private val logPattern = ".*(\\.json|\\.log|\\.txt|\\binprogress)$".r
+
+  /** List event-log files under a directory URI (driver-side metadata
+   *  op — one RPC per directory, NOT per file; at 100k apps use
+   *  incremental ingest below rather than re-listing hot loops). */
+  def listLogs(spark: SparkSession, dirUri: String): Seq[FileStatus] = {
+    val path = new Path(dirUri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isFile &&
+        (logPattern.matches(s.getPath.getName) || !s.getPath.getName.contains(".")))
+  }
+
+  /** Read + parse all logs in a directory into the canonical frame. */
+  def readDirectory(spark: SparkSession, dirUri: String): DataFrame = {
+    val files = listLogs(spark, dirUri).map(_.getPath.toString)
+    if (files.isEmpty) EventLogParser.parseLines(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("log_file",
+            org.apache.spark.sql.types.StringType)))))
+    else EventLogParser.read(spark, files: _*)
+  }
+
+  /** Write the canonical frame as a partitioned store:
+   *  `partitionBy(event_date)` so per-day/per-app analytics prune; sort
+   *  within partitions by app_id so parquet row-group stats make
+   *  `app_id = ?` scans skip row groups. */
+  def writeStore(canon: DataFrame, outDir: String): Unit =
+    canon
+      .repartition(col("event_date"))
+      .sortWithinPartitions("app_id", "event_time_us")
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(outDir)
+}

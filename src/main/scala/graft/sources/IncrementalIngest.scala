@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.events.EventLogParser
+
+/**
+ * Incremental scan / batched ingest: tracks (path, modification time,
+ * size) per processed file in a checkpoint so re-scans only parse new
+ * or grown files — a re-scan of a 100 TB log directory touches only
+ * the delta.
+ *
+ * Reference behavior: src/event_processor.rs:148-527 (new-file
+ * detection + per-file offset tracking). Spark-native shape: the
+ * checkpoint is a tiny JSON state file; file listing is a driver
+ * metadata op; the actual parsing of the selected files is a
+ * distributed read. For continuous tailing use
+ * [[graft.streaming.StreamingIngest]] which gets the same semantics
+ * from Structured Streaming's file-source offset log.
+ */
+class IncrementalIngest(spark: SparkSession, checkpointPath: String) {
+
+  private case class FileState(path: String, modTime: Long, size: Long)
+
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def loadState(): Map[String, (Long, Long)] = {
+    val p = new Path(checkpointPath)
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(path, mt, sz) = line.split("\t")
+        path -> (mt.toLong, sz.toLong)
+      }.toMap
+    }
+  }
+
+  private def saveState(state: Map[String, (Long, Long)]): Unit = {
+    val p = new Path(checkpointPath)
+    val out = fs(p).create(p, true)
+    try out.write(state.map { case (k, (m, s)) => s"$k\t$m\t$s" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Paths not yet ingested (new, touched, or grown since last scan). */
+  def pendingFiles(dirUri: String): Seq[String] = {
+    val seen = loadState()
+    EventLogSource.listLogs(spark, dirUri)
+      .filter { s =>
+        seen.get(s.getPath.toString) match {
+          case Some((mt, sz)) => s.getModificationTime > mt || s.getLen > sz
+          case None => true
+        }
+      }
+      .map(_.getPath.toString)
+  }
+
+  /** Parse only the pending delta and commit the checkpoint. Returns
+   *  None when nothing is new. */
+  def ingest(dirUri: String): Option[DataFrame] = {
+    val pending = pendingFiles(dirUri)
+    if (pending.isEmpty) None
+    else {
+      val parsed = EventLogParser.read(spark, pending: _*)
+      val statuses = EventLogSource.listLogs(spark, dirUri)
+        .filter(s => pending.contains(s.getPath.toString))
+      val newState = loadState() ++ statuses.map(s =>
+        s.getPath.toString -> (s.getModificationTime, s.getLen))
+      saveState(newState)
+      Some(parsed)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.analytics._
+import graft.events.TestDataAdapter
+import org.apache.spark.sql.functions._
+
+/** Scale-design audits: these assert properties of the PHYSICAL PLAN
+  * that must hold for the operators to survive 100 TB — filter/column
+  * pushdown into the parquet scan, map-side partial aggregation,
+  * broadcast (not shuffle) joins for small dimensions, and the absence
+  * of cartesian products. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def canon = TestDataAdapter.canonical(spark, sf)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("per-app filter pushes down to the parquet scan") {
+    // app_id = 'app-7' <=> user_id = 7: the filter on the derived column
+    // must still reach the scan as a pushed filter on the source column
+    // once expressed pre-projection.
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") === 7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"), p)
+  }
+
+  test("analytics read only the columns they need (column pruning)") {
+    val p = plan(Applications.appList(canon))
+    // appList needs ts + user_id only; the scan schema must not include
+    // value/props/event_type.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ts") && readSchema.contains("user_id"), readSchema)
+    assert(!readSchema.contains("props"), readSchema)
+    assert(!readSchema.contains("value"), readSchema)
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(Trends.perfTrends(canon))
+    // HashAggregate appears twice around the exchange: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("executor summary joins are broadcast or sort-merge on pre-aggregated inputs, no cartesian") {
+    val p = plan(Resources.executorSummary(canon))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("per-app status join in resource_util_metrics is broadcastable") {
+    val p = plan(CrossApp.resourceUtilMetrics(canon))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the canonical projection") {
+    // codegen'd stages carry the `*(n)` prefix in the plan string
+    val p = plan(canon)
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s0", 70L),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "en", "s0", 72L),
+    (2L, "completely different content about spark data processing at massive scale", "en", "s1", 74L),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s2", 70L),
+    (4L, "tiny doc", "en", "s3", 8L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps first doc per identical content") {
+    val out = Dedup.dedupExact(docs).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 4L)) // 3 is dup of 0
+    assert(out.find(_.getLong(0) == 0L).get.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
+    val pairs = Dedup.dedupMinhash(docs, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // one-word difference
+    assert(pairs.contains((0L, 3L))) // identical
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc
+  }
+
+  test("ngram Jaccard agrees with a hand computation") {
+    val row = Dedup.dedupNgram(docs, maxDf = 20, minJaccard = 0.2)
+      .filter(col("doc_a") === 0 && col("doc_b") === 1).collect()(0)
+    // 12 shingles each, 11 shared -> 11 / 13
+    assert(row.getAs[Long]("inter_n") === 11L)
+    assert(row.getAs[Long]("n_a") === 12L)
+    assert(math.abs(row.getAs[Double]("jaccard") - 11.0 / 13.0) < 1e-3)
+  }
+
+  test("simhash: identical docs at hamming 0; banding is exact for <= 3") {
+    val out = Dedup.dedupSimhash(docs, maxHamming = 3)
+    val h = out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    assert(h((0L, 3L)) === 0L)
+    assert(h.get((0L, 1L)).forall(_ <= 3L))
+  }
+
+  test("no cartesian product in any near-dup plan") {
+    for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
+        Dedup.dedupNgram(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("ann_topk ranks by exact cosine with deterministic tie-break") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (100L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.05f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Embeddings.annTopK(emb, k = 2).filter(col("query_id") === 0)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 100L))
+  }
+
+  test("text stats + quality + fingerprint are deterministic and sane") {
+    val ts = TextAnalysis.textStats(docs).filter(col("doc_id") === 4).collect()(0)
+    assert(ts.getAs[Long]("n_tokens") === 2L)
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 2).collect()(0)
+    assert(q.getAs[Double]("diversity_score") === 1.0) // all distinct words
+    val fp = TextAnalysis.fingerprint(docs).collect()
+    assert(fp.map(_.getString(1)).distinct.length === 4) // docs 0 and 3 share a fp
+  }
+
+  test("multimodal stub features are pure functions of payload bytes") {
+    val f = Multimodal.multimodalFeatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(0L).getAs[Long]("byte_len") ===
+      "the quick brown fox jumps over the lazy dog near the river bank today".length.toLong)
+    assert(f(0L).getAs[Long]("feature_crc") === f(3L).getAs[Long]("feature_crc"))
+    assert(f(0L).getAs[Long]("feature_crc") !== f(2L).getAs[Long]("feature_crc"))
+    assert(f(4L).getAs[String]("modality") === "audio") // 4 % 3 == 1
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.events.EventLogFixture
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("listLogs lists only log-shaped files") {
+    val d = tmpDir("srclist")
+    EventLogFixture.writeLogs(d, Seq("app-x"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "junk.parquet"),
+      "not a log".getBytes)
+    val names = EventLogSource.listLogs(spark, s"file://$d").map(_.getPath.getName)
+    assert(names === Seq("app-x.json"))
+  }
+
+  test("readDirectory parses a file:// URI directory end-to-end") {
+    val d = tmpDir("srcdir")
+    EventLogFixture.writeLogs(d, Seq("app-a", "app-b", "app-c"))
+    val canon = EventLogSource.readDirectory(spark, s"file://$d")
+    assert(canon.count() === 36)
+    assert(canon.select("app_id").distinct().count() === 3)
+  }
+
+  test("readDirectory of a missing directory yields an empty frame") {
+    assert(EventLogSource.readDirectory(spark, "file:///nonexistent-graft").count() === 0)
+  }
+
+  test("writeStore partitions by event_date and survives a round-trip") {
+    val d = tmpDir("srcstore")
+    EventLogFixture.writeLogs(d, Seq("app-a", "app-b"))
+    val out = tmpDir("store-out")
+    EventLogSource.writeStore(EventLogSource.readDirectory(spark, s"file://$d"), out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_date=")) >= 2) // one day per app in fixture
+    val back = spark.read.parquet(out)
+    assert(back.count() === 24)
+    // partition pruning: a one-day filter must scan a subset
+    val oneDay = back.filter(col("event_date") === dirs.sorted.head.stripPrefix("event_date="))
+    assert(oneDay.count() === 12)
+  }
+
+  test("incremental ingest parses only the delta") {
+    val d = tmpDir("incr")
+    val ckpt = tmpDir("incr-ckpt") + "/state.tsv"
+    EventLogFixture.writeLogs(d, Seq("app-a"))
+    val ing = new IncrementalIngest(spark, ckpt)
+    val first = ing.ingest(s"file://$d")
+    assert(first.isDefined && first.get.count() === 12)
+    assert(ing.ingest(s"file://$d").isEmpty) // nothing new
+    EventLogFixture.writeLogs(d, Seq("app-b"))
+    val second = ing.ingest(s"file://$d")
+    assert(second.isDefined)
+    assert(second.get.select("app_id").distinct().collect().map(_.getString(0))
+      === Array("app-b"))
+  }
+}
