@@ -42,42 +42,50 @@ object TestDataAdapter {
     canonicalFrom(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** Same mapping over an arbitrary events-shaped DataFrame. */
+  /** Same mapping over an arbitrary events-shaped DataFrame.
+   *  Two-stage projection: the event-type CASE and the base integer
+   *  metrics are materialised ONCE in a first select, so the 29-column
+   *  second stage references plain columns instead of re-embedding the
+   *  mapping expression 29 times (which bloats generated code past the
+   *  JIT-friendly size and slows every downstream query). */
   def canonicalFrom(raw: DataFrame): DataFrame = {
-    val tsUs = raw.schema("ts").dataType match {
+    val tsUs0 = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
+
+    val staged = raw.select(
+      col("event_id"), col("user_id"), tsUs0.as("ts_us"),
+      when(col("event_type") === "signup",
+        when(col("event_id") % 2 === 0, AppStart).otherwise(JobStart))
+        .when(col("event_type") === "error",
+          when(col("event_id") % 3 === 0, AppEnd)
+            .when(col("event_id") % 3 === 1, ExecutorRemoved)
+            .otherwise(JobEnd))
+        .when(col("event_type") === "click",
+          when(col("event_id") % 3 === 0, ExecutorAdded)
+            .when(col("event_id") % 3 === 1, StageSubmitted)
+            .otherwise(StageCompleted))
+        .when(col("event_type") === "view",
+          when(col("event_id") % 2 === 0, TaskEnd).otherwise(TaskStart))
+        .otherwise(TaskEnd).as("etype"),
+      expr("CAST(ROUND(value * 100) AS BIGINT)").as("base_ms"),
+      expr("CAST(ROUND(value * 1000) AS BIGINT)").as("base_kb"))
+
+    val tsUs = col("ts_us")
     val ts  = timestamp_micros(tsUs)
     val eid = col("event_id")
     val uid = col("user_id")
-
-    val evtType =
-      when(col("event_type") === "signup",
-        when(eid % 2 === 0, AppStart).otherwise(JobStart))
-      .when(col("event_type") === "error",
-        when(eid % 3 === 0, AppEnd)
-          .when(eid % 3 === 1, ExecutorRemoved)
-          .otherwise(JobEnd))
-      .when(col("event_type") === "click",
-        when(eid % 3 === 0, ExecutorAdded)
-          .when(eid % 3 === 1, StageSubmitted)
-          .otherwise(StageCompleted))
-      .when(col("event_type") === "view",
-        when(eid % 2 === 0, TaskEnd).otherwise(TaskStart))
-      .otherwise(TaskEnd)
-
+    val evtType = col("etype")
     val isTaskEnd   = evtType === TaskEnd
     val isTask      = evtType.isin(TaskStart, TaskEnd)
     val isExecAdd   = evtType === ExecutorAdded
     val isAppStart  = evtType === AppStart
-
-    // base integer metric derived from `value` (2 decimals -> exact)
-    val baseMs  = expr("CAST(ROUND(value * 100) AS BIGINT)")
-    val baseKb  = expr("CAST(ROUND(value * 1000) AS BIGINT)")
+    val baseMs  = col("base_ms")
+    val baseKb  = col("base_kb")
     val inBytes = baseKb * 1024L
 
-    raw.select(
+    staged.select(
       eid.as("event_id"),
       concat(lit("app-"), uid.cast("string")).as("app_id"),
       evtType.as("event_type"),
@@ -97,20 +105,16 @@ object TestDataAdapter {
       when(isExecAdd, (lit(1L) + (uid % 4)) * 1073741824L).as("max_memory"),
       when(isTaskEnd, baseMs).as("run_time_ms"),
       when(isTaskEnd, baseMs * (lit(3L) + eid % 5) * 100000L).as("cpu_time_ns"),
-      when(isTaskEnd, expr("CAST(ROUND(value * 100) AS BIGINT) div 12"))
-        .as("gc_time_ms"),
+      when(isTaskEnd, expr("base_ms div 12")).as("gc_time_ms"),
       when(isTaskEnd, inBytes).as("input_bytes"),
-      when(isTaskEnd, expr("(CAST(ROUND(value * 1000) AS BIGINT) * 1024) div 4"))
-        .as("output_bytes"),
+      when(isTaskEnd, expr("(base_kb * 1024) div 4")).as("output_bytes"),
       when(isTaskEnd, baseMs * 512L).as("shuffle_read_bytes"),
       when(isTaskEnd, baseMs * 256L).as("shuffle_write_bytes"),
       when(isTaskEnd,
-        when(eid % 7 === 0,
-          expr("(CAST(ROUND(value * 1000) AS BIGINT) * 1024) div 10"))
+        when(eid % 7 === 0, expr("(base_kb * 1024) div 10"))
         .otherwise(0L)).as("memory_spilled_bytes"),
       when(isTaskEnd,
-        when(eid % 11 === 0,
-          expr("(CAST(ROUND(value * 1000) AS BIGINT) * 1024) div 20"))
+        when(eid % 11 === 0, expr("(base_kb * 1024) div 20"))
         .otherwise(0L)).as("disk_spilled_bytes"),
       when(isTaskEnd, (lit(1L) + eid % 64) * 16777216L).as("peak_memory_bytes"),
       when(isTaskEnd, (lit(2L) + uid % 4) * 536870912L).as("jvm_heap_bytes"),

@@ -96,11 +96,29 @@ vocab AS (
   SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY gram) AS BIGINT) AS gid
   FROM (SELECT DISTINCT gram FROM shingle))"""
 
+  /** Exact Jaccard for a candidate-pair frame (doc_a, doc_b):
+   *  intersection counted ONLY for candidate pairs (pairs x grams-of-a
+   *  joined to grams-of-b) — cost scales with |candidates|, not with
+   *  the quadratic co-occurrence of common grams. Columns added:
+   *  inter_n, n_a, n_b, jaccard (unrounded). */
+  private def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    cands.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+  }
+
   /** n-gram Jaccard near-dup with rare-gram blocking: candidate pairs
    *  share at least one gram whose document frequency is <= maxDf (the
    *  inverted-index bucket join), then exact Jaccard >= minJaccard is
    *  verified on the shingle sets. */
-  def dedupNgram(docs: DataFrame, maxDf: Long = 20L,
+  def dedupNgram(docs: DataFrame, maxDf: Long = 5L,
                  minJaccard: Double = 0.2): DataFrame = {
     val sh = shingles(docs).cache()
     val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
@@ -110,16 +128,7 @@ vocab AS (
       .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
-    cands.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+    withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         col("inter_n"), col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -128,7 +137,7 @@ vocab AS (
 
   val dedupNgramOracle: String = "WITH " + shinglesCte + """,
 dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
-rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 20),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
 raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -167,21 +176,13 @@ ORDER BY c.doc_a, c.doc_b"""
       .groupBy("doc_id", "band")
       .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
         x => x("mh").cast("string")), "-").as("bsig"))
+      .cache() // self-joined below; avoid recomputing the signature pipeline twice
     val cands = bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
       .join(bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_b")),
         Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
-    cands.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+    withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -243,6 +244,7 @@ ORDER BY c.doc_a, c.doc_b"""
           "named_struct('band', cast(bd as long), 'nib', shiftright(fp, 4 * bd) & 15))"))
           .as("nb"))
       .select(col("doc_id"), col("fp"), col("nb.band").as("band"), col("nb.nib").as("nib"))
+      .cache() // self-joined below; avoid recomputing the fingerprint pipeline twice
     val cands = nibbles.select(col("band"), col("nib"),
         col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       .join(nibbles.select(col("band"), col("nib"),

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
  * runs un-quantized; quantization costs ~1e-3 relative error, well
  * under any useful similarity threshold.
  *
+ * Dot products are computed IN-ROW with `zip_with` + `aggregate`
+ * higher-order functions over the quantized arrays: a candidate pair
+ * costs one 64-wide multiply-add loop instead of 64 shuffled rows.
+ * (HOFs evaluate interpreted, so the LSH bands are sized to keep the
+ * candidate count small — 4 bands x 8 sign bits from 32 hyperplanes.)
+ *
  * Scale design: the query set is broadcast for brute-force top-k (a
  * broadcast nested-loop over the corpus — the correct baseline plan);
  * the LSH variants bucket by sign-bit nibbles and join per bucket — no
@@ -23,37 +29,32 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   val Dims = 64
-  val NumPlanes = 16
+  val NumPlanes = 32
   val NibbleBands = 4
 
-  /** vec_id -> quantized components (vec_id, i, q). */
+  /** vec_id, qarr (array<long> milli-units), nq (exact squared norm). */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).as("i"),
-        expr("CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qarr"))
+      .withColumn("nq", expr("aggregate(qarr, 0L, (acc, x) -> acc + x * x)"))
 
-  /** Squared norms per vector (exact integers). */
-  private def norms(qv: DataFrame): DataFrame =
-    qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nq"))
+  private val pairDot =
+    "aggregate(zip_with(qarr_a, qarr_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
 
   /** Brute-force cosine top-k: query set = vec_id % 100 == 0,
-   *  broadcast against the corpus; exact integer dot products. */
+   *  broadcast against the corpus (broadcast nested loop — the
+   *  intended baseline plan; the corpus side streams). */
   def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val qv = quantized(emb).cache()
-    val nr = norms(qv)
-    val queries = qv.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("i"), col("q").as("q_q"))
-    val dots = broadcast(queries)
-      .join(qv.select(col("vec_id"), col("i"), col("q")), "i")
+    val qv = quantized(emb)
+    val queries = qv.select(col("vec_id").as("query_id"),
+      col("qarr").as("qarr_a"), col("nq").as("nq_a"))
+      .filter(col("query_id") % 100 === 0)
+    val sims = qv.select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("q_q") * col("q")).as("dot"))
-    val sims = dots
-      .join(broadcast(nr.select(col("vec_id").as("query_id"), col("nq").as("nq_q"))),
-        "query_id")
-      .join(nr, "vec_id")
-      .withColumn("cosine", col("dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
+      .withColumn("dot", expr(pairDot))
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
     sims
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))))
@@ -90,20 +91,27 @@ SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rank"""
 
-  /** Deterministic integer "random" hyperplanes:
-   *  h_p[i] = ((37+101p)*i + 17+257p) mod 97 - 48. */
-  private def planeFp(qv: DataFrame): DataFrame = {
+  /** Sign-bit fingerprints from deterministic integer "random"
+   *  hyperplanes h_p[i] = ((37+101p)*i + 17+257p) mod 97 - 48, plus the
+   *  4 exploded nibble bands used for bucketing. */
+  private def nibbles(qv: DataFrame): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
     val planes = (0 until NumPlanes)
       .map(p => (p.toLong, 37L + 101L * p, 17L + 257L * p)).toDF("p", "pa", "pb")
     qv.crossJoin(broadcast(planes))
-      .withColumn("h", (col("pa") * col("i") + col("pb")) % 97L - 48L)
-      .groupBy("vec_id", "p")
-      .agg(sum(col("h") * col("q")).as("pdot"))
+      .withColumn("pdot", expr(
+        "aggregate(zip_with(qarr, sequence(1, size(qarr)), " +
+          "(x, i) -> x * ((pa * CAST(i AS BIGINT) + pb) % 97 - 48)), " +
+          "0L, (acc, x) -> acc + x)"))
       .withColumn("bit", when(col("pdot") > 0, 1L).otherwise(0L))
       .groupBy("vec_id")
       .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("fp"))
+      .select(col("vec_id"),
+        explode(expr("transform(sequence(0, 3), bd -> " +
+          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 8 * bd) & 255))"))
+          .as("nb"))
+      .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
   }
 
   private val planeFpCte: String = """
@@ -114,7 +122,7 @@ qv AS (
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
 planes AS (
   SELECT p, 37 + 101 * p AS pa, 17 + 257 * p AS pb
-  FROM (SELECT unnest(range(0, 16)) AS p)),
+  FROM (SELECT unnest(range(0, 32)) AS p)),
 pdots AS (
   SELECT v.vec_id, pl.p, SUM(((pl.pa * v.i + pl.pb) % 97 - 48) * v.q) AS pdot
   FROM qv v CROSS JOIN planes pl
@@ -124,37 +132,35 @@ fp AS (
          CAST(SUM(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
   FROM pdots GROUP BY vec_id),
 nib AS (
-  SELECT vec_id, fp, bd.band, (fp >> (4 * bd.band)) & 15 AS nibv
+  SELECT vec_id, fp, bd.band, (fp >> (8 * bd.band)) & 255 AS nibv
   FROM fp, (SELECT unnest(range(0, 4)) AS band) bd)"""
+
+  /** Verify candidate (id_a, id_b) pairs with the exact in-row cosine;
+   *  keeps pairs >= minCosine. */
+  private def verifyCosine(cands: DataFrame, qv: DataFrame,
+                           aCol: String, bCol: String,
+                           minCosine: Double): DataFrame =
+    cands
+      .join(qv.select(col("vec_id").as(aCol),
+        col("qarr").as("qarr_a"), col("nq").as("nq_a")), aCol)
+      .join(qv.select(col("vec_id").as(bCol),
+        col("qarr").as("qarr_b"), col("nq").as("nq_b")), bCol)
+      .withColumn("dot", expr(pairDot))
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .filter(col("cosine") >= minCosine)
 
   /** LSH-bucketed ANN: queries (vec_id % 100 == 0) probe only vectors
    *  sharing a sign-bit nibble; candidates verified with exact
    *  quantized cosine >= minCosine. */
   def annLsh(emb: DataFrame, minCosine: Double = 0.3): DataFrame = {
     val qv = quantized(emb).cache()
-    val nr = norms(qv)
-    val nib = planeFp(qv)
-      .select(col("vec_id"), col("fp"),
-        explode(expr("transform(sequence(0, 3), bd -> " +
-          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 4 * bd) & 15))"))
-          .as("nb"))
-      .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
+    val nib = nibbles(qv).cache()
     val cands = nib.filter(col("vec_id") % 100 === 0)
       .select(col("band"), col("nibv"), col("vec_id").as("query_id"))
       .join(nib.select(col("band"), col("nibv"), col("vec_id")), Seq("band", "nibv"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
-    val dots = cands
-      .join(qv.select(col("vec_id").as("query_id"), col("i"), col("q").as("q_q")),
-        Seq("query_id"))
-      .join(qv.select(col("vec_id"), col("i"), col("q")), Seq("vec_id", "i"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("q_q") * col("q")).as("dot"))
-    dots
-      .join(nr.select(col("vec_id").as("query_id"), col("nq").as("nq_q")), "query_id")
-      .join(nr, "vec_id")
-      .withColumn("cosine", col("dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
-      .filter(col("cosine") >= minCosine)
+    verifyCosine(cands, qv, "query_id", "vec_id", minCosine)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
       .orderBy("query_id", "vec_id")
   }
@@ -183,30 +189,13 @@ ORDER BY d.query_id, d.vec_id"""
    *  — the corpus is never self-crossJoined. */
   def dedupEmbedding(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
     val qv = quantized(emb).cache()
-    val nr = norms(qv)
-    val nib = planeFp(qv)
-      .select(col("vec_id"),
-        explode(expr("transform(sequence(0, 3), bd -> " +
-          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 4 * bd) & 15))"))
-          .as("nb"))
-      .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
+    val nib = nibbles(qv).cache()
     val cands = nib.select(col("band"), col("nibv"), col("vec_id").as("vec_a"))
       .join(nib.select(col("band"), col("nibv"), col("vec_id").as("vec_b")),
         Seq("band", "nibv"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val dots = cands
-      .join(qv.select(col("vec_id").as("vec_a"), col("i"), col("q").as("q_a")),
-        Seq("vec_a"))
-      .join(qv.select(col("vec_id").as("vec_b"), col("i"), col("q").as("q_b")),
-        Seq("vec_b", "i"))
-      .groupBy("vec_a", "vec_b")
-      .agg(sum(col("q_a") * col("q_b")).as("dot"))
-    dots
-      .join(nr.select(col("vec_id").as("vec_a"), col("nq").as("nq_a")), "vec_a")
-      .join(nr.select(col("vec_id").as("vec_b"), col("nq").as("nq_b")), "vec_b")
-      .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
-      .filter(col("cosine") >= minCosine)
+    verifyCosine(cands, qv, "vec_a", "vec_b", minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
