@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics._
+
+/**
+ * History-server v1 API surface as callable DataFrame functions — the
+ * Spark-native equivalent of the reference's REST routes
+ * (reference: src/api.rs:24-48 for the v1 surface and
+ * src/analytics_api_old.rs:12-21 for the cross-app analytics routes).
+ * A serving layer maps each route to one function call; every function
+ * is a pruned, pushed-down query over the canonical frame.
+ */
+object HistoryServerApi {
+
+  /** GET /api/v1/applications?minDate=&maxDate=&limit= */
+  def applications(canon: DataFrame, minDate: Option[String] = None,
+                   maxDate: Option[String] = None, limit: Int = 100): DataFrame =
+    Applications.appList(canon, minDate, maxDate, limit)
+
+  /** GET /api/v1/applications/{appId} */
+  def application(canon: DataFrame, appId: String): DataFrame =
+    Applications.apiApplications(canon).filter(col("id") === appId)
+
+  /** GET /api/v1/applications/{appId}/executors */
+  def executors(canon: DataFrame, appId: String): DataFrame =
+    Resources.executorSummary(canon).filter(col("app_id") === appId)
+
+  /** GET /api/v1/version (reference: src/api.rs:44-48) */
+  def version(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("1", spark.version)).toDF("api_version", "spark_version")
+  }
+
+  /** The cross-app analytics routes (src/analytics_api_old.rs:12-21). */
+  def performanceTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
+    Trends.perfTrends(canon, limit)
+  def gcTimeTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
+    Trends.gcTrends(canon, limit)
+  def cpuUtilization(canon: DataFrame, limit: Int = 2000): DataFrame =
+    Trends.cpuUtil(canon, limit)
+  def memoryUsage(canon: DataFrame, limit: Int = 2000): DataFrame =
+    Trends.memUsage(canon, limit)
+  def crossAppSummary(canon: DataFrame): DataFrame =
+    CrossApp.crossAppSummary(canon)
+  def taskDistribution(canon: DataFrame, limit: Int = 1000): DataFrame =
+    CrossApp.taskDistribution(canon, limit)
+  def executorUtilization(canon: DataFrame, limit: Int = 50): DataFrame =
+    CrossApp.executorUtilization(canon, limit)
+  def resourceUtilization(canon: DataFrame, limit: Int = 2000): DataFrame =
+    CrossApp.resourceUtilMetrics(canon, limit)
+  def topResourceConsumers(canon: DataFrame, limit: Int = 10): DataFrame =
+    Optimization.resourceHogs(canon, limit)
+  def efficiencyAnalysis(canon: DataFrame, limit: Int = 20): DataFrame =
+    Optimization.efficiencyAnalysis(canon, limit)
+  def capacityTrends(canon: DataFrame, limit: Int = 30): DataFrame =
+    Trends.capacityTrends(canon, limit)
+  def costOptimization(canon: DataFrame, limit: Int = 15): DataFrame =
+    Optimization.costOptimization(canon, limit)
+}
