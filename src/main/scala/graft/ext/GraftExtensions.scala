@@ -1,0 +1,28 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.QDot
+
+/**
+ * SparkSessionExtensions entry point registering graft's native
+ * functions — install with
+ * `.config("spark.sql.extensions", "graft.ext.GraftExtensions")`
+ * (or `SparkSession.builder.withExtensions(new GraftExtensions)`).
+ *
+ * Registered SQL functions:
+ *  - `qdot(array<bigint>, array<bigint>) -> bigint` — codegen'd
+ *    integer dot product ([[graft.functions.QDot]]).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("qdot"),
+      new ExpressionInfo(classOf[QDot].getName, "qdot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "qdot expects exactly 2 arguments")
+        QDot(children.head, children(1))
+      }))
+  }
+}

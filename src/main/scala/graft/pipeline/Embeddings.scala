@@ -32,15 +32,18 @@ object Embeddings {
   val NumPlanes = 32
   val NibbleBands = 4
 
-  /** vec_id, qarr (array<long> milli-units), nq (exact squared norm). */
+  /** vec_id, qarr (array<long> milli-units), nq (exact squared norm).
+   *  Dot products use the native codegen'd [[graft.functions.QDot]]
+   *  (`qdot`, registered by [[graft.ext.GraftExtensions]]) — the
+   *  equivalent `aggregate(zip_with(...))` built-in composition
+   *  evaluates interpreted and allocates per row. */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("qarr"))
-      .withColumn("nq", expr("aggregate(qarr, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nq", expr("qdot(qarr, qarr)"))
 
-  private val pairDot =
-    "aggregate(zip_with(qarr_a, qarr_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+  private val pairDot = "qdot(qarr_a, qarr_b)"
 
   /** Brute-force cosine top-k: query set = vec_id % 100 == 0,
    *  broadcast against the corpus (broadcast nested loop — the
@@ -97,13 +100,14 @@ ORDER BY query_id, rank"""
   private def nibbles(qv: DataFrame): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
-    val planes = (0 until NumPlanes)
-      .map(p => (p.toLong, 37L + 101L * p, 17L + 257L * p)).toDF("p", "pa", "pb")
+    // Hyperplane components precomputed as literal arrays so the
+    // per-vector projection is one qdot call.
+    val planes = (0 until NumPlanes).map { p =>
+      val (pa, pb) = (37L + 101L * p, 17L + 257L * p)
+      (p.toLong, Array.tabulate(Dims)(idx => (pa * (idx + 1) + pb) % 97L - 48L))
+    }.toDF("p", "parr")
     qv.crossJoin(broadcast(planes))
-      .withColumn("pdot", expr(
-        "aggregate(zip_with(qarr, sequence(1, size(qarr)), " +
-          "(x, i) -> x * ((pa * CAST(i AS BIGINT) + pb) % 97 - 48)), " +
-          "0L, (acc, x) -> acc + x)"))
+      .withColumn("pdot", expr("qdot(qarr, parr)"))
       .withColumn("bit", when(col("pdot") > 0, 1L).otherwise(0L))
       .groupBy("vec_id")
       .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("fp"))
