@@ -96,6 +96,28 @@ vocab AS (
   SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY gram) AS BIGINT) AS gid
   FROM (SELECT DISTINCT gram FROM shingle))"""
 
+  /** Within-bucket candidate pairs with skew salting: members of each
+   *  bucket are split into `salts` groups by id-hash; the right side is
+   *  replicated once per salt so every pair lands in exactly one
+   *  (bucket, salt) join cell. A hot bucket's pair generation spreads
+   *  over `salts` reducers instead of melting one. Pair SET is
+   *  identical to the unsalted bucket self-join (asserted in
+   *  PipelineSpec). `keyCols` are the bucket key columns; `idCol` the
+   *  member id. */
+  def saltedBucketPairs(members: DataFrame, keyCols: Seq[String],
+                        idCol: String, salts: Int = 8): DataFrame = {
+    val keys = keyCols.map(col)
+    val left = members
+      .withColumn("sa", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .select(keys :+ col("sa") :+ col(idCol).as("doc_a"): _*)
+    val right = members
+      .withColumn("sa", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      .select(keys :+ col("sa") :+ col(idCol).as("doc_b"): _*)
+    left.join(right, keyCols :+ "sa")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Exact Jaccard for a candidate-pair frame (doc_a, doc_b):
    *  intersection counted ONLY for candidate pairs (pairs x grams-of-a
    *  joined to grams-of-b) — cost scales with |candidates|, not with

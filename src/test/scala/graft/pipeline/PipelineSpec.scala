@@ -45,6 +45,20 @@ class PipelineSpec extends SparkSpec {
     assert(h.get((0L, 1L)).forall(_ <= 3L))
   }
 
+  test("salted bucket pairs equal the unsalted bucket self-join pair set") {
+    val members = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (3L, 30L)).toDF("bucket", "doc_id")
+    val salted = Dedup.saltedBucketPairs(members, Seq("bucket"), "doc_id", salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = members.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(members.select(col("bucket"), col("doc_id").as("doc_b")), "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+    assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
+  }
+
   test("no cartesian product in any near-dup plan") {
     for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
         Dedup.dedupNgram(docs))) {
