@@ -83,7 +83,18 @@ object EventLogParser {
         StructField("Shuffle Bytes Written", LongType),
         StructField("Bytes Written", LongType))))))),
     StructField("Task Executor Metrics", StructType(Seq(
-      StructField("JVMHeapMemory", LongType))))
+      StructField("JVMHeapMemory", LongType)))),
+    // SparkListenerBlockManagerAdded/Removed
+    StructField("Block Manager ID", StructType(Seq(
+      StructField("Executor ID", StringType),
+      StructField("Host", StringType),
+      StructField("Port", LongType)))),
+    StructField("Maximum Memory", LongType),
+    // SparkListenerEnvironmentUpdate ([[k,v],...] pairs)
+    StructField("Spark Properties", ArrayType(ArrayType(StringType))),
+    // SQL execution events
+    StructField("executionId", LongType),
+    StructField("time", LongType)
   ))
 
   /** Parse raw event-log lines (column `value` + `log_file`) into the
@@ -96,7 +107,7 @@ object EventLogParser {
     val tsMs = coalesce(e("Timestamp"),
       e("Task Info")("Finish Time"), e("Task Info")("Launch Time"),
       e("Stage Info")("Completion Time"), e("Stage Info")("Submission Time"),
-      e("Completion Time"), e("Submission Time"))
+      e("Completion Time"), e("Submission Time"), e("time"))
     val tsUs = tsMs * 1000L
     // Streaming sources cannot use monotonically_increasing_id; a hash
     // of (file, line) is a stable synthetic id in both modes.
@@ -126,15 +137,21 @@ object EventLogParser {
         when(col("e")("Event").isin(TaskStart, TaskEnd),
           col("e")("Task Info")("Executor ID"))
           .when(col("e")("Event").isin(ExecutorAdded, ExecutorRemoved),
-            col("e")("Executor ID")).as("executor_id"),
+            col("e")("Executor ID"))
+          .when(col("e")("Event").isin(BlockManagerAdded, BlockManagerRemoved),
+            col("e")("Block Manager ID")("Executor ID")).as("executor_id"),
         when(col("e")("Event").isin(TaskStart, TaskEnd),
           col("e")("Task Info")("Host"))
           .when(col("e")("Event") === ExecutorAdded,
-            col("e")("Executor Info")("Host")).as("host"),
+            col("e")("Executor Info")("Host"))
+          .when(col("e")("Event").isin(BlockManagerAdded, BlockManagerRemoved),
+            col("e")("Block Manager ID")("Host")).as("host"),
         when(col("e")("Event") === ExecutorAdded,
           col("e")("Executor Info")("Total Cores").cast("int")).as("cores"),
         when(col("e")("Event") === ExecutorAdded,
-          col("e")("Executor Info")("Max Memory")).as("max_memory"),
+          col("e")("Executor Info")("Max Memory"))
+          .when(col("e")("Event") === BlockManagerAdded,
+            col("e")("Maximum Memory")).as("max_memory"),
         when(col("e")("Event") === TaskEnd,
           col("e")("Task Metrics")("Executor Run Time")).as("run_time_ms"),
         when(col("e")("Event") === TaskEnd,
@@ -166,7 +183,14 @@ object EventLogParser {
         when(col("e")("Event") === TaskEnd,
           col("e")("Task End Reason")("Reason")).as("end_reason"),
         when(col("e")("Event") === AppStart, col("e")("User")).as("app_user"),
-        when(col("e")("Event") === AppStart, col("e")("Spark Version")).as("spark_version"),
+        // Spark version: from ApplicationStart, else from the
+        // EnvironmentUpdate property pairs (reference:
+        // src/storage/event_log.rs:143-161).
+        when(col("e")("Event") === AppStart, col("e")("Spark Version"))
+          .when(col("e")("Event") === EnvironmentUpdate,
+            expr("filter(e.`Spark Properties`, " +
+              "p -> p[0] IN ('spark.app.version', 'spark.version'))[0][1]"))
+          .as("spark_version"),
         when(col("e")("Event") === AppStart, col("e")("App Name")).as("app_name"))
       .filter(col("event_type").isNotNull)
   }

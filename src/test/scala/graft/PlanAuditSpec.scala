@@ -55,6 +55,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned store prunes partitions and pushes app_id into the scan") {
+    val logs = tmpDir("audit-logs")
+    graft.events.EventLogFixture.writeLogs(logs, Seq("app-p1", "app-p2"))
+    val store = tmpDir("audit-store")
+    graft.sources.EventLogSource.writeStore(
+      graft.sources.EventLogSource.readDirectory(spark, logs), store)
+    val df = spark.read.parquet(store)
+      .filter(col("event_date") === "2023-11-14" && col("app_id") === "app-p1")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(app_id,app-p1\\)".r.findFirstIn(p).isDefined, p)
+  }
+
   test("whole-stage codegen covers the canonical projection") {
     // codegen'd stages carry the `*(n)` prefix in the plan string
     val p = plan(canon)

@@ -19,6 +19,19 @@ object EventLogFixture {
     s"""{"Event":"SparkListenerApplicationEnd","Timestamp":${baseTs + 7000}}"""
   )
 
+  /** The remaining typed events (block manager, environment, SQL) plus
+    * a malformed line and an unknown event type. */
+  def extendedLog(baseTs: Long = 1700000000000L): Seq[String] = Seq(
+    s"""{"Event":"SparkListenerBlockManagerAdded","Timestamp":${baseTs + 100},"Block Manager ID":{"Executor ID":"3","Host":"worker-c","Port":45123},"Maximum Memory":3221225472}""",
+    s"""{"Event":"SparkListenerBlockManagerRemoved","Timestamp":${baseTs + 200},"Block Manager ID":{"Executor ID":"3","Host":"worker-c","Port":45123}}""",
+    s"""{"Event":"SparkListenerEnvironmentUpdate","Spark Properties":[["spark.version","3.5.7"],["spark.master","yarn"]]}""",
+    s"""{"Event":"org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart","executionId":7,"time":${baseTs + 300}}""",
+    s"""{"Event":"org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd","executionId":7,"time":${baseTs + 400}}""",
+    s"""{"Event":"SparkListenerCustomPluginThing","Timestamp":${baseTs + 500}}""",
+    """this line is not json at all {{{""",
+    """{"no_event_field":true}"""
+  )
+
   /** Write one app log per app id into dir; returns file paths. */
   def writeLogs(dir: String, appIds: Seq[String]): Seq[String] =
     appIds.zipWithIndex.map { case (appId, idx) =>

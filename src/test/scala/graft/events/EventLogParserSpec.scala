@@ -73,6 +73,24 @@ class EventLogParserSpec extends SparkSpec {
       .select("stage_id").collect().forall(_.getLong(0) === 0))
   }
 
+  test("block manager, environment, SQL and unknown events parse; garbage lines drop") {
+    val d = tmpDir("ext-events")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-ext.json"),
+      EventLogFixture.extendedLog().mkString("\n").getBytes("UTF-8"))
+    val ext = EventLogParser.read(spark, d).cache()
+    // 8 lines: 6 events parse (5 typed + 1 unknown), 2 garbage lines drop
+    assert(ext.count() === 6)
+    val byType = ext.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val bm = byType(EventModel.BlockManagerAdded)
+    assert(bm.getAs[String]("executor_id") === "3")
+    assert(bm.getAs[String]("host") === "worker-c")
+    assert(bm.getAs[Long]("max_memory") === 3221225472L)
+    assert(byType(EventModel.EnvironmentUpdate).getAs[String]("spark_version") === "3.5.7")
+    assert(byType(EventModel.SqlExecutionStart).getAs[Long]("event_time_us")
+      === (1700000000000L + 300) * 1000)
+    assert(byType.contains("SparkListenerCustomPluginThing")) // kept as Other
+  }
+
   test("analytics compose over real parsed logs: executor summary") {
     val es = Resources.executorSummary(canon)
       .filter(col("app_id") === "app-20240101-0001")
