@@ -57,6 +57,8 @@ ORDER BY event_id"""
     "app_events" -> ((s, d) => Applications.appEvents(canon(s, d), "app-7")),
     "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
     "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
+    "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
+    "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -98,6 +100,8 @@ ORDER BY event_id"""
     "app_events" -> Applications.appEventsOracle,
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
+    "app_jobs" -> JobsStages.appJobsOracle,
+    "app_stages" -> JobsStages.appStagesOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,

@@ -27,6 +27,16 @@ object HistoryServerApi {
   def executors(canon: DataFrame, appId: String): DataFrame =
     Resources.executorSummary(canon).filter(col("app_id") === appId)
 
+  /** GET /api/v1/applications/{appId}/jobs — implemented from events
+   *  (the reference stubs this route, src/api.rs:153-159). */
+  def jobs(canon: DataFrame, appId: String): DataFrame =
+    JobsStages.appJobs(canon).filter(col("app_id") === appId)
+
+  /** GET /api/v1/applications/{appId}/stages — implemented from events
+   *  (the reference stubs this route, src/api.rs:197-203). */
+  def stages(canon: DataFrame, appId: String): DataFrame =
+    JobsStages.appStages(canon).filter(col("app_id") === appId)
+
   /** GET /api/v1/version (reference: src/api.rs:44-48) */
   def version(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -28,6 +28,20 @@ class HistoryServerApiSpec extends SparkSpec {
     assert(ex.count() === 2)
   }
 
+  test("jobs and stages endpoints (reference stubs these; graft implements them)") {
+    val jobs = HistoryServerApi.jobs(canon, "app-api-1").collect()
+    assert(jobs.length === 1)
+    assert(jobs(0).getAs[Long]("job_id") === 0L)
+    assert(jobs(0).getAs[String]("status") === "SUCCEEDED")
+    assert(jobs(0).getAs[Long]("duration_ms") === 3400L) // 5400 - 2000 ms
+    val stages = HistoryServerApi.stages(canon, "app-api-1").collect()
+    assert(stages.length === 1)
+    assert(stages(0).getAs[Long]("num_tasks") === 2L)
+    assert(stages(0).getAs[Long]("failed_tasks") === 1L)
+    assert(stages(0).getAs[String]("status") === "COMPLETE")
+    assert(stages(0).getAs[Long]("input_bytes") === 1048576L + 2097152L)
+  }
+
   test("version endpoint") {
     assert(HistoryServerApi.version(spark).count() === 1)
   }
