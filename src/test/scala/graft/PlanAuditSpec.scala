@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(app_id,app-p1\\)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("bucketed store: per-app aggregation runs without an exchange") {
+    val logs = tmpDir("bucket-logs")
+    graft.events.EventLogFixture.writeLogs(logs, Seq("app-b1", "app-b2"))
+    graft.sources.EventLogSource.writeBucketedStore(
+      graft.sources.EventLogSource.readDirectory(spark, logs),
+      "graft_events_bucketed", buckets = 4)
+    val agg = spark.table("graft_events_bucketed")
+      .groupBy("app_id").count()
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    // bucketBy(app_id) satisfies the aggregation's required
+    // distribution: no hashpartitioning exchange in the plan
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(agg.count() === 2)
+  }
+
   test("whole-stage codegen covers the canonical projection") {
     // codegen'd stages carry the `*(n)` prefix in the plan string
     val p = plan(canon)
