@@ -84,6 +84,7 @@ ORDER BY event_id"""
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d))),
+    "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d)))
   )
 
@@ -127,6 +128,7 @@ ORDER BY event_id"""
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
+    "ann_ivf" -> Embeddings.annIvfOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle
   )
 }

@@ -188,6 +188,101 @@ JOIN nr nb ON d.vec_id = nb.vec_id
 WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.3
 ORDER BY d.query_id, d.vec_id"""
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids =
+   *  every 50th vector) partitions the corpus into inverted lists by
+   *  nearest-centroid; each query probes only the `nprobe` closest
+   *  lists and ranks candidates by exact cosine. At 100 TB the
+   *  centroid set is broadcast and each list is a co-partitioned
+   *  bucket — queries scan |corpus| * nprobe / K vectors instead of
+   *  the whole corpus. */
+  def annIvf(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val qv = quantized(emb).cache()
+    val centroids = qv.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
+        col("nq").as("nq_a"))
+    // nearest centroid per vector (cosine argmax, ties -> lowest id)
+    val assigned = qv
+      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    // each query probes its nprobe nearest centroids
+    val probes = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qarr").as("qarr_b"),
+        col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    // candidates: vectors in the probed lists; rank by exact cosine
+    val cands = probes.join(assigned, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    verifyCosine(cands, qv, "query_id", "vec_id", minCosine = -1.0)
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+cents AS (SELECT vec_id AS cent_id FROM nr WHERE vec_id % 50 = 1),
+vc_dots AS (
+  SELECT v.vec_id, c.cent_id, CAST(SUM(v.q * cv.q) AS BIGINT) AS dot
+  FROM qv v JOIN cents c ON true JOIN qv cv ON cv.vec_id = c.cent_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.cent_id),
+vc_cos AS (
+  SELECT d.vec_id, d.cent_id,
+         d.dot / (sqrt(nv.nq) * sqrt(nc.nq)) AS cosine
+  FROM vc_dots d
+  JOIN nr nv ON d.vec_id = nv.vec_id
+  JOIN nr nc ON d.cent_id = nc.vec_id),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM vc_cos) t WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.vec_id),
+cdots AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM cands c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.vec_id),
+ranked AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+  FROM cdots d
+  JOIN nr na ON d.query_id = na.vec_id
+  JOIN nr nb ON d.vec_id = nb.vec_id)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, ROUND(cosine, 4) AS cosine
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rank"""
+
   /** Embedding-cosine near-dup: all pairs sharing an LSH nibble bucket,
    *  verified at exact quantized cosine >= minCosine. Bucket join only
    *  — the corpus is never self-crossJoined. */

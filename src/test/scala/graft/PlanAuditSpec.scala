@@ -72,6 +72,19 @@ class PlanAuditSpec extends SparkSpec {
   test("bucketed store: per-app aggregation runs without an exchange") {
     val logs = tmpDir("bucket-logs")
     graft.events.EventLogFixture.writeLogs(logs, Seq("app-b1", "app-b2"))
+    // a previous JVM's managed-table location may linger in the
+    // warehouse dir while the fresh metastore has no such table
+    spark.sql("DROP TABLE IF EXISTS graft_events_bucketed")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_events_bucketed")
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(wh)
+    }
     graft.sources.EventLogSource.writeBucketedStore(
       graft.sources.EventLogSource.readDirectory(spark, logs),
       "graft_events_bucketed", buckets = 4)
