@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
 
@@ -38,8 +39,8 @@ object CrossApp {
         .as("total_tasks_completed"),
       count(when(taskEnd && col("end_reason") =!= "Success", 1))
         .as("total_tasks_failed"),
-      round(avg(when(taskEnd, col("duration_ms"))), 4).as("avg_task_duration_ms"),
-      round(sum("input_bytes") / lit(1073741824.0), 4).as("total_data_processed_gb"),
+      r4(avg(when(taskEnd, col("duration_ms")))).as("avg_task_duration_ms"),
+      r4(sum("input_bytes") / lit(1073741824.0)).as("total_data_processed_gb"),
       coalesce(max("cores").cast("long"), lit(0L)).as("peak_concurrent_executors"),
       min("event_time_us").as("start_date_us"),
       max("event_time_us").as("end_date_us"))
@@ -50,8 +51,8 @@ SELECT CAST(COUNT(DISTINCT app_id) AS BIGINT) AS total_applications,
        CAST(COUNT(*) AS BIGINT) AS total_events,
        CAST(COUNT(CASE WHEN event_type = 'SparkListenerTaskEnd' AND end_reason = 'Success' THEN 1 END) AS BIGINT) AS total_tasks_completed,
        CAST(COUNT(CASE WHEN event_type = 'SparkListenerTaskEnd' AND end_reason <> 'Success' THEN 1 END) AS BIGINT) AS total_tasks_failed,
-       ROUND(AVG(CASE WHEN event_type = 'SparkListenerTaskEnd' THEN duration_ms END), 4) AS avg_task_duration_ms,
-       ROUND(CAST(SUM(input_bytes) AS BIGINT) / 1073741824.0, 4) AS total_data_processed_gb,
+       FLOOR((AVG(CASE WHEN event_type = 'SparkListenerTaskEnd' THEN duration_ms END)) * 10000.0 + 0.5) / 10000.0 AS avg_task_duration_ms,
+       FLOOR((CAST(SUM(input_bytes) AS BIGINT) / 1073741824.0) * 10000.0 + 0.5) / 10000.0 AS total_data_processed_gb,
        CAST(COALESCE(MAX(cores), 0) AS BIGINT) AS peak_concurrent_executors,
        MIN(event_time_us) AS start_date_us,
        MAX(event_time_us) AS end_date_us
@@ -66,7 +67,7 @@ FROM canon"""
         count(lit(1)).as("total_tasks"),
         count(when(col("end_reason") === "Success", 1)).as("completed_tasks"),
         count(when(col("end_reason") =!= "Success", 1)).as("failed_tasks"),
-        round(avg("duration_ms"), 4).as("avg_duration_ms"),
+        r4(avg("duration_ms")).as("avg_duration_ms"),
         min("duration_ms").as("min_duration_ms"),
         max("duration_ms").as("max_duration_ms"),
         count(when(col("locality") === "PROCESS_LOCAL", 1)).as("process_local"),
@@ -81,7 +82,7 @@ SELECT app_id, stage_id,
        CAST(COUNT(*) AS BIGINT) AS total_tasks,
        CAST(COUNT(CASE WHEN end_reason = 'Success' THEN 1 END) AS BIGINT) AS completed_tasks,
        CAST(COUNT(CASE WHEN end_reason <> 'Success' THEN 1 END) AS BIGINT) AS failed_tasks,
-       ROUND(AVG(duration_ms), 4) AS avg_duration_ms,
+       FLOOR((AVG(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_ms,
        MIN(duration_ms) AS min_duration_ms,
        MAX(duration_ms) AS max_duration_ms,
        CAST(COUNT(CASE WHEN locality = 'PROCESS_LOCAL' THEN 1 END) AS BIGINT) AS process_local,
@@ -139,7 +140,7 @@ LIMIT 50"""
         count(when(col("end_reason") === "Success", 1)).as("completed_tasks"),
         count(when(col("end_reason") =!= "Success", 1)).as("failed_tasks"),
         sum("duration_ms").as("total_duration_ms"),
-        round(avg("duration_ms"), 4).as("avg_task_duration_ms"),
+        r4(avg("duration_ms")).as("avg_task_duration_ms"),
         expr("sum(cpu_time_ns) div 1000000").as("cpu_time_ms"),
         coalesce(sum("gc_time_ms"), lit(0L)).as("gc_time_ms"),
         coalesce(expr("max(peak_memory_bytes div 1048576)"), lit(0L)).as("peak_memory_usage_mb"),
@@ -158,7 +159,7 @@ LIMIT 50"""
         max("event_time_us").as("end_time_us"))
       .withColumn("memory_utilization_percent",
         when(col("max_memory_mb") > 0,
-          round(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb"), 4))
+          r4(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb")))
           .otherwise(lit(0.0)))
 
     // Per-app active flag: an app with no ApplicationEnd event is active
@@ -195,7 +196,7 @@ LIMIT 50"""
          CAST(COUNT(CASE WHEN end_reason = 'Success' THEN 1 END) AS BIGINT) AS completed_tasks,
          CAST(COUNT(CASE WHEN end_reason <> 'Success' THEN 1 END) AS BIGINT) AS failed_tasks,
          CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
-         ROUND(AVG(duration_ms), 4) AS avg_task_duration_ms,
+         FLOOR((AVG(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_task_duration_ms,
          CAST(SUM(cpu_time_ns) AS BIGINT) // 1000000 AS cpu_time_ms,
          CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) AS gc_time_ms,
          CAST(COALESCE(MAX(peak_memory_bytes // 1048576), 0) AS BIGINT) AS peak_memory_usage_mb,
@@ -227,7 +228,7 @@ SELECT em.executor_id, em.host, em.app_id, em.total_tasks,
        em.avg_task_duration_ms, em.cpu_time_ms, em.gc_time_ms,
        em.peak_memory_usage_mb, em.max_memory_mb,
        CASE WHEN em.max_memory_mb > 0
-            THEN ROUND(em.peak_memory_usage_mb * 100.0 / em.max_memory_mb, 4)
+            THEN FLOOR((em.peak_memory_usage_mb * 100.0 / em.max_memory_mb) * 10000.0 + 0.5) / 10000.0
             ELSE 0.0 END AS memory_utilization_percent,
        em.input_bytes, em.output_bytes, em.shuffle_read_bytes,
        em.shuffle_write_bytes, em.disk_spill_bytes, em.memory_spill_bytes,

@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
 
@@ -48,12 +49,12 @@ object Optimization {
         col("app_id"),
         concat(lit("app_"), col("app_id")).as("app_name"),
         lit("Memory").as("resource_type"),
-        round(col("peak_memory_mb"), 4).as("consumption_value"),
+        r4(col("peak_memory_mb")).as("consumption_value"),
         lit("MB").as("unit"),
         when(col("peak_memory_mb") > col("avg_memory_mb") * 1.5, 60.0)
           .when(col("peak_memory_mb") > col("avg_memory_mb") * 1.2, 75.0)
           .otherwise(85.0).as("efficiency_score"),
-        round(col("peak_memory_mb") * 0.001, 4).as("cost_impact"),
+        r4(col("peak_memory_mb") * 0.001).as("cost_impact"),
         when(col("peak_memory_mb") > 8192.0, "Consider reducing executor memory")
           .when(col("peak_memory_mb") > 4096.0, "Monitor memory usage patterns")
           .otherwise("Memory usage appears optimal").as("recommendation"),
@@ -73,12 +74,12 @@ object Optimization {
 SELECT app_id,
        'app_' || app_id AS app_name,
        'Memory' AS resource_type,
-       ROUND(peak_memory_mb, 4) AS consumption_value,
+       FLOOR((peak_memory_mb) * 10000.0 + 0.5) / 10000.0 AS consumption_value,
        'MB' AS unit,
        CASE WHEN peak_memory_mb > avg_memory_mb * 1.5 THEN 60.0
             WHEN peak_memory_mb > avg_memory_mb * 1.2 THEN 75.0
             ELSE 85.0 END AS efficiency_score,
-       ROUND(peak_memory_mb * 0.001, 4) AS cost_impact,
+       FLOOR((peak_memory_mb * 0.001) * 10000.0 + 0.5) / 10000.0 AS cost_impact,
        CASE WHEN peak_memory_mb > 8192.0 THEN 'Consider reducing executor memory'
             WHEN peak_memory_mb > 4096.0 THEN 'Monitor memory usage patterns'
             ELSE 'Memory usage appears optimal' END AS recommendation,
@@ -102,13 +103,13 @@ LIMIT 10"""
         when(ratio < 30.0, "OverProvisioned")
           .when(ratio > 90.0, "UnderProvisioned")
           .otherwise("WellTuned").as("efficiency_category"),
-        round(coalesce(col("avg_memory_mb") /
+        r4(coalesce(col("avg_memory_mb") /
           when(col("peak_memory_mb") =!= 0.0, col("peak_memory_mb")) * 100.0,
-          lit(0.0)), 4).as("memory_efficiency"),
-        round(coalesce(ratio, lit(0.0)), 4).as("cpu_efficiency"),
-        round(col("peak_memory_mb") * 0.7, 4).as("recommended_memory_gb"),
-        round(greatest(lit(1.0), cpuS / wallS), 4).as("recommended_cpu_cores"),
-        round(when(ratio < 30.0, col("peak_memory_mb") * 0.0005).otherwise(0.0), 4)
+          lit(0.0))).as("memory_efficiency"),
+        r4(coalesce(ratio, lit(0.0))).as("cpu_efficiency"),
+        r4(col("peak_memory_mb") * 0.7).as("recommended_memory_gb"),
+        r4(greatest(lit(1.0), cpuS / wallS)).as("recommended_cpu_cores"),
+        r4(when(ratio < 30.0, col("peak_memory_mb") * 0.0005).otherwise(0.0))
           .as("potential_cost_savings"),
         when(col("task_count") < 10, "High")
           .when(ratio < 20.0, "Low")
@@ -134,11 +135,11 @@ SELECT app_id,
        CASE WHEN cpu_s / wall_s * 100.0 < 30.0 THEN 'OverProvisioned'
             WHEN cpu_s / wall_s * 100.0 > 90.0 THEN 'UnderProvisioned'
             ELSE 'WellTuned' END AS efficiency_category,
-       ROUND(COALESCE(avg_memory_mb / NULLIF(peak_memory_mb, 0.0) * 100.0, 0.0), 4) AS memory_efficiency,
-       ROUND(COALESCE(cpu_s / wall_s * 100.0, 0.0), 4) AS cpu_efficiency,
-       ROUND(peak_memory_mb * 0.7, 4) AS recommended_memory_gb,
-       ROUND(GREATEST(1.0, cpu_s / wall_s), 4) AS recommended_cpu_cores,
-       ROUND(CASE WHEN cpu_s / wall_s * 100.0 < 30.0 THEN peak_memory_mb * 0.0005 ELSE 0.0 END, 4) AS potential_cost_savings,
+       FLOOR((COALESCE(avg_memory_mb / NULLIF(peak_memory_mb, 0.0) * 100.0, 0.0)) * 10000.0 + 0.5) / 10000.0 AS memory_efficiency,
+       FLOOR((COALESCE(cpu_s / wall_s * 100.0, 0.0)) * 10000.0 + 0.5) / 10000.0 AS cpu_efficiency,
+       FLOOR((peak_memory_mb * 0.7) * 10000.0 + 0.5) / 10000.0 AS recommended_memory_gb,
+       FLOOR((GREATEST(1.0, cpu_s / wall_s)) * 10000.0 + 0.5) / 10000.0 AS recommended_cpu_cores,
+       FLOOR((CASE WHEN cpu_s / wall_s * 100.0 < 30.0 THEN peak_memory_mb * 0.0005 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS potential_cost_savings,
        CASE WHEN task_count < 10 THEN 'High'
             WHEN cpu_s / wall_s * 100.0 < 20.0 THEN 'Low'
             ELSE 'Medium' END AS risk_level
@@ -163,10 +164,10 @@ LIMIT 20"""
           .when(spilly, "OptimizePartitioning")
           .when(longTsk, "ReduceExecutors")
           .otherwise("EnableSpotInstances").as("optimization_type"),
-        round(col("peak_memory_mb") * 0.001, 4).as("current_cost"),
-        round(when(overMem, col("peak_memory_mb") * 0.0005)
+        r4(col("peak_memory_mb") * 0.001).as("current_cost"),
+        r4(when(overMem, col("peak_memory_mb") * 0.0005)
           .when(spilly, col("peak_memory_mb") * 0.0008)
-          .otherwise(col("peak_memory_mb") * 0.0007), 4).as("optimized_cost"),
+          .otherwise(col("peak_memory_mb") * 0.0007)).as("optimized_cost"),
         when(overMem, 50.0).when(spilly, 20.0).otherwise(30.0).as("savings_percentage"),
         when(col("task_count") > 50, 85.0)
           .when(col("task_count") > 20, 70.0)
@@ -202,10 +203,10 @@ SELECT app_id,
             WHEN total_disk_spill_mb > 1000.0 THEN 'OptimizePartitioning'
             WHEN avg_dur_s > 300.0 THEN 'ReduceExecutors'
             ELSE 'EnableSpotInstances' END AS optimization_type,
-       ROUND(peak_memory_mb * 0.001, 4) AS current_cost,
-       ROUND(CASE WHEN avg_memory_mb < peak_memory_mb * 0.5 THEN peak_memory_mb * 0.0005
+       FLOOR((peak_memory_mb * 0.001) * 10000.0 + 0.5) / 10000.0 AS current_cost,
+       FLOOR((CASE WHEN avg_memory_mb < peak_memory_mb * 0.5 THEN peak_memory_mb * 0.0005
                   WHEN total_disk_spill_mb > 1000.0 THEN peak_memory_mb * 0.0008
-                  ELSE peak_memory_mb * 0.0007 END, 4) AS optimized_cost,
+                  ELSE peak_memory_mb * 0.0007 END) * 10000.0 + 0.5) / 10000.0 AS optimized_cost,
        CASE WHEN avg_memory_mb < peak_memory_mb * 0.5 THEN 50.0
             WHEN total_disk_spill_mb > 1000.0 THEN 20.0
             ELSE 30.0 END AS savings_percentage,

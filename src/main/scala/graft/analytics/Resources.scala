@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
 
@@ -27,7 +28,7 @@ object Resources {
       .groupBy("app_id", "event_type", "event_date")
       .agg(
         count(lit(1)).as("event_count"),
-        round(avg("duration_ms"), 4).as("avg_duration_ms"))
+        r4(avg("duration_ms")).as("avg_duration_ms"))
       .select(col("app_id"), col("event_type"), col("event_count"),
         col("avg_duration_ms"), col("event_date"))
       .orderBy(col("event_date").desc, col("app_id"), col("event_type"))
@@ -35,7 +36,7 @@ object Resources {
   val resourceUsageOracle: String = canonCte + """
 SELECT app_id, event_type,
        CAST(COUNT(*) AS BIGINT) AS event_count,
-       ROUND(AVG(duration_ms), 4) AS avg_duration_ms,
+       FLOOR((AVG(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_ms,
        event_date
 FROM canon
 WHERE event_type IN ('SparkListenerTaskEnd', 'SparkListenerJobEnd', 'SparkListenerStageCompleted')

@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
 
@@ -28,21 +29,21 @@ object Trends {
     canon.filter(taskEnd)
       .groupBy(col("event_date").as("date"), col("app_id"))
       .agg(
-        round(avg("duration_ms"), 4).as("avg_task_duration_ms"),
+        r4(avg("duration_ms")).as("avg_task_duration_ms"),
         count(lit(1)).as("total_tasks"),
         sum(when(col("end_reason") =!= "Success", 1L).otherwise(0L)).as("failed_tasks"),
-        round(avg("input_bytes"), 4).as("avg_input_bytes"),
-        round(avg("output_bytes"), 4).as("avg_output_bytes"))
+        r4(avg("input_bytes")).as("avg_input_bytes"),
+        r4(avg("output_bytes")).as("avg_output_bytes"))
       .orderBy(col("date").desc, col("app_id"))
       .limit(limit)
 
   val perfTrendsOracle: String = canonCte + """
 SELECT event_date AS date, app_id,
-       ROUND(AVG(duration_ms), 4) AS avg_task_duration_ms,
+       FLOOR((AVG(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_task_duration_ms,
        CAST(COUNT(*) AS BIGINT) AS total_tasks,
        CAST(SUM(CASE WHEN end_reason <> 'Success' THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks,
-       ROUND(AVG(input_bytes), 4) AS avg_input_bytes,
-       ROUND(AVG(output_bytes), 4) AS avg_output_bytes
+       FLOOR((AVG(input_bytes)) * 10000.0 + 0.5) / 10000.0 AS avg_input_bytes,
+       FLOOR((AVG(output_bytes)) * 10000.0 + 0.5) / 10000.0 AS avg_output_bytes
 FROM canon
 WHERE event_type = 'SparkListenerTaskEnd'
 GROUP BY event_date, app_id
@@ -55,19 +56,19 @@ LIMIT 1000"""
       .groupBy(col("event_date").as("date"), col("app_id"))
       .agg(
         coalesce(sum("gc_time_ms"), lit(0L)).as("total_gc_time_ms"),
-        round(coalesce(avg("gc_time_ms"), lit(0.0)), 4).as("avg_gc_time_ms"),
+        r4(coalesce(avg("gc_time_ms"), lit(0.0))).as("avg_gc_time_ms"),
         count(lit(1)).as("total_tasks"))
       .withColumn("gc_time_per_task_ms",
-        round(col("total_gc_time_ms") * lit(1.0) / col("total_tasks"), 4))
+        r4(col("total_gc_time_ms") * lit(1.0) / col("total_tasks")))
       .orderBy(col("date").desc, col("app_id"))
       .limit(limit)
 
   val gcTrendsOracle: String = canonCte + """
 SELECT event_date AS date, app_id,
        CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) AS total_gc_time_ms,
-       ROUND(COALESCE(AVG(gc_time_ms), 0), 4) AS avg_gc_time_ms,
+       FLOOR((COALESCE(AVG(gc_time_ms), 0)) * 10000.0 + 0.5) / 10000.0 AS avg_gc_time_ms,
        CAST(COUNT(*) AS BIGINT) AS total_tasks,
-       ROUND(CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) * 1.0 / COUNT(*), 4) AS gc_time_per_task_ms
+       FLOOR((CAST(COALESCE(SUM(gc_time_ms), 0) AS BIGINT) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS gc_time_per_task_ms
 FROM canon
 WHERE event_type = 'SparkListenerTaskEnd'
 GROUP BY event_date, app_id
@@ -91,7 +92,7 @@ LIMIT 1000"""
         greatest(col("theoretical_cpu_time_ms") - col("actual_cpu_time_ms"), lit(0L)))
       .withColumn("cpu_utilization_percent",
         when(col("theoretical_cpu_time_ms") > 0,
-          round(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms"), 4)))
+          r4(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms"))))
       .withColumn("efficiency_rating",
         when(col("theoretical_cpu_time_ms") <= 0, "Unknown")
           .when(col("actual_cpu_time_ms") * lit(100.0) / col("theoretical_cpu_time_ms") >= 80.0, "High")
@@ -115,7 +116,7 @@ SELECT date, app_id, executor_id, total_tasks, total_duration_ms,
        total_duration_ms AS theoretical_cpu_time_ms,
        GREATEST(total_duration_ms - actual_cpu_time_ms, 0) AS idle_cpu_time_ms,
        CASE WHEN total_duration_ms > 0
-            THEN ROUND(actual_cpu_time_ms * 100.0 / total_duration_ms, 4) END AS cpu_utilization_percent,
+            THEN FLOOR((actual_cpu_time_ms * 100.0 / total_duration_ms) * 10000.0 + 0.5) / 10000.0 END AS cpu_utilization_percent,
        CASE WHEN total_duration_ms <= 0 THEN 'Unknown'
             WHEN actual_cpu_time_ms * 100.0 / total_duration_ms >= 80.0 THEN 'High'
             WHEN actual_cpu_time_ms * 100.0 / total_duration_ms >= 50.0 THEN 'Medium'
@@ -135,16 +136,16 @@ LIMIT 2000"""
         count(lit(1)).as("total_tasks"),
         coalesce(expr("max(jvm_heap_bytes div 1048576)"), lit(1024L)).as("max_memory_mb"),
         coalesce(expr("max(peak_memory_bytes div 1048576)"), lit(0L)).as("peak_memory_usage_mb"),
-        round(coalesce(expr("avg(peak_memory_bytes div 1048576)"), lit(0.0)), 4).as("avg_memory_usage_mb"),
+        r4(coalesce(expr("avg(peak_memory_bytes div 1048576)"), lit(0.0))).as("avg_memory_usage_mb"),
         coalesce(expr("sum(memory_spilled_bytes div 1048576)"), lit(0L)).as("memory_spill_mb"),
         coalesce(expr("sum(disk_spilled_bytes div 1048576)"), lit(0L)).as("disk_spill_mb"))
       .withColumn("memory_utilization_percent",
         when(col("max_memory_mb") > 0,
-          round(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb"), 4))
+          r4(col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb")))
           .otherwise(lit(0.0)))
       .withColumn("spill_ratio",
         when(col("peak_memory_usage_mb") > 0,
-          round(col("memory_spill_mb") * lit(1.0) / col("peak_memory_usage_mb"), 4)))
+          r4(col("memory_spill_mb") * lit(1.0) / col("peak_memory_usage_mb"))))
       .withColumn("memory_efficiency_rating", {
         val util = col("peak_memory_usage_mb") * lit(100.0) / col("max_memory_mb")
         when(col("memory_spill_mb") === 0 && util < 70.0, "Excellent")
@@ -166,7 +167,7 @@ LIMIT 2000"""
          CAST(COUNT(*) AS BIGINT) AS total_tasks,
          CAST(COALESCE(MAX(jvm_heap_bytes // 1048576), 1024) AS BIGINT) AS max_memory_mb,
          CAST(COALESCE(MAX(peak_memory_bytes // 1048576), 0) AS BIGINT) AS peak_memory_usage_mb,
-         ROUND(COALESCE(AVG(peak_memory_bytes // 1048576), 0), 4) AS avg_memory_usage_mb,
+         FLOOR((COALESCE(AVG(peak_memory_bytes // 1048576), 0)) * 10000.0 + 0.5) / 10000.0 AS avg_memory_usage_mb,
          CAST(COALESCE(SUM(memory_spilled_bytes // 1048576), 0) AS BIGINT) AS memory_spill_mb,
          CAST(COALESCE(SUM(disk_spilled_bytes // 1048576), 0) AS BIGINT) AS disk_spill_mb
   FROM canon
@@ -175,7 +176,7 @@ LIMIT 2000"""
 SELECT date, app_id, executor_id, max_memory_mb, peak_memory_usage_mb,
        avg_memory_usage_mb,
        CASE WHEN max_memory_mb > 0
-            THEN ROUND(peak_memory_usage_mb * 100.0 / max_memory_mb, 4)
+            THEN FLOOR((peak_memory_usage_mb * 100.0 / max_memory_mb) * 10000.0 + 0.5) / 10000.0
             ELSE 0.0 END AS memory_utilization_percent,
        memory_spill_mb, disk_spill_mb, total_tasks,
        CASE WHEN memory_spill_mb = 0 AND peak_memory_usage_mb * 100.0 / max_memory_mb < 70.0 THEN 'Excellent'
@@ -183,7 +184,7 @@ SELECT date, app_id, executor_id, max_memory_mb, peak_memory_usage_mb,
             WHEN peak_memory_usage_mb * 100.0 / max_memory_mb > 95.0 AND memory_spill_mb > 100 THEN 'Critical'
             ELSE 'Poor' END AS memory_efficiency_rating,
        CASE WHEN peak_memory_usage_mb > 0
-            THEN ROUND(memory_spill_mb * 1.0 / peak_memory_usage_mb, 4) END AS spill_ratio
+            THEN FLOOR((memory_spill_mb * 1.0 / peak_memory_usage_mb) * 10000.0 + 0.5) / 10000.0 END AS spill_ratio
 FROM g
 ORDER BY date DESC, app_id, executor_id
 LIMIT 2000"""
@@ -200,15 +201,15 @@ LIMIT 2000"""
         avg("cpu_time_ns").as("avg_cpu_ns"))
       .select(
         col("date"),
-        round(col("peak_sum") / lit(1073741824.0), 4).as("total_memory_gb_used"),
-        round((col("avg_cpu_ns") / lit(1000000000.0)) * col("concurrent_apps"), 4)
+        r4(col("peak_sum") / lit(1073741824.0)).as("total_memory_gb_used"),
+        r4((col("avg_cpu_ns") / lit(1000000000.0)) * col("concurrent_apps"))
           .as("total_cpu_cores_used"),
         col("concurrent_apps").as("peak_concurrent_applications"),
         col("total_tasks"),
-        round(col("peak_sum") / lit(1073741824.0) / col("concurrent_apps"), 4)
+        r4(col("peak_sum") / lit(1073741824.0) / col("concurrent_apps"))
           .as("average_resource_utilization"),
-        round(least(lit(100.0),
-          col("peak_sum") / lit(1073741824.0) / lit(1024.0) * lit(100.0)), 4)
+        r4(least(lit(100.0),
+          col("peak_sum") / lit(1073741824.0) / lit(1024.0) * lit(100.0)))
           .as("cluster_capacity_percentage"))
       .orderBy(col("date").desc)
       .limit(limit)
@@ -224,12 +225,12 @@ LIMIT 2000"""
   WHERE event_type = 'SparkListenerTaskEnd'
   GROUP BY event_date)
 SELECT date,
-       ROUND(peak_sum / 1073741824.0, 4) AS total_memory_gb_used,
-       ROUND((avg_cpu_ns / 1000000000.0) * concurrent_apps, 4) AS total_cpu_cores_used,
+       FLOOR((peak_sum / 1073741824.0) * 10000.0 + 0.5) / 10000.0 AS total_memory_gb_used,
+       FLOOR(((avg_cpu_ns / 1000000000.0) * concurrent_apps) * 10000.0 + 0.5) / 10000.0 AS total_cpu_cores_used,
        concurrent_apps AS peak_concurrent_applications,
        total_tasks,
-       ROUND(peak_sum / 1073741824.0 / concurrent_apps, 4) AS average_resource_utilization,
-       ROUND(LEAST(100.0, peak_sum / 1073741824.0 / 1024.0 * 100.0), 4) AS cluster_capacity_percentage
+       FLOOR((peak_sum / 1073741824.0 / concurrent_apps) * 10000.0 + 0.5) / 10000.0 AS average_resource_utilization,
+       FLOOR((LEAST(100.0, peak_sum / 1073741824.0 / 1024.0 * 100.0)) * 10000.0 + 0.5) / 10000.0 AS cluster_capacity_percentage
 FROM g
 ORDER BY date DESC
 LIMIT 30"""

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /**
  * Deduplication operators for an LLM training-data pipeline, over the
@@ -153,7 +154,7 @@ vocab AS (
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
-        col("inter_n"), col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        col("inter_n"), col("n_a"), col("n_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -170,7 +171,7 @@ inter AS (
   FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
-       ROUND(i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n), 4) AS jaccard
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cands c
 JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes sa ON c.doc_a = sa.doc_id
@@ -206,7 +207,7 @@ ORDER BY c.doc_a, c.doc_b"""
       .select("doc_a", "doc_b").distinct()
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -233,7 +234,7 @@ inter AS (
   FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT c.doc_a, c.doc_b,
-       ROUND(i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n), 4) AS jaccard
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cands c
 JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 JOIN sizes sa ON c.doc_a = sa.doc_id

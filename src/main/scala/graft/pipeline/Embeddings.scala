@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /**
  * Similarity search + embedding near-dup over the
@@ -63,7 +64,7 @@ object Embeddings {
         .orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast("long").as("rank"),
-        col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        col("vec_id"), r4(col("cosine")).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -90,7 +91,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
   FROM sims)
 SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
-       ROUND(cosine, 4) AS cosine
+       FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rank"""
 
@@ -165,7 +166,7 @@ nib AS (
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
     verifyCosine(cands, qv, "query_id", "vec_id", minCosine)
-      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("query_id"), col("vec_id"), r4(col("cosine")).as("cosine"))
       .orderBy("query_id", "vec_id")
   }
 
@@ -181,7 +182,7 @@ dots AS (
   JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
   GROUP BY c.query_id, c.vec_id)
 SELECT d.query_id, d.vec_id,
-       ROUND(d.dot / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cosine
+       FLOOR((d.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM dots d
 JOIN nr na ON d.query_id = na.vec_id
 JOIN nr nb ON d.vec_id = nb.vec_id
@@ -230,7 +231,7 @@ ORDER BY d.query_id, d.vec_id"""
         .orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast("long").as("rank"),
-        col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        col("vec_id"), r4(col("cosine")).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -279,7 +280,7 @@ ranked AS (
   FROM cdots d
   JOIN nr na ON d.query_id = na.vec_id
   JOIN nr nb ON d.vec_id = nb.vec_id)
-SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, ROUND(cosine, 4) AS cosine
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rank"""
 
@@ -295,7 +296,7 @@ ORDER BY query_id, rank"""
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     verifyCosine(cands, qv, "vec_a", "vec_b", minCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -311,7 +312,7 @@ dots AS (
   JOIN qv qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
   GROUP BY c.vec_a, c.vec_b)
 SELECT d.vec_a, d.vec_b,
-       ROUND(d.dot / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cosine
+       FLOOR((d.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM dots d
 JOIN nr na ON d.vec_a = na.vec_id
 JOIN nr nb ON d.vec_b = nb.vec_id

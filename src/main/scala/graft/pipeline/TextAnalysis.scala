@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /**
  * Text-analysis operators for an LLM training-data pipeline, over the
@@ -28,8 +29,8 @@ object TextAnalysis {
       expr("(n_chars + 3) div 4").as("bpe_tokens_est"),
       size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long")
         .as("alpha_tokens"),
-      round((col("n_chars") - (size(split(col("text"), " ")) - 1).cast("long"))
-        * lit(1.0) / size(split(col("text"), " ")), 4).as("avg_token_len"))
+      r4((col("n_chars") - (size(split(col("text"), " ")) - 1).cast("long"))
+        * lit(1.0) / size(split(col("text"), " "))).as("avg_token_len"))
       .orderBy("doc_id")
 
   val textStatsOracle: String = """
@@ -37,8 +38,8 @@ SELECT doc_id, n_chars,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        (n_chars + 3) // 4 AS bpe_tokens_est,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS alpha_tokens,
-       ROUND((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
-             / len(string_split(text, ' ')), 4) AS avg_token_len
+       FLOOR(((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+             / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
 FROM documents
 ORDER BY doc_id"""
 
@@ -113,11 +114,11 @@ ORDER BY d.doc_id"""
       nDistinct.as("n_distinct_tokens"),
       stopTok.as("n_stopwords"),
       punct.as("n_punct"),
-      round(lenScore, 4).as("length_score"),
-      round(divScore, 4).as("diversity_score"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(lit(0.4) * lenScore + lit(0.4) * divScore
-        + lit(0.2) * (lit(1.0) - stopRatio) - punctRatio, 4).as("quality"))
+      r4(lenScore).as("length_score"),
+      r4(divScore).as("diversity_score"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(lit(0.4) * lenScore + lit(0.4) * divScore
+        + lit(0.2) * (lit(1.0) - stopRatio) - punctRatio).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -131,13 +132,13 @@ WITH q AS (
   FROM documents)
 SELECT doc_id, n_tok AS n_tokens, n_distinct AS n_distinct_tokens,
        stop_tok AS n_stopwords, punct AS n_punct,
-       ROUND(LEAST(1.0, n_chars / 500.0), 4) AS length_score,
-       ROUND(n_distinct * 1.0 / n_tok, 4) AS diversity_score,
-       ROUND(stop_tok * 1.0 / n_tok, 4) AS stopword_ratio,
-       ROUND(0.4 * LEAST(1.0, n_chars / 500.0)
+       FLOOR((LEAST(1.0, n_chars / 500.0)) * 10000.0 + 0.5) / 10000.0 AS length_score,
+       FLOOR((n_distinct * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS diversity_score,
+       FLOOR((stop_tok * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       FLOOR((0.4 * LEAST(1.0, n_chars / 500.0)
              + 0.4 * (n_distinct * 1.0 / n_tok)
              + 0.2 * (1.0 - stop_tok * 1.0 / n_tok)
-             - punct * 1.0 / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 4) AS quality
+             - punct * 1.0 / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 10000.0 + 0.5) / 10000.0 AS quality
 FROM q
 ORDER BY doc_id"""
 
