@@ -83,13 +83,32 @@ shingle AS (
   FROM toked, nums
   WHERE i + 2 <= len(toks))"""
 
-  /** Deterministic gram ids: global sorted row_number (oracle parity
-   *  mode). Scale mode uses xxhash64 and skips the sort. */
+  /** Deterministic gram ids: dense 1-based ids in global `gram` sort
+   *  order (oracle parity mode). Computed WITHOUT a single-partition
+   *  window: range-partition by gram, rank within each partition, then
+   *  add per-partition offsets (the `zipWithIndex` technique — the
+   *  collect is #partitions rows, bounded regardless of data volume).
+   *  Scale mode uses xxhash64 and skips the ordering entirely. */
   def gramIds(sh: DataFrame, deterministicIds: Boolean = true): DataFrame =
-    if (deterministicIds)
-      sh.select("gram").distinct()
-        .withColumn("gid", row_number().over(Window.orderBy("gram")).cast("long"))
-    else
+    if (deterministicIds) {
+      val spark = sh.sparkSession
+      import spark.implicits._
+      val parted = sh.select("gram").distinct()
+        .repartitionByRange(col("gram"))
+        .withColumn("pid", spark_partition_id())
+        .cache() // pid must agree between the offsets pass and the rank pass
+      val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offDf = offsets.map { case (pid, c) =>
+        val row = (pid, acc); acc += c; row
+      }.toSeq.toDF("pid", "off")
+      parted
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("pid").orderBy("gram")))
+        .join(broadcast(offDf), "pid")
+        .select(col("gram"), (col("off") + col("rk")).cast("long").as("gid"))
+    } else
       sh.select("gram").distinct().withColumn("gid", xxhash64(col("gram")))
 
   val gramIdsCte: String = """
