@@ -80,11 +80,15 @@ ORDER BY event_id"""
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
+    // The 100 TB mode (xxhash64 gram ids, no global vocabulary sort) —
+    // verified against the hash-family-independent ground truth.
+    "dedup_minhash_fast" -> ((s, d) =>
+      Dedup.dedupMinhash(docs(s, d), deterministicIds = false)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
-    "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d))),
-    "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d))),
-    "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d))),
+    "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
+    "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
+    "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d)))
   )
 
@@ -92,6 +96,11 @@ ORDER BY event_id"""
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  /** The harness's bounded ANN query set (every 100th vector). The ANN
+    * operators take an explicit queries frame; this selector is test
+    * wiring, not operator semantics. */
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") % 100 === 0)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -124,6 +133,7 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
+    "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "ann_topk" -> Embeddings.annTopKOracle,

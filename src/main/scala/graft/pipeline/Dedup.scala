@@ -23,8 +23,11 @@ import graft.util.Round.r4
  * sorted ROW_NUMBER (mirrored by the DuckDB oracle); hash families are
  * affine maps (a_j*gid + b_j) mod P over those ids — pure integer
  * arithmetic, identical in any engine. At 100 TB the library swaps the
- * sorted-id assignment for `xxhash64(gram)` (`deterministicIds=false`)
- * which removes the global sort; the algorithm is otherwise unchanged.
+ * sorted-id assignment for `xxhash64(gram) mod P`
+ * (`deterministicIds=false`) which removes the global sort; the
+ * algorithm is otherwise unchanged and the mode is oracle-verified
+ * against hash-family-independent ground truth
+ * ([[dedupMinhashFastOracle]]).
  */
 object Dedup {
 
@@ -109,7 +112,11 @@ shingle AS (
         .join(broadcast(offDf), "pid")
         .select(col("gram"), (col("off") + col("rk")).cast("long").as("gid"))
     } else
-      sh.select("gram").distinct().withColumn("gid", xxhash64(col("gram")))
+      // mod P keeps the affine hashes (a*gid+b) inside Long range under
+      // ANSI arithmetic AND non-negative — a raw 64-bit xxhash64 would
+      // overflow the multiply and flip remainder signs.
+      sh.select("gram").distinct()
+        .withColumn("gid", pmod(xxhash64(col("gram")), lit(Prime)))
 
   val gramIdsCte: String = """
 vocab AS (
@@ -200,35 +207,61 @@ ORDER BY c.doc_a, c.doc_b"""
 
   /** MinHash + banded LSH near-dup: 16 affine min-hashes over gram ids,
    *  4 bands x 4 rows; candidate pairs share a full band signature
-   *  (bucket join on (band, signature)); exact Jaccard verified. */
+   *  (bucket join on (band, signature)); exact Jaccard verified.
+   *
+   *  Scale shape: the 16 min-hashes are computed in ONE partial-
+   *  aggregating `groupBy(doc_id)` pass with 16 `min` columns — not a
+   *  16x row blowup + re-aggregation — so the signature stage shuffles
+   *  |docs| rows, not 16x|shingles|. Band signatures are a pure
+   *  projection over the 16 columns. Candidate generation goes through
+   *  [[saltedBucketPairs]] so a hot LSH bucket (boilerplate-heavy
+   *  corpus) spreads over `salts` reducers instead of melting one. */
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
                    deterministicIds: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val sh = shingles(docs).cache()
     val ids = gramIds(sh, deterministicIds)
     val shId = sh.join(ids, "gram").select("doc_id", "gid")
-    val hashes = (0 until NumHashes).map(j => (j.toLong, 37L + 101L * j, 17L + 257L * j))
-      .toDF("j", "a", "b")
-    val sig = shId.crossJoin(broadcast(hashes))
-      .groupBy("doc_id", "j")
-      .agg(min((col("a") * col("gid") + col("b")) % Prime).as("mh"))
-    val bandSig = sig
-      .withColumn("band", expr(s"j div $RowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-        x => x("mh").cast("string")), "-").as("bsig"))
-      .cache() // self-joined below; avoid recomputing the signature pipeline twice
-    val cands = bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-      .join(bandSig.select(col("band"), col("bsig"), col("doc_id").as("doc_b")),
-        Seq("band", "bsig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val minCols = (0 until NumHashes).map { j =>
+      min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
+        .as(s"mh$j")
+    }
+    val sigWide = shId.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => col(s"mh$j").cast("string"))
+      struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
+    }
+    val bandSig = sigWide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("nb"))
+      .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
+    val cands = saltedBucketPairs(bandSig, Seq("band", "bsig"), "doc_id")
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Oracle for the SCALE-MODE MinHash (`deterministicIds = false`,
+   *  gram ids via xxhash64 — no global vocabulary sort): DuckDB cannot
+   *  reproduce xxhash64, so the oracle is the hash-family-INDEPENDENT
+   *  ground truth — every doc pair sharing >= 1 shingle with exact
+   *  Jaccard >= 0.2. The LSH output is always a subset of this set
+   *  (verification re-computes exact Jaccard), so equality asserts
+   *  100% recall of the banded xxhash64 signatures on this corpus —
+   *  a strictly stronger end-to-end check than signature parity. */
+  val dedupMinhashFastOracle: String = "WITH " + shinglesCte + """,
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY i.doc_a, i.doc_b"""
 
   val dedupMinhashOracle: String = "WITH " + shinglesCte + "," + gramIdsCte + """,
 shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
@@ -266,34 +299,30 @@ ORDER BY c.doc_a, c.doc_b"""
    *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
                    deterministicIds: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val sh = shingles(docs).cache()
     val ids = gramIds(sh, deterministicIds)
     val shId = sh.join(ids, "gram").select("doc_id", "gid")
-    val bits = (0 until NumHashes).map(b => (b.toLong, 37L + 101L * b, 17L + 257L * b))
-      .toDF("b", "a", "c")
-    val fp = shId.crossJoin(broadcast(bits))
-      .withColumn("contrib",
-        when(((col("a") * col("gid") + col("c")) % Prime) % 2 === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("fp"))
-    val nibbles = fp.select(col("doc_id"), col("fp"),
+    // One partial-aggregating pass: 16 signed bit-vote sums as columns
+    // (not a 16x row blowup); the fingerprint is then a pure projection.
+    val voteCols = (0 until NumHashes).map { b =>
+      sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
+        1L).otherwise(-1L)).as(s"s$b")
+    }
+    val fpCol = (0 until NumHashes)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fpCol.as("fp"))
+      .cache() // used for banding AND the per-side fp lookup below
+    val nibbles = fp.select(col("doc_id"),
         explode(expr("transform(sequence(0, 3), bd -> " +
           "named_struct('band', cast(bd as long), 'nib', shiftright(fp, 4 * bd) & 15))"))
           .as("nb"))
-      .select(col("doc_id"), col("fp"), col("nb.band").as("band"), col("nb.nib").as("nib"))
-      .cache() // self-joined below; avoid recomputing the fingerprint pipeline twice
-    val cands = nibbles.select(col("band"), col("nib"),
-        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      .join(nibbles.select(col("band"), col("nib"),
-        col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("band", "nib"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+      .select(col("doc_id"), col("nb.band").as("band"), col("nb.nib").as("nib"))
+    val cands = saltedBucketPairs(nibbles, Seq("band", "nib"), "doc_id")
     cands
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
       .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")

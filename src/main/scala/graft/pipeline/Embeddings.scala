@@ -10,7 +10,9 @@ import graft.util.Round.r4
  * `embeddings(vec_id, embedding: array<float>, label)` table.
  *
  * Vectors are quantized to integer milli-units
- * (`q_i = round(x_i * 1000)`) so dot products and norms are exact
+ * (`q_i = floor(x_i * 1000 + 0.5)`, the portable-by-construction
+ * round-half-up formula — see [[graft.util.Round]] for why `ROUND`
+ * itself diverges between engines) so dot products and norms are exact
  * integers — cosine similarity is then one double division, identical
  * across engines and aggregation orders. At 100 TB the same pipeline
  * runs un-quantized; quantization costs ~1e-3 relative error, well
@@ -40,22 +42,25 @@ object Embeddings {
    *  evaluates interpreted and allocates per row. */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
           .as("qarr"))
       .withColumn("nq", expr("qdot(qarr, qarr)"))
 
   private val pairDot = "qdot(qarr_a, qarr_b)"
 
-  /** Brute-force cosine top-k: query set = vec_id % 100 == 0,
-   *  broadcast against the corpus (broadcast nested loop — the
-   *  intended baseline plan; the corpus side streams). */
-  def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val qv = quantized(emb)
-    val queries = qv.select(col("vec_id").as("query_id"),
+  /** Brute-force cosine top-k over an explicit bounded `queries` frame
+   *  (embeddings-shaped: vec_id, embedding), broadcast against the
+   *  corpus (broadcast nested loop — the intended baseline plan; the
+   *  corpus side streams). The query set must be bounded (fits a
+   *  broadcast); a %-of-corpus selector would grow linearly and is the
+   *  caller's mistake to make — the scale paths are [[annLsh]] /
+   *  [[annIvf]]. Self-matches (same vec_id) are excluded. */
+  def annTopK(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val qside = quantized(queries).select(col("vec_id").as("query_id"),
       col("qarr").as("qarr_a"), col("nq").as("nq_a"))
-      .filter(col("query_id") % 100 === 0)
-    val sims = qv.select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
-      .crossJoin(broadcast(queries))
+    val sims = quantized(emb)
+      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(qside))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("dot", expr(pairDot))
       .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
@@ -71,7 +76,7 @@ object Embeddings {
   val annTopKOracle: String = """
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
-  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
 queries AS (SELECT vec_id AS query_id, i, q AS q_q FROM qv WHERE vec_id % 100 = 0),
@@ -97,21 +102,21 @@ ORDER BY query_id, rank"""
 
   /** Sign-bit fingerprints from deterministic integer "random"
    *  hyperplanes h_p[i] = ((37+101p)*i + 17+257p) mod 97 - 48, plus the
-   *  4 exploded nibble bands used for bucketing. */
+   *  4 exploded nibble bands used for bucketing.
+   *
+   *  Pure PROJECTION: each hyperplane is a literal array and each sign
+   *  bit one codegen'd qdot call, so the 32-bit fingerprint costs zero
+   *  shuffles and zero row blowup (the old shape crossJoined 32 plane
+   *  rows per vector and re-aggregated — 32x the rows through an
+   *  exchange for the same arithmetic). */
   private def nibbles(qv: DataFrame): DataFrame = {
-    val spark = qv.sparkSession
-    import spark.implicits._
-    // Hyperplane components precomputed as literal arrays so the
-    // per-vector projection is one qdot call.
-    val planes = (0 until NumPlanes).map { p =>
+    val bitCols = (0 until NumPlanes).map { p =>
       val (pa, pb) = (37L + 101L * p, 17L + 257L * p)
-      (p.toLong, Array.tabulate(Dims)(idx => (pa * (idx + 1) + pb) % 97L - 48L))
-    }.toDF("p", "parr")
-    qv.crossJoin(broadcast(planes))
-      .withColumn("pdot", expr("qdot(qarr, parr)"))
-      .withColumn("bit", when(col("pdot") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("fp"))
+      val plane = Array.tabulate(Dims)(idx => (pa * (idx + 1) + pb) % 97L - 48L)
+      when(call_function("qdot", col("qarr"), typedlit(plane)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }
+    qv.select(col("vec_id"), bitCols.reduce(_ + _).as("fp"))
       .select(col("vec_id"),
         explode(expr("transform(sequence(0, 3), bd -> " +
           "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 8 * bd) & 255))"))
@@ -122,7 +127,7 @@ ORDER BY query_id, rank"""
   private val planeFpCte: String = """
 dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
-  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
 planes AS (
@@ -141,31 +146,37 @@ nib AS (
   FROM fp, (SELECT unnest(range(0, 4)) AS band) bd)"""
 
   /** Verify candidate (id_a, id_b) pairs with the exact in-row cosine;
-   *  keeps pairs >= minCosine. */
-  private def verifyCosine(cands: DataFrame, qv: DataFrame,
+   *  keeps pairs >= minCosine. `qva`/`qvb` are the quantized frames the
+   *  two sides resolve against (they differ when the query set is not a
+   *  subset of the corpus). */
+  private def verifyCosine(cands: DataFrame, qva: DataFrame, qvb: DataFrame,
                            aCol: String, bCol: String,
                            minCosine: Double): DataFrame =
     cands
-      .join(qv.select(col("vec_id").as(aCol),
+      .join(qva.select(col("vec_id").as(aCol),
         col("qarr").as("qarr_a"), col("nq").as("nq_a")), aCol)
-      .join(qv.select(col("vec_id").as(bCol),
+      .join(qvb.select(col("vec_id").as(bCol),
         col("qarr").as("qarr_b"), col("nq").as("nq_b")), bCol)
       .withColumn("dot", expr(pairDot))
       .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
       .filter(col("cosine") >= minCosine)
 
-  /** LSH-bucketed ANN: queries (vec_id % 100 == 0) probe only vectors
-   *  sharing a sign-bit nibble; candidates verified with exact
-   *  quantized cosine >= minCosine. */
-  def annLsh(emb: DataFrame, minCosine: Double = 0.3): DataFrame = {
+  /** LSH-bucketed ANN: the explicit `queries` frame (embeddings-shaped)
+   *  probes only vectors sharing a sign-bit nibble; candidates verified
+   *  with exact quantized cosine >= minCosine. Scale shape: the bucket
+   *  join keys on (band, nibble) so each query touches ~|corpus|/2^8
+   *  vectors per band, never the full corpus. */
+  def annLsh(emb: DataFrame, queries: DataFrame,
+             minCosine: Double = 0.3): DataFrame = {
     val qv = quantized(emb).cache()
-    val nib = nibbles(qv).cache()
-    val cands = nib.filter(col("vec_id") % 100 === 0)
+    val qq = quantized(queries)
+    val cands = nibbles(qq)
       .select(col("band"), col("nibv"), col("vec_id").as("query_id"))
-      .join(nib.select(col("band"), col("nibv"), col("vec_id")), Seq("band", "nibv"))
+      .join(nibbles(qv).select(col("band"), col("nibv"), col("vec_id")),
+        Seq("band", "nibv"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
-    verifyCosine(cands, qv, "query_id", "vec_id", minCosine)
+    verifyCosine(cands, qq, qv, "query_id", "vec_id", minCosine)
       .select(col("query_id"), col("vec_id"), r4(col("cosine")).as("cosine"))
       .orderBy("query_id", "vec_id")
   }
@@ -196,7 +207,8 @@ ORDER BY d.query_id, d.vec_id"""
    *  centroid set is broadcast and each list is a co-partitioned
    *  bucket — queries scan |corpus| * nprobe / K vectors instead of
    *  the whole corpus. */
-  def annIvf(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+  def annIvf(emb: DataFrame, queries: DataFrame,
+             k: Int = 10, nprobe: Int = 2): DataFrame = {
     val qv = quantized(emb).cache()
     val centroids = qv.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
@@ -212,7 +224,8 @@ ORDER BY d.query_id, d.vec_id"""
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cent_id"))
     // each query probes its nprobe nearest centroids
-    val probes = qv.filter(col("vec_id") % 100 === 0)
+    val qq = quantized(queries)
+    val probes = qq
       .select(col("vec_id").as("query_id"), col("qarr").as("qarr_b"),
         col("nq").as("nq_b"))
       .crossJoin(broadcast(centroids))
@@ -226,7 +239,7 @@ ORDER BY d.query_id, d.vec_id"""
     val cands = probes.join(assigned, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
-    verifyCosine(cands, qv, "query_id", "vec_id", minCosine = -1.0)
+    verifyCosine(cands, qq, qv, "query_id", "vec_id", minCosine = -1.0)
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -238,7 +251,7 @@ ORDER BY d.query_id, d.vec_id"""
   val annIvfOracle: String = """
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
-  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
 cents AS (SELECT vec_id AS cent_id FROM nr WHERE vec_id % 50 = 1),
@@ -286,16 +299,15 @@ ORDER BY query_id, rank"""
 
   /** Embedding-cosine near-dup: all pairs sharing an LSH nibble bucket,
    *  verified at exact quantized cosine >= minCosine. Bucket join only
-   *  — the corpus is never self-crossJoined. */
+   *  — the corpus is never self-crossJoined — and candidate generation
+   *  goes through [[Dedup.saltedBucketPairs]] so a hot nibble bucket
+   *  spreads over several reducers. */
   def dedupEmbedding(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
     val qv = quantized(emb).cache()
-    val nib = nibbles(qv).cache()
-    val cands = nib.select(col("band"), col("nibv"), col("vec_id").as("vec_a"))
-      .join(nib.select(col("band"), col("nibv"), col("vec_id").as("vec_b")),
-        Seq("band", "nibv"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    verifyCosine(cands, qv, "vec_a", "vec_b", minCosine)
+    val nib = nibbles(qv).cache() // salted pair gen reads it twice
+    val cands = Dedup.saltedBucketPairs(nib, Seq("band", "nibv"), "vec_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    verifyCosine(cands, qv, qv, "vec_a", "vec_b", minCosine)
       .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }

@@ -67,6 +67,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("minhash/simhash/embedding candidate joins are skew-salted in the executed plan") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.5f), 0),
+      (1L, Array.fill(64)(0.5f), 0),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
+        Embeddings.dedupEmbedding(emb))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // saltedBucketPairs signature: pmod(xxhash64(id)) on the left,
+      // an exploded salt sequence on the right, salt in the join key.
+      assert(plan.contains("pmod(xxhash64("), "salt column missing:\n" +
+        plan.linesIterator.take(8).mkString("\n"))
+    }
+  }
+
+  test("scale-mode minhash (xxhash64 ids) finds the same verified pairs") {
+    val fast = Dedup.dedupMinhash(docs, minJaccard = 0.2, deterministicIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.contains((0L, 1L)))
+    assert(fast.contains((0L, 3L)))
+    assert(!fast.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("ann_topk ranks by exact cosine with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
@@ -74,7 +98,8 @@ class PipelineSpec extends SparkSpec {
       (2L, Array(0.0f, 1.0f, 0.0f), 1),
       (3L, Array(1.0f, 0.05f, 0.0f), 0)
     ).toDF("vec_id", "embedding", "label")
-    val top = Embeddings.annTopK(emb, k = 2).filter(col("query_id") === 0)
+    val top = Embeddings.annTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 2)
+      .filter(col("query_id") === 0)
       .orderBy("rank").collect()
     assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 100L))
   }
