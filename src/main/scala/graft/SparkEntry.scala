@@ -26,7 +26,7 @@ object SparkEntry {
     * cross-engine-exact value. */
   private def eventsParse(s: SparkSession, dir: String): DataFrame =
     canon(s, dir).select(
-      col("event_id"), col("app_id"), col("event_type"),
+      col("event_id"), col("app_id"), col("attempt_id"), col("event_type"),
       col("event_time_us"), col("event_date"), col("job_id"),
       col("stage_id"), col("task_id"), col("duration_ms"),
       col("executor_id"), col("host"), col("cores"), col("max_memory"),
@@ -39,7 +39,7 @@ object SparkEntry {
       .orderBy("event_id")
 
   private val eventsParseOracle: String = TestDataAdapter.canonCte + """
-SELECT event_id, app_id, event_type, event_time_us, event_date, job_id,
+SELECT event_id, app_id, attempt_id, event_type, event_time_us, event_date, job_id,
        stage_id, task_id, duration_ms, executor_id, host, cores,
        max_memory, run_time_ms, cpu_time_ns, gc_time_ms, input_bytes,
        output_bytes, shuffle_read_bytes, shuffle_write_bytes,
@@ -55,6 +55,7 @@ ORDER BY event_id"""
     "app_list" -> ((s, d) => Applications.appList(canon(s, d),
       Some("2024-01-05"), Some("2024-01-25"), 100)),
     "app_events" -> ((s, d) => Applications.appEvents(canon(s, d), "app-7")),
+    "app_events_raw" -> ((s, d) => Applications.appEventsRaw(canon(s, d), "app-7")),
     "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
     "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
     "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
@@ -108,6 +109,7 @@ ORDER BY event_id"""
     "events_parse" -> eventsParseOracle,
     "app_list" -> Applications.appListOracle,
     "app_events" -> Applications.appEventsOracle,
+    "app_events_raw" -> Applications.appEventsRawOracle,
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "app_jobs" -> JobsStages.appJobsOracle,

@@ -64,12 +64,29 @@ FROM canon
 WHERE app_id = 'app-7'
 ORDER BY event_time_us, event_id"""
 
-  /** One row per application attempt: name/user/version from the Start
-   *  event, start/end/duration, completed flag.
-   *  Reference: src/storage/event_log.rs:26-165 (end falls back to the
-   *  last event timestamp when no ApplicationEnd was seen). */
+  /** Per-app events with the ORIGINAL event-log line (`raw` column —
+   *  parse with `keepRaw = true`), matching the reference's
+   *  get_app_events which serves raw_data back
+   *  (duckdb_store_backup.rs:223-248). */
+  def appEventsRaw(canon: DataFrame, appId: String): DataFrame =
+    canon.filter(col("app_id") === appId)
+      .select("event_id", "app_id", "event_type", "event_time_us", "raw")
+      .orderBy("event_time_us", "event_id")
+
+  val appEventsRawOracle: String = canonCte + """
+SELECT event_id, app_id, event_type, event_time_us, raw
+FROM canon
+WHERE app_id = 'app-7'
+ORDER BY event_time_us, event_id"""
+
+  /** One row per application ATTEMPT — keyed (app_id, attempt_id) so a
+   *  re-run app (e.g. YARN attempt 2) gets its own row: name/user/
+   *  version from the Start event, start/end/duration, completed flag.
+   *  Reference: src/storage/event_log.rs:26-165 and the attempt model
+   *  at :112-128 (end falls back to the last event timestamp when no
+   *  ApplicationEnd was seen). */
   def appAttempts(canon: DataFrame): DataFrame =
-    canon.groupBy("app_id")
+    canon.groupBy("app_id", "attempt_id")
       .agg(
         max(when(col("event_type") === AppStart, col("app_name"))).as("app_name"),
         max(when(col("event_type") === AppStart, col("app_user"))).as("spark_user"),
@@ -80,17 +97,18 @@ ORDER BY event_time_us, event_id"""
         max(when(col("event_type") === AppEnd, 1L).otherwise(0L)).as("completed"))
       .filter(col("start_time_us").isNotNull)
       .select(
-        col("app_id"), col("app_name"), col("spark_user"), col("spark_version"),
+        col("app_id"), col("attempt_id"),
+        col("app_name"), col("spark_user"), col("spark_version"),
         col("start_time_us"),
         coalesce(col("app_end_us"), col("last_updated_us")).as("end_time_us"),
         col("last_updated_us"), col("completed"),
         ((coalesce(col("app_end_us"), col("last_updated_us")) - col("start_time_us"))
           / 1000L).cast("long").as("duration_ms"))
-      .orderBy("app_id")
+      .orderBy("app_id", "attempt_id")
 
   val appAttemptsOracle: String = canonCte + """
 , agg AS (
-  SELECT app_id,
+  SELECT app_id, attempt_id,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN app_name END) AS app_name,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN app_user END) AS spark_user,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN spark_version END) AS spark_version,
@@ -98,14 +116,14 @@ ORDER BY event_time_us, event_id"""
          MAX(CASE WHEN event_type = 'SparkListenerApplicationEnd' THEN event_time_us END) AS app_end_us,
          MAX(event_time_us) AS last_updated_us,
          CAST(MAX(CASE WHEN event_type = 'SparkListenerApplicationEnd' THEN 1 ELSE 0 END) AS BIGINT) AS completed
-  FROM canon GROUP BY app_id)
-SELECT app_id, app_name, spark_user, spark_version, start_time_us,
+  FROM canon GROUP BY app_id, attempt_id)
+SELECT app_id, attempt_id, app_name, spark_user, spark_version, start_time_us,
        COALESCE(app_end_us, last_updated_us) AS end_time_us,
        last_updated_us, completed,
        CAST(TRUNC((COALESCE(app_end_us, last_updated_us) - start_time_us) / 1000.0) AS BIGINT) AS duration_ms
 FROM agg
 WHERE start_time_us IS NOT NULL
-ORDER BY app_id"""
+ORDER BY app_id, attempt_id"""
 
   /** History-server `/api/v1/applications` shape: attempt info + the
    *  constant resource fields the reference fabricates.
@@ -114,6 +132,7 @@ ORDER BY app_id"""
     appAttempts(canon)
       .select(
         col("app_id").as("id"),
+        col("attempt_id"),
         coalesce(col("app_name"), concat(lit("Application "), col("app_id"))).as("name"),
         lit(0L).as("cores_granted"),
         lit(0L).as("max_cores"),
@@ -121,11 +140,11 @@ ORDER BY app_id"""
         lit(1024L).as("memory_per_executor_mb"),
         col("spark_user"), col("spark_version"),
         col("start_time_us"), col("end_time_us"), col("completed"))
-      .orderBy("id")
+      .orderBy("id", "attempt_id")
 
   val apiApplicationsOracle: String = canonCte + """
 , agg AS (
-  SELECT app_id,
+  SELECT app_id, attempt_id,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN app_name END) AS app_name,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN app_user END) AS spark_user,
          MAX(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN spark_version END) AS spark_version,
@@ -133,8 +152,8 @@ ORDER BY app_id"""
          MAX(CASE WHEN event_type = 'SparkListenerApplicationEnd' THEN event_time_us END) AS app_end_us,
          MAX(event_time_us) AS last_updated_us,
          CAST(MAX(CASE WHEN event_type = 'SparkListenerApplicationEnd' THEN 1 ELSE 0 END) AS BIGINT) AS completed
-  FROM canon GROUP BY app_id)
-SELECT app_id AS id,
+  FROM canon GROUP BY app_id, attempt_id)
+SELECT app_id AS id, attempt_id,
        COALESCE(app_name, 'Application ' || app_id) AS name,
        CAST(0 AS BIGINT) AS cores_granted,
        CAST(0 AS BIGINT) AS max_cores,
@@ -144,5 +163,5 @@ SELECT app_id AS id,
        COALESCE(app_end_us, last_updated_us) AS end_time_us, completed
 FROM agg
 WHERE start_time_us IS NOT NULL
-ORDER BY id"""
+ORDER BY id, attempt_id"""
 }

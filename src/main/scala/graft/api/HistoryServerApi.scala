@@ -37,6 +37,18 @@ object HistoryServerApi {
   def stages(canon: DataFrame, appId: String): DataFrame =
     JobsStages.appStages(canon).filter(col("app_id") === appId)
 
+  /** GET /api/v1/applications/{appId}/environment — one (key, value)
+   *  row per Spark property from the app's EnvironmentUpdate events
+   *  (reference routes it at src/api.rs:43-45; property parsing spec
+   *  at src/storage/event_log.rs:143-161). Requires a parser-produced
+   *  canonical frame (the `spark_props` map column). */
+  def environment(canon: DataFrame, appId: String): DataFrame =
+    canon
+      .filter(col("app_id") === appId && col("spark_props").isNotNull)
+      .select(col("app_id"), explode(col("spark_props")).as(Seq("key", "value")))
+      .distinct()
+      .orderBy("key")
+
   /** GET /api/v1/version (reference: src/api.rs:44-48) */
   def version(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -98,8 +98,22 @@ object EventLogParser {
   ))
 
   /** Parse raw event-log lines (column `value` + `log_file`) into the
-   *  canonical frame. */
-  def parseLines(lines: DataFrame): DataFrame = {
+   *  canonical frame.
+   *
+   *  `keepRaw = true` carries the original JSON line through as a `raw`
+   *  column (reference stores raw_data next to the typed columns and
+   *  serves it back, duckdb_store_backup.rs:223-248) — cheap, the line
+   *  is already in hand; store it as a separate column/file so typed
+   *  scans never pay for it.
+   *
+   *  Attempt attribution: one log file is one application attempt
+   *  (reference: src/storage/event_log.rs:112-128), so in batch mode
+   *  the `App Attempt ID` of the file's ApplicationStart line is
+   *  propagated to every event of that file (a per-file window — one
+   *  ingest-time shuffle keyed by file, never paid at query time). In
+   *  streaming mode (no windows over unbounded input) `attempt_id` is
+   *  only set on the start rows themselves. */
+  def parseLines(lines: DataFrame, keepRaw: Boolean = false): DataFrame = {
     import EventModel._
     val e = from_json(col("value"), eventSchema)
     val evtType = e("Event")
@@ -114,7 +128,7 @@ object EventLogParser {
     val eventId =
       if (lines.isStreaming) xxhash64(col("log_file"), col("value"))
       else monotonically_increasing_id()
-    lines
+    val base = lines
       .withColumn("e", e)
       .select(
         eventId.as("event_id"),
@@ -191,7 +205,23 @@ object EventLogParser {
             expr("filter(e.`Spark Properties`, " +
               "p -> p[0] IN ('spark.app.version', 'spark.version'))[0][1]"))
           .as("spark_version"),
-        when(col("e")("Event") === AppStart, col("e")("App Name")).as("app_name"))
+        when(col("e")("Event") === AppStart, col("e")("App Name")).as("app_name"),
+        when(col("e")("Event") === AppStart, col("e")("App Attempt ID"))
+          .as("attempt_raw"),
+        // Full Spark-properties map from EnvironmentUpdate (reference
+        // parses these at src/storage/event_log.rs:143-161; the API
+        // route is src/api.rs:43-45).
+        when(col("e")("Event") === EnvironmentUpdate,
+          expr("map_from_entries(transform(e.`Spark Properties`, " +
+            "p -> struct(p[0] AS key, p[1] AS value)))")).as("spark_props"),
+        col("log_file"), col("value"))
+    val attributed =
+      if (lines.isStreaming) base.withColumn("attempt_id", col("attempt_raw"))
+      else base.withColumn("attempt_id",
+        max("attempt_raw").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("log_file")))
+    (if (keepRaw) attributed.withColumn("raw", col("value")) else attributed)
+      .drop("attempt_raw", "log_file", "value")
       .filter(col("event_type").isNotNull)
   }
 

@@ -52,6 +52,9 @@ object EventModel {
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("app_id", StringType, nullable = false),
+    // one log file = one attempt (reference: src/storage/event_log.rs:
+    // 112-128); null when the app has no attempt id (non-YARN)
+    StructField("attempt_id", StringType, nullable = true),
     StructField("event_type", StringType, nullable = false),
     StructField("event_time", TimestampType, nullable = false),
     StructField("event_time_us", LongType, nullable = false),
@@ -83,7 +86,12 @@ object EventModel {
     // app-start payload (reference: src/storage/event_log.rs:95-131)
     StructField("app_user", StringType, nullable = true),
     StructField("spark_version", StringType, nullable = true),
-    StructField("app_name", StringType, nullable = true)
+    StructField("app_name", StringType, nullable = true),
+    // EnvironmentUpdate only: the full Spark-properties map
+    // (reference: src/storage/event_log.rs:143-161)
+    StructField("spark_props", MapType(StringType, StringType), nullable = true)
+    // + an OPTIONAL `raw` string column (the original event-log line)
+    // when parsed with keepRaw = true
   ))
 
   val columns: Seq[String] = schema.fieldNames.toSeq

@@ -88,6 +88,10 @@ object TestDataAdapter {
     staged.select(
       eid.as("event_id"),
       concat(lit("app-"), uid.cast("string")).as("app_id"),
+      // Synthetic multi-attempt split: attempts "1"/"2" alternate in
+      // event_id%4 half-cycles so BOTH attempts of an app receive
+      // ApplicationStart events (signup ∧ even id covers %4∈{0,2}).
+      expr("CAST(1 + ((event_id % 4) div 2) AS STRING)").as("attempt_id"),
       evtType.as("event_type"),
       ts.as("event_time"),
       tsUs.as("event_time_us"),
@@ -132,14 +136,24 @@ object TestDataAdapter {
       when(isAppStart, concat(lit("job-"), (uid % 10).cast("string")))
         .as("app_name")
     )
+      // Raw-event passthrough stand-in (reference keeps the original
+      // JSON line next to the typed columns, duckdb_store_backup.rs:
+      // 223-248): a deterministic pseudo-JSON assembled from the typed
+      // columns so the oracle can reproduce it character-for-character.
+      .withColumn("raw", concat(
+        lit("{\"Event\":\""), col("event_type"),
+        lit("\",\"ID\":"), col("event_id").cast("string"),
+        lit(",\"Timestamp\":"), col("event_time_us").cast("string"),
+        lit("}")))
   }
 
   /** DuckDB CTE that reproduces [[canonicalFrom]] bit-for-bit over the
    *  driver-registered `events` table. Prefix of every oracle query. */
-  val canonCte: String = """WITH canon AS (
+  val canonCte: String = """WITH canon_base AS (
   SELECT
     event_id,
     'app-' || CAST(user_id AS VARCHAR) AS app_id,
+    CAST(1 + (event_id % 4) // 2 AS VARCHAR) AS attempt_id,
     CASE event_type
       WHEN 'signup' THEN CASE WHEN event_id % 2 = 0 THEN 'SparkListenerApplicationStart' ELSE 'SparkListenerJobStart' END
       WHEN 'error' THEN CASE WHEN event_id % 3 = 0 THEN 'SparkListenerApplicationEnd' WHEN event_id % 3 = 1 THEN 'SparkListenerExecutorRemoved' ELSE 'SparkListenerJobEnd' END
@@ -177,5 +191,10 @@ object TestDataAdapter {
     CASE WHEN event_type = 'signup' AND event_id % 2 = 0 THEN '3.' || CAST(user_id % 3 AS VARCHAR) || '.0' END AS spark_version,
     CASE WHEN event_type = 'signup' AND event_id % 2 = 0 THEN 'job-' || CAST(user_id % 10 AS VARCHAR) END AS app_name
   FROM events
+), canon AS (
+  SELECT c.*,
+         '{"Event":"' || event_type || '","ID":' || CAST(event_id AS VARCHAR)
+           || ',"Timestamp":' || CAST(event_time_us AS VARCHAR) || '}' AS raw
+  FROM canon_base c
 )"""
 }

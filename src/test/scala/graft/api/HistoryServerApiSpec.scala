@@ -42,6 +42,17 @@ class HistoryServerApiSpec extends SparkSpec {
     assert(stages(0).getAs[Long]("input_bytes") === 1048576L + 2097152L)
   }
 
+  test("environment endpoint returns one row per Spark property") {
+    val d = tmpDir("env-logs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-env-1.json"),
+      (EventLogFixture.appLog("app-env-1") ++ EventLogFixture.extendedLog())
+        .mkString("\n").getBytes("UTF-8"))
+    val c = EventLogParser.read(spark, d)
+    val env = HistoryServerApi.environment(c, "app-env-1").collect()
+    assert(env.map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap ===
+      Map("spark.version" -> "3.5.7", "spark.master" -> "yarn"))
+  }
+
   test("version endpoint") {
     assert(HistoryServerApi.version(spark).count() === 1)
   }

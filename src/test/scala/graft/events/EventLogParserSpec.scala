@@ -91,6 +91,25 @@ class EventLogParserSpec extends SparkSpec {
     assert(byType.contains("SparkListenerCustomPluginThing")) // kept as Other
   }
 
+  test("attempt id from the start line is attributed to the whole file; raw passthrough") {
+    val d = tmpDir("attempt-logs")
+    val lines = EventLogFixture.appLog("app-att-1").map(
+      _.replace("\"App ID\":\"app-att-1\"",
+        "\"App ID\":\"app-att-1\",\"App Attempt ID\":\"2\""))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-att-1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val parsed = EventLogParser.parseLines(
+      spark.read.textFile(d).toDF("value")
+        .withColumn("log_file", input_file_name()), keepRaw = true).cache()
+    // every event of the file — not just the start line — carries the attempt
+    assert(parsed.select("attempt_id").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("2"))
+    // raw passthrough is the verbatim original line
+    assert(parsed.filter(col("raw").startsWith("{\"Event\":\"")).count() === parsed.count())
+    // default parse has no raw column
+    assert(!canon.columns.contains("raw"))
+  }
+
   test("analytics compose over real parsed logs: executor summary") {
     val es = Resources.executorSummary(canon)
       .filter(col("app_id") === "app-20240101-0001")
