@@ -94,7 +94,12 @@ LIMIT 10"""
   def efficiencyAnalysis(canon: DataFrame, limit: Int = 20): DataFrame = {
     val cpuS  = col("avg_cpu_ns") / lit(1000000000.0)
     val wallS = col("avg_duration_ms") / lit(1000.0)
-    val ratio = cpuS / wallS * lit(100.0)
+    // zero-duration guard: Spark double division by 0 yields NULL while
+    // DuckDB (ieee ops) yields Infinity — NULL on both sides via
+    // when()/NULLIF keeps the engines agreeing (category 'WellTuned',
+    // efficiency 0.0) when a group's avg duration is 0
+    val cpuPerWall = when(wallS > 0, cpuS / wallS)
+    val ratio = cpuPerWall * lit(100.0)
     appRollup(canon)
       .filter(col("task_count") > 5)
       .select(
@@ -108,7 +113,10 @@ LIMIT 10"""
           lit(0.0))).as("memory_efficiency"),
         r4(coalesce(ratio, lit(0.0))).as("cpu_efficiency"),
         r4(col("peak_memory_mb") * 0.7).as("recommended_memory_gb"),
-        r4(greatest(lit(1.0), cpuS / wallS)).as("recommended_cpu_cores"),
+        // coalesce before greatest: NULL-vs-ignore semantics of
+        // GREATEST differ across engines, so never feed it a NULL
+        r4(greatest(lit(1.0), coalesce(cpuPerWall, lit(1.0))))
+          .as("recommended_cpu_cores"),
         r4(when(ratio < 30.0, col("peak_memory_mb") * 0.0005).otherwise(0.0))
           .as("potential_cost_savings"),
         when(col("task_count") < 10, "High")
@@ -132,16 +140,16 @@ LIMIT 10"""
   HAVING COUNT(*) > 5)
 SELECT app_id,
        'app_' || app_id AS app_name,
-       CASE WHEN cpu_s / wall_s * 100.0 < 30.0 THEN 'OverProvisioned'
-            WHEN cpu_s / wall_s * 100.0 > 90.0 THEN 'UnderProvisioned'
+       CASE WHEN cpu_s / NULLIF(wall_s, 0.0) * 100.0 < 30.0 THEN 'OverProvisioned'
+            WHEN cpu_s / NULLIF(wall_s, 0.0) * 100.0 > 90.0 THEN 'UnderProvisioned'
             ELSE 'WellTuned' END AS efficiency_category,
        FLOOR((COALESCE(avg_memory_mb / NULLIF(peak_memory_mb, 0.0) * 100.0, 0.0)) * 10000.0 + 0.5) / 10000.0 AS memory_efficiency,
-       FLOOR((COALESCE(cpu_s / wall_s * 100.0, 0.0)) * 10000.0 + 0.5) / 10000.0 AS cpu_efficiency,
+       FLOOR((COALESCE(cpu_s / NULLIF(wall_s, 0.0) * 100.0, 0.0)) * 10000.0 + 0.5) / 10000.0 AS cpu_efficiency,
        FLOOR((peak_memory_mb * 0.7) * 10000.0 + 0.5) / 10000.0 AS recommended_memory_gb,
-       FLOOR((GREATEST(1.0, cpu_s / wall_s)) * 10000.0 + 0.5) / 10000.0 AS recommended_cpu_cores,
-       FLOOR((CASE WHEN cpu_s / wall_s * 100.0 < 30.0 THEN peak_memory_mb * 0.0005 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS potential_cost_savings,
+       FLOOR((GREATEST(1.0, COALESCE(cpu_s / NULLIF(wall_s, 0.0), 1.0))) * 10000.0 + 0.5) / 10000.0 AS recommended_cpu_cores,
+       FLOOR((CASE WHEN cpu_s / NULLIF(wall_s, 0.0) * 100.0 < 30.0 THEN peak_memory_mb * 0.0005 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS potential_cost_savings,
        CASE WHEN task_count < 10 THEN 'High'
-            WHEN cpu_s / wall_s * 100.0 < 20.0 THEN 'Low'
+            WHEN cpu_s / NULLIF(wall_s, 0.0) * 100.0 < 20.0 THEN 'Low'
             ELSE 'Medium' END AS risk_level
 FROM r
 ORDER BY potential_cost_savings DESC, app_id

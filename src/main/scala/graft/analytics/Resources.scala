@@ -49,30 +49,31 @@ ORDER BY event_date DESC, app_id, event_type"""
    *  per-app `WHERE app_id = ?` into an app_id group key; filtering one
    *  app is a pushed-down predicate on the result). */
   def executorSummary(canon: DataFrame): DataFrame = {
-    val ea = canon.filter(col("event_type") === ExecutorAdded)
+    val isEA = col("event_type") === ExecutorAdded
+    val isER = col("event_type") === ExecutorRemoved
+    val isTask = col("event_type").isin(TaskStart, TaskEnd)
+    // ONE conditional-aggregate pass over the (executor-add/remove +
+    // task) slice replaces the former 3 pre-aggregates + 2 full-outer
+    // joins: same group set (task rows only count toward a group when
+    // they carry an executor_id, matching the joined shape), one
+    // shuffle, partial aggregation map-side. The DuckDB oracle keeps
+    // the reference's multi-CTE spelling — output rows are identical.
+    canon
+      .filter(isEA || isER || (isTask && col("executor_id").isNotNull))
       .groupBy("app_id", "executor_id")
       .agg(
-        max("host").as("host_port_raw"),
-        max("cores").as("total_cores_raw"),
-        max("max_memory").as("max_memory_raw"),
-        min("event_time_us").as("add_time_us"))
-    val er = canon.filter(col("event_type") === ExecutorRemoved)
-      .groupBy("app_id", "executor_id")
-      .agg(max("event_time_us").as("remove_time_us"))
-    val tm = canon
-      .filter(col("event_type").isin(TaskStart, TaskEnd) && col("executor_id").isNotNull)
-      .groupBy("app_id", "executor_id")
-      .agg(
-        count(lit(1)).as("tm_total_tasks"),
+        max(when(isEA, col("host"))).as("host_port_raw"),
+        max(when(isEA, col("cores"))).as("total_cores_raw"),
+        max(when(isEA, col("max_memory"))).as("max_memory_raw"),
+        min(when(isEA, col("event_time_us"))).as("add_time_us"),
+        max(when(isER, col("event_time_us"))).as("remove_time_us"),
+        count(when(isTask, 1)).as("tm_total_tasks"),
         count(when(col("event_type") === TaskEnd, 1)).as("tm_completed_tasks"),
-        sum("run_time_ms").as("tm_total_duration"),
-        sum("gc_time_ms").as("tm_total_gc_time"),
-        sum("input_bytes").as("tm_total_input_bytes"),
-        sum("shuffle_read_bytes").as("tm_total_shuffle_read"),
-        sum("shuffle_write_bytes").as("tm_total_shuffle_write"))
-
-    ea.join(er, Seq("app_id", "executor_id"), "full_outer")
-      .join(tm, Seq("app_id", "executor_id"), "full_outer")
+        sum(when(isTask, col("run_time_ms"))).as("tm_total_duration"),
+        sum(when(isTask, col("gc_time_ms"))).as("tm_total_gc_time"),
+        sum(when(isTask, col("input_bytes"))).as("tm_total_input_bytes"),
+        sum(when(isTask, col("shuffle_read_bytes"))).as("tm_total_shuffle_read"),
+        sum(when(isTask, col("shuffle_write_bytes"))).as("tm_total_shuffle_write"))
       .select(
         col("app_id"),
         coalesce(col("executor_id"), lit("driver")).as("id"),

@@ -15,8 +15,12 @@ import graft.events.EventLogParser
 object EventLogSource {
 
   /** Known event-log file extensions (reference filters the same set,
-   *  src/storage/file_reader.rs:44-55). */
-  private val logPattern = ".*(\\.json|\\.log|\\.txt|\\binprogress)$".r
+   *  src/storage/file_reader.rs:44-55), including codec-compressed
+   *  variants (.gz/.lz4/.snappy) — the parser already strips those
+   *  suffixes for app-id fallback, and Hadoop's text reader
+   *  auto-decompresses them. */
+  private val logPattern =
+    ".*((\\.json|\\.log|\\.txt)(\\.gz|\\.lz4|\\.snappy)?|\\binprogress)$".r
 
   /** List event-log files under a directory URI (driver-side metadata
    *  op — one RPC per directory, NOT per file; at 100k apps use

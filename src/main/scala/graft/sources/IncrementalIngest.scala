@@ -59,19 +59,29 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String) {
       .map(_.getPath.toString)
   }
 
-  /** Parse only the pending delta and commit the checkpoint. Returns
-   *  None when nothing is new. */
-  def ingest(dirUri: String): Option[DataFrame] = {
+  /** Parse the pending delta and hand it to `process`; the checkpoint
+   *  is committed ONLY after `process` returns normally — at-LEAST-once
+   *  semantics (a failure leaves the files pending, so the next scan
+   *  re-processes them; committing before the action ran would be
+   *  at-most-once and silently lose files). Returns the processed
+   *  paths (empty = nothing new).
+   *
+   *  Grown `.inprogress` files are re-emitted WHOLE (file-granular
+   *  tracking, same as the reference's scan loop): an appending caller
+   *  must either write to an idempotent/overwrite-per-file sink or
+   *  dedup on (app_id, event hash) at append time. */
+  def ingest(dirUri: String)(process: DataFrame => Unit): Seq[String] = {
     val pending = pendingFiles(dirUri)
-    if (pending.isEmpty) None
-    else {
-      val parsed = EventLogParser.read(spark, pending: _*)
+    if (pending.nonEmpty) {
+      // capture (mtime, size) BEFORE parsing: a file that grows while
+      // we read it stays pending and is re-scanned next round instead
+      // of being silently marked complete at its new size
       val statuses = EventLogSource.listLogs(spark, dirUri)
         .filter(s => pending.contains(s.getPath.toString))
-      val newState = loadState() ++ statuses.map(s =>
-        s.getPath.toString -> (s.getModificationTime, s.getLen))
-      saveState(newState)
-      Some(parsed)
+      process(EventLogParser.read(spark, pending: _*))
+      saveState(loadState() ++ statuses.map(s =>
+        s.getPath.toString -> (s.getModificationTime, s.getLen)))
     }
+    pending
   }
 }

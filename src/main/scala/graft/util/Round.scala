@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions.{floor, lit}
   * 0.5)/1e4` is the same IEEE operation sequence in both engines, so
   * identical inputs give identical outputs everywhere. Every oracle
   * mirrors this exact formula.
+  *
+  * NOTE on negatives: this is round-half-UP (toward +infinity), not
+  * half-away-from-zero — e.g. -0.00005 -> 0.0 where `round(x, 4)`
+  * gives -0.0001. Both engines agree (the formula is mirrored), so
+  * correctness is unaffected; it only matters if a metric's sign
+  * convention must match the reference's rounding exactly, and no
+  * current graft metric is negative. Use
+  * `floor(abs(x)*1e4+0.5)*sign(x)/1e4` on BOTH sides if one ever is.
   */
 object Round {
   def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)

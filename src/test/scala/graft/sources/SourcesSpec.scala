@@ -11,8 +11,13 @@ class SourcesSpec extends SparkSpec {
     EventLogFixture.writeLogs(d, Seq("app-x"))
     java.nio.file.Files.write(java.nio.file.Paths.get(d, "junk.parquet"),
       "not a log".getBytes)
-    val names = EventLogSource.listLogs(spark, s"file://$d").map(_.getPath.getName)
-    assert(names === Seq("app-x.json"))
+    // compressed logs must be listed too (the parser strips these
+    // suffixes and Hadoop auto-decompresses)
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-z.json.gz"),
+      Array[Byte](0x1f, 0x8b.toByte))
+    val names = EventLogSource.listLogs(spark, s"file://$d")
+      .map(_.getPath.getName).sorted
+    assert(names === Seq("app-x.json", "app-z.json.gz"))
   }
 
   test("readDirectory parses a file:// URI directory end-to-end") {
@@ -41,18 +46,23 @@ class SourcesSpec extends SparkSpec {
     assert(oneDay.count() === 12)
   }
 
-  test("incremental ingest parses only the delta") {
+  test("incremental ingest parses only the delta; checkpoint commits after processing") {
     val d = tmpDir("incr")
     val ckpt = tmpDir("incr-ckpt") + "/state.tsv"
     EventLogFixture.writeLogs(d, Seq("app-a"))
     val ing = new IncrementalIngest(spark, ckpt)
-    val first = ing.ingest(s"file://$d")
-    assert(first.isDefined && first.get.count() === 12)
-    assert(ing.ingest(s"file://$d").isEmpty) // nothing new
+    var n = 0L
+    ing.ingest(s"file://$d")(df => n = df.count())
+    assert(n === 12)
+    assert(ing.ingest(s"file://$d")(_ => fail("no delta expected")).isEmpty)
+    // a failing processor must NOT commit — the files stay pending
     EventLogFixture.writeLogs(d, Seq("app-b"))
-    val second = ing.ingest(s"file://$d")
-    assert(second.isDefined)
-    assert(second.get.select("app_id").distinct().collect().map(_.getString(0))
-      === Array("app-b"))
+    intercept[RuntimeException] {
+      ing.ingest(s"file://$d")(_ => throw new RuntimeException("sink down"))
+    }
+    var apps: Seq[String] = Nil
+    ing.ingest(s"file://$d")(df => apps =
+      df.select("app_id").distinct().collect().map(_.getString(0)).toSeq)
+    assert(apps === Seq("app-b"))
   }
 }
