@@ -59,6 +59,7 @@ ORDER BY event_id"""
     "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
     "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
     "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
+    "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
@@ -113,6 +114,7 @@ ORDER BY event_id"""
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "app_jobs" -> JobsStages.appJobsOracle,
+    "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,

@@ -37,6 +37,13 @@ object HistoryServerApi {
   def stages(canon: DataFrame, appId: String): DataFrame =
     JobsStages.appStages(canon).filter(col("app_id") === appId)
 
+  /** GET /api/v1/applications/{appId}/storage/rdd — block-manager
+   *  registration summary (the reference stubs this route to `[]`,
+   *  src/api.rs:206-212; graft implements it from the BlockManager
+   *  events it already parses). */
+  def storage(canon: DataFrame, appId: String): DataFrame =
+    Storage.appStorage(canon).filter(col("app_id") === appId)
+
   /** GET /api/v1/applications/{appId}/environment — one (key, value)
    *  row per Spark property from the app's EnvironmentUpdate events
    *  (reference routes it at src/api.rs:43-45; property parsing spec

@@ -42,6 +42,19 @@ class HistoryServerApiSpec extends SparkSpec {
     assert(stages(0).getAs[Long]("input_bytes") === 1048576L + 2097152L)
   }
 
+  test("storage endpoint summarises block-manager registrations") {
+    val d = tmpDir("bm-logs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-bm-1.json"),
+      EventLogFixture.extendedLog().mkString("\n").getBytes("UTF-8"))
+    val c = EventLogParser.read(spark, d)
+    val rows = HistoryServerApi.storage(c, "app-bm-1").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("executor_id") === "3")
+    assert(rows(0).getAs[String]("host") === "worker-c")
+    assert(rows(0).getAs[Long]("max_onheap_memory") === 3221225472L)
+    assert(rows(0).getAs[Long]("deregistration_events") === 1L)
+  }
+
   test("environment endpoint returns one row per Spark property") {
     val d = tmpDir("env-logs")
     java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-env-1.json"),
