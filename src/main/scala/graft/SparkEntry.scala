@@ -87,6 +87,9 @@ ORDER BY event_id"""
     "dedup_minhash_fast" -> ((s, d) =>
       Dedup.dedupMinhash(docs(s, d), deterministicIds = false)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
+    // Duplicate GROUPS: connected components over the verified
+    // near-dup pair graph (survivor = min doc_id per component).
+    "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
@@ -139,6 +142,7 @@ ORDER BY event_id"""
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
+    "dedup_clusters" -> Clustering.dedupClustersOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,

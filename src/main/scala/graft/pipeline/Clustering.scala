@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster construction: the step a real training-data
+ * pipeline runs AFTER near-dup pair detection. Pairwise near-dup
+ * output (doc_a, doc_b) is a graph; keeping one survivor per
+ * *connected component* (not per pair) is what actually removes the
+ * duplicates — pair-local survivor picks can drop every copy or keep
+ * two (a~b, b~c with a,c not paired).
+ *
+ * Algorithm: iterative min-label propagation — label(v) starts at v,
+ * each round takes the min over the neighborhood, fixpoint = every
+ * node labeled with the smallest doc_id in its component. Rounds =
+ * component diameter; per round one shuffle keyed on doc_id.
+ * `localCheckpoint` after every round truncates the lineage so the
+ * plan does not grow with iterations (the classic iterative-Spark
+ * failure mode).
+ *
+ * Scale note: near-dup graphs at 100 TB have HUGE components
+ * (boilerplate cliques) but TINY diameters — cliques converge in one
+ * round, chains are rare and short. If an adversarial long-chain
+ * graph ever matters, the O(log n)-round alternating large-star /
+ * small-star formulation (Kiveris et al., "Connected Components in
+ * MapReduce and Beyond") drops in behind the same signature; min-label
+ * propagation is the right default because its per-round cost is one
+ * partial-aggregated groupBy — no edge-list rewriting.
+ *
+ * The convergence check (`changed` count) is one action per round on
+ * the label frame — bounded by |nodes-in-pairs|, never the corpus.
+ */
+object Clustering {
+
+  /** Connected components of an undirected edge list `(doc_a, doc_b)`.
+   *  Returns `(doc_id, label)` where `label` = min doc_id reachable.
+   *  Only nodes appearing in at least one edge are returned (isolated
+   *  docs are their own trivial cluster — callers join them back if
+   *  singleton rows are wanted). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Symmetrize once and materialize: every round re-reads this frame.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lab = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label over the neighborhood (partial agg map-side), then
+      // fold into the node's own label. Left join: a node whose
+      // neighbors all have higher labels keeps its own.
+      val nbrMin = edges
+        .join(lab.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("label").as("nmin"))
+      val next = lab.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(lab.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev"))
+        .count()
+      lab = next
+      iter += 1
+    }
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(diameter-length chain? switch to large-star/small-star)")
+    lab
+  }
+
+  /** Duplicate clusters over the verified n-gram near-dup pairs: one
+   *  row per clustered doc with its cluster id (min doc_id in the
+   *  component), cluster size, and the survivor flag (the doc a
+   *  dedup pass would keep). Docs in no near-dup pair are not listed
+   *  (every unlisted doc is its own survivor). */
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.dedupNgram(docs).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("doc_id"),
+        col("cluster_size"),
+        when(col("doc_id") === col("label"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** DuckDB mirror: the same verified pair set (the [[Dedup.dedupNgramOracle]]
+   *  CTE chain), then transitive closure as a recursive CTE —
+   *  `UNION` (distinct) recursion terminates at the closure, and
+   *  MIN(reachable) is exactly the propagated min label. */
+  val dedupClustersOracle: String = "WITH RECURSIVE " + Dedup.shinglesCte.trim + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
+raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+csize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id)
+SELECT c.cluster_id, c.doc_id, s.cluster_size,
+       CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM comp c JOIN csize s ON c.cluster_id = s.cluster_id
+ORDER BY c.cluster_id, c.doc_id"""
+}

@@ -65,15 +65,18 @@ ORDER BY doc_id"""
   /** Distinct word-3-gram shingles per doc: (doc_id, gram). Docs
    *  shorter than n words produce no shingles (explode of an empty
    *  array) — sequence(1, 0) would count DOWN in Spark, hence the
-   *  explicit guard. */
+   *  explicit guard. (doc_id, gram)-distinctness == within-doc
+   *  distinctness, so `array_distinct` BEFORE the explode gives the
+   *  same set as a global `.distinct()` with ZERO shuffle — at 100 TB
+   *  that's the difference between a projection and an exchange of
+   *  |docs| x |grams/doc| rows. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         s"CASE WHEN size(toks) >= $n THEN " +
-          s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n))) " +
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))) " +
           "ELSE array() END")).as("gram"))
-      .distinct()
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
    *  static 1..4000 index table — docs are < 4000 tokens). */
@@ -122,6 +125,19 @@ shingle AS (
 vocab AS (
   SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY gram) AS BIGINT) AS gid
   FROM (SELECT DISTINCT gram FROM shingle))"""
+
+  /** (doc_id, gid) for a shingle frame. Deterministic mode joins the
+   *  sorted vocabulary (oracle parity); scale mode needs NO join or
+   *  vocabulary at all — the gid is a pure per-row projection
+   *  (`pmod(xxhash64(gram), P)`), so signature computation stays
+   *  entirely inside the scan stage. */
+  private def shingleIds(sh: DataFrame, deterministicIds: Boolean): DataFrame =
+    if (deterministicIds)
+      sh.join(gramIds(sh, deterministicIds = true), "gram")
+        .select("doc_id", "gid")
+    else
+      sh.select(col("doc_id"),
+        pmod(xxhash64(col("gram")), lit(Prime)).as("gid"))
 
   /** Within-bucket candidate pairs with skew salting: members of each
    *  bucket are split into `salts` groups by id-hash; the right side is
@@ -219,8 +235,7 @@ ORDER BY c.doc_a, c.doc_b"""
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
                    deterministicIds: Boolean = true): DataFrame = {
     val sh = shingles(docs).cache()
-    val ids = gramIds(sh, deterministicIds)
-    val shId = sh.join(ids, "gram").select("doc_id", "gid")
+    val shId = shingleIds(sh, deterministicIds)
     val minCols = (0 until NumHashes).map { j =>
       min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
         .as(s"mh$j")
@@ -300,8 +315,7 @@ ORDER BY c.doc_a, c.doc_b"""
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
                    deterministicIds: Boolean = true): DataFrame = {
     val sh = shingles(docs).cache()
-    val ids = gramIds(sh, deterministicIds)
-    val shId = sh.join(ids, "gram").select("doc_id", "gid")
+    val shId = shingleIds(sh, deterministicIds)
     // One partial-aggregating pass: 16 signed bit-vote sums as columns
     // (not a 16x row blowup); the fingerprint is then a pure projection.
     val voteCols = (0 until NumHashes).map { b =>

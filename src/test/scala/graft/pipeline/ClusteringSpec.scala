@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connected components: chain, clique, and singleton-free merge") {
+    // Components: {1,2,3,4} (a 3-hop chain), {10,11,12} (a triangle),
+    // {20,21}. Min-label must traverse the full chain, not stop at
+    // direct neighbors.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val lab = Clustering.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converge regardless of edge orientation") {
+    // Labels flow against the edge direction too (symmetrized):
+    // high-id sources pointing at low-id targets.
+    val pairs = Seq((5L, 1L), (9L, 5L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val lab = Clustering.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.values.toSet === Set(1L))
+    assert(lab.keySet === Set(1L, 5L, 7L, 9L))
+  }
+
+  test("dedupClusters groups near-dups under one survivor with sizes") {
+    // 0, 1, 5 are pairwise near-dups (one/two word edits); 2 shares no
+    // rare gram with anything and must not appear in the output at all.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s0", 70L),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "en", "s0", 72L),
+      (5L, "a quick brown fox jumps over the lazy dog near the river bank tonight", "en", "s0", 71L),
+      (2L, "completely different content about spark data processing at massive scale", "en", "s1", 74L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Clustering.dedupClusters(docs).collect()
+    val byDoc = out.map(r => r.getLong(1) ->
+      (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    assert(byDoc.keySet === Set(0L, 1L, 5L))
+    assert(byDoc(0L) === ((0L, 3L, 1L))) // cluster 0, size 3, survivor
+    assert(byDoc(1L) === ((0L, 3L, 0L)))
+    assert(byDoc(5L) === ((0L, 3L, 0L)))
+  }
+}
