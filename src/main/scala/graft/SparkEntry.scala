@@ -61,6 +61,7 @@ ORDER BY event_id"""
     "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
     "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
+    "task_quantiles" -> ((s, d) => JobsStages.taskQuantiles(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -79,6 +80,8 @@ ORDER BY event_id"""
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
+    "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
@@ -119,6 +122,7 @@ ORDER BY event_id"""
     "app_jobs" -> JobsStages.appJobsOracle,
     "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,
+    "task_quantiles" -> JobsStages.taskQuantilesOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,
@@ -137,6 +141,8 @@ ORDER BY event_id"""
     "lang_id" -> TextAnalysis.langIdOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
+    "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
+    "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,

@@ -156,4 +156,97 @@ SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_fp
 FROM documents
 ORDER BY doc_id"""
+
+  /** Top-k distinctive terms per doc, ranked tf/df descending (the
+   *  classic tf-idf shape with a rational idf — no logs, so the score
+   *  is an exact ratio of integers and the ordering is engine-exact;
+   *  ties broken by term). Shape at scale: one explode + two partial
+   *  aggregations + a term-keyed join of (doc, term, tf) against the
+   *  term document-frequency table (the inverted index) — the join
+   *  keys on the term, so boilerplate terms spread over reducers by
+   *  virtue of the (doc_id, term) pre-aggregation; no row ever carries
+   *  the document text. */
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy((col("tf") * lit(1.0) / col("df")).desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"),
+        r4(col("tf") * lit(1.0) / col("df")).as("tfdf_score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTermsOracle: String = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tf GROUP BY doc_id, term),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+           ORDER BY t.tf * 1.0 / d.df DESC, t.term) AS rk
+  FROM tfc t JOIN dfc d ON t.term = d.term)
+SELECT doc_id, CAST(rk AS BIGINT) AS rank, term, tf, df,
+       FLOOR((tf * 1.0 / df) * 10000.0 + 0.5) / 10000.0 AS tfdf_score
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rank"""
+
+  /** Novelty / boilerplate profile per doc from the 3-gram corpus
+   *  document frequencies: how much of the doc is corpus-unique
+   *  (df = 1) vs templated boilerplate (df >= boilerplateDf). The
+   *  standard curation signal for dropping templated web pages before
+   *  training. Reuses [[Dedup.shingles]] (shuffle-free) + one df
+   *  aggregation + one gram-keyed join — the same inverted-index
+   *  shape as near-dup blocking, so it shares physical layout with
+   *  the dedup family at 100 TB. */
+  def noveltyScore(docs: DataFrame, boilerplateDf: Long = 10L): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val df = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, "gram")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("unique_grams"),
+        sum(when(col("df") >= boilerplateDf, 1L).otherwise(0L)).as("boilerplate_grams"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
+        coalesce(col("boilerplate_grams"), lit(0L)).as("boilerplate_grams"),
+        r4(when(col("n_grams") > 0,
+          col("unique_grams") * lit(1.0) / col("n_grams")).otherwise(lit(0.0)))
+          .as("novelty"),
+        r4(when(col("n_grams") > 0,
+          col("boilerplate_grams") * lit(1.0) / col("n_grams")).otherwise(lit(0.0)))
+          .as("boilerplate_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyScoreOracle: String = "WITH " + Dedup.shinglesCte.trim + """,
+dfc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM shingle GROUP BY gram),
+perdoc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_grams,
+         CAST(SUM(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_grams
+  FROM shingle s JOIN dfc d ON s.gram = d.gram
+  GROUP BY s.doc_id)
+SELECT doc.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.unique_grams, 0) AS unique_grams,
+       COALESCE(p.boilerplate_grams, 0) AS boilerplate_grams,
+       FLOOR((CASE WHEN COALESCE(p.n_grams, 0) > 0
+              THEN p.unique_grams * 1.0 / p.n_grams ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS novelty,
+       FLOOR((CASE WHEN COALESCE(p.n_grams, 0) > 0
+              THEN p.boilerplate_grams * 1.0 / p.n_grams ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS boilerplate_ratio
+FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+ORDER BY doc.doc_id"""
 }
