@@ -35,6 +35,15 @@ object Dedup {
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
+  /** SimHash fingerprint width. 32 bits / 4 bands of 8 means 256
+   *  bucket values per band — the hamming<=3 pigeonhole exactness is a
+   *  property of the BAND COUNT, not the band width, so widening the
+   *  bands only sharpens blocking selectivity (a 16-bit/4-value-band
+   *  fingerprint saturates: every band bucket holds ~|corpus|/16 docs
+   *  and candidate generation degenerates toward all-pairs). */
+  val SimBits = 32
+  val SimBands = 4
+  val SimBandBits = 8
 
   /** Exact dedup: first doc_id wins per content hash; emits survivors
    *  with their duplicate count. Partitioned by the hash via the
@@ -309,28 +318,28 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY c.doc_a, c.doc_b"""
 
-  /** SimHash near-dup: 16-bit majority fingerprint over gram-id hash
-   *  bits; candidates share >=1 of 4 nibble bands (exact for
+  /** SimHash near-dup: 32-bit majority fingerprint over gram-id hash
+   *  bits; candidates share >=1 of 4 byte-wide bands (exact for
    *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
                    deterministicIds: Boolean = true): DataFrame = {
     val sh = shingles(docs).cache()
     val shId = shingleIds(sh, deterministicIds)
-    // One partial-aggregating pass: 16 signed bit-vote sums as columns
-    // (not a 16x row blowup); the fingerprint is then a pure projection.
-    val voteCols = (0 until NumHashes).map { b =>
+    // One partial-aggregating pass: 32 signed bit-vote sums as columns
+    // (not a 32x row blowup); the fingerprint is then a pure projection.
+    val voteCols = (0 until SimBits).map { b =>
       sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
         1L).otherwise(-1L)).as(s"s$b")
     }
-    val fpCol = (0 until NumHashes)
+    val fpCol = (0 until SimBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     val fp = shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), fpCol.as("fp"))
       .cache() // used for banding AND the per-side fp lookup below
     val nibbles = fp.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 3), bd -> " +
-          "named_struct('band', cast(bd as long), 'nib', shiftright(fp, 4 * bd) & 15))"))
+        explode(expr(s"transform(sequence(0, ${SimBands - 1}), bd -> " +
+          s"named_struct('band', cast(bd as long), 'nib', shiftright(fp, $SimBandBits * bd) & ${(1 << SimBandBits) - 1}))"))
           .as("nb"))
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.nib").as("nib"))
     val cands = saltedBucketPairs(nibbles, Seq("band", "nib"), "doc_id")
@@ -347,7 +356,7 @@ ORDER BY c.doc_a, c.doc_b"""
 shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
 bits AS (
   SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
-  FROM (SELECT unnest(range(0, 16)) AS b)),
+  FROM (SELECT unnest(range(0, 32)) AS b)),
 persum AS (
   SELECT s.doc_id, bt.b,
          SUM(CASE WHEN ((bt.a * s.gid + bt.c) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS sm
@@ -358,7 +367,7 @@ fp AS (
          CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
   FROM persum GROUP BY doc_id),
 nib AS (
-  SELECT doc_id, fp, bd.band, (fp >> (4 * bd.band)) & 15 AS nib
+  SELECT doc_id, fp, bd.band, (fp >> (8 * bd.band)) & 255 AS nib
   FROM fp, (SELECT unnest(range(0, 4)) AS band) bd),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
