@@ -62,6 +62,9 @@ ORDER BY event_id"""
     "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
     "task_quantiles" -> ((s, d) => JobsStages.taskQuantiles(canon(s, d))),
+    "straggler_stages" -> ((s, d) => Diagnostics.stragglerStages(canon(s, d))),
+    "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
+    "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -123,6 +126,9 @@ ORDER BY event_id"""
     "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,
     "task_quantiles" -> JobsStages.taskQuantilesOracle,
+    "straggler_stages" -> Diagnostics.stragglerStagesOracle,
+    "executor_timeline" -> Diagnostics.executorTimelineOracle,
+    "user_sessions" -> Diagnostics.userSessionsOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,

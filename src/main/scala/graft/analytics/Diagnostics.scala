@@ -1,0 +1,160 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.events.EventModel._
+import graft.events.TestDataAdapter.canonCte
+import graft.util.Round.r4
+
+/**
+ * Cluster-health diagnostics beyond the reference's analytics surface:
+ * straggler detection, executor-allocation timeline, and user
+ * sessionization. All three are single window-pass shapes — one
+ * exchange keyed on the partition column, sorts and running
+ * aggregates inside the partition, partial aggregation after — the
+ * plan family that survives a 100x scale-up unchanged.
+ */
+object Diagnostics {
+
+  /** Straggler/skew detection per (app, stage): the max-vs-median task
+   *  duration ratio, the first thing an on-call engineer asks of a slow
+   *  stage. Median is the deterministic nearest-rank pick (index
+   *  `floor(0.5*(n-1)) + 1` in sorted order), not percentile_approx.
+   *  Stages with fewer than minTasks tasks are noise and excluded. */
+  def stragglerStages(canon: DataFrame, minTasks: Long = 5L,
+                      skewThreshold: Double = 2.0): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("duration_ms").isNotNull)
+      .select("app_id", "stage_id", "duration_ms")
+      .filter(col("stage_id").isNotNull)
+    val byStage = Window.partitionBy("app_id", "stage_id")
+    val idx = tasks
+      .withColumn("rk", row_number().over(byStage.orderBy("duration_ms")))
+      .withColumn("n", count(lit(1)).over(byStage))
+    idx.groupBy("app_id", "stage_id").agg(
+      max("n").as("task_n"),
+      min(when(col("rk") === floor(lit(0.5) * (col("n") - 1)) + 1,
+        col("duration_ms"))).as("p50_duration_ms"),
+      max("duration_ms").as("max_duration_ms"))
+      .filter(col("task_n") >= minTasks)
+      .select(
+        col("app_id"), col("stage_id"), col("task_n"),
+        col("p50_duration_ms"), col("max_duration_ms"),
+        r4(when(col("p50_duration_ms") > 0,
+          col("max_duration_ms") * lit(1.0) / col("p50_duration_ms")))
+          .as("skew_ratio"),
+        when(col("p50_duration_ms") > 0 &&
+          col("max_duration_ms") * lit(1.0) / col("p50_duration_ms")
+            >= skewThreshold, 1L).otherwise(0L).as("is_skewed"))
+      .orderBy("app_id", "stage_id")
+  }
+
+  val stragglerStagesOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, stage_id, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND duration_ms IS NOT NULL AND stage_id IS NOT NULL),
+idx AS (
+  SELECT app_id, stage_id, duration_ms,
+         ROW_NUMBER() OVER (PARTITION BY app_id, stage_id ORDER BY duration_ms) AS rk,
+         COUNT(*) OVER (PARTITION BY app_id, stage_id) AS n
+  FROM t),
+agg AS (
+  SELECT app_id, stage_id,
+         CAST(MAX(n) AS BIGINT) AS task_n,
+         MIN(CASE WHEN rk = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
+         MAX(duration_ms) AS max_duration_ms
+  FROM idx
+  GROUP BY app_id, stage_id)
+SELECT app_id, stage_id, task_n, p50_duration_ms, max_duration_ms,
+       FLOOR((CASE WHEN p50_duration_ms > 0
+              THEN max_duration_ms * 1.0 / p50_duration_ms END) * 10000.0 + 0.5) / 10000.0 AS skew_ratio,
+       CAST(CASE WHEN p50_duration_ms > 0
+                  AND max_duration_ms * 1.0 / p50_duration_ms >= 2.0
+             THEN 1 ELSE 0 END AS BIGINT) AS is_skewed
+FROM agg
+WHERE task_n >= 5
+ORDER BY app_id, stage_id"""
+
+  /** Executor-allocation timeline per app: every add/remove event with
+   *  the running count of live executors — the Spark UI's allocation
+   *  strip as a frame. One cumulative-sum window per app over a total
+   *  deterministic order. */
+  def executorTimeline(canon: DataFrame): DataFrame = {
+    val ev = canon
+      .filter(col("event_type").isin(ExecutorAdded, ExecutorRemoved))
+      .select(col("app_id"), col("event_time_us"), col("executor_id"),
+        when(col("event_type") === ExecutorAdded, 1L).otherwise(-1L).as("delta"))
+    ev.withColumn("active_executors",
+        sum("delta").over(Window.partitionBy("app_id")
+          .orderBy("event_time_us", "executor_id", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("app_id", "event_time_us", "executor_id", "delta")
+  }
+
+  val executorTimelineOracle: String = canonCte + """
+, ev AS (
+  SELECT app_id, event_time_us, executor_id,
+         CAST(CASE WHEN event_type = 'SparkListenerExecutorAdded'
+               THEN 1 ELSE -1 END AS BIGINT) AS delta
+  FROM canon
+  WHERE event_type IN ('SparkListenerExecutorAdded', 'SparkListenerExecutorRemoved'))
+SELECT app_id, event_time_us, executor_id, delta,
+       CAST(SUM(delta) OVER (PARTITION BY app_id
+         ORDER BY event_time_us, executor_id, delta
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active_executors
+FROM ev
+ORDER BY app_id, event_time_us, executor_id, delta"""
+
+  /** Sessionization: group a user's events into sessions split at
+   *  inactivity gaps > gapUs. The classic lag-flag-cumsum window
+   *  shape — one shuffle on the user key, everything else
+   *  in-partition; the same query sessionizes clickstreams at any
+   *  scale. */
+  def userSessions(canon: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy("app_user").orderBy("event_time_us", "event_id")
+    val flagged = canon
+      .filter(col("app_user").isNotNull && col("event_time_us").isNotNull)
+      .select("app_user", "event_time_us", "event_id")
+      .withColumn("prev_us", lag("event_time_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("event_time_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("app_user", "session_idx").agg(
+      min("event_time_us").as("session_start_us"),
+      max("event_time_us").as("session_end_us"),
+      count(lit(1)).as("n_events"))
+      .withColumn("duration_ms",
+        ((col("session_end_us") - col("session_start_us")) / 1000.0).cast("long"))
+      .orderBy("app_user", "session_idx")
+  }
+
+  val userSessionsOracle: String = canonCte + """
+, flagged AS (
+  SELECT app_user, event_time_us, event_id,
+         CASE WHEN LAG(event_time_us, 1) OVER w IS NULL
+                OR event_time_us - LAG(event_time_us, 1) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM canon
+  WHERE app_user IS NOT NULL AND event_time_us IS NOT NULL
+  WINDOW w AS (PARTITION BY app_user ORDER BY event_time_us, event_id)),
+sessions AS (
+  SELECT app_user, event_time_us,
+         SUM(new_session) OVER (PARTITION BY app_user
+           ORDER BY event_time_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged)
+SELECT app_user, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(event_time_us) AS session_start_us,
+       MAX(event_time_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(TRUNC((MAX(event_time_us) - MIN(event_time_us)) / 1000.0) AS BIGINT) AS duration_ms
+FROM sessions
+GROUP BY app_user, session_idx
+ORDER BY app_user, session_idx"""
+}
