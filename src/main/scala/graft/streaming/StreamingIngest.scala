@@ -41,6 +41,42 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Identifying key of an event within a log stream — the dedup key
+   *  for at-least-once re-deliveries (a grown `.inprogress` file
+   *  re-emitted by [[graft.sources.IncrementalIngest]], an S3 listing
+   *  race, a restarted tailer). */
+  private val eventKey = Seq("app_id", "event_type", "event_time_us",
+    "job_id", "stage_id", "task_id", "executor_id")
+
+  /** Exactly-once repair over an at-least-once source: drop
+   *  re-delivered events within the watermark horizon.
+   *  `dropDuplicatesWithinWatermark` keeps one state row per distinct
+   *  key seen inside the horizon and evicts it when the watermark
+   *  passes — state is bounded by event rate x horizon, never total
+   *  volume. Events without an event time (EnvironmentUpdate) cannot
+   *  be watermarked; they bypass dedup via a union (documented
+   *  at-least-once for that sliver). */
+  def dedupedStream(canon: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val timed = canon.filter(col("event_time").isNotNull)
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(eventKey)
+    timed.unionByName(canon.filter(col("event_time").isNull))
+  }
+
+  /** Sliding-window event rate per app (the live throughput strip):
+   *  windowed count with a watermark, so state is bounded by
+   *  apps x windows-in-horizon. */
+  def slidingEventRate(canon: DataFrame, windowLen: String = "5 minutes",
+                       slide: String = "1 minute",
+                       horizon: String = "10 minutes"): DataFrame =
+    canon.filter(col("event_time").isNotNull)
+      .withWatermark("event_time", horizon)
+      .groupBy(window(col("event_time"), windowLen, slide), col("app_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("app_id"), col("event_count"))
+
   /** Live per-(app, day) rolling aggregate with a 1-day watermark: the
    *  streaming version of the perf-trends analytic. State is bounded by
    *  (apps x days) inside the watermark, not by event volume. */

@@ -63,6 +63,42 @@ class StreamingIngestSpec extends SparkSpec {
     assert(second("app-st3").n_events === 12L)
   }
 
+  test("streaming dedup drops re-delivered duplicate events") {
+    val logs = tmpDir("dedup-logs")
+    val ckpt = tmpDir("dedup-ckpt")
+    // the same app log under two file names = an at-least-once
+    // re-delivery (grown-file re-emit, listing race); .log vs .json
+    // strip to the SAME app_id, as a real re-delivery would
+    EventLogFixture.writeLogs(logs, Seq("app-d1"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(logs, "app-d1.log"),
+      EventLogFixture.appLog("app-d1").mkString("\n").getBytes("UTF-8"))
+
+    val rows = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingIngest.dedupedStream(
+      StreamingIngest.readStream(spark, s"file://$logs"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows += batch.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // 12 events in the log; 24 delivered; dedup keeps one of each
+    assert(rows.sum === 12L)
+  }
+
+  test("sliding event-rate stream has bounded watermarked state") {
+    val logs = tmpDir("rate-logs")
+    EventLogFixture.writeLogs(logs, Seq("app-r1"))
+    val rate = StreamingIngest.slidingEventRate(
+      StreamingIngest.readStream(spark, s"file://$logs"))
+    assert(rate.isStreaming)
+    assert(rate.columns.toSeq ===
+      Seq("window_start", "window_end", "app_id", "event_count"))
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
