@@ -103,4 +103,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(canon)
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
   }
+
+  test("task quantiles reuse one exchange for both window sorts") {
+    // Two row_number windows + the count window all partition on
+    // app_id: exactly ONE hashpartitioning exchange on app_id may
+    // appear — a second one means the sorts stopped sharing it.
+    val p = plan(JobsStages.taskQuantiles(canon))
+    val appIdExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(app_id"))
+      .size
+    assert(appIdExchanges <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("diagnostics windows: single exchange, partial aggregation, no cartesian") {
+    for (df <- Seq(Diagnostics.stragglerStages(canon),
+      Diagnostics.executorTimeline(canon),
+      Diagnostics.userSessions(canon))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("tfidf and novelty plans are partial-agg joins, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),
+      graft.pipeline.TextAnalysis.noveltyScore(docs))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    }
+  }
 }
