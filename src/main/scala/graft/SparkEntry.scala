@@ -93,6 +93,12 @@ ORDER BY event_id"""
     "dedup_minhash_fast" -> ((s, d) =>
       Dedup.dedupMinhash(docs(s, d), deterministicIds = false)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
+    // 100 TB mode (xxhash64 gram ids — no vocabulary sort). The
+    // fingerprint depends on the hash family, which DuckDB cannot
+    // reproduce, so no SQL oracle: the driver records a rows-only
+    // check; PipelineSpec covers the semantics.
+    "dedup_simhash_fast" -> ((s, d) =>
+      Dedup.dedupSimhash(docs(s, d), deterministicIds = false)),
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),

@@ -52,20 +52,20 @@ object Clustering {
     while (changed > 0 && iter < maxIter) {
       // min label over the neighborhood (partial agg map-side), then
       // fold into the node's own label. Left join: a node whose
-      // neighbors all have higher labels keeps its own.
+      // neighbors all have higher labels keeps its own. The changed
+      // flag rides along as a column, so the convergence count is one
+      // cheap scan of the just-checkpointed blocks — no extra join.
       val nbrMin = edges
         .join(lab.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nmin"))
       val next = lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          when(col("nmin") < col("label"), 1L).otherwise(0L).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(lab.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") < col("prev"))
-        .count()
-      lab = next
+      changed = next.agg(sum("chg")).collect()(0).getLong(0)
+      lab = next.drop("chg")
       iter += 1
     }
     require(changed == 0L,

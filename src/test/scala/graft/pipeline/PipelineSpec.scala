@@ -91,6 +91,14 @@ class PipelineSpec extends SparkSpec {
     assert(!fast.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("scale-mode simhash: identical docs at hamming 0, unrelated apart") {
+    val fast = Dedup.dedupSimhash(docs, maxHamming = 3, deterministicIds = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    // identical text => identical fingerprint in ANY hash family
+    assert(fast((0L, 3L)) === 0L)
+    assert(!fast.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("ann_topk ranks by exact cosine with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
