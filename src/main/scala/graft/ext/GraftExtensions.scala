@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.QDot
+import graft.functions.{QDot, WordNGrams}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -14,6 +14,8 @@ import graft.functions.QDot
  * Registered SQL functions:
  *  - `qdot(array<bigint>, array<bigint>) -> bigint` — codegen'd
  *    integer dot product ([[graft.functions.QDot]]).
+ *  - `word_ngrams(string, int) -> array<string>` — codegen'd distinct
+ *    word n-gram shingling ([[graft.functions.WordNGrams]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "qdot expects exactly 2 arguments")
         QDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_ngrams expects exactly 2 arguments")
+        WordNGrams(children.head, children(1))
       }))
   }
 }

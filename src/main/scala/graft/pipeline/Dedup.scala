@@ -71,21 +71,19 @@ ORDER BY doc_id"""
 
   // ---- shared shingle machinery -------------------------------------
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, gram). Docs
-   *  shorter than n words produce no shingles (explode of an empty
-   *  array) — sequence(1, 0) would count DOWN in Spark, hence the
-   *  explicit guard. (doc_id, gram)-distinctness == within-doc
-   *  distinctness, so `array_distinct` BEFORE the explode gives the
-   *  same set as a global `.distinct()` with ZERO shuffle — at 100 TB
-   *  that's the difference between a projection and an exchange of
-   *  |docs| x |grams/doc| rows. */
+  /** Distinct word-3-gram shingles per doc: (doc_id, gram).
+   *  (doc_id, gram)-distinctness == within-doc distinctness, so
+   *  dedup happens INSIDE the row (zero shuffle) — at 100 TB that's
+   *  the difference between a projection and an exchange of
+   *  |docs| x |grams/doc| rows. Shingling itself is the native
+   *  codegen'd [[graft.functions.WordNGrams]] (`word_ngrams`,
+   *  registered by [[graft.ext.GraftExtensions]]) — the equivalent
+   *  `array_distinct(transform(...))` built-in composition runs its
+   *  lambda interpreted on the hottest loop of the dedup family.
+   *  Docs shorter than n words yield an empty array (no rows). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN " +
-          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n)))) " +
-          "ELSE array() END")).as("gram"))
+    docs.select(col("doc_id"),
+      explode(call_function("word_ngrams", col("text"), lit(n))).as("gram"))
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
    *  static 1..4000 index table — docs are < 4000 tokens). */
