@@ -65,6 +65,7 @@ ORDER BY event_id"""
     "straggler_stages" -> ((s, d) => Diagnostics.stragglerStages(canon(s, d))),
     "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
+    "task_executor_asof" -> ((s, d) => Diagnostics.taskExecutorAsof(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -135,6 +136,7 @@ ORDER BY event_id"""
     "straggler_stages" -> Diagnostics.stragglerStagesOracle,
     "executor_timeline" -> Diagnostics.executorTimelineOracle,
     "user_sessions" -> Diagnostics.userSessionsOracle,
+    "task_executor_asof" -> Diagnostics.taskExecutorAsofOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,

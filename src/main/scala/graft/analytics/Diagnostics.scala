@@ -108,6 +108,57 @@ SELECT app_id, event_time_us, executor_id, delta,
 FROM ev
 ORDER BY app_id, event_time_us, executor_id, delta"""
 
+  /** Every TaskEnd joined to its executor's registration (cores,
+   *  max memory) AS OF task time — the canonical time-series
+   *  enrichment, via [[graft.operators.AsofJoin]]'s union-window
+   *  form (one shuffle, NO join operator in the plan). The DuckDB
+   *  oracle uses the engine's native ASOF JOIN, so the operator is
+   *  verified against an independent as-of implementation. */
+  def taskExecutorAsof(canon: DataFrame): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("executor_id").isNotNull &&
+        col("event_time_us").isNotNull)
+      .select("app_id", "executor_id", "event_time_us", "event_id",
+        "task_id", "duration_ms")
+    val execs = canon
+      .filter(col("event_type") === ExecutorAdded && col("executor_id").isNotNull &&
+        col("event_time_us").isNotNull)
+      .select("app_id", "executor_id", "event_time_us", "event_id",
+        "cores", "max_memory")
+    graft.operators.AsofJoin.asofJoin(
+      tasks, execs, keys = Seq("app_id", "executor_id"),
+      timeCol = "event_time_us", payload = Seq("cores", "max_memory"),
+      tieBreak = "event_id")
+      .select(col("app_id"), col("executor_id"), col("event_id"),
+        col("event_time_us"), col("task_id"), col("duration_ms"),
+        col("cores").cast("long").as("exec_cores"),
+        col("max_memory").as("exec_max_memory"))
+      .orderBy("event_id")
+  }
+
+  val taskExecutorAsofOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, executor_id, event_time_us, event_id, task_id, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND executor_id IS NOT NULL AND event_time_us IS NOT NULL),
+e AS (
+  SELECT app_id, executor_id, event_time_us, cores, max_memory,
+         ROW_NUMBER() OVER (PARTITION BY app_id, executor_id, event_time_us
+           ORDER BY event_id DESC) AS rn
+  FROM canon
+  WHERE event_type = 'SparkListenerExecutorAdded'
+    AND executor_id IS NOT NULL AND event_time_us IS NOT NULL),
+ed AS (SELECT app_id, executor_id, event_time_us, cores, max_memory FROM e WHERE rn = 1)
+SELECT t.app_id, t.executor_id, t.event_id, t.event_time_us, t.task_id,
+       t.duration_ms,
+       CAST(ed.cores AS BIGINT) AS exec_cores,
+       ed.max_memory AS exec_max_memory
+FROM t ASOF LEFT JOIN ed
+  ON t.app_id = ed.app_id AND t.executor_id = ed.executor_id
+ AND ed.event_time_us <= t.event_time_us
+ORDER BY t.event_id"""
+
   /** Sessionization: group a user's events into sessions split at
    *  inactivity gaps > gapUs. The classic lag-flag-cumsum window
    *  shape — one shuffle on the user key, everything else
