@@ -47,6 +47,16 @@ object EventLogSource {
     else EventLogParser.read(spark, files: _*)
   }
 
+  /** Read + parse logs matching a glob pattern WITHOUT a driver-side
+   *  listing: the glob goes straight to the reader, so enumeration
+   *  happens in Spark's distributed file listing
+   *  (`spark.sql.sources.parallelPartitionDiscovery`), not one
+   *  driver RPC per 100k files. Prefer this over [[readDirectory]]
+   *  for large log fleets; use `{json,log,txt,inprogress}`-style
+   *  globs to scope extensions. */
+  def readGlob(spark: SparkSession, globUri: String): DataFrame =
+    EventLogParser.read(spark, globUri)
+
   /** Write the canonical frame as a partitioned store:
    *  `partitionBy(event_date)` so per-day/per-app analytics prune; sort
    *  within partitions by app_id so parquet row-group stats make

@@ -32,6 +32,31 @@ class SourcesSpec extends SparkSpec {
     assert(EventLogSource.readDirectory(spark, "file:///nonexistent-graft").count() === 0)
   }
 
+  test("gzip-compressed logs decompress and parse to the same app_id") {
+    val d = tmpDir("srcgz")
+    val bytes = EventLogFixture.appLog("app-gz").mkString("\n").getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "app-gz.json.gz"), out.toByteArray)
+    val canon = EventLogSource.readDirectory(spark, s"file://$d")
+    assert(canon.count() === 12)
+    // .json.gz strips to the bare app id
+    assert(canon.select("app_id").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("app-gz"))
+  }
+
+  test("readGlob reads matching logs without a driver-side listing") {
+    val d = tmpDir("srcglob")
+    EventLogFixture.writeLogs(d, Seq("app-g1", "app-g2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "junk.parquet"),
+      "not a log".getBytes)
+    val canon = EventLogSource.readGlob(spark, s"file://$d/*.json")
+    assert(canon.count() === 24)
+    assert(canon.select("app_id").distinct().count() === 2)
+  }
+
   test("writeStore partitions by event_date and survives a round-trip") {
     val d = tmpDir("srcstore")
     EventLogFixture.writeLogs(d, Seq("app-a", "app-b"))
