@@ -85,6 +85,8 @@ ORDER BY event_id"""
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
+    "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
+    "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
@@ -156,6 +158,8 @@ ORDER BY event_id"""
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
+    "split_assign" -> Sampling.splitAssignOracle,
+    "curation_sample" -> Sampling.curationSampleOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-splitting and stratified-selection operators for a
+ * training-data pipeline.
+ *
+ * The split is a pure per-row projection on a content-independent
+ * hash of the id — no shuffle, no sampling state, stable under
+ * re-runs, reshards, and incremental appends (a doc's split never
+ * changes when other docs arrive — the property `randomSplit` and
+ * reservoir approaches lack). Bucket = first 8 md5 hex digits of the
+ * id parsed base-16, mod 100: identical arithmetic in Spark
+ * (`conv(hex, 16, 10)`) and DuckDB (`('0x' || hex)::UBIGINT`).
+ */
+object Sampling {
+
+  private def bucket100(idCol: String) =
+    (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100L).as("bucket")
+
+  /** Deterministic train/val/test assignment: bucket < trainPct →
+   *  train; < trainPct + valPct → val; else test. */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90,
+                  valPct: Int = 5): DataFrame =
+    docs.select(col("doc_id"), bucket100("doc_id"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val splitAssignOracle: String = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id"""
+
+  /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
+   *  quality score (ties broken by doc_id) — the "best docs per
+   *  stratum" selection that keeps low-resource languages represented
+   *  when a global top-k would drown them. One quality pass + one
+   *  window rank per stratum. */
+  def curationSample(docs: DataFrame, k: Int = 25): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    docs.select("doc_id", "lang").join(q, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rank"),
+        col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Mirrors [[TextAnalysis.qualityScoreOracle]]'s quality formula,
+   *  then ranks within language. */
+  val curationSampleOracle: String = """
+WITH q AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_tok,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         FLOOR((0.4 * LEAST(1.0, n_chars / 500.0)
+               + 0.4 * (n_distinct * 1.0 / n_tok)
+               + 0.2 * (1.0 - stop_tok * 1.0 / n_tok)
+               - punct * 1.0 / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM q),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+           ORDER BY s.quality DESC, s.doc_id) AS rk
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, quality
+FROM ranked WHERE rk <= 25
+ORDER BY lang, rank"""
+}
