@@ -59,4 +59,51 @@ class PropertySpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(c1 === c2)
   }
+
+  test("asof join equals the brute-force reference on random timelines") {
+    for (seed <- 1L to 5L) {
+      // few keys + coarse times force boundary hits and (key, time) ties
+      val rowGen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L))
+      val lRows = sample(Gen.listOfN(30, rowGen), seed)
+        .zipWithIndex.map { case ((k, t), i) => (s"k$k", t, i.toLong) }
+      val rRows = sample(Gen.listOfN(30, rowGen), seed + 100)
+        .zipWithIndex.map { case ((k, t), i) =>
+          (s"k$k", t, 1000L + i, s"p$i") }
+      val out = graft.operators.AsofJoin.asofJoin(
+        lRows.toDF("k", "t", "id"), rRows.toDF("k", "t", "id", "p"),
+        keys = Seq("k"), timeCol = "t", payload = Seq("p"), tieBreak = "id")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("p")).toMap
+      val want = lRows.map { case (k, t, id) =>
+        val matches = rRows.filter(r => r._1 == k && r._2 <= t)
+        // latest time wins; ties on time resolve to greatest tieBreak
+        id -> matches.sortBy(r => (r._2, r._3)).lastOption.map(_._4).orNull
+      }.toMap
+      assert(out === want, s"seed=$seed")
+    }
+  }
+
+  test("connected components equal the brute-force closure on random graphs") {
+    for (seed <- 1L to 5L) {
+      val edges = sample(Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))), seed)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = graft.pipeline.Clustering
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force: repeated relabeling until fixpoint
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- edges) {
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      assert(got === lab, s"seed=$seed")
+    }
+  }
 }
