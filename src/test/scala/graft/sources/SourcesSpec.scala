@@ -47,6 +47,28 @@ class SourcesSpec extends SparkSpec {
       === Seq("app-gz"))
   }
 
+  test("compactStore merges fragmented partitions, preserving content") {
+    val d = tmpDir("compact-logs")
+    EventLogFixture.writeLogs(d, Seq("app-c1", "app-c2"))
+    val store = tmpDir("compact-store") + "/store"
+    // simulate incremental ingest: several small append batches
+    val canon = EventLogSource.readDirectory(spark, s"file://$d")
+    for (_ <- 0 until 4)
+      canon.write.mode("append").partitionBy("event_date").parquet(store)
+    def files = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    def contentHash = spark.read.parquet(store)
+      .agg(sum(expr("hash(event_id, app_id, event_type, event_time_us)")))
+      .collect()(0).getLong(0)
+    val (filesBefore, hashBefore, rowsBefore) =
+      (files, contentHash, spark.read.parquet(store).count())
+    EventLogSource.compactStore(spark, store)
+    assert(files < filesBefore, s"$files vs $filesBefore")
+    assert(spark.read.parquet(store).count() === rowsBefore)
+    assert(contentHash === hashBefore)
+  }
+
   test("readGlob reads matching logs without a driver-side listing") {
     val d = tmpDir("srcglob")
     EventLogFixture.writeLogs(d, Seq("app-g1", "app-g2"))
