@@ -56,6 +56,28 @@ object HistoryServerApi {
       .distinct()
       .orderBy("key")
 
+  /** GET /api/v1/applications/{appId}/sql — per-execution lifecycle
+   *  from the SQLExecutionStart/End events (the real history server's
+   *  SQL tab; the reference parses these event types but exposes no
+   *  route — graft exceeds it, as with /jobs and /stages). Requires a
+   *  parser-produced canonical frame (`sql_execution_id` column). */
+  def sqlExecutions(canon: DataFrame, appId: String): DataFrame =
+    canon
+      .filter(col("app_id") === appId && col("sql_execution_id").isNotNull)
+      .groupBy("app_id", "sql_execution_id")
+      .agg(
+        min(when(col("event_type") === graft.events.EventModel.SqlExecutionStart,
+          col("event_time_us"))).as("start_us"),
+        max(when(col("event_type") === graft.events.EventModel.SqlExecutionEnd,
+          col("event_time_us"))).as("end_us"))
+      .select(
+        col("app_id"), col("sql_execution_id"), col("start_us"), col("end_us"),
+        when(col("start_us").isNotNull && col("end_us").isNotNull,
+          ((col("end_us") - col("start_us")) / 1000.0).cast("long"))
+          .as("duration_ms"),
+        when(col("end_us").isNull, "RUNNING").otherwise("COMPLETED").as("status"))
+      .orderBy("sql_execution_id")
+
   /** GET /api/v1/version (reference: src/api.rs:44-48) */
   def version(spark: SparkSession): DataFrame = {
     import spark.implicits._

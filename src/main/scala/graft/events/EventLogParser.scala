@@ -146,6 +146,8 @@ object EventLogParser {
             col("e")("Task Info")("Stage ID")).as("stage_id"),
         when(col("e")("Event").isin(TaskStart, TaskEnd),
           col("e")("Task Info")("Task ID")).as("task_id"),
+        when(col("e")("Event").isin(SqlExecutionStart, SqlExecutionEnd),
+          col("e")("executionId")).as("sql_execution_id"),
         when(col("e")("Event") === TaskEnd,
           col("e")("Task Metrics")("Executor Run Time")).as("duration_ms"),
         when(col("e")("Event").isin(TaskStart, TaskEnd),

@@ -70,6 +70,19 @@ class HistoryServerApiSpec extends SparkSpec {
     assert(HistoryServerApi.version(spark).count() === 1)
   }
 
+  test("sql executions endpoint pairs start/end into a lifecycle row") {
+    val d = tmpDir("sql-logs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "app-sql-1.json"),
+      (EventLogFixture.appLog("app-sql-1") ++ EventLogFixture.extendedLog())
+        .mkString("\n").getBytes("UTF-8"))
+    val c = EventLogParser.read(spark, d)
+    val rows = HistoryServerApi.sqlExecutions(c, "app-sql-1").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("sql_execution_id") === 7L)
+    assert(rows(0).getAs[Long]("duration_ms") === 100L) // time+300 .. time+400
+    assert(rows(0).getAs[String]("status") === "COMPLETED")
+  }
+
   test("analytics routes compose over the same frame") {
     assert(HistoryServerApi.crossAppSummary(canon).count() === 1)
     assert(HistoryServerApi.performanceTrends(canon).count() > 0)
