@@ -85,6 +85,15 @@ ORDER BY doc_id"""
     docs.select(col("doc_id"),
       explode(call_function("word_ngrams", col("text"), lit(n))).as("gram"))
 
+  /** Materialize the shingle frame once for the whole near-dup family:
+   *  every shingle consumer (`dedupNgram`/`dedupMinhash`/`dedupSimhash`
+   *  /`TextAnalysis.noveltyScore`) accepts it via
+   *  `precomputedShingles`, so a pipeline running several near-dup
+   *  passes over the same corpus pays the tokenize+gram explode once
+   *  at write time instead of once per operator. */
+  def writeShingleStore(docs: DataFrame, path: String, n: Int = 3): Unit =
+    shingles(docs, n).write.mode("overwrite").parquet(path)
+
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
    *  static 1..4000 index table — docs are < 4000 tokens). */
   val shinglesCte: String = """
@@ -191,8 +200,9 @@ vocab AS (
    *  inverted-index bucket join), then exact Jaccard >= minJaccard is
    *  verified on the shingle sets. */
   def dedupNgram(docs: DataFrame, maxDf: Long = 5L,
-                 minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(docs).cache()
+                 minJaccard: Double = 0.2,
+                 precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
     val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
     val rareSh = sh.join(rare, "gram")
@@ -240,8 +250,9 @@ ORDER BY c.doc_a, c.doc_b"""
    *  [[saltedBucketPairs]] so a hot LSH bucket (boilerplate-heavy
    *  corpus) spreads over `salts` reducers instead of melting one. */
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
-                   deterministicIds: Boolean = true): DataFrame = {
-    val sh = shingles(docs).cache()
+                   deterministicIds: Boolean = true,
+                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
     val shId = shingleIds(sh, deterministicIds)
     val minCols = (0 until NumHashes).map { j =>
       min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
@@ -320,8 +331,9 @@ ORDER BY c.doc_a, c.doc_b"""
    *  bits; candidates share >=1 of 4 byte-wide bands (exact for
    *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
-                   deterministicIds: Boolean = true): DataFrame = {
-    val sh = shingles(docs).cache()
+                   deterministicIds: Boolean = true,
+                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
     val shId = shingleIds(sh, deterministicIds)
     // One partial-aggregating pass: 32 signed bit-vote sums as columns
     // (not a 32x row blowup); the fingerprint is then a pure projection.

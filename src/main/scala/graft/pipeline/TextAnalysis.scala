@@ -207,8 +207,9 @@ ORDER BY doc_id, rank"""
    *  aggregation + one gram-keyed join — the same inverted-index
    *  shape as near-dup blocking, so it shares physical layout with
    *  the dedup family at 100 TB. */
-  def noveltyScore(docs: DataFrame, boilerplateDf: Long = 10L): DataFrame = {
-    val sh = Dedup.shingles(docs)
+  def noveltyScore(docs: DataFrame, boilerplateDf: Long = 10L,
+                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(Dedup.shingles(docs))
     val df = sh.groupBy("gram").agg(count(lit(1)).as("df"))
     val perDoc = sh.join(df, "gram")
       .groupBy("doc_id").agg(

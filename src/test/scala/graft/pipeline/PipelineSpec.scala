@@ -91,6 +91,18 @@ class PipelineSpec extends SparkSpec {
     assert(!fast.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("precomputed shingle store yields identical near-dup output") {
+    val store = tmpDir("shingle-store") + "/shingles"
+    Dedup.writeShingleStore(docs, store)
+    val sh = Some(spark.read.parquet(store))
+    val direct = Dedup.dedupNgram(docs, maxDf = 20, minJaccard = 0.2)
+      .collect().map(_.toSeq).toSet
+    val stored = Dedup.dedupNgram(docs, maxDf = 20, minJaccard = 0.2,
+      precomputedShingles = sh)
+      .collect().map(_.toSeq).toSet
+    assert(direct === stored)
+  }
+
   test("scale-mode simhash: identical docs at hamming 0, unrelated apart") {
     val fast = Dedup.dedupSimhash(docs, maxHamming = 3, deterministicIds = false)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
