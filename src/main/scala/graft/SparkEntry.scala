@@ -109,7 +109,9 @@ ORDER BY event_id"""
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
-    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d)))
+    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
+    "frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -171,6 +173,7 @@ ORDER BY event_id"""
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,
-    "multimodal_features" -> Multimodal.multimodalFeaturesOracle
+    "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
+    "frame_sample" -> Multimodal.frameSampleOracle
   )
 }

@@ -14,6 +14,10 @@ case class MultimodalFeatures(
     doc_id: Long, modality: String, byte_len: Long,
     frame_count: Long, mean_byte: Long, feature_crc: Long)
 
+/** One sampled "frame": a fixed-size byte window of a video payload. */
+case class FrameSample(
+    doc_id: Long, frame_idx: Long, frame_len: Long, frame_crc: Long)
+
 /**
  * Multimodal-column plumbing for an LLM data pipeline: treat
  * image/audio/video as opaque `binary` columns with typed metadata, and
@@ -81,6 +85,60 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Frame sampling over video payloads: every `stride`-th
+   *  `frameBytes`-sized window, one output row per sampled frame.
+   *  Frames are cut partition-locally inside the same `mapPartitions`
+   *  stage that holds the payload — the row explosion happens BEFORE
+   *  any shuffle, and only the (small) per-frame features ever move.
+   *  ??? the frame-boundary scan is where a real container demuxer
+   *  (keyframe index) plugs in; the fixed-window cut is the stub. */
+  def frameSample(docs: DataFrame, frameBytes: Int = 1024,
+                  stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, r.payload.length)
+          var crc = 17L
+          var i = start
+          while (i < end) {
+            crc = (crc * 31 + (r.payload(i) & 0xff)) % 1000003L
+            i += 1
+          }
+          FrameSample(r.doc_id, f.toLong, (end - start).toLong, crc)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** [[frameSample]] with 64-byte frames / stride 2 — the harness
+   *  parameters that exercise multi-frame docs on the synthetic
+   *  corpus. ASCII text means DuckDB can mirror the byte windows with
+   *  substr + the same rolling hash. */
+  val frameSampleOracle: String = """
+WITH v AS (
+  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST((byte_len + 63) // 64 AS INTEGER), 2)) AS frame_idx
+  FROM v),
+s AS (
+  SELECT f.doc_id, f.frame_idx,
+         substr(v.text, CAST(f.frame_idx * 64 + 1 AS INTEGER), 64) AS chunk
+  FROM f JOIN v ON f.doc_id = v.doc_id)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(chunk) AS BIGINT) AS frame_len,
+       CAST(list_reduce(list_prepend(CAST(17 AS BIGINT),
+              list_transform(range(1, length(chunk) + 1),
+                i -> CAST(ascii(substr(chunk, i, 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000003) AS BIGINT) AS frame_crc
+FROM s
+ORDER BY doc_id, frame_idx"""
 
   /** The stub features are pure integer functions of the UTF-8 bytes,
    *  so DuckDB reproduces them: mean_byte is the mean code unit (docs
