@@ -90,6 +90,11 @@ ORDER BY event_id"""
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
+    // Incremental shape: docs >= 400 are "today's batch" against the
+    // older corpus; output = full-run pairs touching the batch.
+    "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
+      docs(s, d).filter(col("doc_id") < 400),
+      docs(s, d).filter(col("doc_id") >= 400))),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
     // The 100 TB mode (xxhash64 gram ids, no global vocabulary sort) —
     // verified against the hash-family-independent ground truth.
@@ -165,6 +170,7 @@ ORDER BY event_id"""
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
+    "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,

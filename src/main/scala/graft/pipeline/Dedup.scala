@@ -238,6 +238,67 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY c.doc_a, c.doc_b"""
 
+  /** Incremental n-gram near-dup: find near-duplicates OF A NEW BATCH
+   *  against an existing corpus + within the batch itself, WITHOUT
+   *  re-verifying old-old pairs — the production dedup shape (the
+   *  corpus grows daily; yesterday's pairs are already resolved).
+   *  Document frequencies are computed over corpus+batch (so rarity
+   *  is corpus-wide, same semantics as a full run); candidate pairs
+   *  keep only those touching the batch, which removes the O(old²)
+   *  bulk before the expensive Jaccard verification. Output is
+   *  exactly the full-run pair set restricted to batch-touching
+   *  pairs. */
+  def dedupNgramIncremental(corpus: DataFrame, batch: DataFrame,
+                            maxDf: Long = 5L,
+                            minJaccard: Double = 0.2): DataFrame = {
+    val all = corpus.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val sh = shingles(all).cache()
+    val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
+    val rareSh = sh.join(rare, "gram")
+    val newIds = batch.select(col("doc_id")).distinct()
+    val cands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(newIds.select(col("doc_id").as("doc_a"))
+        .withColumn("a_new", lit(1L)), Seq("doc_a"), "left")
+      .join(newIds.select(col("doc_id").as("doc_b"))
+        .withColumn("b_new", lit(1L)), Seq("doc_b"), "left")
+      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
+      .select("doc_a", "doc_b")
+    withJaccard(cands, sh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the FULL pair set restricted to pairs touching the
+   *  "batch" (harness split: doc_id >= 400) — equality proves the
+   *  incremental path loses nothing a full run would find. */
+  val dedupNgramIncrementalOracle: String = "WITH " + shinglesCte.trim + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
+raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  WHERE a.doc_id >= 400 OR b.doc_id >= 400),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY c.doc_a, c.doc_b"""
+
   /** MinHash + banded LSH near-dup: 16 affine min-hashes over gram ids,
    *  4 bands x 4 rows; candidate pairs share a full band signature
    *  (bucket join on (band, signature)); exact Jaccard verified.
