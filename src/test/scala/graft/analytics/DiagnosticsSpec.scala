@@ -1,0 +1,85 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the diagnostics family on hand-built frames —
+  * exact nearest-rank picks, session gap boundaries, timeline
+  * arithmetic — cases the synthetic-corpus oracle hits only by
+  * accident. */
+class DiagnosticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canonish(rows: Seq[(String, String, Long, java.lang.Long,
+      java.lang.Long, java.lang.Long, String, String, Long)]) =
+    rows.toDF("app_id", "event_type", "event_time_us", "duration_ms",
+      "gc_time_ms", "stage_id", "executor_id", "app_user", "event_id")
+
+  test("task quantiles pick exact nearest-rank elements") {
+    // durations 10..100 step 10 (n=10): p50 idx = floor(0.5*9)+1 = 5 -> 50
+    // p75 idx = floor(0.75*9)+1 = 7 -> 70; p95 idx = floor(0.95*9)+1 = 9 -> 90
+    val rows = (1 to 10).map(i => ("app-q", "SparkListenerTaskEnd",
+      1000L + i, java.lang.Long.valueOf(i * 10L), java.lang.Long.valueOf(i.toLong),
+      java.lang.Long.valueOf(0L), "1", "u", i.toLong))
+    val out = JobsStages.taskQuantiles(canonish(rows)).collect()(0)
+    assert(out.getAs[Long]("task_n") === 10L)
+    assert(out.getAs[Long]("p50_duration_ms") === 50L)
+    assert(out.getAs[Long]("p75_duration_ms") === 70L)
+    assert(out.getAs[Long]("p95_duration_ms") === 90L)
+    assert(out.getAs[Long]("max_duration_ms") === 100L)
+  }
+
+  test("single-task app: every quantile is the one value") {
+    val rows = Seq(("app-1", "SparkListenerTaskEnd", 1000L,
+      java.lang.Long.valueOf(42L), java.lang.Long.valueOf(7L),
+      java.lang.Long.valueOf(0L), "1", "u", 1L))
+    val out = JobsStages.taskQuantiles(canonish(rows)).collect()(0)
+    assert(out.getAs[Long]("p50_duration_ms") === 42L)
+    assert(out.getAs[Long]("p95_duration_ms") === 42L)
+    assert(out.getAs[Long]("max_gc_ms") === 7L)
+  }
+
+  test("straggler stage flags a planted 10x outlier; uniform stage clean") {
+    val uniform = (1 to 9).map(i => ("app-s", "SparkListenerTaskEnd",
+      1000L + i, java.lang.Long.valueOf(100L), java.lang.Long.valueOf(0L),
+      java.lang.Long.valueOf(1L), "1", "u", i.toLong))
+    val skewed = (1 to 8).map(i => ("app-s", "SparkListenerTaskEnd",
+      2000L + i, java.lang.Long.valueOf(100L), java.lang.Long.valueOf(0L),
+      java.lang.Long.valueOf(2L), "1", "u", 100L + i)) :+
+      ("app-s", "SparkListenerTaskEnd", 2100L, java.lang.Long.valueOf(1000L),
+        java.lang.Long.valueOf(0L), java.lang.Long.valueOf(2L), "1", "u", 199L)
+    val out = Diagnostics.stragglerStages(canonish(uniform ++ skewed))
+      .collect().map(r => r.getAs[Long]("stage_id") ->
+        (r.getAs[Double]("skew_ratio"), r.getAs[Long]("is_skewed"))).toMap
+    assert(out(1L) === ((1.0, 0L)))
+    assert(out(2L) === ((10.0, 1L)))
+  }
+
+  test("sessions split exactly past the inactivity gap") {
+    val gap = 1800L * 1000000L
+    val rows = Seq(
+      ("a", "E", 0L, null, null, null, null, "alice", 1L),
+      ("a", "E", gap, null, null, null, null, "alice", 2L),       // gap == limit: same session
+      ("a", "E", 2 * gap + 1, null, null, null, null, "alice", 3L) // gap+1: new session
+    ).asInstanceOf[Seq[(String, String, Long, java.lang.Long, java.lang.Long,
+      java.lang.Long, String, String, Long)]]
+    val out = Diagnostics.userSessions(canonish(rows)).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_events") === 2L)
+    assert(out(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("executor timeline counts concurrent executors") {
+    val rows = Seq(
+      ("a", "SparkListenerExecutorAdded", 1L, null, null, null, "1", "u", 1L),
+      ("a", "SparkListenerExecutorAdded", 2L, null, null, null, "2", "u", 2L),
+      ("a", "SparkListenerExecutorRemoved", 3L, null, null, null, "1", "u", 3L),
+      ("a", "SparkListenerExecutorAdded", 4L, null, null, null, "3", "u", 4L)
+    ).asInstanceOf[Seq[(String, String, Long, java.lang.Long, java.lang.Long,
+      java.lang.Long, String, String, Long)]]
+    val out = Diagnostics.executorTimeline(canonish(rows))
+      .collect().map(_.getAs[Long]("active_executors")).toSeq
+    assert(out === Seq(1L, 2L, 1L, 2L))
+  }
+}
