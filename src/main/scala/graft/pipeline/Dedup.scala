@@ -105,55 +105,36 @@ shingle AS (
   FROM toked, nums
   WHERE i + 2 <= len(toks))"""
 
-  /** Deterministic gram ids: dense 1-based ids in global `gram` sort
-   *  order (oracle parity mode). Computed WITHOUT a single-partition
-   *  window: range-partition by gram, rank within each partition, then
-   *  add per-partition offsets (the `zipWithIndex` technique — the
-   *  collect is #partitions rows, bounded regardless of data volume).
-   *  Scale mode uses xxhash64 and skips the ordering entirely. */
-  def gramIds(sh: DataFrame, deterministicIds: Boolean = true): DataFrame =
-    if (deterministicIds) {
-      val spark = sh.sparkSession
-      import spark.implicits._
-      val parted = sh.select("gram").distinct()
-        .repartitionByRange(col("gram"))
-        .withColumn("pid", spark_partition_id())
-        .cache() // pid must agree between the offsets pass and the rank pass
-      val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offDf = offsets.map { case (pid, c) =>
-        val row = (pid, acc); acc += c; row
-      }.toSeq.toDF("pid", "off")
-      parted
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("pid").orderBy("gram")))
-        .join(broadcast(offDf), "pid")
-        .select(col("gram"), (col("off") + col("rk")).cast("long").as("gid"))
-    } else
-      // mod P keeps the affine hashes (a*gid+b) inside Long range under
-      // ANSI arithmetic AND non-negative — a raw 64-bit xxhash64 would
-      // overflow the multiply and flip remainder signs.
-      sh.select("gram").distinct()
-        .withColumn("gid", pmod(xxhash64(col("gram")), lit(Prime)))
-
-  val gramIdsCte: String = """
-vocab AS (
-  SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY gram) AS BIGINT) AS gid
-  FROM (SELECT DISTINCT gram FROM shingle))"""
-
-  /** (doc_id, gid) for a shingle frame. Deterministic mode joins the
-   *  sorted vocabulary (oracle parity); scale mode needs NO join or
-   *  vocabulary at all — the gid is a pure per-row projection
-   *  (`pmod(xxhash64(gram), P)`), so signature computation stays
-   *  entirely inside the scan stage. */
+  /** (doc_id, gid) for a shingle frame — a pure per-row PROJECTION in
+   *  both modes; there is no vocabulary, no global sort, and no join
+   *  anywhere in gram-id assignment:
+   *
+   *  - `deterministicIds = true` (oracle-parity mode): gid = the
+   *    first 8 md5 hex digits of the gram parsed base-16, mod P —
+   *    identical arithmetic in Spark (`conv(hex, 16, 10)`) and DuckDB
+   *    (`('0x' || hex)::UBIGINT`), so the DuckDB oracle reproduces
+   *    every signature bit-for-bit.
+   *  - `deterministicIds = false` (fastest mode): `pmod(xxhash64, P)`
+   *    — one hash instead of an md5, but not DuckDB-reproducible.
+   *
+   *  mod P keeps the affine hashes (a*gid+b) inside Long range under
+   *  ANSI arithmetic AND non-negative (a raw 64-bit hash would
+   *  overflow the multiply and flip remainder signs). Id collisions
+   *  at |vocab| ~ P merge a few grams identically in both engines —
+   *  harmless for min-hash/bit-vote statistics and invisible to the
+   *  oracle compare. */
   private def shingleIds(sh: DataFrame, deterministicIds: Boolean): DataFrame =
     if (deterministicIds)
-      sh.join(gramIds(sh, deterministicIds = true), "gram")
-        .select("doc_id", "gid")
+      sh.select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % Prime).as("gid"))
     else
       sh.select(col("doc_id"),
         pmod(xxhash64(col("gram")), lit(Prime)).as("gid"))
+
+  /** DuckDB spelling of the deterministic gram id. */
+  val gramIdSql: String =
+    "CAST(CAST(('0x' || substr(md5(s.gram), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)"
 
   /** Within-bucket candidate pairs with skew salting: members of each
    *  bucket are split into `salts` groups by id-hash; the right side is
@@ -357,8 +338,8 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY i.doc_a, i.doc_b"""
 
-  val dedupMinhashOracle: String = "WITH " + shinglesCte + "," + gramIdsCte + """,
-shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
+  val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
 hashes AS (
   SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
   FROM (SELECT unnest(range(0, 16)) AS j)),
@@ -423,8 +404,8 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupSimhashOracle: String = "WITH " + shinglesCte + "," + gramIdsCte + """,
-shid AS (SELECT s.doc_id, v.gid FROM shingle s JOIN vocab v ON s.gram = v.gram),
+  val dedupSimhashOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
 bits AS (
   SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
   FROM (SELECT unnest(range(0, 32)) AS b)),
