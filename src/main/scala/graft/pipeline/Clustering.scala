@@ -47,23 +47,29 @@ object Clustering {
     var lab = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min label over the neighborhood (partial agg map-side), then
-      // fold into the node's own label. Left join: a node whose
-      // neighbors all have higher labels keeps its own. The changed
-      // flag rides along as a column, so the convergence count is one
-      // cheap scan of the just-checkpointed blocks — no extra join.
+    // One propagation pass: min label over the neighborhood (partial
+    // agg map-side) folded into the node's own label. Left join: a
+    // node whose neighbors all have higher labels keeps its own.
+    def propagate(l: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(lab.withColumnRenamed("doc_id", "src"), "src")
+        .join(l.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nmin"))
-      val next = lab.join(nbrMin, Seq("doc_id"), "left")
+      l.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           when(col("nmin") < col("label"), 1L).otherwise(0L).as("chg"))
-        .localCheckpoint()
+    }
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // TWO propagation passes per checkpoint+count: labels are
+      // monotone decreasing, so "second pass changed nothing" alone
+      // proves the fixpoint — halving the per-round job overhead that
+      // dominates on small diameters. The changed flag rides along as
+      // a column, so the convergence count is one cheap scan of the
+      // just-checkpointed blocks.
+      val next = propagate(propagate(lab).drop("chg")).localCheckpoint()
       changed = next.agg(sum("chg")).collect()(0).getLong(0)
       lab = next.drop("chg")
       iter += 1
