@@ -92,6 +92,7 @@ ORDER BY event_id"""
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     // Incremental shape: docs >= 400 are "today's batch" against the
     // older corpus; output = full-run pairs touching the batch.
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -170,6 +171,7 @@ ORDER BY event_id"""
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
+    "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,

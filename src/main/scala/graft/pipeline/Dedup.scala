@@ -219,6 +219,53 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY c.doc_a, c.doc_b"""
 
+  /** Containment near-dup: pairs where the SMALLER document's shingle
+   *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —
+   *  which catches excerpts, quotes, and template-plus-payload pages
+   *  that symmetric Jaccard misses (a 30-gram doc fully contained in
+   *  a 300-gram doc has J ≈ 0.1 but containment 1.0). Same rare-gram
+   *  blocking and candidate-driven verification as [[dedupNgram]]. */
+  def dedupContainment(docs: DataFrame, maxDf: Long = 5L,
+                       minContainment: Double = 0.6,
+                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
+    val rareSh = sh.join(rare, "gram")
+    val cands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    withJaccard(cands, sh)
+      .withColumn("containment",
+        col("inter_n") * lit(1.0) / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        col("n_a"), col("n_b"), r4(col("containment")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentOracle: String = "WITH " + shinglesCte.trim + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
+raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
+       FLOOR((i.inter_n * 1.0 / LEAST(sa.n, sb.n)) * 10000.0 + 0.5) / 10000.0 AS containment
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / LEAST(sa.n, sb.n) >= 0.6
+ORDER BY c.doc_a, c.doc_b"""
+
   /** Incremental n-gram near-dup: find near-duplicates OF A NEW BATCH
    *  against an existing corpus + within the batch itself, WITHOUT
    *  re-verifying old-old pairs — the production dedup shape (the

@@ -91,6 +91,22 @@ class PipelineSpec extends SparkSpec {
     assert(!fast.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("containment catches an excerpt that Jaccard misses") {
+    val excerptDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", "en", "s0", 80L),
+      // doc 1 is the first 6 words of doc 0: J = 4/12 = 0.33, containment = 4/4 = 1.0
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s0", 36L),
+      (2L, "totally unrelated words about something else entirely different here now", "en", "s1", 70L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cont = Dedup.dedupContainment(excerptDocs, maxDf = 20, minContainment = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("containment"))).toMap
+    assert(cont(((0L, 1L))) === 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    val jac = Dedup.dedupNgram(excerptDocs, maxDf = 20, minJaccard = 0.6)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)) // Jaccard misses it
+  }
+
   test("precomputed shingle store yields identical near-dup output") {
     val store = tmpDir("shingle-store") + "/shingles"
     Dedup.writeShingleStore(docs, store)
