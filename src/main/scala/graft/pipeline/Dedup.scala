@@ -271,11 +271,12 @@ ORDER BY c.doc_a, c.doc_b"""
    *  re-verifying old-old pairs — the production dedup shape (the
    *  corpus grows daily; yesterday's pairs are already resolved).
    *  Document frequencies are computed over corpus+batch (so rarity
-   *  is corpus-wide, same semantics as a full run); candidate pairs
-   *  keep only those touching the batch, which removes the O(old²)
-   *  bulk before the expensive Jaccard verification. Output is
-   *  exactly the full-run pair set restricted to batch-touching
-   *  pairs. */
+   *  is corpus-wide, same semantics as a full run); candidate
+   *  GENERATION joins corpus-wide rare shingles against only the
+   *  batch's rare shingles, so old-old pairs are never enumerated —
+   *  the O(old²) term exists in neither generation nor verification.
+   *  Output is exactly the full-run pair set restricted to
+   *  batch-touching pairs. */
   def dedupNgramIncremental(corpus: DataFrame, batch: DataFrame,
                             maxDf: Long = 5L,
                             minJaccard: Double = 0.2): DataFrame = {
@@ -286,16 +287,20 @@ ORDER BY c.doc_a, c.doc_b"""
     val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
     val rareSh = sh.join(rare, "gram")
     val newIds = batch.select(col("doc_id")).distinct()
-    val cands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .join(newIds.select(col("doc_id").as("doc_a"))
-        .withColumn("a_new", lit(1L)), Seq("doc_a"), "left")
-      .join(newIds.select(col("doc_id").as("doc_b"))
-        .withColumn("b_new", lit(1L)), Seq("doc_b"), "left")
-      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
-      .select("doc_a", "doc_b")
+    // Every batch-touching pair has >=1 batch member, so the pair join
+    // is (all rare shingles) x (BATCH rare shingles only) — the batch
+    // restriction sits BELOW the pair join and the O(old²) bulk never
+    // materializes. least/greatest restores the doc_a < doc_b
+    // orientation regardless of which side the batch member landed on
+    // (batch-batch pairs appear from both orientations; distinct folds
+    // them).
+    val rareShBatch = rareSh.join(newIds, "doc_id")
+    val cands = rareSh.select(col("gram"), col("doc_id").as("id_any"))
+      .join(rareShBatch.select(col("gram"), col("doc_id").as("id_new")), "gram")
+      .filter(col("id_any") =!= col("id_new"))
+      .select(least(col("id_any"), col("id_new")).as("doc_a"),
+              greatest(col("id_any"), col("id_new")).as("doc_b"))
+      .distinct()
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))

@@ -126,6 +126,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup: batch restriction sits BELOW the pair join (no old-old enumeration)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val df = graft.pipeline.Dedup.dedupNgramIncremental(corpus, batch)
+    val lp = df.queryExecution.optimizedPlan
+    // The gram-keyed pair join must contain, inside one of its inputs,
+    // a doc_id-keyed join (the batch-id restriction). If the batch
+    // filter were applied above the pair join — the old-old-enumerating
+    // shape — no gram join would have a doc_id join beneath it.
+    val pairJoinHasBatchInput = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "gram")) => j
+    }.exists(_.children.exists(_.collect {
+      case j2: Join if j2.condition.exists(c =>
+        c.references.nonEmpty && c.references.forall(_.name == "doc_id")) => j2
+    }.nonEmpty))
+    assert(pairJoinHasBatchInput, lp.toString)
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),
