@@ -33,6 +33,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Median-of-3 with (min, max) spread: a single timed run is
+      * dominated by where C2/GC land (observed ±2.5 s swings on
+      * unchanged code between rounds), so one sample per query carries
+      * no regression signal. Three samples and the median reports the
+      * typical run; the spread bounds how much of any cross-round delta
+      * is noise. Same guard the ingest measurement has always used. */
+    def runMedian(name: String): (Double, Double, Double) = {
+      val ts = (0 until 3).map(_ => runNoop(name))
+      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      else (ts.sorted.apply(1), ts.min, ts.max)
+    }
+
     // Warmup: run every query once at the smallest scale factor so
     // Janino compilation + JIT of the generated code is NOT billed to
     // the timed run (the generated code is identical across scale
@@ -46,12 +58,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = names.map(n => n -> runNoop(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map(n => n -> runMedian(n))
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val spread = results.map { case (k, (_, lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val eps = ingestEventsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

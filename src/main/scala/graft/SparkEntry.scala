@@ -97,17 +97,15 @@ ORDER BY event_id"""
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
-    // The 100 TB mode (xxhash64 gram ids, no global vocabulary sort) —
+    // Scale mode A (xxhash64 gram ids — cheapest, oracle-opaque) —
     // verified against the hash-family-independent ground truth.
     "dedup_minhash_fast" -> ((s, d) =>
-      Dedup.dedupMinhash(docs(s, d), deterministicIds = false)),
+      Dedup.dedupMinhash(docs(s, d), idFamily = "xxhash")),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
-    // 100 TB mode (xxhash64 gram ids — no vocabulary sort). The
-    // fingerprint depends on the hash family, which DuckDB cannot
-    // reproduce, so no SQL oracle: the driver records a rows-only
-    // check; PipelineSpec covers the semantics.
+    // Scale mode B (codegen'd poly_hash gram ids — digest-free like
+    // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
     "dedup_simhash_fast" -> ((s, d) =>
-      Dedup.dedupSimhash(docs(s, d), deterministicIds = false)),
+      Dedup.dedupSimhash(docs(s, d), idFamily = "poly")),
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
@@ -176,6 +174,7 @@ ORDER BY event_id"""
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
+    "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "ann_topk" -> Embeddings.annTopKOracle,

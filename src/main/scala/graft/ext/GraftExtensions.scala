@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{QDot, WordNGrams}
+import graft.functions.{PolyHash, QDot, WordNGrams}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -16,6 +16,9 @@ import graft.functions.{QDot, WordNGrams}
  *    integer dot product ([[graft.functions.QDot]]).
  *  - `word_ngrams(string, int) -> array<string>` — codegen'd distinct
  *    word n-gram shingling ([[graft.functions.WordNGrams]]).
+ *  - `poly_hash(string) -> bigint` — codegen'd polynomial rolling
+ *    hash mod 1000003, the SQL-reproducible scale-mode gram-id family
+ *    ([[graft.functions.PolyHash]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -32,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_ngrams expects exactly 2 arguments")
         WordNGrams(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "poly_hash expects exactly 1 argument")
+        PolyHash(children.head)
       }))
   }
 }

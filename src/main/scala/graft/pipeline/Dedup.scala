@@ -23,11 +23,12 @@ import graft.util.Round.r4
  * sorted ROW_NUMBER (mirrored by the DuckDB oracle); hash families are
  * affine maps (a_j*gid + b_j) mod P over those ids — pure integer
  * arithmetic, identical in any engine. At 100 TB the library swaps the
- * sorted-id assignment for `xxhash64(gram) mod P`
- * (`deterministicIds=false`) which removes the global sort; the
- * algorithm is otherwise unchanged and the mode is oracle-verified
- * against hash-family-independent ground truth
- * ([[dedupMinhashFastOracle]]).
+ * md5 digest for a digest-free family (`idFamily = "poly"` — the
+ * codegen'd [[graft.functions.PolyHash]], still SQL-reproducible so
+ * the oracle verifies fingerprints bit-for-bit — or `"xxhash"`,
+ * cheapest but oracle-opaque, verified against hash-family-independent
+ * ground truth, [[dedupMinhashFastOracle]]); the algorithm is
+ * otherwise unchanged.
  */
 object Dedup {
 
@@ -106,16 +107,24 @@ shingle AS (
   WHERE i + 2 <= len(toks))"""
 
   /** (doc_id, gid) for a shingle frame — a pure per-row PROJECTION in
-   *  both modes; there is no vocabulary, no global sort, and no join
-   *  anywhere in gram-id assignment:
+   *  every family; there is no vocabulary, no global sort, and no join
+   *  anywhere in gram-id assignment. Families:
    *
-   *  - `deterministicIds = true` (oracle-parity mode): gid = the
-   *    first 8 md5 hex digits of the gram parsed base-16, mod P —
-   *    identical arithmetic in Spark (`conv(hex, 16, 10)`) and DuckDB
+   *  - `"md5"` (oracle-parity baseline): gid = the first 8 md5 hex
+   *    digits of the gram parsed base-16, mod P — identical arithmetic
+   *    in Spark (`conv(hex, 16, 10)`) and DuckDB
    *    (`('0x' || hex)::UBIGINT`), so the DuckDB oracle reproduces
-   *    every signature bit-for-bit.
-   *  - `deterministicIds = false` (fastest mode): `pmod(xxhash64, P)`
-   *    — one hash instead of an md5, but not DuckDB-reproducible.
+   *    every signature bit-for-bit. Costs one crypto digest + hex
+   *    round-trip per gram.
+   *  - `"poly"` (100 TB mode): the native codegen'd
+   *    [[graft.functions.PolyHash]] (`poly_hash`) — one fused
+   *    multiply-add loop per gram, no digest, no allocation, AND still
+   *    exactly reproducible in DuckDB ([[polyGramIdSql]]), so the
+   *    scale mode keeps a full fingerprint-parity oracle.
+   *  - `"xxhash"` (cheapest, oracle-opaque): `pmod(xxhash64, P)` —
+   *    nothing another engine reproduces; verify against
+   *    hash-family-independent ground truth
+   *    ([[dedupMinhashFastOracle]]) instead.
    *
    *  mod P keeps the affine hashes (a*gid+b) inside Long range under
    *  ANSI arithmetic AND non-negative (a raw 64-bit hash would
@@ -123,18 +132,38 @@ shingle AS (
    *  at |vocab| ~ P merge a few grams identically in both engines —
    *  harmless for min-hash/bit-vote statistics and invisible to the
    *  oracle compare. */
-  private def shingleIds(sh: DataFrame, deterministicIds: Boolean): DataFrame =
-    if (deterministicIds)
-      sh.select(col("doc_id"),
+  private def shingleIds(sh: DataFrame, idFamily: String): DataFrame =
+    idFamily match {
+      case "md5" => sh.select(col("doc_id"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
           % Prime).as("gid"))
-    else
-      sh.select(col("doc_id"),
+      case "poly" => sh.select(col("doc_id"),
+        call_function("poly_hash", col("gram")).as("gid"))
+      case "xxhash" => sh.select(col("doc_id"),
         pmod(xxhash64(col("gram")), lit(Prime)).as("gid"))
+      case other => throw new IllegalArgumentException(
+        s"unknown gram-id family '$other' (md5|poly|xxhash)")
+    }
 
-  /** DuckDB spelling of the deterministic gram id. */
+  /** DuckDB spelling of the md5 gram id. */
   val gramIdSql: String =
     "CAST(CAST(('0x' || substr(md5(s.gram), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)"
+
+  /** DuckDB mirror of the `"poly"` family ([[graft.functions.PolyHash]]):
+   *  per-code-point power-table sum over the gram's first 64 code
+   *  points. Emits `shid(doc_id, gid)` from `shingle`; prepend
+   *  `WITH RECURSIVE` (the power table is a recursive CTE). */
+  val polyShidCte: String = """
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+pchars AS (
+  SELECT s.doc_id, s.gram, p.i, ord(substr(s.gram, p.i, 1)) * p.v AS term
+  FROM shingle s JOIN pw p ON p.i <= LEAST(len(s.gram), 64)),
+shid AS (
+  SELECT doc_id, CAST(SUM(term) % 1000003 AS BIGINT) AS gid
+  FROM pchars GROUP BY doc_id, gram)"""
 
   /** Within-bucket candidate pairs with skew salting: members of each
    *  bucket are split into `salts` groups by id-hash; the right side is
@@ -344,10 +373,10 @@ ORDER BY c.doc_a, c.doc_b"""
    *  [[saltedBucketPairs]] so a hot LSH bucket (boilerplate-heavy
    *  corpus) spreads over `salts` reducers instead of melting one. */
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
-                   deterministicIds: Boolean = true,
+                   idFamily: String = "md5",
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
-    val shId = shingleIds(sh, deterministicIds)
+    val shId = shingleIds(sh, idFamily)
     val minCols = (0 until NumHashes).map { j =>
       min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
         .as(s"mh$j")
@@ -368,7 +397,7 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Oracle for the SCALE-MODE MinHash (`deterministicIds = false`,
+  /** Oracle for the SCALE-MODE MinHash (`idFamily = "xxhash"`,
    *  gram ids via xxhash64 — no global vocabulary sort): DuckDB cannot
    *  reproduce xxhash64, so the oracle is the hash-family-INDEPENDENT
    *  ground truth — every doc pair sharing >= 1 shingle with exact
@@ -425,10 +454,10 @@ ORDER BY c.doc_a, c.doc_b"""
    *  bits; candidates share >=1 of 4 byte-wide bands (exact for
    *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
-                   deterministicIds: Boolean = true,
+                   idFamily: String = "md5",
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
-    val shId = shingleIds(sh, deterministicIds)
+    val shId = shingleIds(sh, idFamily)
     // One partial-aggregating pass: 32 signed bit-vote sums as columns
     // (not a 32x row blowup); the fingerprint is then a pure projection.
     val voteCols = (0 until SimBits).map { b =>
@@ -456,8 +485,9 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupSimhashOracle: String = "WITH " + shinglesCte + """,
-shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
+  /** Everything downstream of `shid` is family-independent: the bit
+   *  votes, fingerprint, banding, and verify read only (doc_id, gid). */
+  private val simhashTailSql: String = """
 bits AS (
   SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
   FROM (SELECT unnest(range(0, 32)) AS b)),
@@ -483,4 +513,17 @@ SELECT doc_a, doc_b, fp_a, fp_b,
 FROM cands
 WHERE bit_count(xor(fp_a, fp_b)) <= 3
 ORDER BY doc_a, doc_b"""
+
+  val dedupSimhashOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
+    simhashTailSql
+
+  /** Oracle for the 100 TB SimHash mode (`idFamily = "poly"`): the
+   *  [[polyShidCte]] reproduces the codegen'd poly_hash gram ids
+   *  exactly, so — unlike an xxhash64 family — the scale mode's
+   *  fingerprints, bands, and hamming distances are verified
+   *  bit-for-bit, not just row-counted. */
+  val dedupSimhashFastOracle: String =
+    "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
+      simhashTailSql
 }
