@@ -62,6 +62,7 @@ ORDER BY event_id"""
     "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
     "task_quantiles" -> ((s, d) => JobsStages.taskQuantiles(canon(s, d))),
+    "stage_quantiles" -> ((s, d) => JobsStages.stageQuantiles(canon(s, d))),
     "straggler_stages" -> ((s, d) => Diagnostics.stragglerStages(canon(s, d))),
     "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
@@ -69,6 +70,9 @@ ORDER BY event_id"""
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
+    // date-windowed analytics-route variant (AnalyticsQuery params)
+    "perf_trends_window" -> ((s, d) => Trends.perfTrends(canon(s, d),
+      minDate = Some("2024-01-08"), maxDate = Some("2024-01-18"))),
     "gc_trends" -> ((s, d) => Trends.gcTrends(canon(s, d))),
     "cpu_util" -> ((s, d) => Trends.cpuUtil(canon(s, d))),
     "mem_usage" -> ((s, d) => Trends.memUsage(canon(s, d))),
@@ -141,6 +145,7 @@ ORDER BY event_id"""
     "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,
     "task_quantiles" -> JobsStages.taskQuantilesOracle,
+    "stage_quantiles" -> JobsStages.stageQuantilesOracle,
     "straggler_stages" -> Diagnostics.stragglerStagesOracle,
     "executor_timeline" -> Diagnostics.executorTimelineOracle,
     "user_sessions" -> Diagnostics.userSessionsOracle,
@@ -148,6 +153,7 @@ ORDER BY event_id"""
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,
+    "perf_trends_window" -> Trends.perfTrendsWindowOracle,
     "gc_trends" -> Trends.gcTrendsOracle,
     "cpu_util" -> Trends.cpuUtilOracle,
     "mem_usage" -> Trends.memUsageOracle,

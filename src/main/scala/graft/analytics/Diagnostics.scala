@@ -81,12 +81,20 @@ ORDER BY app_id, stage_id"""
   /** Executor-allocation timeline per app: every add/remove event with
    *  the running count of live executors — the Spark UI's allocation
    *  strip as a frame. One cumulative-sum window per app over a total
-   *  deterministic order. */
+   *  deterministic order. Removal rows carry the parser-extracted
+   *  `Removed Reason` (preemption/OOM-kill/timeout attribution — the
+   *  first question about a sawtooth allocation graph); add rows have
+   *  it null. */
   def executorTimeline(canon: DataFrame): DataFrame = {
+    // tolerate reason-less frames (hand-built or pre-round-5 stores)
+    val reason =
+      if (canon.columns.contains("removed_reason")) col("removed_reason")
+      else lit(null).cast("string").as("removed_reason")
     val ev = canon
       .filter(col("event_type").isin(ExecutorAdded, ExecutorRemoved))
       .select(col("app_id"), col("event_time_us"), col("executor_id"),
-        when(col("event_type") === ExecutorAdded, 1L).otherwise(-1L).as("delta"))
+        when(col("event_type") === ExecutorAdded, 1L).otherwise(-1L).as("delta"),
+        reason)
     ev.withColumn("active_executors",
         sum("delta").over(Window.partitionBy("app_id")
           .orderBy("event_time_us", "executor_id", "delta")
@@ -98,10 +106,11 @@ ORDER BY app_id, stage_id"""
 , ev AS (
   SELECT app_id, event_time_us, executor_id,
          CAST(CASE WHEN event_type = 'SparkListenerExecutorAdded'
-               THEN 1 ELSE -1 END AS BIGINT) AS delta
+               THEN 1 ELSE -1 END AS BIGINT) AS delta,
+         removed_reason
   FROM canon
   WHERE event_type IN ('SparkListenerExecutorAdded', 'SparkListenerExecutorRemoved'))
-SELECT app_id, event_time_us, executor_id, delta,
+SELECT app_id, event_time_us, executor_id, delta, removed_reason,
        CAST(SUM(delta) OVER (PARTITION BY app_id
          ORDER BY event_time_us, executor_id, delta
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active_executors

@@ -121,6 +121,63 @@ ORDER BY app_id, stage_id"""
       .orderBy("app_id")
   }
 
+  /** PER-STAGE task-metric distributions — the real history-server
+   *  `taskMetricsDistributions` payload is keyed by stage, not app
+   *  (the stage page's quantile strip). Same deterministic
+   *  nearest-rank picks as [[taskQuantiles]], windowed on
+   *  (app_id, stage_id): one exchange on the composite key, two
+   *  in-partition sorts, one conditional-aggregate pass — identical
+   *  scale shape, finer grain. Stages with a single task still get
+   *  exact quantiles (index 0 picks the only element). */
+  def stageQuantiles(canon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("stage_id").isNotNull &&
+        col("duration_ms").isNotNull && col("gc_time_ms").isNotNull)
+      .select("app_id", "stage_id", "duration_ms", "gc_time_ms")
+    val byStage = Window.partitionBy("app_id", "stage_id")
+    val idx = tasks
+      .withColumn("rk_d", row_number().over(byStage.orderBy("duration_ms")))
+      .withColumn("rk_g", row_number().over(byStage.orderBy("gc_time_ms")))
+      .withColumn("n", count(lit(1)).over(byStage))
+    def at(rk: String, v: String, p: Double) =
+      min(when(col(rk) === floor(lit(p) * (col("n") - 1)) + 1, col(v)))
+    idx.groupBy("app_id", "stage_id").agg(
+      max("n").as("task_n"),
+      at("rk_d", "duration_ms", 0.5).as("p50_duration_ms"),
+      at("rk_d", "duration_ms", 0.75).as("p75_duration_ms"),
+      at("rk_d", "duration_ms", 0.95).as("p95_duration_ms"),
+      max("duration_ms").as("max_duration_ms"),
+      at("rk_g", "gc_time_ms", 0.5).as("p50_gc_ms"),
+      at("rk_g", "gc_time_ms", 0.95).as("p95_gc_ms"),
+      max("gc_time_ms").as("max_gc_ms"))
+      .orderBy("app_id", "stage_id")
+  }
+
+  val stageQuantilesOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, stage_id, duration_ms, gc_time_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND stage_id IS NOT NULL
+    AND duration_ms IS NOT NULL AND gc_time_ms IS NOT NULL),
+idx AS (
+  SELECT app_id, stage_id, duration_ms, gc_time_ms,
+         ROW_NUMBER() OVER (PARTITION BY app_id, stage_id ORDER BY duration_ms) AS rk_d,
+         ROW_NUMBER() OVER (PARTITION BY app_id, stage_id ORDER BY gc_time_ms) AS rk_g,
+         COUNT(*) OVER (PARTITION BY app_id, stage_id) AS n
+  FROM t)
+SELECT app_id, stage_id, CAST(MAX(n) AS BIGINT) AS task_n,
+       MIN(CASE WHEN rk_d = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
+       MIN(CASE WHEN rk_d = FLOOR(0.75 * (n - 1)) + 1 THEN duration_ms END) AS p75_duration_ms,
+       MIN(CASE WHEN rk_d = FLOOR(0.95 * (n - 1)) + 1 THEN duration_ms END) AS p95_duration_ms,
+       MAX(duration_ms) AS max_duration_ms,
+       MIN(CASE WHEN rk_g = FLOOR(0.5 * (n - 1)) + 1 THEN gc_time_ms END) AS p50_gc_ms,
+       MIN(CASE WHEN rk_g = FLOOR(0.95 * (n - 1)) + 1 THEN gc_time_ms END) AS p95_gc_ms,
+       MAX(gc_time_ms) AS max_gc_ms
+FROM idx
+GROUP BY app_id, stage_id
+ORDER BY app_id, stage_id"""
+
   val taskQuantilesOracle: String = canonCte + """
 , t AS (
   SELECT app_id, duration_ms, gc_time_ms

@@ -24,9 +24,25 @@ object Trends {
 
   private val taskEnd = col("event_type") === TaskEnd
 
+  /** Optional [minDate, maxDate] window (ISO `yyyy-MM-dd`, inclusive) —
+   *  the reference's `AnalyticsQuery.start_date`/`end_date` params
+   *  (reference: src/analytics_api.rs:36-45). A plain predicate on
+   *  `event_date`: over a [[graft.sources.EventLogSource.writeStore]]
+   *  store it is a PARTITION filter (whole day-directories pruned
+   *  before any IO — asserted in PlanAuditSpec); over the raw frame it
+   *  is an ordinary pushed/codegen'd filter. */
+  private def dateWindow(canon: DataFrame, minDate: Option[String],
+                         maxDate: Option[String]): DataFrame = {
+    val filters = minDate.map(d => col("event_date") >= d) ++
+                  maxDate.map(d => col("event_date") <= d)
+    filters.foldLeft(canon)(_ filter _)
+  }
+
   /** Daily per-app task aggregates. Reference: duckdb_store_backup.rs:494-513. */
-  def perfTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
-    canon.filter(taskEnd)
+  def perfTrends(canon: DataFrame, limit: Int = 1000,
+                 minDate: Option[String] = None,
+                 maxDate: Option[String] = None): DataFrame =
+    dateWindow(canon, minDate, maxDate).filter(taskEnd)
       .groupBy(col("event_date").as("date"), col("app_id"))
       .agg(
         r4(avg("duration_ms")).as("avg_task_duration_ms"),
@@ -36,6 +52,22 @@ object Trends {
         r4(avg("output_bytes")).as("avg_output_bytes"))
       .orderBy(col("date").desc, col("app_id"))
       .limit(limit)
+
+  /** Oracle for the date-windowed variant (harness pins the window to
+   *  2024-01-08..2024-01-18). */
+  val perfTrendsWindowOracle: String = canonCte + """
+SELECT event_date AS date, app_id,
+       FLOOR((AVG(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_task_duration_ms,
+       CAST(COUNT(*) AS BIGINT) AS total_tasks,
+       CAST(SUM(CASE WHEN end_reason <> 'Success' THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks,
+       FLOOR((AVG(input_bytes)) * 10000.0 + 0.5) / 10000.0 AS avg_input_bytes,
+       FLOOR((AVG(output_bytes)) * 10000.0 + 0.5) / 10000.0 AS avg_output_bytes
+FROM canon
+WHERE event_type = 'SparkListenerTaskEnd'
+  AND event_date >= '2024-01-08' AND event_date <= '2024-01-18'
+GROUP BY event_date, app_id
+ORDER BY date DESC, app_id
+LIMIT 1000"""
 
   val perfTrendsOracle: String = canonCte + """
 SELECT event_date AS date, app_id,
@@ -51,8 +83,10 @@ ORDER BY date DESC, app_id
 LIMIT 1000"""
 
   /** Daily per-app GC totals. Reference: duckdb_store_backup.rs:556-575. */
-  def gcTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
-    canon.filter(taskEnd)
+  def gcTrends(canon: DataFrame, limit: Int = 1000,
+               minDate: Option[String] = None,
+               maxDate: Option[String] = None): DataFrame =
+    dateWindow(canon, minDate, maxDate).filter(taskEnd)
       .groupBy(col("event_date").as("date"), col("app_id"))
       .agg(
         coalesce(sum("gc_time_ms"), lit(0L)).as("total_gc_time_ms"),
@@ -79,8 +113,10 @@ LIMIT 1000"""
    *  Reference: duckdb_store_backup.rs:623-697. The reference divides
    *  each task's CPU ns by 1e6 before summing; graft sums the exact ns
    *  and divides once — deterministic at any parallelism. */
-  def cpuUtil(canon: DataFrame, limit: Int = 2000): DataFrame =
-    canon.filter(taskEnd)
+  def cpuUtil(canon: DataFrame, limit: Int = 2000,
+              minDate: Option[String] = None,
+              maxDate: Option[String] = None): DataFrame =
+    dateWindow(canon, minDate, maxDate).filter(taskEnd)
       .groupBy(col("event_date").as("date"), col("app_id"),
         coalesce(col("executor_id"), lit("driver")).as("executor_id"))
       .agg(
@@ -128,8 +164,10 @@ LIMIT 2000"""
   /** Memory usage + spill per (day, app, executor) with efficiency
    *  rating. Reference: duckdb_store_backup.rs:705-741 (rating logic
    *  from the Rust post-processing at :758-775). */
-  def memUsage(canon: DataFrame, limit: Int = 2000): DataFrame =
-    canon.filter(taskEnd)
+  def memUsage(canon: DataFrame, limit: Int = 2000,
+               minDate: Option[String] = None,
+               maxDate: Option[String] = None): DataFrame =
+    dateWindow(canon, minDate, maxDate).filter(taskEnd)
       .groupBy(col("event_date").as("date"), col("app_id"),
         coalesce(col("executor_id"), lit("driver")).as("executor_id"))
       .agg(
@@ -191,8 +229,10 @@ LIMIT 2000"""
 
   /** Daily corpus-level capacity rollup.
    *  Reference: duckdb_store_backup.rs:1369-1398. */
-  def capacityTrends(canon: DataFrame, limit: Int = 30): DataFrame =
-    canon.filter(taskEnd)
+  def capacityTrends(canon: DataFrame, limit: Int = 30,
+                     minDate: Option[String] = None,
+                     maxDate: Option[String] = None): DataFrame =
+    dateWindow(canon, minDate, maxDate).filter(taskEnd)
       .groupBy(col("event_date").as("date"))
       .agg(
         sum("peak_memory_bytes").as("peak_sum"),

@@ -84,15 +84,27 @@ object HistoryServerApi {
     Seq(("1", spark.version)).toDF("api_version", "spark_version")
   }
 
-  /** The cross-app analytics routes (src/analytics_api_old.rs:12-21). */
-  def performanceTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
-    Trends.perfTrends(canon, limit)
-  def gcTimeTrends(canon: DataFrame, limit: Int = 1000): DataFrame =
-    Trends.gcTrends(canon, limit)
-  def cpuUtilization(canon: DataFrame, limit: Int = 2000): DataFrame =
-    Trends.cpuUtil(canon, limit)
-  def memoryUsage(canon: DataFrame, limit: Int = 2000): DataFrame =
-    Trends.memUsage(canon, limit)
+  /** The cross-app analytics routes (src/analytics_api_old.rs:12-21).
+   *  `minDate`/`maxDate` are the reference `AnalyticsQuery`'s
+   *  `start_date`/`end_date` (src/analytics_api.rs:36-45) — inclusive
+   *  ISO dates that prune whole day-partitions of a partitioned
+   *  store before any IO. */
+  def performanceTrends(canon: DataFrame, limit: Int = 1000,
+                        minDate: Option[String] = None,
+                        maxDate: Option[String] = None): DataFrame =
+    Trends.perfTrends(canon, limit, minDate, maxDate)
+  def gcTimeTrends(canon: DataFrame, limit: Int = 1000,
+                   minDate: Option[String] = None,
+                   maxDate: Option[String] = None): DataFrame =
+    Trends.gcTrends(canon, limit, minDate, maxDate)
+  def cpuUtilization(canon: DataFrame, limit: Int = 2000,
+                     minDate: Option[String] = None,
+                     maxDate: Option[String] = None): DataFrame =
+    Trends.cpuUtil(canon, limit, minDate, maxDate)
+  def memoryUsage(canon: DataFrame, limit: Int = 2000,
+                  minDate: Option[String] = None,
+                  maxDate: Option[String] = None): DataFrame =
+    Trends.memUsage(canon, limit, minDate, maxDate)
   def crossAppSummary(canon: DataFrame): DataFrame =
     CrossApp.crossAppSummary(canon)
   def taskDistribution(canon: DataFrame, limit: Int = 1000): DataFrame =
@@ -105,8 +117,10 @@ object HistoryServerApi {
     Optimization.resourceHogs(canon, limit)
   def efficiencyAnalysis(canon: DataFrame, limit: Int = 20): DataFrame =
     Optimization.efficiencyAnalysis(canon, limit)
-  def capacityTrends(canon: DataFrame, limit: Int = 30): DataFrame =
-    Trends.capacityTrends(canon, limit)
+  def capacityTrends(canon: DataFrame, limit: Int = 30,
+                     minDate: Option[String] = None,
+                     maxDate: Option[String] = None): DataFrame =
+    Trends.capacityTrends(canon, limit, minDate, maxDate)
   def costOptimization(canon: DataFrame, limit: Int = 15): DataFrame =
     Optimization.costOptimization(canon, limit)
 }

@@ -198,6 +198,8 @@ object EventLogParser {
         when(isTask, col("e")("Task Info")("Locality")).as("locality"),
         when(col("e")("Event") === TaskEnd,
           col("e")("Task End Reason")("Reason")).as("end_reason"),
+        when(col("e")("Event") === ExecutorRemoved,
+          col("e")("Removed Reason")).as("removed_reason"),
         when(col("e")("Event") === AppStart, col("e")("User")).as("app_user"),
         // Spark version: from ApplicationStart, else from the
         // EnvironmentUpdate property pairs (reference:

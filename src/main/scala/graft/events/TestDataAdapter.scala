@@ -130,6 +130,11 @@ object TestDataAdapter {
       when(isTaskEnd,
         when(eid % 19 === 0, "ExceptionFailure").otherwise("Success"))
         .as("end_reason"),
+      // ExecutorRemoved rows all have eid % 3 == 1, so the reason must
+      // vary on a coprime axis (eid % 2)
+      when(evtType === ExecutorRemoved,
+        when(eid % 2 === 0, "Executor killed by driver")
+          .otherwise("Heartbeat timeout")).as("removed_reason"),
       when(isAppStart, concat(lit("user_"), uid.cast("string"))).as("app_user"),
       when(isAppStart, concat(lit("3."), (uid % 3).cast("string"), lit(".0")))
         .as("spark_version"),
@@ -187,6 +192,8 @@ object TestDataAdapter {
     CASE WHEN event_type IN ('view', 'purchase') THEN
       CASE WHEN event_id % 10 < 5 THEN 'PROCESS_LOCAL' WHEN event_id % 10 < 8 THEN 'NODE_LOCAL' WHEN event_id % 10 = 8 THEN 'RACK_LOCAL' ELSE 'ANY' END END AS locality,
     CASE WHEN event_type = 'purchase' OR (event_type = 'view' AND event_id % 2 = 0) THEN CASE WHEN event_id % 19 = 0 THEN 'ExceptionFailure' ELSE 'Success' END END AS end_reason,
+    CASE WHEN event_type = 'error' AND event_id % 3 = 1 THEN
+      CASE WHEN event_id % 2 = 0 THEN 'Executor killed by driver' ELSE 'Heartbeat timeout' END END AS removed_reason,
     CASE WHEN event_type = 'signup' AND event_id % 2 = 0 THEN 'user_' || CAST(user_id AS VARCHAR) END AS app_user,
     CASE WHEN event_type = 'signup' AND event_id % 2 = 0 THEN '3.' || CAST(user_id % 3 AS VARCHAR) || '.0' END AS spark_version,
     CASE WHEN event_type = 'signup' AND event_id % 2 = 0 THEN 'job-' || CAST(user_id % 10 AS VARCHAR) END AS app_name

@@ -38,15 +38,23 @@ object Clustering {
    *  Only nodes appearing in at least one edge are returned (isolated
    *  docs are their own trivial cluster — callers join them back if
    *  singleton rows are wanted). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          reliable: Boolean = false): DataFrame = {
+    // localCheckpoint truncates lineage but pins blocks to executors —
+    // lose one and the iteration dies. `reliable = true` switches to
+    // checkpoint() (HDFS-backed via spark.sparkContext.setCheckpointDir),
+    // the right mode for a multi-hour 100 TB run where executor loss
+    // is routine; local remains the low-latency default for dev/CI.
+    def persist(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // Symmetrize once and materialize: every round re-reads this frame.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var lab = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    val edges = persist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    var lab = persist(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     // One propagation pass: min label over the neighborhood (partial
     // agg map-side) folded into the node's own label. Left join: a
     // node whose neighbors all have higher labels keeps its own.
@@ -69,7 +77,7 @@ object Clustering {
       // dominates on small diameters. The changed flag rides along as
       // a column, so the convergence count is one cheap scan of the
       // just-checkpointed blocks.
-      val next = propagate(propagate(lab).drop("chg")).localCheckpoint()
+      val next = persist(propagate(propagate(lab).drop("chg")))
       changed = next.agg(sum("chg")).collect()(0).getLong(0)
       lab = next.drop("chg")
       iter += 1
@@ -84,10 +92,23 @@ object Clustering {
    *  row per clustered doc with its cluster id (min doc_id in the
    *  component), cluster size, and the survivor flag (the doc a
    *  dedup pass would keep). Docs in no near-dup pair are not listed
-   *  (every unlisted doc is its own survivor). */
-  def dedupClusters(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.dedupNgram(docs).select("doc_a", "doc_b")
-    val comp = connectedComponents(pairs)
+   *  (every unlisted doc is its own survivor).
+   *
+   *  Composable by construction: `precomputedPairs` accepts ANY
+   *  (doc_a, doc_b) near-dup frame — minhash, simhash, embedding, a
+   *  union of several, or a frame read back from a pair store — so a
+   *  pipeline that already ran pair detection never recomputes it;
+   *  `precomputedShingles` forwards a shared shingle store to the
+   *  default n-gram pass; `reliable` forwards the checkpoint mode
+   *  (see [[connectedComponents]]). */
+  def dedupClusters(docs: DataFrame,
+                    precomputedPairs: Option[DataFrame] = None,
+                    precomputedShingles: Option[DataFrame] = None,
+                    reliable: Boolean = false): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+        Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, reliable = reliable)
     val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "label")
       .select(col("label").as("cluster_id"), col("doc_id"),

@@ -200,17 +200,29 @@ JOIN nr nb ON d.vec_id = nb.vec_id
 WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.3
 ORDER BY d.query_id, d.vec_id"""
 
-  /** IVF-style ANN: a deterministic coarse quantizer (centroids =
-   *  every 50th vector) partitions the corpus into inverted lists by
-   *  nearest-centroid; each query probes only the `nprobe` closest
-   *  lists and ranks candidates by exact cosine. At 100 TB the
-   *  centroid set is broadcast and each list is a co-partitioned
-   *  bucket — queries scan |corpus| * nprobe / K vectors instead of
-   *  the whole corpus. */
+  /** IVF-style ANN: a FIXED-K coarse quantizer partitions the corpus
+   *  into inverted lists by nearest-centroid; each query probes only
+   *  the `nprobe` closest lists and ranks candidates by exact cosine.
+   *
+   *  Centroid selection is a deterministic hash-ordered sample: the
+   *  `numCentroids` vectors with the smallest `md5(vec_id)` — a
+   *  distributed top-K (TakeOrdered: per-partition heads + one driver
+   *  merge, no global sort) that any SQL engine mirrors with
+   *  `ORDER BY md5(id) LIMIT K`. K is FIXED, not a fraction of the
+   *  corpus: the broadcast centroid frame and the per-vector
+   *  assignment cost stay K-bounded however big the corpus grows
+   *  (pick K ≈ √N for classic IVF balance; a k-means‖-trained
+   *  codebook drops in behind the same (cent_id, qarr_a, nq_a)
+   *  shape). At 100 TB each inverted list is a co-partitioned bucket
+   *  and queries scan ~|corpus| * nprobe / K vectors, never the
+   *  whole corpus. */
   def annIvf(emb: DataFrame, queries: DataFrame,
-             k: Int = 10, nprobe: Int = 2): DataFrame = {
+             k: Int = 10, nprobe: Int = 2,
+             numCentroids: Int = 32): DataFrame = {
     val qv = quantized(emb).cache()
-    val centroids = qv.filter(col("vec_id") % 50 === 1)
+    val centroids = qv
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
       .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
         col("nq").as("nq_a"))
     // nearest centroid per vector (cosine argmax, ties -> lowest id)
@@ -254,7 +266,8 @@ qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
-cents AS (SELECT vec_id AS cent_id FROM nr WHERE vec_id % 50 = 1),
+cents AS (SELECT vec_id AS cent_id FROM nr
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
 vc_dots AS (
   SELECT v.vec_id, c.cent_id, CAST(SUM(v.q * cv.q) AS BIGINT) AS dot
   FROM qv v JOIN cents c ON true JOIN qv cv ON cv.vec_id = c.cent_id AND cv.i = v.i

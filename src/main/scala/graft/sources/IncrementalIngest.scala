@@ -1,30 +1,50 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.events.EventLogParser
 
 /**
- * Incremental scan / batched ingest: tracks (path, modification time,
- * size) per processed file in a checkpoint so re-scans only parse new
- * or grown files — a re-scan of a 100 TB log directory touches only
- * the delta.
+ * Incremental scan / batched ingest with PER-FILE BYTE OFFSETS: the
+ * checkpoint records, for every processed file, the byte offset of the
+ * end of its last complete line — so a re-scan of a directory of
+ * long-running `.inprogress` logs parses only the appended TAILS
+ * (KBs), never re-parses the files whole (GBs).
  *
  * Reference behavior: src/event_processor.rs:148-527 (new-file
  * detection + per-file offset tracking). Spark-native shape: the
- * checkpoint is a tiny JSON state file; file listing is a driver
- * metadata op; the actual parsing of the selected files is a
- * distributed read. For continuous tailing use
+ * checkpoint is a tiny TSV state file; file listing is a driver
+ * metadata op; NEW files are parsed as one distributed read; grown
+ * files' tails are fetched driver-side (a seek + bounded read per
+ * file — tails are small by construction) and parallelized into the
+ * same parser. For continuous tailing use
  * [[graft.streaming.StreamingIngest]] which gets the same semantics
  * from Structured Streaming's file-source offset log.
+ *
+ * Offsets always land on line boundaries: the committed offset is the
+ * position AFTER the file's last '\n' at scan time, so a tail read
+ * never starts mid-event and a partial trailing line (a writer caught
+ * mid-append) is left for the next scan — when its newline lands, the
+ * WHOLE line is re-read from the committed offset, so a mid-write
+ * race loses nothing. One documented at-least-once corner: a final
+ * line that is complete JSON but not yet newline-terminated is parsed
+ * by the first (distributed, whole-file) read AND re-emitted by the
+ * tail scan once the newline lands — callers needing exactly-once
+ * dedup on (app_id, event hash), same as any re-ingest.
  */
-class IncrementalIngest(spark: SparkSession, checkpointPath: String) {
+class IncrementalIngest(spark: SparkSession, checkpointPath: String,
+                        maxDriverTailBytes: Long = 512L << 20) {
 
-  private case class FileState(path: String, modTime: Long, size: Long)
+  /** Committed scan state for one file: `offset` = end of the last
+   *  complete line already handed to a successful `process`; `seenLen`
+   *  = the file length at that scan (so an unchanged file — even one
+   *  with a dangling partial line — is skipped without reopening). */
+  private case class FileState(modTime: Long, offset: Long, seenLen: Long)
 
-  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def loadState(): Map[String, (Long, Long)] = {
+  private def loadState(): Map[String, FileState] = {
     val p = new Path(checkpointPath)
     val f = fs(p)
     if (!f.exists(p)) Map.empty
@@ -32,27 +52,54 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String) {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       txt.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(path, mt, sz) = line.split("\t")
-        path -> (mt.toLong, sz.toLong)
+        val Array(path, mt, off, len) = line.split("\t")
+        path -> FileState(mt.toLong, off.toLong, len.toLong)
       }.toMap
     }
   }
 
-  private def saveState(state: Map[String, (Long, Long)]): Unit = {
+  private def saveState(state: Map[String, FileState]): Unit = {
     val p = new Path(checkpointPath)
     val out = fs(p).create(p, true)
-    try out.write(state.map { case (k, (m, s)) => s"$k\t$m\t$s" }
+    try out.write(state.map { case (k, s) => s"$k\t${s.modTime}\t${s.offset}\t${s.seenLen}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Paths not yet ingested (new, touched, or grown since last scan). */
+  /** Byte position after the LAST '\n' at or before `len` (0 if none):
+   *  the only safe commit point — everything past it is a partial
+   *  line. Scans backwards in bounded chunks from the end, so the cost
+   *  is one seek + a few KB even on a multi-GB file. */
+  private def lastLineEnd(f: FileSystem, p: Path, len: Long): Long = {
+    if (len == 0) return 0L
+    val in = f.open(p)
+    try {
+      val chunk = 65536
+      var end = len
+      while (end > 0) {
+        val start = math.max(0L, end - chunk)
+        val buf = new Array[Byte]((end - start).toInt)
+        in.seek(start)
+        in.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return start + i + 1
+          i -= 1
+        }
+        end = start
+      }
+      0L
+    } finally in.close()
+  }
+
+  /** Paths whose length changed since the last committed scan (new,
+   *  grown, or truncated-and-rewritten). */
   def pendingFiles(dirUri: String): Seq[String] = {
     val seen = loadState()
     EventLogSource.listLogs(spark, dirUri)
       .filter { s =>
         seen.get(s.getPath.toString) match {
-          case Some((mt, sz)) => s.getModificationTime > mt || s.getLen > sz
+          case Some(st) => s.getLen != st.seenLen
           case None => true
         }
       }
@@ -61,27 +108,81 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String) {
 
   /** Parse the pending delta and hand it to `process`; the checkpoint
    *  is committed ONLY after `process` returns normally — at-LEAST-once
-   *  semantics (a failure leaves the files pending, so the next scan
-   *  re-processes them; committing before the action ran would be
-   *  at-most-once and silently lose files). Returns the processed
-   *  paths (empty = nothing new).
+   *  semantics (a failure leaves the delta pending, so the next scan
+   *  re-processes it; committing before the action ran would be
+   *  at-most-once and silently lose data). Returns the touched paths
+   *  (empty = nothing new; `process` is NOT invoked when the only
+   *  change is a still-incomplete partial line).
    *
-   *  Grown `.inprogress` files are re-emitted WHOLE (file-granular
-   *  tracking, same as the reference's scan loop): an appending caller
-   *  must either write to an idempotent/overwrite-per-file sink or
-   *  dedup on (app_id, event hash) at append time. */
+   *  Delta shapes:
+   *   - NEW file (no checkpoint entry) or REWRITE (length below the
+   *     committed offset): whole file through the distributed reader.
+   *   - GROWN file: only bytes [offset, lastLineEnd) are read — a
+   *     driver-side seek+read (tails are small; a growth beyond
+   *     `maxDriverTailBytes` falls back to re-reading the file whole,
+   *     distributed, under the same at-least-once contract). */
   def ingest(dirUri: String)(process: DataFrame => Unit): Seq[String] = {
-    val pending = pendingFiles(dirUri)
-    if (pending.nonEmpty) {
-      // capture (mtime, size) BEFORE parsing: a file that grows while
-      // we read it stays pending and is re-scanned next round instead
-      // of being silently marked complete at its new size
-      val statuses = EventLogSource.listLogs(spark, dirUri)
-        .filter(s => pending.contains(s.getPath.toString))
-      process(EventLogParser.read(spark, pending: _*))
-      saveState(loadState() ++ statuses.map(s =>
-        s.getPath.toString -> (s.getModificationTime, s.getLen)))
+    val seen = loadState()
+    // capture (path, len, mtime) ONCE before parsing: bytes appended
+    // while we read stay pending and land next round instead of being
+    // silently marked consumed
+    val statuses = EventLogSource.listLogs(spark, dirUri)
+      .map(s => (s.getPath, s.getLen, s.getModificationTime))
+    val pending = statuses.filter { case (p, len, _) =>
+      seen.get(p.toString).forall(_.seenLen != len)
     }
-    pending
+    if (pending.isEmpty) return Nil
+
+    val (grown, whole) = pending.partition { case (p, len, _) =>
+      seen.get(p.toString).exists(st =>
+        len > st.offset && len - st.offset <= maxDriverTailBytes)
+    }
+
+    var committed = Map.empty[String, FileState]
+
+    for ((p, len, mt) <- whole)
+      committed += p.toString -> FileState(mt, lastLineEnd(fs(p), p, len), len)
+
+    val tailLines: Seq[(String, String)] = grown.flatMap { case (p, len, mt) =>
+      val f = fs(p)
+      val off = seen(p.toString).offset
+      val lineEnd = lastLineEnd(f, p, len)
+      committed += p.toString -> FileState(mt, math.max(lineEnd, off), len)
+      if (lineEnd <= off) Nil // grew, but no complete new line yet
+      else {
+        val buf = new Array[Byte]((lineEnd - off).toInt)
+        val in = f.open(p)
+        try { in.seek(off); in.readFully(buf) } finally in.close()
+        new String(buf, "UTF-8").linesIterator
+          .filter(_.nonEmpty).map(l => (l, p.toString)).toSeq
+      }
+    }
+
+    if (whole.isEmpty && tailLines.isEmpty) {
+      // only dangling partial lines moved: remember the new lengths so
+      // unchanged files are skipped next scan, but there is nothing to
+      // hand to `process` (offsets did not advance — nothing is lost)
+      saveState(seen ++ committed)
+      return Nil
+    }
+
+    val wholeDf: Option[DataFrame] =
+      if (whole.isEmpty) None
+      else Some(EventLogParser.read(spark, whole.map(_._1.toString): _*))
+    val tailDf: Option[DataFrame] =
+      if (tailLines.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(EventLogParser.parseLines(tailLines.toDF("value", "log_file")))
+      }
+    val delta = (wholeDf, tailDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), _) => a
+      case (_, Some(b)) => b
+      case _ => throw new IllegalStateException("unreachable: empty delta")
+    }
+    process(delta)
+    saveState(loadState() ++ committed)
+    pending.map(_._1.toString)
   }
 }

@@ -69,6 +69,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(app_id,app-p1\\)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("analytics date window prunes store partitions before any IO") {
+    val logs = tmpDir("window-logs")
+    graft.events.EventLogFixture.writeLogs(logs, Seq("app-w1"))
+    val store = tmpDir("window-store")
+    graft.sources.EventLogSource.writeStore(
+      graft.sources.EventLogSource.readDirectory(spark, logs), store)
+    // the AnalyticsQuery date params are plain event_date predicates,
+    // so over the date-partitioned store they must surface as
+    // PartitionFilters (directory pruning), not data filters
+    val df = Trends.perfTrends(spark.read.parquet(store),
+      minDate = Some("2023-11-14"), maxDate = Some("2023-11-14"))
+    val p = plan(df)
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined, p)
+  }
+
   test("bucketed store: per-app aggregation runs without an exchange") {
     val logs = tmpDir("bucket-logs")
     graft.events.EventLogFixture.writeLogs(logs, Seq("app-b1", "app-b2"))

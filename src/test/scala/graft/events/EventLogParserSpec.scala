@@ -55,6 +55,8 @@ class EventLogParserSpec extends SparkSpec {
       col("app_id") === "app-20240101-0001").collect()(0)
     assert(er.getAs[String]("executor_id") === "2")
     assert(er.isNullAt(er.fieldIndex("cores")))
+    assert(er.getAs[String]("removed_reason") === "idle")
+    assert(ea.isNullAt(ea.fieldIndex("removed_reason")))
   }
 
   test("ApplicationStart carries user/version/name; timestamps are event-time") {

@@ -49,4 +49,30 @@ class ClusteringSpec extends SparkSpec {
     assert(byDoc(1L) === ((0L, 3L, 0L)))
     assert(byDoc(5L) === ((0L, 3L, 0L)))
   }
+
+  test("dedupClusters composes: precomputed pair frame from ANY detector") {
+    // a simhash/embedding/unioned pair frame drops straight in — the
+    // docs frame is then only consulted for nothing at all (pairs carry
+    // every id the clustering needs)
+    val docs = Seq((0L, "irrelevant", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((7L, 8L), (8L, 9L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val out = Clustering.dedupClusters(docs, precomputedPairs = Some(pairs))
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(7L, 8L, 9L, 30L, 31L))
+    assert(out(9L) === ((7L, 3L, 0L)))
+    assert(out(30L) === ((30L, 2L, 1L)))
+  }
+
+  test("reliable checkpoint mode produces identical components") {
+    val dir = tmpDir("cc-checkpoint")
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val local = Clustering.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Clustering.connectedComponents(pairs, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel === local)
+    assert(rel === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }

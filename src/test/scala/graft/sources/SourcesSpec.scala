@@ -112,4 +112,35 @@ class SourcesSpec extends SparkSpec {
       df.select("app_id").distinct().collect().map(_.getString(0)).toSeq)
     assert(apps === Seq("app-b"))
   }
+
+  test("offset tracking: a grown file re-ingests exactly the appended tail, once") {
+    val d = tmpDir("incr-tail")
+    val ckpt = tmpDir("incr-tail-ckpt") + "/state.tsv"
+    val p = java.nio.file.Paths.get(d, "app-t.json")
+    val lines = EventLogFixture.appLog("app-t")
+    java.nio.file.Files.writeString(p, lines.take(8).mkString("", "\n", "\n"))
+    val ing = new IncrementalIngest(spark, ckpt)
+    var got: Seq[Long] = Nil
+    def run(): Unit = { got = Nil
+      ing.ingest(s"file://$d")(df =>
+        got = df.select("event_time_us").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    run()
+    assert(got.size === 8)
+    // append 4 complete events + one PARTIAL line (writer mid-append)
+    val partial = lines(11).substring(0, 30)
+    java.nio.file.Files.writeString(p,
+      lines.slice(8, 11).mkString("", "\n", "\n") + partial,
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+    // exactly the 3 new complete events — the partial line is held back
+    assert(got.size === 3)
+    // completing the partial line delivers it, once
+    java.nio.file.Files.writeString(p,
+      lines(11).substring(30) + "\n", java.nio.file.StandardOpenOption.APPEND)
+    run()
+    assert(got.size === 1)
+    // and a no-change rescan is empty
+    assert(ing.ingest(s"file://$d")(_ => fail("no delta expected")).isEmpty)
+  }
 }
