@@ -99,6 +99,49 @@ class StreamingIngestSpec extends SparkSpec {
       Seq("window_start", "window_end", "app_id", "event_count"))
   }
 
+  test("streaming near-dup: batches dedup against the growing corpus store") {
+    import spark.implicits._
+    val src = tmpDir("sdedup-src")
+    val store = tmpDir("sdedup-store") + "/corpus"
+    val pairsDir = tmpDir("sdedup-pairs") + "/pairs"
+    val ckpt = tmpDir("sdedup-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def runOnce(): Unit = {
+      val q = StreamingDedup.dedupedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, pairsDir, ckpt)
+      q.awaitTermination(60000)
+    }
+
+    // batch 1: 0 and 1 are near-dups of each other, 2 unrelated
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L)) // 1 dropped: dup of 0
+
+    // batch 2: 10 is a near-dup of the STORED doc 0; 11 is novel
+    Seq(
+      (10L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    val pairSet = spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L)))  // within-batch dup, batch 1
+    assert(pairSet.contains((0L, 10L))) // cross-batch dup vs the store
+    assert(!pairSet.exists(p => p._1 == 11L || p._2 == 11L))
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
