@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Regenerate SURVEY.md §4's "Realized numbers" block from committed
+artifacts, so the published numbers can never drift from what the
+bench and test runs actually produced.
+
+Usage:
+    python3 tools/survey_numbers.py [--bench BENCH.json] [--tests N]
+
+--bench defaults to the highest-numbered BENCH_r*.json in the repo
+root. --tests is the ScalaTest count ("Total number of tests run: N"
+from `sbt -batch test`); if omitted, the existing count in the block
+is kept. Rewrites the markers-delimited block in SURVEY.md in place.
+"""
+import argparse, glob, json, os, re, sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SURVEY = os.path.join(ROOT, "SURVEY.md")
+BEGIN = "<!-- BEGIN GENERATED NUMBERS (tools/survey_numbers.py) -->"
+END = "<!-- END GENERATED NUMBERS -->"
+
+
+def latest_bench():
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        sys.exit("no BENCH_r*.json found")
+    return benches[-1]
+
+
+def render(bench_path, tests):
+    with open(bench_path) as f:
+        b = json.load(f)
+    queries = b["queries"]
+    spread = b.get("query_spread", {})
+    ok = {k: v for k, v in queries.items() if v >= 0}
+    total = sum(ok.values())
+    slowest = max(ok, key=ok.get)
+    parts = [BEGIN,
+             f"Realized numbers (generated from {os.path.basename(bench_path)}"
+             " + the ScalaTest summary — regenerate with"
+             " tools/survey_numbers.py, do not edit):",
+             ""]
+    timing = "median of 3 runs each" if spread else "one timed run each"
+    parts.append(f"- {len(ok)} benched queries at sf0.1 / local[32]:"
+                 f" {total:.1f} s total ({timing}).")
+    if spread and slowest in spread:
+        lo, hi = spread[slowest]
+        parts.append(f"- Slowest query: {slowest} at {ok[slowest]:.2f} s"
+                     f" median (spread {lo:.2f}-{hi:.2f} s).")
+    else:
+        parts.append(f"- Slowest query: {slowest} at {ok[slowest]:.2f} s.")
+    eps = b.get("ingest_events_per_sec")
+    if eps:
+        parts.append(f"- Event-log ingest through the full parse path:"
+                     f" {eps:,} events/sec best-of-3 (reference claims"
+                     " 20-30k, README.md:13).")
+    if tests:
+        parts.append(f"- ScalaTest: {tests} tests passing.")
+    parts.append(END)
+    return "\n".join(parts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench")
+    ap.add_argument("--tests", type=int)
+    args = ap.parse_args()
+    bench = args.bench or latest_bench()
+    with open(SURVEY) as f:
+        text = f.read()
+    tests = args.tests
+    if tests is None:
+        m = re.search(r"ScalaTest: (\d+) tests passing", text)
+        tests = int(m.group(1)) if m else None
+    block = render(bench, tests)
+    if BEGIN in text:
+        text = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END), block,
+                      text, flags=re.S)
+    else:
+        sys.exit(f"markers not found in SURVEY.md — add '{BEGIN}' ... '{END}'")
+    with open(SURVEY, "w") as f:
+        f.write(text)
+    print(block)
+
+
+if __name__ == "__main__":
+    main()
