@@ -90,7 +90,13 @@ ORDER BY event_id"""
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
+    "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
+    // decontamination harness split: docs % 20 == 0 play the eval
+    // benchmark, the rest are training candidates
+    "contamination" -> ((s, d) => Decontamination.benchmarkOverlap(
+      docs(s, d).filter(col("doc_id") % 20 =!= 0),
+      docs(s, d).filter(col("doc_id") % 20 === 0))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
@@ -171,7 +177,9 @@ ORDER BY event_id"""
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
+    "shard_pack" -> Sampling.shardPackOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
+    "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,

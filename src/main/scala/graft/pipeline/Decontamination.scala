@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.Round.r4
+
+/**
+ * Benchmark decontamination: find training-candidate documents that
+ * CONTAIN evaluation-benchmark content — the pre-training hygiene pass
+ * that keeps eval sets out of the training corpus. A candidate is
+ * flagged against a benchmark doc when the fraction of the BENCHMARK
+ * doc's shingles present in the candidate (`inter_n / bench_n`,
+ * benchmark-side containment) reaches `minOverlap` — the asymmetric
+ * direction matters: a 100-word eval question quoted inside a 10k-word
+ * page is contamination at overlap 1.0 even though symmetric Jaccard
+ * is ~0.01.
+ *
+ * Scale shape (the part that must survive 100 TB): eval benchmarks are
+ * MBs while the corpus is TBs, so the benchmark shingle frame is
+ * BROADCAST — the corpus-side shingle stream joins it map-side with no
+ * shuffle of corpus data at all (asserted in PlanAuditSpec), and the
+ * per-(candidate, benchmark) counts partial-aggregate. Cost is one
+ * pass over corpus shingles, independent of how many candidates match.
+ */
+object Decontamination {
+
+  /** (doc_id, bench_id, inter_n, bench_n, overlap) for every candidate
+   *  x benchmark pair at benchmark-containment >= minOverlap.
+   *  `docs` = training candidates, `bench` = benchmark documents (both
+   *  documents-shaped); a doc appearing in both frames is not compared
+   *  with itself. */
+  def benchmarkOverlap(docs: DataFrame, bench: DataFrame,
+                       minOverlap: Double = 0.3,
+                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val shDocs = precomputedShingles.getOrElse(Dedup.shingles(docs))
+    val shBench = Dedup.shingles(bench)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val benchSizes = shBench.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    shDocs.join(broadcast(shBench), "gram")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter_n"))
+      .join(broadcast(benchSizes), "bench_id")
+      .filter(col("inter_n") * lit(1.0) / col("bench_n") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("inter_n"), col("bench_n"),
+        r4(col("inter_n") * lit(1.0) / col("bench_n")).as("overlap"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Harness split: benchmark = doc_id % 20 == 0, candidates = the
+   *  rest. */
+  val benchmarkOverlapOracle: String = "WITH " + Dedup.shinglesCte.trim + """,
+bsh AS (SELECT doc_id AS bench_id, gram FROM shingle WHERE doc_id % 20 = 0),
+bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_n FROM bsh GROUP BY bench_id),
+inter AS (
+  SELECT s.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle s JOIN bsh b ON s.gram = b.gram AND s.doc_id <> b.bench_id
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id, b.bench_id)
+SELECT i.doc_id, i.bench_id, i.inter_n, z.bench_n,
+       FLOOR((i.inter_n * 1.0 / z.bench_n) * 10000.0 + 0.5) / 10000.0 AS overlap
+FROM inter i JOIN bsz z ON i.bench_id = z.bench_id
+WHERE i.inter_n * 1.0 / z.bench_n >= 0.3
+ORDER BY i.doc_id, i.bench_id"""
+}

@@ -45,6 +45,53 @@ SELECT doc_id, bucket,
 FROM b
 ORDER BY doc_id"""
 
+  /** Token-budget shard packing: assign documents to training shards
+   *  of ~`budgetTokens` tokens each — the layout step before writing
+   *  tokenized training data, where a trainer wants shards of equal
+   *  token (not document) size.
+   *
+   *  Scale shape: a single global running sum would be one worldwide
+   *  sort into one window partition — the classic non-scaling shape —
+   *  so packing is TWO-LEVEL, exactly like distributed shard writers
+   *  work: docs hash deterministically to `writers` independent
+   *  writer lanes (pure projection, no shuffle beyond the lane
+   *  window's own exchange), and each lane runs its own running-sum
+   *  cut into shards. A shard is (writer, shard_idx); each holds
+   *  budget..budget+maxdoc tokens. Assignment is stable under
+   *  append (a doc's lane never changes) though late arrivals extend
+   *  their lane's LAST shard rather than re-cutting earlier ones —
+   *  pack once per snapshot, like any shard writer. */
+  def shardPack(docs: DataFrame, budgetTokens: Long = 2000L,
+                writers: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % writers).as("writer"))
+    val lane = Window.partitionBy("writer").orderBy("doc_id")
+    toks
+      .withColumn("cum_before", coalesce(
+        sum("n_tok").over(lane.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("writer"), col("n_tok"),
+        expr(s"cum_before div $budgetTokens").as("shard_idx"))
+      .orderBy("doc_id")
+  }
+
+  val shardPackOracle: String = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS writer
+  FROM documents),
+c AS (
+  SELECT doc_id, writer, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t)
+SELECT doc_id, writer, n_tok, cum_before // 2000 AS shard_idx
+FROM c
+ORDER BY doc_id"""
+
   /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
    *  quality score (ties broken by doc_id) — the "best docs per
    *  stratum" selection that keeps low-resource languages represented

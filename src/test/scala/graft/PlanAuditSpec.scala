@@ -161,6 +161,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairJoinHasBatchInput, lp.toString)
   }
 
+  test("stage quantiles reuse one exchange across both window sorts") {
+    val p = plan(JobsStages.stageQuantiles(canon))
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(app_id"))
+    assert(exchanges <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontamination broadcasts the benchmark side — corpus shingles never shuffle for the join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Decontamination.benchmarkOverlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shard packing windows per writer lane — no single global partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Sampling.shardPack(docs))
+    // the lane window must hash-partition on writer, not collapse to
+    // one worldwide sort (Exchange SinglePartition above a Window)
+    assert(p.contains("Exchange hashpartitioning(writer"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.trim.startsWith("Window"))
+    assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),
