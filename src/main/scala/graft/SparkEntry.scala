@@ -98,6 +98,7 @@ ORDER BY event_id"""
       docs(s, d).filter(col("doc_id") % 20 =!= 0),
       docs(s, d).filter(col("doc_id") % 20 === 0))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
+    "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     // Incremental shape: docs >= 400 are "today's batch" against the
@@ -181,6 +182,7 @@ ORDER BY event_id"""
     "curation_sample" -> Sampling.curationSampleOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
+    "repetition_score" -> TextAnalysis.repetitionScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,

@@ -250,4 +250,41 @@ SELECT doc.doc_id,
               THEN p.boilerplate_grams * 1.0 / p.n_grams ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS boilerplate_ratio
 FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
 ORDER BY doc.doc_id"""
+
+  /** WITHIN-document repetition: 1 - distinct_3grams / total_3grams —
+   *  the degenerate-text detector (looping generations, copy-pasted
+   *  paragraphs, keyword stuffing) that [[noveltyScore]]'s CORPUS-df
+   *  signals cannot see: a doc repeating its own rare sentence ten
+   *  times scores fully novel there but ~0.9 here. Pure per-row
+   *  projection — `word_ngrams` already dedups in-row, so distinct vs
+   *  total needs NO explode and NO shuffle: the whole signal costs one
+   *  codegen'd pass at any corpus size. Docs under 3 tokens have no
+   *  grams → null repetition. */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(call_function("word_ngrams", col("text"), lit(3))).cast("long")
+        .as("distinct_grams"))
+      .withColumn("total_grams",
+        greatest(col("n_tokens") - 2, lit(0L)))
+      .withColumn("repetition",
+        when(col("total_grams") > 0,
+          r4(lit(1.0) - col("distinct_grams") * lit(1.0) / col("total_grams"))))
+      .orderBy("doc_id")
+
+  val repetitionScoreOracle: String = "WITH " + Dedup.shinglesCte.trim + """,
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS distinct_grams
+      FROM shingle GROUP BY doc_id),
+d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT d.doc_id, d.n_tokens,
+       COALESCE(g.distinct_grams, 0) AS distinct_grams,
+       GREATEST(d.n_tokens - 2, 0) AS total_grams,
+       CASE WHEN d.n_tokens - 2 > 0 THEN
+         FLOOR((1.0 - COALESCE(g.distinct_grams, 0) * 1.0 / (d.n_tokens - 2)) * 10000.0 + 0.5) / 10000.0
+       END AS repetition
+FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+ORDER BY d.doc_id"""
 }

@@ -176,6 +176,20 @@ class PipelineSpec extends SparkSpec {
     assert(fp.map(_.getString(1)).distinct.length === 4) // docs 0 and 3 share a fp
   }
 
+  test("repetition score flags looping text that novelty cannot see") {
+    val reps = Seq(
+      // "a b c" looped: 9 tokens, 7 total grams, 3 distinct -> 1 - 3/7
+      (0L, "a b c a b c a b c", "en", "s0", 17L),
+      (1L, "every word here is completely distinct from the others", "en", "s0", 54L),
+      (2L, "so tiny", "en", "s0", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.repetitionScore(reps).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(0L).getAs[Double]("repetition") - (1.0 - 3.0 / 7.0)) < 1e-4)
+    assert(out(1L).getAs[Double]("repetition") === 0.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("repetition"))) // < 3 tokens
+  }
+
   test("multimodal stub features are pure functions of payload bytes") {
     val f = Multimodal.multimodalFeatures(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
