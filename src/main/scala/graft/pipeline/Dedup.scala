@@ -397,30 +397,26 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Oracle for the SCALE-MODE MinHash (`idFamily = "xxhash"`,
-   *  gram ids via xxhash64 — no global vocabulary sort): DuckDB cannot
-   *  reproduce xxhash64, so the oracle is the hash-family-INDEPENDENT
-   *  ground truth — every doc pair sharing >= 1 shingle with exact
-   *  Jaccard >= 0.2. The LSH output is always a subset of this set
-   *  (verification re-computes exact Jaccard), so equality asserts
-   *  100% recall of the banded xxhash64 signatures on this corpus —
-   *  a strictly stronger end-to-end check than signature parity. */
-  val dedupMinhashFastOracle: String = "WITH " + shinglesCte + """,
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
-  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT i.doc_a, i.doc_b,
-       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-FROM inter i
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
-ORDER BY i.doc_a, i.doc_b"""
+  /** Oracle for the SCALE-MODE MinHash (`idFamily = "poly"`): the
+   *  [[polyShidCte]] reproduces the codegen'd poly_hash gram ids
+   *  exactly, so the scale mode's signatures, bands, and verified
+   *  pairs are checked bit-for-bit AT ANY SCALE FACTOR.
+   *
+   *  History: this key previously ran `idFamily = "xxhash"` against
+   *  hash-family-independent ground truth (all pairs at exact
+   *  Jaccard >= 0.2). That oracle silently also asserts 100% LSH
+   *  RECALL on the corpus — true at sf0.01, but at sf0.1 one
+   *  borderline pair (J barely over 0.2, per-band match probability
+   *  ~J^4) missed all 4 bands: 255/256 rows. Banded LSH recall is
+   *  probabilistic BY DESIGN at the threshold, so equality-with-
+   *  ground-truth is the wrong invariant to gate on; family parity is
+   *  exact. The xxhash family remains available (cheapest, oracle-
+   *  opaque) and spec-covered (PipelineSpec scale-mode test). */
+  val dedupMinhashFastOracle: String =
+    "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
+      minhashTailSql
 
-  val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
-shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
+  private lazy val minhashTailSql: String = """
 hashes AS (
   SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
   FROM (SELECT unnest(range(0, 16)) AS j)),
@@ -449,6 +445,10 @@ JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY c.doc_a, c.doc_b"""
+
+  val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
+    minhashTailSql
 
   /** SimHash near-dup: 32-bit majority fingerprint over gram-id hash
    *  bits; candidates share >=1 of 4 byte-wide bands (exact for

@@ -46,6 +46,17 @@ object Embeddings {
           .as("qarr"))
       .withColumn("nq", expr("qdot(qarr, qarr)"))
 
+  /** Materialize the quantized index once for the whole ANN family —
+   *  the "build the index, then serve queries" shape every vector
+   *  store has: [[annLsh]]/[[annIvf]]/[[dedupEmbedding]] accept the
+   *  read-back frame via `precomputedQuantized`, so a corpus indexed
+   *  at write time never re-quantizes per query batch. (Fingerprints
+   *  and IVF assignments stay derived — they are pure projections /
+   *  one broadcast pass over this frame, and parameter changes like
+   *  `numCentroids` must not require a re-written store.) */
+  def writeQuantizedStore(emb: DataFrame, path: String): Unit =
+    quantized(emb).write.mode("overwrite").parquet(path)
+
   private val pairDot = "qdot(qarr_a, qarr_b)"
 
   /** Brute-force cosine top-k over an explicit bounded `queries` frame
@@ -167,8 +178,9 @@ nib AS (
    *  join keys on (band, nibble) so each query touches ~|corpus|/2^8
    *  vectors per band, never the full corpus. */
   def annLsh(emb: DataFrame, queries: DataFrame,
-             minCosine: Double = 0.3): DataFrame = {
-    val qv = quantized(emb).cache()
+             minCosine: Double = 0.3,
+             precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
     val qq = quantized(queries)
     val cands = nibbles(qq)
       .select(col("band"), col("nibv"), col("vec_id").as("query_id"))
@@ -218,8 +230,9 @@ ORDER BY d.query_id, d.vec_id"""
    *  whole corpus. */
   def annIvf(emb: DataFrame, queries: DataFrame,
              k: Int = 10, nprobe: Int = 2,
-             numCentroids: Int = 32): DataFrame = {
-    val qv = quantized(emb).cache()
+             numCentroids: Int = 32,
+             precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
     val centroids = qv
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
@@ -315,8 +328,9 @@ ORDER BY query_id, rank"""
    *  — the corpus is never self-crossJoined — and candidate generation
    *  goes through [[Dedup.saltedBucketPairs]] so a hot nibble bucket
    *  spreads over several reducers. */
-  def dedupEmbedding(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
-    val qv = quantized(emb).cache()
+  def dedupEmbedding(emb: DataFrame, minCosine: Double = 0.4,
+                     precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
     val nib = nibbles(qv).cache() // salted pair gen reads it twice
     val cands = Dedup.saltedBucketPairs(nib, Seq("band", "nibv"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))

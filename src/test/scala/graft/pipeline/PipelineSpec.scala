@@ -176,6 +176,29 @@ class PipelineSpec extends SparkSpec {
     assert(fp.map(_.getString(1)).distinct.length === 4) // docs 0 and 3 share a fp
   }
 
+  test("quantized vector store yields identical ANN/near-dup output") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.5f), 0),
+      (1L, Array.fill(64)(0.5f), 0),
+      (100L, Array.tabulate(64)(i => 0.5f + (i % 3) * 0.01f), 0),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val store = tmpDir("qv-store") + "/qv"
+    Embeddings.writeQuantizedStore(emb, store)
+    val qv = Some(spark.read.parquet(store))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val direct = Embeddings.dedupEmbedding(emb)
+      .collect().map(_.toSeq).toSet
+    val stored = Embeddings.dedupEmbedding(emb, precomputedQuantized = qv)
+      .collect().map(_.toSeq).toSet
+    assert(direct === stored)
+    assert(direct.nonEmpty)
+    val lshDirect = Embeddings.annLsh(emb, queries).collect().map(_.toSeq).toSet
+    val lshStored = Embeddings.annLsh(emb, queries, precomputedQuantized = qv)
+      .collect().map(_.toSeq).toSet
+    assert(lshDirect === lshStored)
+  }
+
   test("repetition score flags looping text that novelty cannot see") {
     val reps = Seq(
       // "a b c" looped: 9 tokens, 7 total grams, 3 distinct -> 1 - 3/7
