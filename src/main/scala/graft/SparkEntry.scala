@@ -91,6 +91,7 @@ ORDER BY event_id"""
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
+    "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // decontamination harness split: docs % 20 == 0 play the eval
     // benchmark, the rest are training candidates
@@ -182,6 +183,7 @@ ORDER BY event_id"""
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
+    "source_mix" -> Sampling.sourceMixOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,

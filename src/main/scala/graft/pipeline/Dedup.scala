@@ -25,10 +25,9 @@ import graft.util.Round.r4
  * arithmetic, identical in any engine. At 100 TB the library swaps the
  * md5 digest for a digest-free family (`idFamily = "poly"` — the
  * codegen'd [[graft.functions.PolyHash]], still SQL-reproducible so
- * the oracle verifies fingerprints bit-for-bit — or `"xxhash"`,
- * cheapest but oracle-opaque, verified against hash-family-independent
- * ground truth, [[dedupMinhashFastOracle]]); the algorithm is
- * otherwise unchanged.
+ * the oracle verifies signatures bit-for-bit at any scale — or
+ * `"xxhash"`, cheapest but oracle-opaque, covered by the in-driver
+ * scale-mode specs); the algorithm is otherwise unchanged.
  */
 object Dedup {
 
@@ -122,9 +121,11 @@ shingle AS (
    *    exactly reproducible in DuckDB ([[polyGramIdSql]]), so the
    *    scale mode keeps a full fingerprint-parity oracle.
    *  - `"xxhash"` (cheapest, oracle-opaque): `pmod(xxhash64, P)` —
-   *    nothing another engine reproduces; verify against
-   *    hash-family-independent ground truth
-   *    ([[dedupMinhashFastOracle]]) instead.
+   *    nothing another engine reproduces, so no SQL oracle; covered by
+   *    the in-driver scale-mode specs. (A ground-truth-equality oracle
+   *    was tried and retired: it doubles as a 100%-LSH-recall
+   *    assertion, which is probabilistic at the Jaccard threshold and
+   *    broke at sf0.1.)
    *
    *  mod P keeps the affine hashes (a*gid+b) inside Long range under
    *  ANSI arithmetic AND non-negative (a raw 64-bit hash would

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /**
  * Dataset-splitting and stratified-selection operators for a
@@ -91,6 +92,49 @@ c AS (
 SELECT doc_id, writer, n_tok, cum_before // 2000 AS shard_idx
 FROM c
 ORDER BY doc_id"""
+
+  /** Per-source mixture accounting + uniform-mixture resampling
+   *  weights — the "data mixing" step of a pre-training pipeline:
+   *  what fraction of tokens each source contributes and the weight
+   *  that would equalize the mix (`uniform_weight` > 1 = upsample,
+   *  < 1 = downsample; multiply by any target share for a non-uniform
+   *  recipe). The corpus collapses to ONE K-row frame in the groupBy
+   *  (partial agg map-side); the unpartitioned totals window runs on
+   *  those K rows only — a single-partition window over source
+   *  cardinality, not over the corpus. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r4(col("n_tokens") * lit(1.0) / col("total_tokens")).as("token_share"),
+        r4(col("total_tokens") * lit(1.0)
+          / (col("n_sources") * col("n_tokens"))).as("uniform_weight"))
+      .orderBy("source")
+  }
+
+  val sourceMixOracle: String = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+  FROM per)
+SELECT source, n_docs, n_tokens,
+       FLOOR((n_tokens * 1.0 / total_tokens) * 10000.0 + 0.5) / 10000.0 AS token_share,
+       FLOOR((total_tokens * 1.0 / (n_sources * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS uniform_weight
+FROM tot
+ORDER BY source"""
 
   /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
    *  quality score (ties broken by doc_id) — the "best docs per
