@@ -59,14 +59,27 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = names.map(n => n -> runMedian(n))
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
+    def r3(x: Double): String =
+      if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val eps = ingestEventsPerSec(spark)
+    // Full-precision medians + (min,max) spreads go to a local artifact
+    // (committed per round as bench_local_r*.json); stdout gets a COMPACT
+    // line — the harness that collects BENCH_r*.json keeps only the last
+    // ~2000 chars of output, and rounds 1-5 proved a full-precision line
+    // with spreads overflows that window and is dropped unparsed.
+    val qsFull = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, lo, hi)) =>
       "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val eps = ingestEventsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_spread":$spread,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_local_last.json"),
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -92,6 +92,9 @@ ORDER BY event_id"""
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
+    "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
+    "chunk_passages" -> ((s, d) => TextAnalysis.chunkPassages(docs(s, d))),
+    "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // decontamination harness split: docs % 20 == 0 play the eval
     // benchmark, the rest are training candidates
@@ -184,6 +187,9 @@ ORDER BY event_id"""
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,
+    "mix_resample" -> Sampling.mixResampleOracle,
+    "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
+    "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,

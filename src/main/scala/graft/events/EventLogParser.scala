@@ -112,7 +112,13 @@ object EventLogParser {
    *  propagated to every event of that file (a per-file window — one
    *  ingest-time shuffle keyed by file, never paid at query time). In
    *  streaming mode (no windows over unbounded input) `attempt_id` is
-   *  only set on the start rows themselves. */
+   *  only set on the start rows themselves.
+   *
+   *  An optional `attempt_hint` input column backstops both modes: a
+   *  caller that KNOWS the file's attempt (e.g. the incremental
+   *  ingester replaying a grown file's tail, whose ApplicationStart
+   *  line was consumed in an earlier scan) passes it per line and it
+   *  fills `attempt_id` wherever no start line is in view. */
   def parseLines(lines: DataFrame, keepRaw: Boolean = false): DataFrame = {
     import EventModel._
     val e = from_json(col("value"), eventSchema)
@@ -218,14 +224,20 @@ object EventLogParser {
         when(col("e")("Event") === EnvironmentUpdate,
           expr("map_from_entries(transform(e.`Spark Properties`, " +
             "p -> struct(p[0] AS key, p[1] AS value)))")).as("spark_props"),
-        col("log_file"), col("value"))
+        col("log_file"), col("value"),
+        (if (lines.columns.contains("attempt_hint")) col("attempt_hint")
+         else lit(null).cast("string")).as("attempt_hint"))
     val attributed =
-      if (lines.isStreaming) base.withColumn("attempt_id", col("attempt_raw"))
+      if (lines.isStreaming)
+        base.withColumn("attempt_id",
+          coalesce(col("attempt_raw"), col("attempt_hint")))
       else base.withColumn("attempt_id",
-        max("attempt_raw").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("log_file")))
+        coalesce(
+          max("attempt_raw").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("log_file")),
+          col("attempt_hint")))
     (if (keepRaw) attributed.withColumn("raw", col("value")) else attributed)
-      .drop("attempt_raw", "log_file", "value")
+      .drop("attempt_raw", "attempt_hint", "log_file", "value")
       .filter(col("event_type").isNotNull)
   }
 

@@ -153,7 +153,14 @@ shingle AS (
   /** DuckDB mirror of the `"poly"` family ([[graft.functions.PolyHash]]):
    *  per-code-point power-table sum over the gram's first 64 code
    *  points. Emits `shid(doc_id, gid)` from `shingle`; prepend
-   *  `WITH RECURSIVE` (the power table is a recursive CTE). */
+   *  `WITH RECURSIVE` (the power table is a recursive CTE).
+   *
+   *  Unicode granularity: DuckDB's `len`/`substr`/`ord` are
+   *  CODE-POINT-granular (not grapheme-cluster), matching the Scala
+   *  `codePointAt` loop exactly — verified cross-engine for combining
+   *  marks, Devanagari clusters, astral-plane emoji, and ZWJ
+   *  sequences by `tools/poly_parity.py` (run it against the local
+   *  DuckDB whenever either side of the lockstep changes). */
   val polyShidCte: String = """
 pw AS (
   SELECT 1 AS i, CAST(1 AS BIGINT) AS v

@@ -86,8 +86,8 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, writer, n_tok,
-         COALESCE(SUM(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
   FROM t)
 SELECT doc_id, writer, n_tok, cum_before // 2000 AS shard_idx
 FROM c
@@ -135,6 +135,69 @@ SELECT source, n_docs, n_tokens,
        FLOOR((total_tokens * 1.0 / (n_sources * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS uniform_weight
 FROM tot
 ORDER BY source"""
+
+  /** Materialize [[sourceMix]]'s uniform-mixture recipe: emit each doc
+   *  `n_copies` times, where n_copies is the source's equalizing
+   *  weight split into a whole part (every doc repeats floor(w) times)
+   *  and a fractional part applied deterministically (doc's md5 bucket
+   *  in [0,10000) < frac(w)*10000 → one extra copy; w < 1 downsamples
+   *  the same way, possibly to zero copies). The weight is computed in
+   *  1e-4 FIXED POINT with integer division, so every copy count is
+   *  engine-exact and append-stable per doc.
+   *
+   *  Shape at scale: the K-row weight table broadcasts onto a pure
+   *  per-row projection; the explode fans out AFTER the filter, so a
+   *  downsampled source never materializes dropped rows. No shuffle
+   *  beyond the K-row aggregation itself. */
+  def mixResample(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    val weights = per
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"),
+        expr("(total_tokens * 10000L) div (n_sources * n_tokens)").as("w4"))
+    docs.select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000L).as("b"))
+      .join(broadcast(weights), "source")
+      .withColumn("n_copies",
+        expr("w4 div 10000") +
+          when(col("b") < expr("w4 % 10000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0) // sequence(0,-1) counts DOWN: filter first
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(0L, n_copies - 1)")).as("copy_idx"),
+        col("n_copies"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val mixResampleOracle: String = """
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per),
+w AS (
+  SELECT source, (total_tokens * 10000) // (n_sources * n_tokens) AS w4
+  FROM per, tot),
+d AS (
+  SELECT doc_id, d.source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS BIGINT) AS b,
+         w4
+  FROM documents d JOIN w ON d.source = w.source),
+c AS (
+  SELECT doc_id, source,
+         w4 // 10000 + CASE WHEN b < w4 % 10000 THEN 1 ELSE 0 END AS n_copies
+  FROM d)
+SELECT doc_id, source,
+       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+       n_copies
+FROM c
+ORDER BY doc_id, copy_idx"""
 
   /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
    *  quality score (ties broken by doc_id) — the "best docs per

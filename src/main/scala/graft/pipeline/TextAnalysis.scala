@@ -273,6 +273,96 @@ ORDER BY doc.doc_id"""
           r4(lit(1.0) - col("distinct_grams") * lit(1.0) / col("total_grams"))))
       .orderBy("doc_id")
 
+  /** Fixed-token-window passage chunking with overlap — the layout
+   *  step that turns documents into training/retrieval passages:
+   *  chunk i covers tokens [i*stride, i*stride + window), the last
+   *  chunk keeps its tail short rather than re-padding. Pure per-row
+   *  projection + explode — chunk count, boundaries, and content are
+   *  all computed from the in-row token array, so the operator is a
+   *  single codegen'd pass with NO shuffle at any corpus size (the
+   *  explode multiplies rows ~n_tok/stride-fold BEFORE any downstream
+   *  exchange, exactly where a 100 TB pipeline wants the fan-out).
+   *  Chunk content is emitted as an md5 fingerprint, not the text:
+   *  the passage store would be written directly from the slice;
+   *  the fingerprint keeps this frame narrow and join-friendly. */
+  def chunkPassages(docs: DataFrame, window: Int = 30,
+                    stride: Int = 20): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "window must cover the stride or chunks would skip tokens")
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), words.as("w"), size(words).cast("long").as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1L))
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride") + lit(1L)))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        size(slice(col("w"), col("chunk_id") * stride + 1, lit(window)))
+          .cast("long").as("chunk_tokens"),
+        md5(to_binary(
+          array_join(slice(col("w"), col("chunk_id") * stride + 1, lit(window)), " "),
+          lit("utf-8"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkPassagesOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CASE WHEN n <= 30 THEN 1
+                              ELSE (n - 30 + 19) // 20 + 1 END)) AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 20 AS BIGINT) AS start_tok,
+       CAST(len(w[CAST(chunk_id * 20 + 1 AS INTEGER) : CAST(chunk_id * 20 + 30 AS INTEGER)]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(w[CAST(chunk_id * 20 + 1 AS INTEGER) : CAST(chunk_id * 20 + 30 AS INTEGER)], ' ')) AS chunk_fp
+FROM c
+ORDER BY doc_id, chunk_id"""
+
+  /** Global top-k vocabulary: term frequency + document frequency for
+   *  the k most frequent terms — the corpus profile a tokenizer
+   *  training / coverage check starts from. Shape at scale: one
+   *  explode into a two-level partial aggregation (count + distinct
+   *  doc_id both combine map-side), then a driver-bounded
+   *  TakeOrdered(k) — the ONLY single-point step touches k rows, never
+   *  the vocabulary. Ties rank alphabetically so the cut is
+   *  deterministic. */
+  def vocabTopk(docs: DataFrame, k: Int = 100): DataFrame = {
+    val stats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(
+        count(lit(1)).as("term_count"),
+        countDistinct("doc_id").as("doc_freq"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(k)
+    stats.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("term_count").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("term_count"), col("doc_freq"))
+      .orderBy("rank")
+  }
+
+  val vocabTopkOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+s AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY term),
+r AS (
+  SELECT term, term_count, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS rank
+  FROM s)
+SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
+FROM r WHERE rank <= 100
+ORDER BY rank"""
+
   val repetitionScoreOracle: String = "WITH " + Dedup.shinglesCte.trim + """,
 g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS distinct_grams
       FROM shingle GROUP BY doc_id),

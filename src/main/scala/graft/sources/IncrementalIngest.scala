@@ -38,8 +38,12 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
   /** Committed scan state for one file: `offset` = end of the last
    *  complete line already handed to a successful `process`; `seenLen`
    *  = the file length at that scan (so an unchanged file — even one
-   *  with a dangling partial line — is skipped without reopening). */
-  private case class FileState(modTime: Long, offset: Long, seenLen: Long)
+   *  with a dangling partial line — is skipped without reopening);
+   *  `attemptId` = the App Attempt ID of the file's ApplicationStart
+   *  line, persisted so TAIL reads (which never see that start line
+   *  again) can stamp attempts identically to a whole-file parse. */
+  private case class FileState(modTime: Long, offset: Long, seenLen: Long,
+                               attemptId: Option[String] = None)
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,8 +56,10 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       txt.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(path, mt, off, len) = line.split("\t")
-        path -> FileState(mt.toLong, off.toLong, len.toLong)
+        // 5-field TSV; 4-field lines (pre-attempt checkpoints) still load
+        val parts = line.split("\t", -1)
+        parts(0) -> FileState(parts(1).toLong, parts(2).toLong, parts(3).toLong,
+          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None)
       }.toMap
     }
   }
@@ -61,9 +67,27 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
   private def saveState(state: Map[String, FileState]): Unit = {
     val p = new Path(checkpointPath)
     val out = fs(p).create(p, true)
-    try out.write(state.map { case (k, s) => s"$k\t${s.modTime}\t${s.offset}\t${s.seenLen}" }
+    try out.write(state.map { case (k, s) =>
+      s"$k\t${s.modTime}\t${s.offset}\t${s.seenLen}\t${s.attemptId.getOrElse("")}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Attempt ID from the file's head: ApplicationStart is one of the
+   *  first lines Spark writes, so one bounded read of the head chunk
+   *  finds it without parsing the file. Compressed logs are skipped
+   *  (finalized files never grow, so their tails are never read). */
+  private def headAttemptId(f: FileSystem, p: Path, len: Long): Option[String] = {
+    if (len == 0 || p.getName.matches(".*\\.(gz|lz4|snappy|zstd)$")) return None
+    val n = math.min(len, 65536L).toInt
+    val buf = new Array[Byte](n)
+    val in = f.open(p)
+    try { in.seek(0); in.readFully(buf, 0, n) } finally in.close()
+    val re = """"App Attempt ID"\s*:\s*"([^"]*)"""".r
+    new String(buf, "UTF-8").linesIterator
+      .find(_.contains("SparkListenerApplicationStart"))
+      .flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
+      .filter(_.nonEmpty)
   }
 
   /** Byte position after the LAST '\n' at or before `len` (0 if none):
@@ -92,14 +116,16 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     } finally in.close()
   }
 
-  /** Paths whose length changed since the last committed scan (new,
-   *  grown, or truncated-and-rewritten). */
+  /** Paths changed since the last committed scan (new, grown, or
+   *  rewritten — a same-length in-place rewrite still moves the
+   *  modification time, so length alone would miss it). */
   def pendingFiles(dirUri: String): Seq[String] = {
     val seen = loadState()
     EventLogSource.listLogs(spark, dirUri)
       .filter { s =>
         seen.get(s.getPath.toString) match {
-          case Some(st) => s.getLen != st.seenLen
+          case Some(st) =>
+            s.getLen != st.seenLen || s.getModificationTime != st.modTime
           case None => true
         }
       }
@@ -128,33 +154,45 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     // silently marked consumed
     val statuses = EventLogSource.listLogs(spark, dirUri)
       .map(s => (s.getPath, s.getLen, s.getModificationTime))
-    val pending = statuses.filter { case (p, len, _) =>
-      seen.get(p.toString).forall(_.seenLen != len)
+    val pending = statuses.filter { case (p, len, mt) =>
+      seen.get(p.toString).forall(st => st.seenLen != len || st.modTime != mt)
     }
     if (pending.isEmpty) return Nil
 
+    // GROWN means strictly longer than last committed scan; an equal or
+    // shorter length with a moved mtime is a rewrite and goes down the
+    // whole-file path (tail bytes of a rewritten file are unrelated to
+    // the committed offset).
     val (grown, whole) = pending.partition { case (p, len, _) =>
       seen.get(p.toString).exists(st =>
-        len > st.offset && len - st.offset <= maxDriverTailBytes)
+        len > st.seenLen && len > st.offset &&
+          len - st.offset <= maxDriverTailBytes)
     }
 
     var committed = Map.empty[String, FileState]
 
-    for ((p, len, mt) <- whole)
-      committed += p.toString -> FileState(mt, lastLineEnd(fs(p), p, len), len)
-
-    val tailLines: Seq[(String, String)] = grown.flatMap { case (p, len, mt) =>
+    for ((p, len, mt) <- whole) {
       val f = fs(p)
-      val off = seen(p.toString).offset
+      committed += p.toString ->
+        FileState(mt, lastLineEnd(f, p, len), len, headAttemptId(f, p, len))
+    }
+
+    val tailLines: Seq[(String, String, String)] = grown.flatMap { case (p, len, mt) =>
+      val f = fs(p)
+      val st = seen(p.toString)
+      val off = st.offset
+      // pre-attempt (4-field) checkpoints carry no attempt: recover it
+      // from the file head once, then persist it
+      val att = st.attemptId.orElse(headAttemptId(f, p, len))
       val lineEnd = lastLineEnd(f, p, len)
-      committed += p.toString -> FileState(mt, math.max(lineEnd, off), len)
+      committed += p.toString -> FileState(mt, math.max(lineEnd, off), len, att)
       if (lineEnd <= off) Nil // grew, but no complete new line yet
       else {
         val buf = new Array[Byte]((lineEnd - off).toInt)
         val in = f.open(p)
         try { in.seek(off); in.readFully(buf) } finally in.close()
         new String(buf, "UTF-8").linesIterator
-          .filter(_.nonEmpty).map(l => (l, p.toString)).toSeq
+          .filter(_.nonEmpty).map(l => (l, p.toString, att.orNull)).toSeq
       }
     }
 
@@ -173,7 +211,8 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
       if (tailLines.isEmpty) None
       else {
         import spark.implicits._
-        Some(EventLogParser.parseLines(tailLines.toDF("value", "log_file")))
+        Some(EventLogParser.parseLines(
+          tailLines.toDF("value", "log_file", "attempt_hint")))
       }
     val delta = (wholeDf, tailDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)

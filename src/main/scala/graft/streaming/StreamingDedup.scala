@@ -26,10 +26,15 @@ import graft.pipeline.Dedup
  * bounded by executor state-store memory the way a
  * `flatMapGroupsWithState` vocabulary would be.
  *
- * Survivor rule (deterministic): pairs are oriented doc_a < doc_b, so
- * a batch doc appearing as `doc_b` of ANY verified pair has an
- * earlier near-duplicate (in the corpus, or earlier in its own batch)
- * and is dropped; everything else is appended. Replayed batches
+ * Survivor rule (deterministic): the corpus is already accepted, so a
+ * batch doc pairing with ANY corpus doc is dropped no matter which
+ * side of the (doc_a < doc_b)-oriented pair it landed on — ids carry
+ * no arrival order, so a batch doc CAN be the smaller `doc_a` of a
+ * corpus pair. Within a batch, the smaller id of a batch-batch pair
+ * survives (appears only as `doc_a` of batch-batch pairs), the larger
+ * is dropped. Net: drop a batch doc iff it appears as `doc_b` of any
+ * pair, or as `doc_a` of a pair whose partner is a corpus (non-batch)
+ * doc. Replayed batches
  * (at-least-once restart) re-derive the same survivor set against a
  * store that already contains it — re-appends are the same rows, and
  * exactly-once writers can key on the batchId `foreachBatch` hands
@@ -59,7 +64,15 @@ object StreamingDedup {
           .cache()
         pairs.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(pairsDir)
-        val dupIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+        // doc_b of any pair is always dropped; doc_a is dropped only
+        // when its partner is a corpus doc (anti-join on batch ids) —
+        // for batch-batch pairs the smaller doc_a survives.
+        val batchIds = b.select("doc_id")
+        val dropAsA = pairs
+          .join(batchIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+          .select(col("doc_a").as("doc_id"))
+        val dupIds = pairs.select(col("doc_b").as("doc_id"))
+          .union(dropAsA).distinct()
         b.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(storeDir)
         pairs.unpersist()

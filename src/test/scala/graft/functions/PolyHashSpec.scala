@@ -23,8 +23,13 @@ class PolyHashSpec extends SparkSpec {
   }
 
   test("poly_hash matches the big-integer reference definition") {
+    // includes combining marks (e + U+0301), a Devanagari cluster, and
+    // astral-plane emoji + ZWJ — one grapheme, MANY code points; the
+    // hash must see each code point (tools/poly_parity.py pins the
+    // DuckDB mirror to the same sequence)
     for (s <- Seq("", "a", "the quick brown", "fox jumps over",
-        "ünïcödé ğram ✓", "x" * 200)) {
+        "ünïcödé ğram ✓", "café क्षत्रिय", "a‍😀 ok",
+        "x" * 200)) {
       assert(PolyHash.compute(UTF8String.fromString(s)) === reference(s), s)
     }
   }

@@ -213,6 +213,59 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("repetition"))) // < 3 tokens
   }
 
+  test("chunk passages: boundaries, tail chunk, and single-chunk docs") {
+    val d = Seq(
+      (0L, (0 until 12).map(i => s"t$i").mkString(" "), "en", "s0", 50L),
+      (1L, "a b", "en", "s0", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkPassages(d, window = 5, stride = 3).collect()
+    val doc0 = out.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 tokens, w=5, s=3: ceil((12-5)/3)+1 = 4 chunks; starts 0,3,6,9;
+    // the last keeps its 3-token tail
+    assert(doc0.toSeq === Seq((0L, 0L, 5L), (1L, 3L, 5L), (2L, 6L, 5L), (3L, 9L, 3L)))
+    // every token index is inside some [start, start+len) window
+    assert((0 until 12).forall(i => doc0.exists(c => i >= c._2 && i < c._2 + c._3)))
+    // a doc shorter than the window is exactly one whole-doc chunk
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.length === 1 &&
+      doc1(0).getLong(2) === 0L && doc1(0).getLong(3) === 2L)
+  }
+
+  test("vocab top-k ranks by count with alphabetical tie-break") {
+    val d = Seq(
+      (0L, "a b a", "en", "s0", 5L),
+      (1L, "b a", "en", "s0", 3L),
+      (2L, "c", "en", "s1", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabTopk(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
+  }
+
+  test("mix resample: fixed-point copy counts are deterministic and exact") {
+    // fixture sources: s0 = {0,1} = 28 tokens, s1 = {2} = 10,
+    // s2 = {3} = 14, s3 = {4} = 2; total 54, k = 4. Fixed-point weights
+    // w4 = 540000 div (4 * toks): s0 = 4821, s1 = 13500, s2 = 9642,
+    // s3 = 67500. md5 buckets: doc0 = 6916, doc1 = 9560, doc2 = 8605,
+    // doc3 = 8110, doc4 = 8457 — so copies are exactly: doc0/doc1
+    // dropped (6916, 9560 >= 4821), doc2 1x, doc3 1x (8110 < 9642),
+    // doc4 6x (floor only; 8457 >= 7500).
+    val out = Sampling.mixResample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._1 == 0L) === 0)
+    assert(out.count(_._1 == 1L) === 0)
+    assert(out.count(_._1 == 2L) === 1)
+    assert(out.count(_._1 == 3L) === 1)
+    val doc4 = out.filter(_._1 == 4L)
+    assert(doc4.length === 6)
+    assert(doc4.forall(_._4 === 6L)) // n_copies column
+    assert(doc4.map(_._3).sorted.toSeq === (0L to 5L)) // contiguous copy_idx
+    // deterministic across runs
+    assert(Sampling.mixResample(docs).collect().toSeq ===
+      Sampling.mixResample(docs).collect().toSeq)
+  }
+
   test("multimodal stub features are pure functions of payload bytes") {
     val f = Multimodal.multimodalFeatures(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

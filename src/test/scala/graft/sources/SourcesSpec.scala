@@ -143,4 +143,53 @@ class SourcesSpec extends SparkSpec {
     // and a no-change rescan is empty
     assert(ing.ingest(s"file://$d")(_ => fail("no delta expected")).isEmpty)
   }
+
+  test("tail-ingested events carry the file's attempt_id from the checkpoint") {
+    val d = tmpDir("incr-att")
+    val ckpt = tmpDir("incr-att-ckpt") + "/state.tsv"
+    val p = java.nio.file.Paths.get(d, "app-att.json")
+    val ts = 1700000000000L
+    val start =
+      s"""{"Event":"SparkListenerApplicationStart","App Name":"a","App ID":"app-att","App Attempt ID":"2","Timestamp":$ts,"User":"u","Spark Version":"3.5.1"}"""
+    def taskEnd(i: Int) =
+      s"""{"Event":"SparkListenerTaskEnd","Task Info":{"Task ID":$i,"Stage ID":0,"Executor ID":"1","Host":"h","Launch Time":${ts + i},"Finish Time":${ts + i + 5}},"Task Metrics":{"Executor Run Time":5}}"""
+    java.nio.file.Files.writeString(p, start + "\n" + taskEnd(0) + "\n")
+    val ing = new IncrementalIngest(spark, ckpt)
+    var atts: Seq[String] = Nil
+    def run(): Unit = ing.ingest(s"file://$d")(df => atts =
+      df.select("attempt_id").collect().map(_.getString(0)).toSeq)
+    run()
+    assert(atts.toSet === Set("2")) // whole-file read: window attribution
+    // the appended tail has no ApplicationStart in view — the attempt
+    // must come from the checkpoint, not default to null
+    java.nio.file.Files.writeString(p, taskEnd(1) + "\n" + taskEnd(2) + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+    assert(atts.size === 2)
+    assert(atts.toSet === Set("2"))
+  }
+
+  test("a same-length in-place rewrite is detected via mtime and re-read whole") {
+    val d = tmpDir("incr-rw")
+    val ckpt = tmpDir("incr-rw-ckpt") + "/state.tsv"
+    val p = java.nio.file.Paths.get(d, "app-rw.json")
+    val lines = EventLogFixture.appLog("app-rw")
+    val body = lines.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(p, body)
+    val ing = new IncrementalIngest(spark, ckpt)
+    var n = -1L
+    ing.ingest(s"file://$d")(df => n = df.count())
+    assert(n === 12)
+    // rewrite the file with DIFFERENT bytes of the SAME length, mtime
+    // bumped past the recorded one (length-only detection misses this)
+    val rewritten = body.replace("nightly-etl", "nightly-ETL")
+    assert(rewritten.length === body.length)
+    java.nio.file.Files.writeString(p, rewritten)
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(p).toMillis + 5000))
+    n = -1L
+    ing.ingest(s"file://$d")(df => n = df.count())
+    assert(n === 12) // whole-file re-read, not skipped, not a tail
+  }
 }

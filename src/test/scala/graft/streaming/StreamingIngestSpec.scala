@@ -140,6 +140,20 @@ class StreamingIngestSpec extends SparkSpec {
     assert(pairSet.contains((0L, 1L)))  // within-batch dup, batch 1
     assert(pairSet.contains((0L, 10L))) // cross-batch dup vs the store
     assert(!pairSet.exists(p => p._1 == 11L || p._2 == 11L))
+
+    // batch 3: 5 is a near-dup of STORED doc 11 with a SMALLER id, so
+    // the pair is (5, 11) and the batch doc is doc_a — it must still
+    // be dropped (ids carry no arrival order); 12 is novel
+    Seq(
+      (5L, "entirely novel prose with no overlap whatsoever against anything after"),
+      (12L, "fresh standalone sentences mentioning neither foxes nor any prior topic")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L)) // 5 dropped as doc_a
+    val pairSet3 = spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet3.contains((5L, 11L)))
   }
 
   test("watermarked live aggregate plans with bounded state") {

@@ -57,7 +57,14 @@ def main():
         bad = []
         for c in s.columns:
             a, b = s[c], d[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            fa, fb = pd.api.types.is_float_dtype(a), pd.api.types.is_float_dtype(b)
+            if fa != fb:
+                # Driver hashes value reprs, so int64 0 vs float64 0.0 is a
+                # FAIL there — mirror it (caught: DuckDB HUGEINT // int -> DOUBLE).
+                print(f"FAIL {name}: dtype mismatch on {c}: spark={a.dtype} duck={b.dtype}")
+                bad.append(f"{c} (float/int dtype mismatch)")
+                continue
+            if fa and fb:
                 eq = (a.fillna(-1e300).astype(float) - b.fillna(-1e300).astype(float)).abs() < 1e-9
             else:
                 eq = a.astype(str).fillna("<NA>") == b.astype(str).fillna("<NA>")
