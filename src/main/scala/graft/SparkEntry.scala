@@ -93,6 +93,11 @@ ORDER BY event_id"""
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
+    // the synthetic corpus carries no PII, so at any SF this key
+    // proves cross-engine regex parity on the no-op path; the
+    // operator's redaction behavior is pinned by PipelineSpec on a
+    // PII-bearing fixture
+    "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(docs(s, d))),
     "chunk_passages" -> ((s, d) => TextAnalysis.chunkPassages(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
@@ -188,6 +193,7 @@ ORDER BY event_id"""
     "shard_pack" -> Sampling.shardPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
+    "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "curation_sample" -> Sampling.curationSampleOracle,

@@ -273,6 +273,53 @@ ORDER BY doc.doc_id"""
           r4(lit(1.0) - col("distinct_grams") * lit(1.0) / col("total_grams"))))
       .orderBy("doc_id")
 
+  /** PII scrubbing: redact emails, IPv4 addresses, and phone-shaped
+   *  number runs with typed placeholders, and count each kind — the
+   *  compliance pass a training corpus runs before anything else. Pure
+   *  per-row projection (three chained codegen'd regexp_replace calls,
+   *  no shuffle, no UDF). Counts are measured on the SUCCESSIVELY
+   *  redacted text, in replacement order (emails on the original, IPs
+   *  after emails are gone, phones after IPs are gone), so a digit run
+   *  inside an email is never double-counted as a phone; the DuckDB
+   *  oracle nests its regexp_replace calls identically. Patterns stay
+   *  inside the Java-regex ∩ RE2 common subset (no backrefs, no
+   *  lookaround) so both engines see identical matches. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d() -]{6,}\\d"
+    val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4, "<IP>")
+    val scrubbed = regexp_replace(afterIp, phone, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(ipv4), lit(0))).cast("long")
+        .as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(phone), lit(0))).cast("long")
+        .as("n_phones"),
+      md5(to_binary(scrubbed, lit("utf-8"))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubOracle: String = """
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+  FROM documents),
+s2 AS (
+  SELECT doc_id, text, after_email,
+         regexp_replace(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS after_ip
+  FROM s)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', 0)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '\+?\d[\d() -]{6,}\d', 0)) AS BIGINT) AS n_phones,
+       md5(regexp_replace(after_ip, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g')) AS clean_fp
+FROM s2
+ORDER BY doc_id"""
+
   /** Fixed-token-window passage chunking with overlap — the layout
    *  step that turns documents into training/retrieval passages:
    *  chunk i covers tokens [i*stride, i*stride + window), the last

@@ -189,6 +189,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
   }
 
+  test("passage chunking is a pure per-row explode — no shuffle before the fan-out") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.chunkPassages(docs))
+    // chunk count/boundaries/content all come from the in-row token
+    // array: the only exchange allowed is the final presentation sort
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab top-k: partial aggregation then a driver-bounded TakeOrdered cut") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.vocabTopk(docs))
+    // count + count-distinct combine map-side; the global cut is
+    // TakeOrdered(k), never a worldwide sort of the vocabulary
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix resample broadcasts the weight table and explodes after the copy filter") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Sampling.mixResample(docs))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // dropped docs must be filtered out BEFORE the sequence explode
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, p)
+    assert(lines.drop(genIdx + 1).exists(_.contains("n_copies")), p)
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),

@@ -266,6 +266,34 @@ class PipelineSpec extends SparkSpec {
       Sampling.mixResample(docs).collect().toSeq)
   }
 
+  test("pii scrub redacts emails, IPs, and phones with exact counts") {
+    val d = Seq(
+      (0L, "contact alice.smith+dev@example.co.uk or bob@test.org today", "en", "s0", 60L),
+      (1L, "server 10.0.42.7 and 192.168.1.255 are up", "en", "s0", 41L),
+      (2L, "call +1 (555) 123-4567 or 020 7946 0958 now", "en", "s0", 43L),
+      (3L, "mail root@10.0.0.1.example.com from 8.8.8.8", "en", "s0", 43L),
+      (4L, "no sensitive content here at all", "en", "s0", 32L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows(0L) === ((2L, 0L, 0L)))
+    assert(rows(1L) === ((0L, 2L, 0L)))
+    assert(rows(2L) === ((0L, 0L, 2L)))
+    // doc 3: the email regex eats "root@10.0.0.1.example.com" (digits
+    // included), so only 8.8.8.8 remains to count as an IP — the
+    // successive-redaction contract
+    assert(rows(3L) === ((1L, 1L, 0L)))
+    assert(rows(4L) === ((0L, 0L, 0L)))
+    // clean text of doc 4 is untouched: fp equals md5 of the original
+    val fp = TextAnalysis.piiScrub(d).filter(col("doc_id") === 4L)
+      .select("clean_fp").collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("no sensitive content here at all".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp === md)
+  }
+
   test("multimodal stub features are pure functions of payload bytes") {
     val f = Multimodal.multimodalFeatures(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
