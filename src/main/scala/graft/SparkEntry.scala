@@ -116,6 +116,23 @@ ORDER BY event_id"""
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
+    // Same incremental split, but through the MAINTAINED-STORE path
+    // (precomputed corpus shingles + append-only gram-df deltas — the
+    // StreamingDedup per-trigger shape): corpus text is never
+    // shingled, and the result must still hash-match the full-run
+    // oracle. The df frame is split in two delta pieces on purpose,
+    // proving the SUM-fold of an append-only store is exact.
+    "dedup_ngram_incr_store" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 400)
+      val corpusSh = Dedup.shingles(corpus)
+      val dfDeltas = corpusSh.filter(col("doc_id") < 200)
+        .groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+        .unionByName(corpusSh.filter(col("doc_id") >= 200)
+          .groupBy("gram").agg(count(lit(1)).as("df_cnt")))
+      Dedup.dedupNgramIncremental(
+        corpus.limit(0), docs(s, d).filter(col("doc_id") >= 400),
+        corpusShingles = Some(corpusSh), corpusGramDf = Some(dfDeltas))
+    }),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
     // Scale mode (codegen'd poly_hash gram ids — digest-free AND
     // SQL-reproducible): bit-exact banded-signature oracle at any SF.
@@ -204,6 +221,7 @@ ORDER BY event_id"""
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
+    "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,

@@ -313,14 +313,40 @@ ORDER BY c.doc_a, c.doc_b"""
    *  batch's rare shingles, so old-old pairs are never enumerated —
    *  the O(old²) term exists in neither generation nor verification.
    *  Output is exactly the full-run pair set restricted to
-   *  batch-touching pairs. */
+   *  batch-touching pairs.
+   *
+   *  Repeated-invocation mode (the [[graft.streaming.StreamingDedup]]
+   *  loop, or a daily ingest job): re-shingling the corpus TEXT on
+   *  every call is O(corpus) work per call, which diverges as the
+   *  corpus grows. Pass `corpusShingles` (the maintained
+   *  [[writeShingleStore]] frame — `corpus` text is then NEVER read)
+   *  and `corpusGramDf` (a maintained `(gram, df_cnt)` frame; delta
+   *  rows with duplicate grams are fine — they are folded by SUM, so
+   *  an append-only per-batch delta store is a valid input) and the
+   *  per-call work drops to O(batch shingles + store scans): no
+   *  `word_ngrams` pass over the corpus, no corpus-wide re-count. */
   def dedupNgramIncremental(corpus: DataFrame, batch: DataFrame,
                             maxDf: Long = 5L,
-                            minJaccard: Double = 0.2): DataFrame = {
-    val all = corpus.select("doc_id", "text")
-      .unionByName(batch.select("doc_id", "text"))
-    val sh = shingles(all).cache()
-    val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+                            minJaccard: Double = 0.2,
+                            corpusShingles: Option[DataFrame] = None,
+                            corpusGramDf: Option[DataFrame] = None): DataFrame = {
+    val batchDocs = batch.select("doc_id", "text")
+    val sh = corpusShingles match {
+      case Some(cs) => cs.select("doc_id", "gram")
+        .unionByName(shingles(batchDocs)).cache()
+      case None => shingles(
+        corpus.select("doc_id", "text").unionByName(batchDocs)).cache()
+    }
+    // corpus-wide df: either counted from the shingle frame, or — when
+    // a maintained df store is supplied — folded as store-deltas +
+    // batch counts (O(|vocab|), not O(|shingle rows|), per call)
+    val df = corpusGramDf match {
+      case Some(cdf) => cdf.select(col("gram"), col("df_cnt"))
+        .unionByName(shingles(batchDocs)
+          .groupBy("gram").agg(count(lit(1)).as("df_cnt")))
+        .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
+      case None => sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    }
     val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
     val rareSh = sh.join(rare, "gram")
     val newIds = batch.select(col("doc_id")).distinct()

@@ -221,6 +221,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(lines.drop(genIdx + 1).exists(_.contains("n_copies")), p)
   }
 
+  test("streaming dedup trigger reads ONLY the shingle/gram-df stores — never corpus text") {
+    import spark.implicits._
+    val base = tmpDir("sdedup-audit")
+    val corpusDir = base + "/corpusdocs"
+    val shDir = base + "/shinglestore"
+    val dfDir = base + "/gramdfstore"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "completely different content about spark data processing")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Dedup.shingles(corpus).write.parquet(shDir)
+    graft.pipeline.Dedup.shingles(corpus)
+      .groupBy("gram").agg(count(lit(1)).as("df_cnt")).write.parquet(dfDir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val pairs = graft.streaming.StreamingDedup.triggerPairs(
+      spark, batch, shDir, dfDir, 5L, 0.2)
+    // the batch is a LocalRelation, so every file scan in the trigger
+    // plan is a store read: all of them must point at the shingle or
+    // gram-df stores, and none at the corpus documents — re-shingling
+    // corpus TEXT per trigger is exactly the O(corpus) term this path
+    // exists to eliminate
+    val locations = plan(pairs).linesIterator
+      .filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, plan(pairs))
+    assert(locations.forall(l =>
+      l.contains("shinglestore") || l.contains("gramdfstore")), locations.toString)
+    assert(!plan(pairs).contains("corpusdocs"), plan(pairs))
+    // and the result is still right: 10 is a near-dup of stored doc 0
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 10L)))
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),

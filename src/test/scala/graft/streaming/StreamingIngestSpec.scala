@@ -156,6 +156,78 @@ class StreamingIngestSpec extends SparkSpec {
     assert(pairSet3.contains((5L, 11L)))
   }
 
+  test("streaming dedup restart recovery: per-batch restarts equal one continuous run, state stores track the doc store") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // batch 1: 1 dups 0 (0 survives); 2 novel. batch 2: 10 dups the
+    // STORED 0 (dropped); 5 novel. Outcome is trigger-split-invariant
+    // for this corpus EXCEPT the 0-vs-1 pair, so batch 1 is written as
+    // ONE file (one trigger) in both variants.
+    val b1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different content about spark data processing at massive scale"))
+    val b2 = Seq(
+      (10L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "entirely novel prose with no overlap whatsoever against anything before"))
+
+    def run(restart: Boolean): (Set[Long], Set[(Long, Long)], String) = {
+      val root = tmpDir(s"sdedup-recover")
+      val src = root + "/src"
+      val store = root + "/corpus"
+      val pairsDir = root + "/pairs"
+      val ckpt = root + "/ckpt"
+      def streamOnce(maxFiles: Option[Int]): Unit = {
+        val rd = spark.readStream.schema(schema)
+        val q = StreamingDedup.dedupedDocStream(
+          maxFiles.fold(rd)(n => rd.option("maxFilesPerTrigger", n.toString))
+            .parquet(src), store, pairsDir, ckpt)
+        q.awaitTermination(60000)
+      }
+      if (restart) {
+        // "kill" between batches: each stream run terminates
+        // (AvailableNow) and a NEW query resumes from the checkpoint
+        b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        streamOnce(None)
+        b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        streamOnce(None)
+      } else {
+        b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100) // distinct mtimes => deterministic trigger order
+        b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        streamOnce(Some(1)) // one continuous query, one file per trigger
+      }
+      val survivors = spark.read.parquet(store).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val pairs = spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (survivors, pairs, store)
+    }
+
+    val (survR, pairsR, storeR) = run(restart = true)
+    val (survC, pairsC, _) = run(restart = false)
+    assert(survR === Set(0L, 2L, 5L))
+    assert(survR === survC)
+    assert(pairsR === pairsC)
+    assert(pairsR === Set((0L, 1L), (0L, 10L)))
+
+    // after the resumed run, the maintained dedup state must agree
+    // with the doc store: same doc ids in the shingle store, and the
+    // folded gram-df deltas equal a fresh count over those shingles
+    val storedSh = spark.read.parquet(storeR + "_shingles")
+    assert(storedSh.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === survR)
+    val folded = spark.read.parquet(storeR + "_gramdf")
+      .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
+    val fresh = graft.pipeline.Dedup.shingles(spark.read.parquet(storeR))
+      .groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    assert(folded.exceptAll(fresh).isEmpty && fresh.exceptAll(folded).isEmpty)
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
