@@ -283,11 +283,25 @@ ORDER BY doc.doc_id"""
    *  inside an email is never double-counted as a phone; the DuckDB
    *  oracle nests its regexp_replace calls identically. Patterns stay
    *  inside the Java-regex ∩ RE2 common subset (no backrefs, no
-   *  lookaround) so both engines see identical matches. */
+   *  lookaround) so both engines see identical matches.
+   *
+   *  Phone shape: a compliance scrubber must not swallow every long
+   *  digit run (epoch timestamps, UUID segments, ISBNs), so the
+   *  pattern demands phone STRUCTURE — an international `+` run, or
+   *  2-4 lead digits / a parenthesised area code followed by
+   *  separator-delimited groups (3-4+3-4 digits, or a 7-digit local
+   *  block). Word-boundary anchored on both ends so a match never
+   *  starts or ends inside a longer digit run. The deliberate
+   *  trade-off: an unseparated local number ("5551234567") is NOT
+   *  redacted — without separators it is indistinguishable from an
+   *  id, and false positives are the failure mode that matters in a
+   *  scrub pass. */
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-    val phone = "\\+?\\d[\\d() -]{6,}\\d"
+    val phone = "\\+\\d{7,14}\\b|(?:\\+\\d{1,3}[ -])?" +
+      "(?:\\(\\d{1,4}\\)[ -]?|\\b\\d{2,4}[ -])" +
+      "(?:\\d{3,4}[ -]\\d{3,4}|\\d{7})\\b"
     val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, ipv4, "<IP>")
     val scrubbed = regexp_replace(afterIp, phone, "<PHONE>")
@@ -315,8 +329,8 @@ s2 AS (
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', 0)) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(after_ip, '\+?\d[\d() -]{6,}\d', 0)) AS BIGINT) AS n_phones,
-       md5(regexp_replace(after_ip, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g')) AS clean_fp
+       CAST(len(regexp_extract_all(after_ip, '\+\d{7,14}\b|(?:\+\d{1,3}[ -])?(?:\(\d{1,4}\)[ -]?|\b\d{2,4}[ -])(?:\d{3,4}[ -]\d{3,4}|\d{7})\b', 0)) AS BIGINT) AS n_phones,
+       md5(regexp_replace(after_ip, '\+\d{7,14}\b|(?:\+\d{1,3}[ -])?(?:\(\d{1,4}\)[ -]?|\b\d{2,4}[ -])(?:\d{3,4}[ -]\d{3,4}|\d{7})\b', '<PHONE>', 'g')) AS clean_fp
 FROM s2
 ORDER BY doc_id"""
 

@@ -272,7 +272,11 @@ class PipelineSpec extends SparkSpec {
       (1L, "server 10.0.42.7 and 192.168.1.255 are up", "en", "s0", 41L),
       (2L, "call +1 (555) 123-4567 or 020 7946 0958 now", "en", "s0", 43L),
       (3L, "mail root@10.0.0.1.example.com from 8.8.8.8", "en", "s0", 43L),
-      (4L, "no sensitive content here at all", "en", "s0", 32L)
+      (4L, "no sensitive content here at all", "en", "s0", 32L),
+      // phone-shaped ONLY: structure required, bare digit runs ignored
+      (5L, "epoch 1700000000000 id 123e4567-e89b-12d3-a456-426614174000", "en", "s0", 60L),
+      (6L, "isbn 978-3-16-148410-0 date 2026-08-12 order 12345678", "en", "s0", 54L),
+      (7L, "dial +15551234567 or +49 170 1234567 then 555 123 4567", "en", "s0", 55L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val rows = TextAnalysis.piiScrub(d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -285,6 +289,12 @@ class PipelineSpec extends SparkSpec {
     // successive-redaction contract
     assert(rows(3L) === ((1L, 1L, 0L)))
     assert(rows(4L) === ((0L, 0L, 0L)))
+    // epoch millis, UUID segments, ISBN groups, ISO dates, and bare
+    // order ids must NOT be redacted as phones (the over-match class)
+    assert(rows(5L) === ((0L, 0L, 0L)))
+    assert(rows(6L) === ((0L, 0L, 0L)))
+    // international +run, cc + separated groups, and 3-3-4 all redact
+    assert(rows(7L) === ((0L, 0L, 3L)))
     // clean text of doc 4 is untouched: fp equals md5 of the original
     val fp = TextAnalysis.piiScrub(d).filter(col("doc_id") === 4L)
       .select("clean_fp").collect()(0).getString(0)
