@@ -1,6 +1,8 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.events.EventLogParser
 
@@ -15,9 +17,12 @@ import graft.events.EventLogParser
  * detection + per-file offset tracking). Spark-native shape: the
  * checkpoint is a tiny TSV state file; file listing is a driver
  * metadata op; NEW files are parsed as one distributed read; grown
- * files' tails are fetched driver-side (a seek + bounded read per
- * file — tails are small by construction) and parallelized into the
- * same parser. For continuous tailing use
+ * files' commit points, attempt ids, and tail bytes are gathered by
+ * TWO distributed passes (one tiny-row metadata job, one tail-read
+ * job) — a directory of 10k concurrently-growing logs costs two Spark
+ * jobs per scan, never 10k+ serial driver round-trips, and tail BYTES
+ * go straight from executors into the parser without staging on the
+ * driver. For continuous tailing use
  * [[graft.streaming.StreamingIngest]] which gets the same semantics
  * from Structured Streaming's file-source offset log.
  *
@@ -33,7 +38,9 @@ import graft.events.EventLogParser
  * dedup on (app_id, event hash), same as any re-ingest.
  */
 class IncrementalIngest(spark: SparkSession, checkpointPath: String,
-                        maxDriverTailBytes: Long = 512L << 20) {
+                        maxTailBytes: Long = 512L << 20) {
+
+  import IncrementalIngest._
 
   /** Committed scan state for one file: `offset` = end of the last
    *  complete line already handed to a successful `process`; `seenLen`
@@ -73,49 +80,6 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     finally out.close()
   }
 
-  /** Attempt ID from the file's head: ApplicationStart is one of the
-   *  first lines Spark writes, so one bounded read of the head chunk
-   *  finds it without parsing the file. Compressed logs are skipped
-   *  (finalized files never grow, so their tails are never read). */
-  private def headAttemptId(f: FileSystem, p: Path, len: Long): Option[String] = {
-    if (len == 0 || p.getName.matches(".*\\.(gz|lz4|snappy|zstd)$")) return None
-    val n = math.min(len, 65536L).toInt
-    val buf = new Array[Byte](n)
-    val in = f.open(p)
-    try { in.seek(0); in.readFully(buf, 0, n) } finally in.close()
-    val re = """"App Attempt ID"\s*:\s*"([^"]*)"""".r
-    new String(buf, "UTF-8").linesIterator
-      .find(_.contains("SparkListenerApplicationStart"))
-      .flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
-      .filter(_.nonEmpty)
-  }
-
-  /** Byte position after the LAST '\n' at or before `len` (0 if none):
-   *  the only safe commit point — everything past it is a partial
-   *  line. Scans backwards in bounded chunks from the end, so the cost
-   *  is one seek + a few KB even on a multi-GB file. */
-  private def lastLineEnd(f: FileSystem, p: Path, len: Long): Long = {
-    if (len == 0) return 0L
-    val in = f.open(p)
-    try {
-      val chunk = 65536
-      var end = len
-      while (end > 0) {
-        val start = math.max(0L, end - chunk)
-        val buf = new Array[Byte]((end - start).toInt)
-        in.seek(start)
-        in.readFully(buf)
-        var i = buf.length - 1
-        while (i >= 0) {
-          if (buf(i) == '\n') return start + i + 1
-          i -= 1
-        }
-        end = start
-      }
-      0L
-    } finally in.close()
-  }
-
   /** Paths changed since the last committed scan (new, grown, or
    *  rewritten — a same-length in-place rewrite still moves the
    *  modification time, so length alone would miss it). */
@@ -143,9 +107,9 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
    *  Delta shapes:
    *   - NEW file (no checkpoint entry) or REWRITE (length below the
    *     committed offset): whole file through the distributed reader.
-   *   - GROWN file: only bytes [offset, lastLineEnd) are read — a
-   *     driver-side seek+read (tails are small; a growth beyond
-   *     `maxDriverTailBytes` falls back to re-reading the file whole,
+   *   - GROWN file: only bytes [offset, lastLineEnd) are read — an
+   *     executor-side seek+read per file (tails are small; a growth
+   *     beyond `maxTailBytes` falls back to re-reading the file whole,
    *     distributed, under the same at-least-once contract). */
   def ingest(dirUri: String)(process: DataFrame => Unit): Seq[String] = {
     val seen = loadState()
@@ -166,37 +130,41 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     val (grown, whole) = pending.partition { case (p, len, _) =>
       seen.get(p.toString).exists(st =>
         len > st.seenLen && len > st.offset &&
-          len - st.offset <= maxDriverTailBytes)
+          len - st.offset <= maxTailBytes)
     }
+
+    // ONE distributed metadata pass over every pending file: each
+    // file's commit point (end of last complete line) and attempt id
+    // come back as tiny rows. Grown files reuse the checkpointed
+    // attempt (pre-attempt 4-field checkpoints recover it from the
+    // head once); whole/rewritten files always re-read the head — a
+    // rewrite may carry a NEW attempt id.
+    val wholeSet = whole.map(_._1.toString).toSet
+    val metaIn = pending.map { case (p, len, _) =>
+      val known =
+        if (wholeSet(p.toString)) None
+        else seen.get(p.toString).flatMap(_.attemptId)
+      (p.toString, len, known)
+    }
+    val meta = scanMeta(spark, hadoopProps(spark), metaIn)
 
     var committed = Map.empty[String, FileState]
 
     for ((p, len, mt) <- whole) {
-      val f = fs(p)
-      committed += p.toString ->
-        FileState(mt, lastLineEnd(f, p, len), len, headAttemptId(f, p, len))
+      val (lineEnd, att) = meta(p.toString)
+      committed += p.toString -> FileState(mt, lineEnd, len, att)
     }
 
-    val tailLines: Seq[(String, String, String)] = grown.flatMap { case (p, len, mt) =>
-      val f = fs(p)
-      val st = seen(p.toString)
-      val off = st.offset
-      // pre-attempt (4-field) checkpoints carry no attempt: recover it
-      // from the file head once, then persist it
-      val att = st.attemptId.orElse(headAttemptId(f, p, len))
-      val lineEnd = lastLineEnd(f, p, len)
-      committed += p.toString -> FileState(mt, math.max(lineEnd, off), len, att)
-      if (lineEnd <= off) Nil // grew, but no complete new line yet
-      else {
-        val buf = new Array[Byte]((lineEnd - off).toInt)
-        val in = f.open(p)
-        try { in.seek(off); in.readFully(buf) } finally in.close()
-        new String(buf, "UTF-8").linesIterator
-          .filter(_.nonEmpty).map(l => (l, p.toString, att.orNull)).toSeq
+    val tailTasks: Seq[(String, Long, Long, String)] =
+      grown.flatMap { case (p, len, mt) =>
+        val st = seen(p.toString)
+        val (lineEnd, att) = meta(p.toString)
+        committed += p.toString -> FileState(mt, math.max(lineEnd, st.offset), len, att)
+        if (lineEnd <= st.offset) None // grew, but no complete new line yet
+        else Some((p.toString, st.offset, lineEnd, att.orNull))
       }
-    }
 
-    if (whole.isEmpty && tailLines.isEmpty) {
+    if (whole.isEmpty && tailTasks.isEmpty) {
       // only dangling partial lines moved: remember the new lengths so
       // unchanged files are skipped next scan, but there is nothing to
       // hand to `process` (offsets did not advance — nothing is lost)
@@ -208,11 +176,12 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
       if (whole.isEmpty) None
       else Some(EventLogParser.read(spark, whole.map(_._1.toString): _*))
     val tailDf: Option[DataFrame] =
-      if (tailLines.isEmpty) None
+      if (tailTasks.isEmpty) None
       else {
         import spark.implicits._
         Some(EventLogParser.parseLines(
-          tailLines.toDF("value", "log_file", "attempt_hint")))
+          tailRows(spark, hadoopProps(spark), tailTasks)
+            .toDF("value", "log_file", "attempt_hint")))
       }
     val delta = (wholeDf, tailDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -224,4 +193,104 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     saveState(loadState() ++ committed)
     pending.map(_._1.toString)
   }
+}
+
+/** Executor-side helpers: every function here is called from task
+ *  closures, so nothing captures the enclosing class (whose
+ *  SparkSession is not serializable). The Hadoop conf travels as a
+ *  plain key-value array and is rebuilt per task, so custom
+ *  filesystem settings (s3a credentials, HDFS nameservices) reach the
+ *  executors. */
+object IncrementalIngest {
+
+  private def hadoopProps(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+
+  private def openFs(pathStr: String, props: Array[(String, String)]): (FileSystem, Path) = {
+    val conf = new Configuration()
+    props.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(pathStr)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Attempt ID from the file's head: ApplicationStart is one of the
+   *  first lines Spark writes, so one bounded read of the head chunk
+   *  finds it without parsing the file. Compressed logs are skipped
+   *  (finalized files never grow, so their tails are never read). */
+  private[sources] def headAttemptId(f: FileSystem, p: Path, len: Long): Option[String] = {
+    if (len == 0 || p.getName.matches(".*\\.(gz|lz4|snappy|zstd)$")) return None
+    val n = math.min(len, 65536L).toInt
+    val buf = new Array[Byte](n)
+    val in = f.open(p)
+    try { in.seek(0); in.readFully(buf, 0, n) } finally in.close()
+    val re = """"App Attempt ID"\s*:\s*"([^"]*)"""".r
+    new String(buf, "UTF-8").linesIterator
+      .find(_.contains("SparkListenerApplicationStart"))
+      .flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
+      .filter(_.nonEmpty)
+  }
+
+  /** Byte position after the LAST '\n' at or before `len` (0 if none):
+   *  the only safe commit point — everything past it is a partial
+   *  line. Scans backwards in bounded chunks from the end, so the cost
+   *  is one seek + a few KB even on a multi-GB file. */
+  private[sources] def lastLineEnd(f: FileSystem, p: Path, len: Long): Long = {
+    if (len == 0) return 0L
+    val in = f.open(p)
+    try {
+      val chunk = 65536
+      var end = len
+      while (end > 0) {
+        val start = math.max(0L, end - chunk)
+        val buf = new Array[Byte]((end - start).toInt)
+        in.seek(start)
+        in.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return start + i + 1
+          i -= 1
+        }
+        end = start
+      }
+      0L
+    } finally in.close()
+  }
+
+  /** Distributed metadata pass: (path, commit point, attempt id) for
+   *  every pending file in ONE job of tiny rows — the per-file seeks
+   *  run in executors, in parallel. `known` attempt ids (from the
+   *  checkpoint) skip the head read. */
+  private def scanMeta(spark: SparkSession, props: Array[(String, String)],
+                       files: Seq[(String, Long, Option[String])])
+      : Map[String, (Long, Option[String])] = {
+    if (files.isEmpty) return Map.empty
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 64).max(1))
+      .map { case (pathStr, len, known) =>
+        val (f, p) = openFs(pathStr, props)
+        (pathStr, (lastLineEnd(f, p, len), known.orElse(headAttemptId(f, p, len))))
+      }
+      .collect().toMap
+  }
+
+  /** Distributed tail read: each (path, offset, lineEnd, attempt) task
+   *  seeks and reads its byte range in an executor and emits the lines
+   *  directly into the parser's input — tail bytes never stage on the
+   *  driver. */
+  private def tailRows(spark: SparkSession, props: Array[(String, String)],
+                       tasks: Seq[(String, Long, Long, String)])
+      : RDD[(String, String, String)] =
+    spark.sparkContext
+      .parallelize(tasks, math.min(tasks.size, 64).max(1))
+      .flatMap { case (pathStr, off, end, att) =>
+        val (f, p) = openFs(pathStr, props)
+        val buf = new Array[Byte]((end - off).toInt)
+        val in = f.open(p)
+        try { in.seek(off); in.readFully(buf) } finally in.close()
+        new String(buf, "UTF-8").linesIterator
+          .filter(_.nonEmpty).map(l => (l, pathStr, att)).toList
+      }
 }

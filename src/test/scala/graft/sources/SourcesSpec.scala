@@ -169,6 +169,40 @@ class SourcesSpec extends SparkSpec {
     assert(atts.toSet === Set("2"))
   }
 
+  test("one scan handles 1k concurrently-grown tails without per-file driver serialization") {
+    val d = tmpDir("incr-fleet")
+    val ckpt = tmpDir("incr-fleet-ckpt") + "/state.tsv"
+    val ts = 1700000000000L
+    def start(i: Int) =
+      s"""{"Event":"SparkListenerApplicationStart","App Name":"a$i","App ID":"app-f$i","App Attempt ID":"$i","Timestamp":$ts,"User":"u","Spark Version":"3.5.1"}"""
+    def taskEnd(i: Int, t: Int) =
+      s"""{"Event":"SparkListenerTaskEnd","Task Info":{"Task ID":$t,"Stage ID":0,"Executor ID":"1","Host":"h","Launch Time":${ts + t},"Finish Time":${ts + t + 5}},"Task Metrics":{"Executor Run Time":5}}"""
+    val n = 1000
+    for (i <- 0 until n)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, f"app-f$i%04d.json"),
+        start(i) + "\n" + taskEnd(i, 0) + "\n")
+    val ing = new IncrementalIngest(spark, ckpt)
+    var cnt = 0L
+    ing.ingest(s"file://$d")(df => cnt = df.count())
+    assert(cnt === 2L * n)
+    // every file grows by one event; the re-scan must ingest exactly
+    // the 1000 tails — two Spark jobs (metadata + tail read), with the
+    // per-file seeks running in executors, not a driver loop
+    for (i <- 0 until n)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, f"app-f$i%04d.json"), taskEnd(i, 1) + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+    var tails: Array[org.apache.spark.sql.Row] = Array.empty
+    ing.ingest(s"file://$d")(df =>
+      tails = df.select("app_id", "attempt_id").collect())
+    assert(tails.length === n)
+    // attempt ids come from the checkpoint written by the first scan —
+    // each tail row is stamped with ITS OWN file's attempt
+    assert(tails.map(_.getString(1)).distinct.length === n)
+    assert(ing.ingest(s"file://$d")(_ => fail("no delta expected")).isEmpty)
+  }
+
   test("a same-length in-place rewrite is detected via mtime and re-read whole") {
     val d = tmpDir("incr-rw")
     val ckpt = tmpDir("incr-rw-ckpt") + "/state.tsv"
