@@ -58,7 +58,43 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = names.map(n => n -> runMedian(n))
+
+    /** Shared-shingle-store scenario: materialize the (doc_id, gram)
+      * store ONCE, then run the whole near-dup family (ngram + minhash
+      * + simhash) from it — the pipeline shape a real corpus pass uses.
+      * Compare against the sum of the three cold per-query medians to
+      * read the reuse win (the cold runs each pay tokenize+gram
+      * explode; here it is paid once, at store-write time). */
+    val sharedStore =
+      java.nio.file.Files.createTempDirectory("graft-shstore").toString
+    def sharedFamilyOnce(dir: String): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      try {
+        graft.pipeline.Dedup.writeShingleStore(docs, sharedStore)
+        val sh = Some(spark.read.parquet(sharedStore))
+        graft.pipeline.Dedup.dedupNgram(docs, precomputedShingles = sh)
+          .write.format("noop").mode("overwrite").save()
+        graft.pipeline.Dedup.dedupMinhash(docs, precomputedShingles = sh)
+          .write.format("noop").mode("overwrite").save()
+        graft.pipeline.Dedup.dedupSimhash(docs, precomputedShingles = sh)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup_family_shared failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    sharedFamilyOnce(warmDir) // absorb codegen/JIT like every other query
+    val sharedRuns = (0 until 3).map(_ => sharedFamilyOnce(sfDir))
+    val sharedMedian =
+      if (sharedRuns.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      else (sharedRuns.sorted.apply(1), sharedRuns.min, sharedRuns.max)
+
+    val results = names.map(n => n -> runMedian(n)) :+
+      ("dedup_family_shared" -> sharedMedian)
     def r3(x: Double): String =
       if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).filter(_ >= 0).sum

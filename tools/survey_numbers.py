@@ -55,6 +55,14 @@ def render(bench_path, tests):
                      " 20-30k, README.md:13).")
     if tests:
         parts.append(f"- ScalaTest: {tests} tests passing.")
+    shared = ok.get("dedup_family_shared")
+    cold = [ok.get(k) for k in ("dedup_ngram", "dedup_minhash", "dedup_simhash")]
+    if shared is not None and all(c is not None for c in cold):
+        parts.append(
+            f"- Shared shingle store: ngram+minhash+simhash from one"
+            f" materialized store run in {shared:.2f} s vs"
+            f" {sum(cold):.2f} s as three cold queries"
+            f" ({sum(cold) / shared:.2f}x, store write included).")
     parts.append(END)
     return "\n".join(parts)
 
