@@ -231,13 +231,16 @@ ORDER BY d.query_id, d.vec_id"""
   def annIvf(emb: DataFrame, queries: DataFrame,
              k: Int = 10, nprobe: Int = 2,
              numCentroids: Int = 32,
-             precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+             precomputedQuantized: Option[DataFrame] = None,
+             trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
-    val centroids = qv
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(numCentroids)
-      .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
-        col("nq").as("nq_a"))
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(qv
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(numCentroids)
+        .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
+          col("nq").as("nq_a")))
     // nearest centroid per vector (cosine argmax, ties -> lowest id)
     val assigned = qv
       .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
@@ -322,6 +325,64 @@ ranked AS (
 SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rank"""
+
+  /** k-means-refined IVF codebook: start from the same deterministic
+   *  hash-ordered seeds [[annIvf]] uses and run `iters` Lloyd rounds,
+   *  each as TWO DataFrame passes — ASSIGN (the broadcast-K cosine
+   *  argmax, the identical shape annIvf's list assignment uses) and
+   *  UPDATE (one partial-aggregating `groupBy(cent_id)` carrying 64
+   *  per-dimension SUM columns + a count; the new centroid is the
+   *  integer-rounded mean, so the codebook is EXACT under any
+   *  aggregation order — no float-sum nondeterminism). A cluster that
+   *  loses every member keeps its previous centroid (left join +
+   *  coalesce), so K never shrinks. Each round materializes the K-row
+   *  codebook eagerly (`localCheckpoint`) so the next broadcast ships
+   *  K rows, not a growing lineage.
+   *
+   *  Output is the `(cent_id, qarr_a, nq_a)` frame [[annIvf]] accepts
+   *  as `trainedCentroids`: the hash-ordered sample is scale-correct
+   *  but quality-blind, and on clustered embeddings a few Lloyd
+   *  rounds move the codebook onto the data's actual modes — which is
+   *  what makes low-`nprobe` probing recall respectable. Cost per
+   *  round is one broadcast pass over the corpus + a K-row aggregate:
+   *  at 100 TB, train on a bounded deterministic sample (`emb` is the
+   *  caller's frame — pass a hash-filtered slice) and assign the full
+   *  corpus once with the final codebook. */
+  def trainCentroids(emb: DataFrame, numCentroids: Int = 32,
+                     iters: Int = 3): DataFrame = {
+    val qv = quantized(emb).cache()
+    var cents = qv
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
+        col("nq").as("nq_a"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = qv
+        .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+        .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cosine").desc, col("cent_id"))))
+        .filter(col("rk") === 1)
+        .select(col("cent_id"), col("qarr_b"))
+      val sumCols = (0 until Dims).map(i =>
+        sum(col("qarr_b")(i)).as(s"s$i")) :+ count(lit(1)).as("cnt")
+      val means = assigned.groupBy("cent_id")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("cent_id"), array((0 until Dims).map(i =>
+          round(col(s"s$i").cast("double") / col("cnt")).cast("long")): _*)
+          .as("qarr_new"))
+        .withColumn("nq_new", expr("qdot(qarr_new, qarr_new)"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("qarr_new"), col("qarr_a")).as("qarr_a"),
+          coalesce(col("nq_new"), col("nq_a")).as("nq_a"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 
   /** Embedding-cosine near-dup: all pairs sharing an LSH nibble bucket,
    *  verified at exact quantized cosine >= minCosine. Bucket join only

@@ -266,6 +266,73 @@ class PipelineSpec extends SparkSpec {
       Sampling.mixResample(docs).collect().toSeq)
   }
 
+  test("trained IVF codebook lifts probe recall on clustered embeddings") {
+    // 4 well-separated clusters x 40 members in 64 dims: cluster c is
+    // strong on dims [16c, 16c+16) plus a small deterministic
+    // perturbation (no randomness — the test is exactly repeatable)
+    val vecs = for (c <- 0 until 4; j <- 0 until 40) yield {
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 16 == c) 1.0f else 0.0f
+        base + (((c * 40 + j) * 31 + d * 7) % 11 - 5) * 0.02f
+      }
+      (c * 40L + j, v, s"c$c")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") % 40 === 0) // one per cluster
+
+    def recall(df: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val truth = Embeddings.annTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size === 40)
+
+    val trained = Embeddings.trainCentroids(emb, numCentroids = 8, iters = 3)
+    assert(trained.count() === 8) // empty clusters keep their centroid
+
+    // the k-means objective itself: mean best-cosine of every vector
+    // to the codebook must IMPROVE over the raw hash-sampled seeds
+    // (iters = 0 returns exactly the seed codebook annIvf defaults to)
+    val seeds = Embeddings.trainCentroids(emb, numCentroids = 8, iters = 0)
+    def quality(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cb.select("qarr_a").collect()
+        .map(_.getSeq[Long](0).toArray)
+      def cos(a: Array[Long], b: Array[Long]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val qvecs = vecs.map(_._2.map(x => math.floor(x * 1000 + 0.5).toLong))
+      qvecs.map(v => cents.map(c => cos(v, c)).max).sum / qvecs.size
+    }
+    val (qSeed, qTrained) = (quality(seeds), quality(trained))
+    info(s"codebook quality: seed $qSeed, trained $qTrained")
+    assert(qTrained > qSeed)
+
+    // and probing with the trained codebook keeps recall at least as
+    // good, with a hard absolute bar at the tightest probe budget
+    for (np <- Seq(1, 2)) {
+      val s = recall(
+        Embeddings.annIvf(emb, queries, k = 10, nprobe = np, numCentroids = 8), truth)
+      val t = recall(
+        Embeddings.annIvf(emb, queries, k = 10, nprobe = np,
+          trainedCentroids = Some(trained)), truth)
+      info(s"nprobe=$np seed recall $s, trained recall $t")
+      assert(t >= s)
+      assert(t >= 0.9)
+    }
+    // training is deterministic: a second run yields the same codebook
+    val again = Embeddings.trainCentroids(emb, numCentroids = 8, iters = 3)
+    assert(trained.orderBy("cent_id").collect().toSeq ===
+      again.orderBy("cent_id").collect().toSeq)
+  }
+
   test("pii scrub redacts emails, IPs, and phones with exact counts") {
     val d = Seq(
       (0L, "contact alice.smith+dev@example.co.uk or bob@test.org today", "en", "s0", 60L),
