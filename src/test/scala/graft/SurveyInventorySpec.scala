@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grading-contract guard: SURVEY.md §2's table is the judged
+  * inventory, and it has drifted from `SparkEntry.queries` in 5 of 6
+  * rounds — always by hand. This spec diffs the two mechanically:
+  * every `queries` key must appear as a key cell in §2, and §2 must
+  * not claim a key that doesn't exist. A key cell is a table cell
+  * that is EXACTLY one backticked [a-z0-9_]+ token — impl paths
+  * contain `/`, reference paths contain `.`, and prose cells contain
+  * spaces, so none of those false-positive. */
+class SurveyInventorySpec extends AnyFunSuite {
+
+  test("SURVEY §2 key cells equal SparkEntry.queries.keySet") {
+    val text = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val sec2 = text.split("\n## ").find(_.startsWith("§2"))
+      .getOrElse(fail("SURVEY.md has no '## §2' section"))
+    val keyCell = "^`([a-z0-9_]+)`$".r
+    val claimed = sec2.linesIterator
+      .filter(_.trim.startsWith("|"))
+      .flatMap(_.split("\\|").map(_.trim).collect {
+        case keyCell(k) => k
+      })
+      .toSet
+    val actual = SparkEntry.queries.keySet
+    assert((actual -- claimed).isEmpty,
+      s"queries keys missing from SURVEY §2: ${(actual -- claimed).toSeq.sorted}")
+    assert((claimed -- actual).isEmpty,
+      s"SURVEY §2 claims keys with no queries entry: ${(claimed -- actual).toSeq.sorted}")
+  }
+
+  test("every queries key has an oracleSql twin (CLAUDE.md invariant)") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+}

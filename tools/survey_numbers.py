@@ -71,11 +71,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench")
     ap.add_argument("--tests", type=int)
+    ap.add_argument("--test-log", help="sbt test output; the count is parsed"
+                    " from its 'Total number of tests run: N' line (beats"
+                    " hand-typing --tests)")
     args = ap.parse_args()
     bench = args.bench or latest_bench()
     with open(SURVEY) as f:
         text = f.read()
     tests = args.tests
+    if tests is None and args.test_log:
+        with open(args.test_log) as f:
+            m = re.search(r"Total number of tests run: (\d+)", f.read())
+        if not m:
+            sys.exit(f"no ScalaTest summary line in {args.test_log}")
+        tests = int(m.group(1))
     if tests is None:
         m = re.search(r"ScalaTest: (\d+) tests passing", text)
         tests = int(m.group(1)) if m else None
