@@ -58,6 +58,7 @@ ORDER BY event_id"""
     "app_events_raw" -> ((s, d) => Applications.appEventsRaw(canon(s, d), "app-7")),
     "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
     "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
+    "api_health" -> ((s, d) => graft.api.HistoryServerApi.health(canon(s, d))),
     "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
     "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
@@ -177,6 +178,7 @@ ORDER BY event_id"""
     "app_events_raw" -> Applications.appEventsRawOracle,
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
+    "api_health" -> graft.api.HistoryServerApi.healthOracle,
     "app_jobs" -> JobsStages.appJobsOracle,
     "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,

@@ -84,6 +84,36 @@ object HistoryServerApi {
     Seq(("1", spark.version)).toDF("api_version", "spark_version")
   }
 
+  /** GET /health (reference: src/api.rs:48,231-236). The reference
+   *  returns a static `{"status":"healthy"}`; a LIBRARY's liveness is
+   *  whether the event store is reachable and non-empty, so graft
+   *  reports that plus the corpus bounds a prober actually wants —
+   *  one partial-agg row (map-side combine, no shuffle of data rows)
+   *  over the canonical frame. `status = empty` is still a healthy
+   *  store (reads work); an unreachable store throws, which is the
+   *  unhealthy signal a prober turns into a failed check. */
+  def health(canon: DataFrame): DataFrame =
+    canon.agg(
+      count(lit(1)).as("total_events"),
+      countDistinct("app_id").as("total_applications"),
+      countDistinct("event_type").as("event_types"),
+      min("event_date").as("first_event_date"),
+      max("event_date").as("last_event_date"))
+      .select(
+        when(col("total_events") > 0, lit("healthy")).otherwise(lit("empty"))
+          .as("status"),
+        col("total_events"), col("total_applications"), col("event_types"),
+        col("first_event_date"), col("last_event_date"))
+
+  val healthOracle: String = graft.events.TestDataAdapter.canonCte + """
+SELECT CASE WHEN COUNT(*) > 0 THEN 'healthy' ELSE 'empty' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS total_events,
+       CAST(COUNT(DISTINCT app_id) AS BIGINT) AS total_applications,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_types,
+       MIN(event_date) AS first_event_date,
+       MAX(event_date) AS last_event_date
+FROM canon"""
+
   /** The cross-app analytics routes (src/analytics_api_old.rs:12-21).
    *  `minDate`/`maxDate` are the reference `AnalyticsQuery`'s
    *  `start_date`/`end_date` (src/analytics_api.rs:36-45) — inclusive

@@ -113,6 +113,46 @@ object StreamingDedup {
     pairs.unpersist()
   }
 
+  /** Offline state maintenance: after many triggers the gram-df delta
+   *  store holds one small file set per batch and the shingle store
+   *  fragments the same way. Fold the df deltas to ONE row per gram
+   *  and rewrite both state stores compacted, via the same
+   *  tmp-write + rename-swap [[graft.sources.EventLogSource
+   *  .compactStore]] uses (a crash leaves either the old or the new
+   *  store installed, never a half state). Run it between stream
+   *  restarts — semantics are unchanged because the SUM-fold is
+   *  exactly what every read does anyway. */
+  def compactState(spark: SparkSession, storeDir: String,
+                   shingleDir: String = null, gramDfDir: String = null,
+                   partitions: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swapIn(dir: String, write: String => Unit): Unit = {
+      val path = new Path(dir)
+      val fs = path.getFileSystem(hconf)
+      if (!fs.exists(path)) return
+      val tmp = new Path(dir + ".compact-tmp")
+      val old = new Path(dir + ".compact-old")
+      write(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"compactState: cannot move $path aside")
+      if (!fs.rename(tmp, path)) {
+        fs.rename(old, path) // roll back
+        throw new java.io.IOException(s"compactState: cannot install $tmp")
+      }
+      fs.delete(old, true)
+    }
+    val shDir = Option(shingleDir).getOrElse(storeDir + "_shingles")
+    val dfDir = Option(gramDfDir).getOrElse(storeDir + "_gramdf")
+    swapIn(shDir, tmp => spark.read.schema(shingleSchema).parquet(shDir)
+      .repartition(partitions, col("gram"))
+      .write.parquet(tmp))
+    swapIn(dfDir, tmp => spark.read.schema(gramDfSchema).parquet(dfDir)
+      .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
+      .repartition(partitions)
+      .write.parquet(tmp))
+  }
+
   /** Start the dedup loop over a streaming documents frame (schema
    *  must include `doc_id` and `text`). `storeDir` accumulates
    *  surviving documents; `pairsDir` the verified near-dup pairs with

@@ -66,6 +66,19 @@ class HistoryServerApiSpec extends SparkSpec {
       Map("spark.version" -> "3.5.7", "spark.master" -> "yarn"))
   }
 
+  test("health endpoint reports store liveness + corpus bounds") {
+    val row = HistoryServerApi.health(canon).collect()(0)
+    assert(row.getAs[String]("status") === "healthy")
+    assert(row.getAs[Long]("total_events") > 0)
+    assert(row.getAs[Long]("total_applications") === 2)
+    assert(row.getAs[String]("first_event_date") <=
+      row.getAs[String]("last_event_date"))
+    // an empty (but reachable) store is status=empty, not a crash
+    val empty = HistoryServerApi.health(canon.limit(0)).collect()(0)
+    assert(empty.getAs[String]("status") === "empty")
+    assert(empty.getAs[Long]("total_events") === 0)
+  }
+
   test("version endpoint") {
     assert(HistoryServerApi.version(spark).count() === 1)
   }

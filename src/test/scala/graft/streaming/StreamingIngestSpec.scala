@@ -228,6 +228,43 @@ class StreamingIngestSpec extends SparkSpec {
     assert(folded.exceptAll(fresh).isEmpty && fresh.exceptAll(folded).isEmpty)
   }
 
+  test("compactState folds df deltas to one row per gram and preserves trigger semantics") {
+    import spark.implicits._
+    val root = tmpDir("sdedup-compact")
+    val store = root + "/corpus"
+    val pairsDir = root + "/pairs"
+    val shDir = store + "_shingles"
+    val dfDir = store + "_gramdf"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    StreamingDedup.processBatch(batch(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")),
+      0L, store, pairsDir, shDir, dfDir, 5L, 0.2)
+    StreamingDedup.processBatch(batch(
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")),
+      1L, store, pairsDir, shDir, dfDir, 5L, 0.2)
+
+    def foldedDf = spark.read.parquet(dfDir)
+      .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def shingleRows = spark.read.parquet(shDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val probe = batch(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+    def probePairs = StreamingDedup.triggerPairs(spark, probe, shDir, dfDir, 5L, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val (dfBefore, shBefore, pairsBefore) = (foldedDf, shingleRows, probePairs)
+    assert(pairsBefore === Seq((0L, 20L))) // probe is a near-dup of stored 0
+    // two delta appends for shared grams => more raw rows than grams
+    StreamingDedup.compactState(spark, store)
+    val raw = spark.read.parquet(dfDir)
+    assert(raw.count() === raw.select("gram").distinct().count()) // 1 row/gram
+    assert(foldedDf === dfBefore)
+    assert(shingleRows === shBefore)
+    assert(probePairs === pairsBefore)
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
