@@ -100,6 +100,7 @@ ORDER BY event_id"""
     // PII-bearing fixture
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(docs(s, d))),
     "chunk_passages" -> ((s, d) => TextAnalysis.chunkPassages(docs(s, d))),
+    "passage_dedup" -> ((s, d) => TextAnalysis.passageDedup(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // decontamination harness split: docs % 20 == 0 play the eval
@@ -214,6 +215,7 @@ ORDER BY event_id"""
     "mix_resample" -> Sampling.mixResampleOracle,
     "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
+    "passage_dedup" -> TextAnalysis.passageDedupOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Round.r4
 
@@ -347,7 +348,14 @@ ORDER BY doc_id"""
    *  the passage store would be written directly from the slice;
    *  the fingerprint keeps this frame narrow and join-friendly. */
   def chunkPassages(docs: DataFrame, window: Int = 30,
-                    stride: Int = 20): DataFrame = {
+                    stride: Int = 20): DataFrame =
+    chunkFrame(docs, window, stride).orderBy("doc_id", "chunk_id")
+
+  /** The chunk frame without the presentation sort — shared by
+   *  [[chunkPassages]] and [[passageDedup]] (which exchanges by
+   *  fingerprint next, so a pre-sort would be a wasted range
+   *  exchange). */
+  private def chunkFrame(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride,
       "window must cover the stride or chunks would skip tokens")
     val words = split(col("text"), " ")
@@ -366,8 +374,56 @@ ORDER BY doc_id"""
         md5(to_binary(
           array_join(slice(col("w"), col("chunk_id") * stride + 1, lit(window)), " "),
           lit("utf-8"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  /** Corpus-wide duplicated-passage fraction — the MassiveText-style
+   *  "how much of this document lives inside spans that occur
+   *  elsewhere" cleaning signal that doc-level near-dup misses
+   *  (boilerplate headers, licence blocks, syndicated paragraphs
+   *  pasted into otherwise-distinct documents). Every fixed-token
+   *  window is fingerprinted ([[chunkFrame]]); identical fingerprints
+   *  are ranked corpus-wide and only the FIRST occurrence (smallest
+   *  (doc_id, chunk_id)) counts as original. Scale shape: the in-row
+   *  explode fans out BEFORE the plan's only data exchange (hash
+   *  partitioning by fingerprint for the rank window — no global
+   *  sort), and the per-doc rollup partially aggregates map-side. */
+  def passageDedup(docs: DataFrame, window: Int = 30,
+                   stride: Int = 20): DataFrame = {
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    chunkFrame(docs, window, stride)
+      .withColumn("occ", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ratio",
+        r4(col("dup_chunks") * lit(1.0) / col("n_chunks")))
+      .orderBy("doc_id")
+  }
+
+  val passageDedupOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CASE WHEN n <= 30 THEN 1
+                              ELSE (n - 30 + 19) // 20 + 1 END)) AS chunk_id
+  FROM t),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         md5(array_to_string(w[CAST(chunk_id * 20 + 1 AS INTEGER) : CAST(chunk_id * 20 + 30 AS INTEGER)], ' ')) AS chunk_fp
+  FROM c),
+occ AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) AS occ
+  FROM chunks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       FLOOR((SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+FROM occ
+GROUP BY doc_id
+ORDER BY doc_id"""
 
   val chunkPassagesOracle: String = """
 WITH t AS (

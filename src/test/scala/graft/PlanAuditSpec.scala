@@ -199,6 +199,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("passage dedup: in-row explode fans out before the fingerprint-partitioned window — no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.passageDedup(docs))
+    assert(p.contains("Generate explode"), p)
+    // the rank window partitions by chunk_fp (hash exchange), never a
+    // worldwide SinglePartition sort
+    assert(p.contains("Exchange hashpartitioning(chunk_fp"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab top-k: partial aggregation then a driver-bounded TakeOrdered cut") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.vocabTopk(docs))

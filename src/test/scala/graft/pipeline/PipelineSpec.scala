@@ -266,6 +266,20 @@ class PipelineSpec extends SparkSpec {
       Sampling.mixResample(docs).collect().toSeq)
   }
 
+  test("passage dedup counts corpus-wide repeated spans, first occurrence original") {
+    val d = Seq(
+      (0L, "a b c d e f g h i j"), // chunks [a..e] [f..j]
+      (1L, "a b c d e x y z w v"), // [a..e] duplicates doc 0's first chunk
+      (2L, "q r s")                // one short chunk, unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.passageDedup(d, window = 5, stride = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((2L, 0L, 0.0)))   // original occurrences only
+    assert(out(1L) === ((2L, 1L, 0.5)))   // half the doc is a repeated span
+    assert(out(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("trained IVF codebook lifts probe recall on clustered embeddings") {
     // 4 well-separated clusters x 40 members in 64 dims: cluster c is
     // strong on dims [16c, 16c+16) plus a small deterministic
