@@ -101,6 +101,8 @@ ORDER BY event_id"""
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(docs(s, d))),
     "chunk_passages" -> ((s, d) => TextAnalysis.chunkPassages(docs(s, d))),
     "passage_dedup" -> ((s, d) => TextAnalysis.passageDedup(docs(s, d))),
+    "lexical_rarity" -> ((s, d) => TextAnalysis.lexicalRarity(docs(s, d))),
+    "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // decontamination harness split: docs % 20 == 0 play the eval
@@ -216,6 +218,8 @@ ORDER BY event_id"""
     "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
     "passage_dedup" -> TextAnalysis.passageDedupOracle,
+    "lexical_rarity" -> TextAnalysis.lexicalRarityOracle,
+    "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,

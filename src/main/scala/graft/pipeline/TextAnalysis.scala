@@ -400,6 +400,83 @@ ORDER BY doc_id"""
       .orderBy("doc_id")
   }
 
+  /** Lexical rarity profile — the word-frequency quality heuristic
+   *  (a doc dominated by corpus-rare tokens is jargon/noise/OCR
+   *  garbage; one dominated by ultra-common tokens is boilerplate):
+   *  each token is weighted by the DECIMAL DIGIT COUNT of its corpus
+   *  frequency (digits = floor(log10)+1, computed as
+   *  `length(CAST(count AS STRING))` — exact in every engine, unlike
+   *  floor(log10(10^k)) which sits on a float boundary), and the doc
+   *  reports the mean weight plus its hapax share (tokens whose
+   *  corpus count is exactly 1). Shape at scale: one partial-agg
+   *  `groupBy(term)` for the frequency table, one term-keyed join
+   *  back to the exploded tokens (the [[tfidfTerms]]/[[noveltyScore]]
+   *  df-join shape), one per-doc partial agg. No vocabulary window,
+   *  no global sort. */
+  def lexicalRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("term_count"))
+      .withColumn("digits", length(col("term_count").cast("string")).cast("long"))
+    toks.join(freq, "term")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum("digits").as("digit_sum"),
+        sum(when(col("term_count") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("hapax_tokens"),
+        r4(col("digit_sum") * lit(1.0) / col("n_tokens")).as("mean_freq_digits"),
+        r4(col("hapax_tokens") * lit(1.0) / col("n_tokens")).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val lexicalRarityOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count,
+         CAST(len(CAST(COUNT(*) AS VARCHAR)) AS BIGINT) AS digits
+  FROM toks GROUP BY term)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.term_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+       FLOOR((CAST(SUM(f.digits) AS BIGINT) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_freq_digits,
+       FLOOR((CAST(SUM(CASE WHEN f.term_count = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS hapax_ratio
+FROM toks t JOIN freq f ON t.term = f.term
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+  /** One-row corpus card — the summary a data pipeline publishes with
+   *  every corpus snapshot (doc/token volume, source and language
+   *  spread, exact-dup mass). ONE partial-aggregating pass: every
+   *  measure is a map-side-combining count/sum/distinct over a pure
+   *  projection, so the operator is a single scan at any corpus size.
+   *  `dup_docs` = docs minus distinct content hashes — the mass an
+   *  exact-dedup pass would remove, free from the same scan. */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct(md5(to_binary(col("text"), lit("utf-8")))).as("distinct_texts"))
+    .select(
+      col("n_docs"), col("total_tokens"), col("n_langs"), col("n_sources"),
+      (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+      r4(col("total_tokens") * lit(1.0) / col("n_docs")).as("mean_tokens"))
+
+  val corpusReportOracle: String = """
+WITH d AS (
+  SELECT doc_id, text, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+       FLOOR((CAST(SUM(n_tokens) AS BIGINT) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_tokens
+FROM d"""
+
   val passageDedupOracle: String = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w,

@@ -280,6 +280,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("lexical rarity weights tokens by corpus-frequency digits, counts hapaxes") {
+    val d = Seq(
+      (0L, "a a a a a a a a a a"), // 10 of corpus total 12 'a'
+      (1L, "a a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalRarity(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // corpus counts: a=12 (2 digits), b=1 (1 digit, hapax)
+    assert(out(0L) === ((10L, 0L, 2.0, 0.0)))
+    assert(out(1L) === ((3L, 1L, 1.6667, 0.3333))) // (2+2+1)/3, 1/3
+  }
+
+  test("corpus report is one exact summary row") {
+    val row = TextAnalysis.corpusReport(docs).collect()(0)
+    assert(row.getAs[Long]("n_docs") === 5L)
+    assert(row.getAs[Long]("total_tokens") === 54L) // 14+14+10+14+2
+    assert(row.getAs[Long]("n_langs") === 1L)
+    assert(row.getAs[Long]("n_sources") === 4L)
+    assert(row.getAs[Long]("dup_docs") === 1L) // doc 3 repeats doc 0's text
+    assert(row.getAs[Double]("mean_tokens") === 10.8)
+  }
+
   test("trained IVF codebook lifts probe recall on clustered embeddings") {
     // 4 well-separated clusters x 40 members in 64 dims: cluster c is
     // strong on dims [16c, 16c+16) plus a small deterministic
