@@ -59,6 +59,32 @@ object Embeddings {
 
   private val pairDot = "qdot(qarr_a, qarr_b)"
 
+  /** The IVF coarse codebook: the `k` vectors with the smallest
+   *  `md5(vec_id)` — a distributed TakeOrdered(k) (per-partition heads
+   *  + one driver merge, no global sort) any SQL engine mirrors with
+   *  `ORDER BY md5(id) LIMIT k`. Output is the `(cent_id, qarr_a,
+   *  nq_a)` shape a trained codebook ([[trainCentroids]]) drops into. */
+  private def hashCentroids(qv: DataFrame, k: Int): DataFrame =
+    qv.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
+        col("nq").as("nq_a"))
+
+  /** The `n` nearest centroids per vector by exact quantized cosine
+   *  (ties -> lowest cent_id): one broadcast-K pass over `qv`, the
+   *  K-bounded assignment every IVF-shaped operator shares. Returns
+   *  `(vec_id, cent_id)`, `n` rows per vector. */
+  private def nearestCentroids(qv: DataFrame, centroids: DataFrame,
+                               n: Int): DataFrame =
+    qv.select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("cent_id"))
+
   /** Brute-force cosine top-k over an explicit bounded `queries` frame
    *  (embeddings-shaped: vec_id, embedding), broadcast against the
    *  corpus (broadcast nested loop — the intended baseline plan; the
@@ -236,33 +262,13 @@ ORDER BY d.query_id, d.vec_id"""
     val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
-      .getOrElse(qv
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(numCentroids)
-        .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
-          col("nq").as("nq_a")))
+      .getOrElse(hashCentroids(qv, numCentroids))
     // nearest centroid per vector (cosine argmax, ties -> lowest id)
-    val assigned = qv
-      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cosine",
-        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
-      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cosine").desc, col("cent_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    val assigned = nearestCentroids(qv, centroids, 1)
     // each query probes its nprobe nearest centroids
     val qq = quantized(queries)
-    val probes = qq
-      .select(col("vec_id").as("query_id"), col("qarr").as("qarr_b"),
-        col("nq").as("nq_b"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cosine",
-        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
-      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cent_id"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("cent_id"))
+    val probes = nearestCentroids(qq, centroids, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
     // candidates: vectors in the probed lists; rank by exact cosine
     val cands = probes.join(assigned, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
@@ -276,8 +282,11 @@ ORDER BY d.query_id, d.vec_id"""
       .orderBy("query_id", "rank")
   }
 
-  val annIvfOracle: String = """
-WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+  /** The coarse-quantizer CTE chain every IVF-shaped oracle shares:
+   *  quantized vectors, norms, the hash-ordered 32-centroid codebook,
+   *  and the nearest-centroid `assigned(vec_id, cent_id)` relation —
+   *  the SQL mirror of [[hashCentroids]] + [[nearestCentroids]](n=1). */
+  private val ivfAssignCte: String = """dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
@@ -298,7 +307,9 @@ assigned AS (
   SELECT vec_id, cent_id FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM vc_cos) t WHERE rk = 1),
+    FROM vc_cos) t WHERE rk = 1)"""
+
+  val annIvfOracle: String = "WITH " + ivfAssignCte + """,
 probes AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT vec_id, cent_id,
@@ -418,4 +429,73 @@ JOIN nr na ON d.vec_a = na.vec_id
 JOIN nr nb ON d.vec_b = nb.vec_id
 WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.4
 ORDER BY d.vec_a, d.vec_b"""
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+   *  arXiv:2303.09540): a coarse k-means-shaped partition (the same
+   *  fixed-K quantizer [[annIvf]] uses) splits the corpus into K
+   *  clusters, and near-duplicate pairs are enumerated ONLY within a
+   *  cluster — the cluster is the blocking key, so cost is
+   *  Σ|cluster|², never |corpus|², and each cluster's pair work lands
+   *  on its own reducers ([[Dedup.saltedBucketPairs]] spreads a hot
+   *  cluster over several). A vector is dropped when it is the larger
+   *  `vec_b` of any within-cluster pair at exact quantized cosine >=
+   *  `minCosine`; one representative per semantic duplicate group
+   *  survives. Complements [[dedupEmbedding]]: sign-bit LSH blocks on
+   *  near-identical direction (high recall at cosine ~1), the
+   *  SemDeDup shape blocks on shared nearest-centroid — the published
+   *  recipe for pruning *semantically redundant* training data, with
+   *  K and the codebook swappable ([[trainCentroids]] drops in).
+   *
+   *  Output: one verdict row per vector `(vec_id, cent_id, keep)` —
+   *  the frame a pipeline filters `keep = 1` to materialize the
+   *  pruned corpus.
+   *
+   *  100 TB shape: assignment is one broadcast-K pass (K fixed);
+   *  within-cluster pairing shuffles on `cent_id` (salted); verify is
+   *  candidate-driven in-row `qdot`. With a trained √N codebook the
+   *  expected cluster is √N — pair work N·√N worst-case, and in
+   *  practice bounded by the cluster-size cap a curation run picks K
+   *  for. */
+  def dedupSemantic(emb: DataFrame, minCosine: Double = 0.4,
+                    numCentroids: Int = 32,
+                    precomputedQuantized: Option[DataFrame] = None,
+                    trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(hashCentroids(qv, numCentroids))
+    val assigned = nearestCentroids(qv, centroids, 1).cache()
+    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val dropped = verifyCosine(cands, qv, qv, "vec_a", "vec_b", minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticOracle: String = "WITH " + ivfAssignCte + """,
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+pair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+dropped AS (
+  SELECT DISTINCT d.vec_b AS vec_id
+  FROM pair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id
+  WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.4)
+SELECT a.vec_id, a.cent_id,
+       CASE WHEN dr.vec_id IS NULL THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS keep
+FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+ORDER BY a.vec_id"""
 }
