@@ -68,6 +68,9 @@ ORDER BY event_id"""
     "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
     "task_executor_asof" -> ((s, d) => Diagnostics.taskExecutorAsof(canon(s, d))),
+    "critical_path" -> ((s, d) => Diagnostics.criticalPath(canon(s, d))),
+    "shuffle_skew" -> ((s, d) => Diagnostics.shuffleSkew(canon(s, d))),
+    "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -88,11 +91,13 @@ ORDER BY event_id"""
     "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
+    "source_lang_mix" -> ((s, d) => Sampling.sourceLangMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
     // the synthetic corpus carries no PII, so at any SF this key
     // proves cross-engine regex parity on the no-op path; the
@@ -117,6 +122,7 @@ ORDER BY event_id"""
     // Incremental shape: docs >= 400 are "today's batch" against the
     // older corpus; output = full-run pairs touching the batch.
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(docs(s, d))),
+    "dup_source_matrix" -> ((s, d) => Dedup.dupSourceMatrix(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -153,10 +159,13 @@ ORDER BY event_id"""
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
+    "cluster_sizes" -> ((s, d) => Clustering.clusterSizes(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
+    "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
+    "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2))
@@ -191,6 +200,9 @@ ORDER BY event_id"""
     "executor_timeline" -> Diagnostics.executorTimelineOracle,
     "user_sessions" -> Diagnostics.userSessionsOracle,
     "task_executor_asof" -> Diagnostics.taskExecutorAsofOracle,
+    "critical_path" -> Diagnostics.criticalPathOracle,
+    "shuffle_skew" -> Diagnostics.shuffleSkewOracle,
+    "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,
@@ -209,11 +221,13 @@ ORDER BY event_id"""
     "text_stats" -> TextAnalysis.textStatsOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
+    "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,
+    "source_lang_mix" -> Sampling.sourceLangMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
     "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
@@ -228,6 +242,7 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,
+    "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
@@ -235,10 +250,13 @@ ORDER BY event_id"""
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
+    "cluster_sizes" -> Clustering.clusterSizesOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
+    "emb_label_stats" -> Embeddings.labelStatsOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,
+    "ann_recall" -> Embeddings.annRecallOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
     "frame_sample" -> Multimodal.frameSampleOracle
   )

@@ -168,6 +168,166 @@ FROM t ASOF LEFT JOIN ed
  AND ed.event_time_us <= t.event_time_us
 ORDER BY t.event_id"""
 
+  /** Per-app critical-path decomposition: the wall-clock lower bound a
+   *  perfectly-parallel scheduler could reach (each stage is gated by
+   *  its slowest task, stages assumed sequential — the Spark DAG's
+   *  dominant chain) vs the total task time actually burned. The ratio
+   *  is the app's ideal parallel speedup; the gap between the two is
+   *  what an auto-scaler can actually recover. Two partial
+   *  aggregations, both map-side combining, integer ms throughout —
+   *  the per-stage max/sum collapses each (app, stage) before the
+   *  per-app rollup, so the second exchange carries one row per stage
+   *  regardless of task count. */
+  def criticalPath(canon: DataFrame): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("duration_ms").isNotNull &&
+        col("stage_id").isNotNull)
+      .select("app_id", "stage_id", "duration_ms")
+    val perStage = tasks.groupBy("app_id", "stage_id").agg(
+      count(lit(1)).as("task_n"),
+      sum("duration_ms").as("stage_task_ms"),
+      max("duration_ms").as("stage_critical_ms"))
+    perStage.groupBy("app_id").agg(
+      count(lit(1)).as("n_stages"),
+      sum("task_n").as("n_tasks"),
+      sum("stage_task_ms").as("total_task_ms"),
+      sum("stage_critical_ms").as("critical_path_ms"))
+      .select(
+        col("app_id"), col("n_stages"), col("n_tasks"),
+        col("total_task_ms"), col("critical_path_ms"),
+        r4(when(col("critical_path_ms") > 0,
+          col("total_task_ms") * lit(1.0) / col("critical_path_ms")))
+          .as("ideal_speedup"))
+      .orderBy("app_id")
+  }
+
+  val criticalPathOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, stage_id, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND duration_ms IS NOT NULL AND stage_id IS NOT NULL),
+per_stage AS (
+  SELECT app_id, stage_id,
+         CAST(COUNT(*) AS BIGINT) AS task_n,
+         CAST(SUM(duration_ms) AS BIGINT) AS stage_task_ms,
+         MAX(duration_ms) AS stage_critical_ms
+  FROM t GROUP BY app_id, stage_id)
+SELECT app_id,
+       CAST(COUNT(*) AS BIGINT) AS n_stages,
+       CAST(SUM(task_n) AS BIGINT) AS n_tasks,
+       CAST(SUM(stage_task_ms) AS BIGINT) AS total_task_ms,
+       CAST(SUM(stage_critical_ms) AS BIGINT) AS critical_path_ms,
+       FLOOR((CASE WHEN SUM(stage_critical_ms) > 0
+              THEN SUM(stage_task_ms) * 1.0 / SUM(stage_critical_ms) END) * 10000.0 + 0.5) / 10000.0 AS ideal_speedup
+FROM per_stage
+GROUP BY app_id
+ORDER BY app_id"""
+
+  /** Per-stage shuffle-BYTES skew — [[stragglerStages]] sees time skew,
+   *  this sees the data skew that causes it (one reducer dragging 10×
+   *  its share of shuffle input is the classic AQE-skew-join /
+   *  salting trigger, visible long before the duration blows up).
+   *  `max * n / sum` is the max-vs-mean ratio computed from integer
+   *  sums only — no float accumulation, exact under any aggregation
+   *  order. One map-side-combining aggregation, stages under minTasks
+   *  excluded as noise. */
+  def shuffleSkew(canon: DataFrame, minTasks: Long = 5L,
+                  skewThreshold: Double = 2.0): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("stage_id").isNotNull &&
+        col("shuffle_read_bytes").isNotNull)
+      .select("app_id", "stage_id", "shuffle_read_bytes", "shuffle_write_bytes")
+    tasks.groupBy("app_id", "stage_id").agg(
+      count(lit(1)).as("task_n"),
+      sum("shuffle_read_bytes").as("sum_read_bytes"),
+      max("shuffle_read_bytes").as("max_read_bytes"),
+      sum("shuffle_write_bytes").as("sum_write_bytes"),
+      max("shuffle_write_bytes").as("max_write_bytes"))
+      .filter(col("task_n") >= minTasks)
+      .select(
+        col("app_id"), col("stage_id"), col("task_n"),
+        col("sum_read_bytes"), col("max_read_bytes"),
+        col("sum_write_bytes"), col("max_write_bytes"),
+        r4(when(col("sum_read_bytes") > 0,
+          col("max_read_bytes") * lit(1.0) * col("task_n") / col("sum_read_bytes")))
+          .as("read_skew"),
+        r4(when(col("sum_write_bytes") > 0,
+          col("max_write_bytes") * lit(1.0) * col("task_n") / col("sum_write_bytes")))
+          .as("write_skew"),
+        when(col("sum_read_bytes") > 0 &&
+          col("max_read_bytes") * lit(1.0) * col("task_n") / col("sum_read_bytes")
+            >= skewThreshold, 1L).otherwise(0L).as("is_skewed"))
+      .orderBy("app_id", "stage_id")
+  }
+
+  val shuffleSkewOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, stage_id, shuffle_read_bytes, shuffle_write_bytes
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND stage_id IS NOT NULL AND shuffle_read_bytes IS NOT NULL),
+agg AS (
+  SELECT app_id, stage_id,
+         CAST(COUNT(*) AS BIGINT) AS task_n,
+         CAST(SUM(shuffle_read_bytes) AS BIGINT) AS sum_read_bytes,
+         MAX(shuffle_read_bytes) AS max_read_bytes,
+         CAST(SUM(shuffle_write_bytes) AS BIGINT) AS sum_write_bytes,
+         MAX(shuffle_write_bytes) AS max_write_bytes
+  FROM t GROUP BY app_id, stage_id)
+SELECT app_id, stage_id, task_n, sum_read_bytes, max_read_bytes,
+       sum_write_bytes, max_write_bytes,
+       FLOOR((CASE WHEN sum_read_bytes > 0
+              THEN max_read_bytes * 1.0 * task_n / sum_read_bytes END) * 10000.0 + 0.5) / 10000.0 AS read_skew,
+       FLOOR((CASE WHEN sum_write_bytes > 0
+              THEN max_write_bytes * 1.0 * task_n / sum_write_bytes END) * 10000.0 + 0.5) / 10000.0 AS write_skew,
+       CAST(CASE WHEN sum_read_bytes > 0
+                  AND max_read_bytes * 1.0 * task_n / sum_read_bytes >= 2.0
+             THEN 1 ELSE 0 END AS BIGINT) AS is_skewed
+FROM agg
+WHERE task_n >= 5
+ORDER BY app_id, stage_id"""
+
+  /** Task-outcome breakdown per app: how tasks ended (Success /
+   *  ExceptionFailure / …), each reason's share of the app's tasks,
+   *  and the failed-task millisecond mass — the first cut of a
+   *  reliability dashboard and the denominator for retry-budget
+   *  tuning. One partial aggregation to (app, reason) cardinality,
+   *  then a per-app share window over those FEW rows (reasons per
+   *  app, not tasks — the window input is already collapsed). */
+  def failureBreakdown(canon: DataFrame): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("end_reason").isNotNull)
+      .select("app_id", "end_reason", "duration_ms")
+    val perReason = tasks.groupBy("app_id", "end_reason").agg(
+      count(lit(1)).as("n_tasks"),
+      sum("duration_ms").as("task_ms"))
+    perReason
+      .withColumn("app_tasks",
+        sum("n_tasks").over(Window.partitionBy("app_id")))
+      .select(
+        col("app_id"), col("end_reason"), col("n_tasks"), col("task_ms"),
+        r4(col("n_tasks") * lit(1.0) / col("app_tasks")).as("share"),
+        when(col("end_reason") =!= "Success", 1L).otherwise(0L).as("is_failure"))
+      .orderBy("app_id", "end_reason")
+  }
+
+  val failureBreakdownOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, end_reason, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND end_reason IS NOT NULL),
+per_reason AS (
+  SELECT app_id, end_reason,
+         CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         CAST(SUM(duration_ms) AS BIGINT) AS task_ms
+  FROM t GROUP BY app_id, end_reason)
+SELECT app_id, end_reason, n_tasks, task_ms,
+       FLOOR((n_tasks * 1.0 / SUM(n_tasks) OVER (PARTITION BY app_id)) * 10000.0 + 0.5) / 10000.0 AS share,
+       CAST(CASE WHEN end_reason <> 'Success' THEN 1 ELSE 0 END AS BIGINT) AS is_failure
+FROM per_reason
+ORDER BY app_id, end_reason"""
+
   /** Sessionization: group a user's events into sessions split at
    *  inactivity gaps > gapUs. The classic lag-flag-cumsum window
    *  shape — one shuffle on the user key, everything else

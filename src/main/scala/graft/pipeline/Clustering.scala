@@ -117,11 +117,34 @@ object Clustering {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Cluster-size histogram — the shape of the duplication problem in
+   *  one small frame: how many clusters of each size exist and how
+   *  many docs a component-level dedup pass would remove from each
+   *  bin. A corpus dominated by huge clusters has a boilerplate/
+   *  mirror problem (fix the source); one dominated by pairs has
+   *  organic near-dups (dedup and move on) — different remediations,
+   *  distinguishable only at the histogram level. Computed from the
+   *  survivor rows of [[dedupClusters]] (exactly one per cluster, each
+   *  carrying its cluster_size), collapsed to size cardinality in one
+   *  map-side-combining aggregation. Composable via the same
+   *  `precomputedPairs` as the clusters themselves. */
+  def clusterSizes(docs: DataFrame,
+                   precomputedPairs: Option[DataFrame] = None,
+                   precomputedShingles: Option[DataFrame] = None,
+                   reliable: Boolean = false): DataFrame =
+    dedupClusters(docs, precomputedPairs, precomputedShingles, reliable)
+      .filter(col("is_survivor") === 1L)
+      .groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1L).as("removable_docs"))
+      .orderBy("cluster_size")
+
   /** DuckDB mirror: the same verified pair set (the [[Dedup.dedupNgramOracle]]
    *  CTE chain), then transitive closure as a recursive CTE —
    *  `UNION` (distinct) recursion terminates at the closure, and
-   *  MIN(reachable) is exactly the propagated min label. */
-  val dedupClustersOracle: String = "WITH RECURSIVE " + Dedup.shinglesCte.trim + """,
+   *  MIN(reachable) is exactly the propagated min label. Shared by the
+   *  clusters oracle and the [[clusterSizes]] rollup. */
+  private val clustersCteChain: String = "WITH RECURSIVE " + Dedup.shinglesCte.trim + """,
 dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
 rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
 raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
@@ -151,9 +174,19 @@ reach AS (
 comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
 csize AS (
   SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-  FROM comp GROUP BY cluster_id)
+  FROM comp GROUP BY cluster_id)"""
+
+  val dedupClustersOracle: String = clustersCteChain + """
 SELECT c.cluster_id, c.doc_id, s.cluster_size,
        CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
 FROM comp c JOIN csize s ON c.cluster_id = s.cluster_id
 ORDER BY c.cluster_id, c.doc_id"""
+
+  val clusterSizesOracle: String = clustersCteChain + """
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+FROM csize
+GROUP BY cluster_size
+ORDER BY cluster_size"""
 }

@@ -235,7 +235,12 @@ shid AS (
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupNgramOracle: String = "WITH " + shinglesCte + """,
+  /** CTE chain (appended after [[shinglesCte]]) producing the VERIFIED
+   *  near-dup pair set `verified(doc_a, doc_b, inter_n, n_a, n_b)` —
+   *  the SQL twin of [[dedupNgram]]'s pipeline body, shared by its
+   *  oracle and every rollup built on the pair set
+   *  ([[dupSourceMatrix]]) so the two can never drift. */
+  val ngramVerifiedCte: String = """
 dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
 rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
 raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
@@ -246,15 +251,90 @@ sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
   FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
-       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-FROM cands c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
-ORDER BY c.doc_a, c.doc_b"""
+  GROUP BY a.doc_id, b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b
+  FROM cands c
+  JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2)"""
+
+  val dedupNgramOracle: String = "WITH " + shinglesCte + "," + ngramVerifiedCte + """
+SELECT doc_a, doc_b, inter_n, n_a, n_b,
+       FLOOR((inter_n * 1.0 / (n_a + n_b - inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM verified
+ORDER BY doc_a, doc_b"""
+
+  /** Cross-source duplication matrix — WHERE the near-dup mass comes
+   *  from: verified [[dedupNgram]] pairs rolled up by (source, source),
+   *  normalized by the population of each source pair, so a mirror
+   *  site or syndication feed lights up as a hot cell regardless of
+   *  its size. The governance view a corpus curator reads before
+   *  deciding which source to drop or down-weight (dropping one side
+   *  of a hot CROSS-source cell removes the duplication; dropping a
+   *  hot diagonal cell means the source self-duplicates). Shape at
+   *  scale: the pair set is orders of magnitude smaller than the
+   *  corpus; labeling joins key on doc_id, the rollup collapses to
+   *  source-pair cardinality, and the per-source denominators join
+   *  back broadcast. `max_jaccard` (max over already-rounded values)
+   *  is aggregation-order exact where a float mean would not be. */
+  def dupSourceMatrix(docs: DataFrame, maxDf: Long = 5L,
+                      minJaccard: Double = 0.2,
+                      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val pairs = dedupNgram(docs, maxDf, minJaccard, precomputedShingles)
+    val src = docs.select(col("doc_id"), col("source"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jaccard"))
+    labeled.groupBy("source_a", "source_b").agg(
+        count(lit(1)).as("n_pairs"),
+        max("jaccard").as("max_jaccard"))
+      .join(broadcast(perSource.select(col("source").as("source_a"),
+        col("n_docs").as("docs_a"))), "source_a")
+      .join(broadcast(perSource.select(col("source").as("source_b"),
+        col("n_docs").as("docs_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"), col("max_jaccard"),
+        r4(col("n_pairs") * lit(1.0) /
+          when(col("source_a") === col("source_b"),
+            col("docs_a") * (col("docs_a") - lit(1)) / lit(2))
+            .otherwise(col("docs_a") * col("docs_b"))).as("pair_rate"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dupSourceMatrixOracle: String = "WITH " + shinglesCte + "," + ngramVerifiedCte + """,
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT LEAST(sa.source, sb.source) AS source_a,
+         GREATEST(sa.source, sb.source) AS source_b,
+         FLOOR((v.inter_n * 1.0 / (v.n_a + v.n_b - v.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+  FROM verified v
+  JOIN src sa ON v.doc_a = sa.doc_id
+  JOIN src sb ON v.doc_b = sb.doc_id),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+cells AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         MAX(jaccard) AS max_jaccard
+  FROM labeled GROUP BY source_a, source_b)
+SELECT c.source_a, c.source_b, c.n_pairs,
+       pa.n_docs AS docs_a, pb.n_docs AS docs_b, c.max_jaccard,
+       FLOOR((c.n_pairs * 1.0 /
+              (CASE WHEN c.source_a = c.source_b
+                    THEN pa.n_docs * (pa.n_docs - 1) / 2
+                    ELSE pa.n_docs * pb.n_docs END)) * 10000.0 + 0.5) / 10000.0 AS pair_rate
+FROM cells c
+JOIN per_source pa ON c.source_a = pa.source
+JOIN per_source pb ON c.source_b = pb.source
+ORDER BY c.source_a, c.source_b"""
 
   /** Containment near-dup: pairs where the SMALLER document's shingle
    *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —

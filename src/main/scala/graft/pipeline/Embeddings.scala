@@ -498,4 +498,141 @@ SELECT a.vec_id, a.cent_id,
             ELSE CAST(0 AS BIGINT) END AS keep
 FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
 ORDER BY a.vec_id"""
+
+  /** ANN recall evaluation — "measure, don't guess" for the LSH path:
+   *  per query, how much of the TRUE cosine top-k ([[annTopK]], the
+   *  exact baseline) the bucketed [[annLsh]] pipeline (nibble blocking
+   *  + minCosine verify) actually returns. The number a pipeline owner
+   *  watches when tuning bands/planes/threshold — a recall cliff here
+   *  is the signal to re-train the codebook or widen the bands, caught
+   *  on a QUERY SAMPLE before it silently degrades production joins.
+   *  Scale shape: ground truth is the brute-force pass, so this runs
+   *  on a bounded query sample by design (the same broadcast-bounded
+   *  contract annTopK itself has); the join back to the LSH result
+   *  keys on (query_id, vec_id) at sample cardinality. Counts are
+   *  integers; recall is one final division. */
+  def annRecall(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                minCosine: Double = 0.3): DataFrame = {
+    val truth = annTopK(emb, queries, k).select("query_id", "vec_id")
+    val approx = annLsh(emb, queries, minCosine)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id").agg(
+        count(lit(1)).as("truth_k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("truth_k"), col("hits"),
+        r4(col("hits") * lit(1.0) / col("truth_k")).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  val annRecallOracle: String = "WITH " + planeFpCte + """,
+tdots AS (
+  SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
+  FROM qv qs JOIN qv v ON qs.i = v.i
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  GROUP BY qs.vec_id, v.vec_id),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT d.query_id, d.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+    FROM tdots d
+    JOIN nr na ON d.query_id = na.vec_id
+    JOIN nr nb ON d.vec_id = nb.vec_id)
+  WHERE rk <= 10),
+lcands AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+ldots AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM lcands c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.vec_id),
+lsh AS (
+  SELECT d.query_id, d.vec_id
+  FROM ldots d
+  JOIN nr na ON d.query_id = na.vec_id
+  JOIN nr nb ON d.vec_id = nb.vec_id
+  WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.3)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS truth_k,
+       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       FLOOR((SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+FROM truth t
+LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+GROUP BY t.query_id
+ORDER BY t.query_id"""
+
+  /** Per-label embedding geometry — the collection-health report a
+   *  vector store publishes per class/cluster: population, mean
+   *  squared norm, centroid norm, and total variance (dispersion
+   *  around the centroid). A tight class has high centroid norm and
+   *  low dispersion; a garbage or mixed class the reverse — the
+   *  first-look signal for label noise and embedding drift.
+   *
+   *  Everything is derived from the per-(label, dim) INTEGER sums
+   *  `s = Σq` and `ss = Σq²` over milli-unit quantized components:
+   *    mean_norm_sq     = Σ_d ss / (n · 10⁶)
+   *    centroid_norm_sq = Σ_d s² / (n² · 10⁶)
+   *    dispersion       = (Σ_d ss · n − Σ_d s²) / (n² · 10⁶)
+   *  — the E[‖x‖²] − ‖E[x]‖² identity computed as ONE double division
+   *  over exact integers, so the result is identical under any
+   *  aggregation order and engine. (Integer headroom: |q| ≤ ~2·10³,
+   *  so Σs² stays under 2⁵³ up to ~10⁸ vectors per label; beyond
+   *  that, per-label population alone forces a sharded rollup
+   *  anyway.) Shape at scale: one in-row posexplode (×64 fan-out
+   *  BEFORE the only exchange), a map-side-combining (label, dim)
+   *  aggregation, then a label-cardinality rollup — no window, no
+   *  join, no collect. */
+  def labelStats(emb: DataFrame): DataFrame = {
+    val perDim = emb
+      .select(col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy("label", "dim").agg(
+        count(lit(1)).as("cnt"),
+        sum("q").as("s"),
+        sum(col("q") * col("q")).as("ss"))
+    perDim.groupBy("label").agg(
+      max("cnt").as("n_vecs"),
+      sum("ss").as("ss_sum"),
+      sum(col("s") * col("s")).as("s2_sum"))
+      .select(
+        col("label").cast("long").as("label"),
+        col("n_vecs"),
+        r4(col("ss_sum") / (col("n_vecs") * lit(1000000.0))).as("mean_norm_sq"),
+        r4(col("s2_sum") / (col("n_vecs") * col("n_vecs") * lit(1000000.0)))
+          .as("centroid_norm_sq"),
+        r4((col("ss_sum") * col("n_vecs") - col("s2_sum"))
+          / (col("n_vecs") * col("n_vecs") * lit(1000000.0))).as("dispersion"))
+      .orderBy("label")
+  }
+
+  val labelStatsOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT label, vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+per_dim AS (
+  SELECT label, i,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS ss
+  FROM qv GROUP BY label, i),
+per_label AS (
+  SELECT label,
+         CAST(MAX(cnt) AS BIGINT) AS n_vecs,
+         CAST(SUM(ss) AS BIGINT) AS ss_sum,
+         CAST(SUM(s * s) AS BIGINT) AS s2_sum
+  FROM per_dim GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, n_vecs,
+       FLOOR((ss_sum / (n_vecs * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS mean_norm_sq,
+       FLOOR((s2_sum / (n_vecs * n_vecs * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS centroid_norm_sq,
+       FLOOR(((ss_sum * n_vecs - s2_sum) / (n_vecs * n_vecs * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS dispersion
+FROM per_label
+ORDER BY label"""
 }

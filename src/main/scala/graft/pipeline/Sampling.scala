@@ -136,6 +136,52 @@ SELECT source, n_docs, n_tokens,
 FROM tot
 ORDER BY source"""
 
+  /** Source × language mixture matrix — [[sourceMix]] at the
+   *  granularity mixture planning actually happens at (a crawl source
+   *  is usually fine in one language and garbage in another, and
+   *  per-language token budgets are set against exactly this frame).
+   *  Each cell reports its doc/token mass, its share of the corpus,
+   *  and its share WITHIN its source (the row-profile that flags a
+   *  source whose language mix shifted between snapshots). Same scale
+   *  shape as sourceMix: the corpus collapses to cell cardinality in
+   *  one map-side-combining aggregation; the share windows run over
+   *  that aggregate only (corpus-wide total unpartitioned over K·L
+   *  rows, within-source total partitioned by source). */
+  def sourceLangMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"))
+    per
+      .withColumn("total_tokens", sum("n_tokens").over(Window.partitionBy()))
+      .withColumn("source_tokens",
+        sum("n_tokens").over(Window.partitionBy("source")))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        r4(col("n_tokens") * lit(1.0) / col("total_tokens")).as("token_share"),
+        r4(col("n_tokens") * lit(1.0) / col("source_tokens"))
+          .as("share_in_source"))
+      .orderBy("source", "lang")
+  }
+
+  val sourceLangMixOracle: String = """
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang),
+tot AS (
+  SELECT source, lang, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS source_tokens
+  FROM per)
+SELECT source, lang, n_docs, n_tokens,
+       FLOOR((n_tokens * 1.0 / total_tokens) * 10000.0 + 0.5) / 10000.0 AS token_share,
+       FLOOR((n_tokens * 1.0 / source_tokens) * 10000.0 + 0.5) / 10000.0 AS share_in_source
+FROM tot
+ORDER BY source, lang"""
+
   /** Materialize [[sourceMix]]'s uniform-mixture recipe: emit each doc
    *  `n_copies` times, where n_copies is the source's equalizing
    *  weight split into a whole part (every doc repeats floor(w) times)

@@ -96,6 +96,33 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
   ON d.doc_id = b.doc_id
 ORDER BY d.doc_id"""
 
+  /** The composite quality expression shared by [[qualityScore]] (which
+   *  also surfaces the components) and [[qualitySweep]] (which buckets
+   *  it) — one definition so the two keys can never drift. */
+  private def qualityCol: org.apache.spark.sql.Column = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
+    val stopTok = size(expr(
+      "filter(split(text, ' '), w -> w = 'the' OR w = 'a')")).cast("long")
+    val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
+    val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
+    val divScore = nDistinct * lit(1.0) / nTok
+    val stopRatio = stopTok * lit(1.0) / nTok
+    val punctRatio = punct * lit(1.0) /
+      when(col("n_chars") > 0, col("n_chars")).otherwise(lit(1L))
+    r4(lit(0.4) * lenScore + lit(0.4) * divScore
+      + lit(0.2) * (lit(1.0) - stopRatio) - punctRatio)
+  }
+
+  /** The matching DuckDB quality formula over a frame exposing
+   *  `text, n_chars` — the SQL twin of [[qualityCol]], inlined by both
+   *  oracles. */
+  private val qualitySqlExpr: String =
+    """FLOOR((0.4 * LEAST(1.0, n_chars / 500.0)
+             + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1.0 / len(string_split(text, ' ')))
+             + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) * 1.0 / len(string_split(text, ' ')))
+             - CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) * 1.0 / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 10000.0 + 0.5) / 10000.0"""
+
   /** Quality score: length saturation + lexical diversity + stopword
    *  penalty + punctuation-noise penalty, all from integer counts. */
   def qualityScore(docs: DataFrame): DataFrame = {
@@ -107,8 +134,6 @@ ORDER BY d.doc_id"""
     val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
     val divScore = nDistinct * lit(1.0) / nTok
     val stopRatio = stopTok * lit(1.0) / nTok
-    val punctRatio = punct * lit(1.0) /
-      when(col("n_chars") > 0, col("n_chars")).otherwise(lit(1L))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
@@ -118,8 +143,7 @@ ORDER BY d.doc_id"""
       r4(lenScore).as("length_score"),
       r4(divScore).as("diversity_score"),
       r4(stopRatio).as("stopword_ratio"),
-      r4(lit(0.4) * lenScore + lit(0.4) * divScore
-        + lit(0.2) * (lit(1.0) - stopRatio) - punctRatio).as("quality"))
+      qualityCol.as("quality"))
       .orderBy("doc_id")
   }
 
@@ -142,6 +166,67 @@ SELECT doc_id, n_tok AS n_tokens, n_distinct AS n_distinct_tokens,
              - punct * 1.0 / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)) * 10000.0 + 0.5) / 10000.0 AS quality
 FROM q
 ORDER BY doc_id"""
+
+  /** Quality-filter survival sweep: what a threshold choice would keep.
+   *  Docs land in 0.05-wide quality buckets; each row reports the
+   *  bucket's own mass plus the CUMULATIVE docs/tokens surviving a
+   *  filter at `quality >= threshold` and that survival share — the
+   *  curve a curation run reads before committing to a cutoff (the
+   *  "how much data does 0.7 cost me" question), produced without
+   *  running the filter N times. Shape at scale: the corpus collapses
+   *  in ONE map-side-combining aggregation to bucket cardinality
+   *  (tens of rows at any SF); the cumulative windows then run over
+   *  that aggregate only — unpartitioned by construction but never
+   *  touching the corpus, the [[Sampling.sourceMix]] precedent.
+   *  Bucketing floors the ALREADY-r4-ROUNDED quality — both engines
+   *  evaluate bit-identical doubles, so the bucket edge is
+   *  cross-engine exact. */
+  def qualitySweep(docs: DataFrame): DataFrame = {
+    val buckets = docs
+      .select(
+        expr("(n_chars + 3) div 4").as("bpe_tokens_est"),
+        qualityCol.as("quality"))
+      .withColumn("bucket", floor(col("quality") * 20).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("bpe_tokens_est").as("n_tokens"))
+    val desc = Window.orderBy(col("bucket").desc)
+    val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("cum_docs", sum("n_docs").over(cum))
+      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+      .withColumn("total_docs", sum("n_docs").over(all))
+      .select(
+        col("bucket"),
+        r4(col("bucket") / lit(20.0)).as("threshold"),
+        col("n_docs"), col("n_tokens"), col("cum_docs"), col("cum_tokens"),
+        r4(col("cum_docs") * lit(1.0) / col("total_docs")).as("survival_ratio"))
+      .orderBy(col("bucket").desc)
+  }
+
+  val qualitySweepOracle: String = s"""
+WITH s AS (
+  SELECT (n_chars + 3) // 4 AS bpe_tokens_est,
+         $qualitySqlExpr AS quality
+  FROM documents),
+b AS (
+  SELECT CAST(FLOOR(quality * 20) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(bpe_tokens_est) AS BIGINT) AS n_tokens
+  FROM s GROUP BY 1)
+SELECT bucket,
+       FLOOR((bucket / 20.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       n_docs, n_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+       CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       FLOOR((SUM(n_docs) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+         / SUM(n_docs) OVER ()) * 10000.0 + 0.5) / 10000.0 AS survival_ratio
+FROM b
+ORDER BY bucket DESC"""
 
   /** Document fingerprint: md5 over whitespace-normalised lowercase
    *  content. Used as the join key for exact dedup at scale. */

@@ -280,4 +280,45 @@ class PlanAuditSpec extends SparkSpec {
       assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     }
   }
+
+  test("quality sweep: corpus collapses to bucket cardinality BEFORE the cumulative windows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.qualitySweep(docs))
+    // the (benign) unpartitioned windows must sit ABOVE the bucket
+    // aggregation — a Window whose input is the raw corpus would be
+    // the 100 TB failure mode this shape exists to avoid
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx + 1).exists(_.contains("HashAggregate")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding label stats: two-level partial aggregation, no join, no window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.labelStats(emb))
+    // posexplode fans out in-row, then everything is aggregation —
+    // any Join or Window here would mean the integer-sum identity
+    // got replaced by a second pass over the vectors
+    assert(p.contains("Generate posexplode"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final x 2 levels
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("critical path: per-stage rollup collapses before the per-app rollup, no join/window") {
+    val p = plan(Diagnostics.criticalPath(canon))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dup source matrix: per-source denominators join broadcast, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.dupSourceMatrix(docs))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
