@@ -89,6 +89,7 @@ ORDER BY event_id"""
     "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
     "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
+    "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
@@ -96,6 +97,7 @@ ORDER BY event_id"""
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
+    "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "source_lang_mix" -> ((s, d) => Sampling.sourceLangMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
@@ -110,6 +112,10 @@ ORDER BY event_id"""
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
+    // The composed five-stage pipeline (quality gate -> exact dedup ->
+    // near-dup survivors -> split -> shard pack) as ONE dataflow; its
+    // oracle composes the same factored CTE fragments end-to-end.
+    "curate_corpus" -> ((s, d) => Curation.curateCorpus(docs(s, d))),
     // decontamination harness split: docs % 20 == 0 play the eval
     // benchmark, the rest are training candidates
     "contamination" -> ((s, d) => Decontamination.benchmarkOverlap(
@@ -219,6 +225,7 @@ ORDER BY event_id"""
     "efficiency_analysis" -> Optimization.efficiencyAnalysisOracle,
     "cost_optimization" -> Optimization.costOptimizationOracle,
     "text_stats" -> TextAnalysis.textStatsOracle,
+    "length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
@@ -226,6 +233,7 @@ ORDER BY event_id"""
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
+    "pack_stats" -> Sampling.packStatsOracle,
     "source_mix" -> Sampling.sourceMixOracle,
     "source_lang_mix" -> Sampling.sourceLangMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
@@ -236,6 +244,7 @@ ORDER BY event_id"""
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
+    "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "repetition_score" -> TextAnalysis.repetitionScoreOracle,

@@ -78,7 +78,9 @@ object Clustering {
       // a column, so the convergence count is one cheap scan of the
       // just-checkpointed blocks.
       val next = persist(propagate(propagate(lab).drop("chg")))
-      changed = next.agg(sum("chg")).collect()(0).getLong(0)
+      // coalesce: an empty pair frame (legal via precomputedPairs) sums
+      // to null, which must read as converged, not crash
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       lab = next.drop("chg")
       iter += 1
     }
@@ -144,7 +146,12 @@ object Clustering {
    *  `UNION` (distinct) recursion terminates at the closure, and
    *  MIN(reachable) is exactly the propagated min label. Shared by the
    *  clusters oracle and the [[clusterSizes]] rollup. */
-  private val clustersCteChain: String = "WITH RECURSIVE " + Dedup.shinglesCte.trim + """,
+  /** The chain AFTER the shingle CTE: verified pairs → symmetric edges
+   *  → recursive transitive closure → per-node min label (`comp`) →
+   *  cluster sizes (`csize`). Factored so a composed pipeline oracle
+   *  ([[Curation.curateCorpusOracle]]) can run the identical closure
+   *  over a REBASED document set. */
+  private[pipeline] val closureFromShingles: String = """
 dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
 rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
 raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
@@ -175,6 +182,9 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
 csize AS (
   SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
   FROM comp GROUP BY cluster_id)"""
+
+  private val clustersCteChain: String =
+    "WITH RECURSIVE " + Dedup.shinglesCte.trim + "," + closureFromShingles
 
   val dedupClustersOracle: String = clustersCteChain + """
 SELECT c.cluster_id, c.doc_id, s.cluster_size,

@@ -78,8 +78,12 @@ ORDER BY doc_id"""
       .orderBy("doc_id")
   }
 
-  val shardPackOracle: String = """
-WITH t AS (
+  /** CTE chain producing the shard assignment
+   *  `packed(doc_id, writer, n_tok, shard_idx)` — the SQL twin of
+   *  [[shardPack]]'s body, shared by its oracle and the
+   *  [[packStats]] rollup so the two can never drift. */
+  val shardPackCte: String = """
+t AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS writer
@@ -88,10 +92,44 @@ c AS (
   SELECT doc_id, writer, n_tok,
          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-  FROM t)
-SELECT doc_id, writer, n_tok, cum_before // 2000 AS shard_idx
-FROM c
+  FROM t),
+packed AS (
+  SELECT doc_id, writer, n_tok, cum_before // 2000 AS shard_idx
+  FROM c)"""
+
+  val shardPackOracle: String = "WITH " + shardPackCte.trim + """
+SELECT doc_id, writer, n_tok, shard_idx
+FROM packed
 ORDER BY doc_id"""
+
+  /** Shard-pack balance ledger — the manifest a shard writer publishes
+   *  after packing: one row per (writer, shard) with its doc count,
+   *  token mass, and fill ratio against the budget. The spread of
+   *  fill_ratio IS the packing-quality metric (every shard except each
+   *  lane's last should sit in [1, 1 + maxdoc/budget)); a trainer
+   *  reads this frame to catch pathological lanes before a run.
+   *  One map-side-combining aggregation over [[shardPack]]'s
+   *  assignment — output cardinality is the shard count, the true
+   *  ledger size at any scale. */
+  def packStats(docs: DataFrame, budgetTokens: Long = 2000L,
+                writers: Int = 8): DataFrame =
+    shardPack(docs, budgetTokens, writers)
+      .groupBy("writer", "shard_idx").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("shard_tokens"))
+      .select(col("writer"), col("shard_idx"), col("n_docs"),
+        col("shard_tokens"),
+        r4(col("shard_tokens") * lit(1.0) / budgetTokens).as("fill_ratio"))
+      .orderBy("writer", "shard_idx")
+
+  val packStatsOracle: String = "WITH " + shardPackCte.trim + """
+SELECT writer, shard_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+       FLOOR((SUM(n_tok) * 1.0 / 2000) * 10000.0 + 0.5) / 10000.0 AS fill_ratio
+FROM packed
+GROUP BY writer, shard_idx
+ORDER BY writer, shard_idx"""
 
   /** Per-source mixture accounting + uniform-mixture resampling
    *  weights — the "data mixing" step of a pre-training pipeline:

@@ -99,7 +99,7 @@ ORDER BY d.doc_id"""
   /** The composite quality expression shared by [[qualityScore]] (which
    *  also surfaces the components) and [[qualitySweep]] (which buckets
    *  it) — one definition so the two keys can never drift. */
-  private def qualityCol: org.apache.spark.sql.Column = {
+  private[pipeline] def qualityCol: org.apache.spark.sql.Column = {
     val nTok = size(split(col("text"), " ")).cast("long")
     val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
     val stopTok = size(expr(
@@ -117,7 +117,7 @@ ORDER BY d.doc_id"""
   /** The matching DuckDB quality formula over a frame exposing
    *  `text, n_chars` — the SQL twin of [[qualityCol]], inlined by both
    *  oracles. */
-  private val qualitySqlExpr: String =
+  private[pipeline] val qualitySqlExpr: String =
     """FLOOR((0.4 * LEAST(1.0, n_chars / 500.0)
              + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1.0 / len(string_split(text, ' ')))
              + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) * 1.0 / len(string_split(text, ' ')))
@@ -603,6 +603,58 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(array_to_string(w[CAST(chunk_id * 20 + 1 AS INTEGER) : CAST(chunk_id * 20 + 30 AS INTEGER)], ' ')) AS chunk_fp
 FROM c
 ORDER BY doc_id, chunk_id"""
+
+  /** Per-source document-length profile — the distribution check run
+   *  before setting chunking windows and shard budgets (a source whose
+   *  p90 collapsed between snapshots is truncating; one whose p50 is
+   *  near zero is scraping fragments). Percentiles are the
+   *  deterministic nearest-rank pick (index `floor(q*(n-1)) + 1` in
+   *  (n_tok, doc_id) order — the [[graft.analytics.Diagnostics]]
+   *  median idiom, never percentile_approx), so the output is
+   *  engine-exact. One rank window partitioned by source, one
+   *  map-side-combining rollup. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bySrc = Window.partitionBy("source")
+    val idx = t
+      .withColumn("rk", row_number().over(bySrc.orderBy("n_tok", "doc_id")))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    idx.groupBy("source").agg(
+      max("n").as("n_docs"),
+      sum("n_tok").as("total_tokens"),
+      min("n_tok").as("min_tokens"),
+      min(when(col("rk") === floor(lit(0.25) * (col("n") - 1)) + 1,
+        col("n_tok"))).as("p25_tokens"),
+      min(when(col("rk") === floor(lit(0.5) * (col("n") - 1)) + 1,
+        col("n_tok"))).as("p50_tokens"),
+      min(when(col("rk") === floor(lit(0.9) * (col("n") - 1)) + 1,
+        col("n_tok"))).as("p90_tokens"),
+      max("n_tok").as("max_tokens"))
+      .orderBy("source")
+  }
+
+  val lengthQuantilesOracle: String = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+idx AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(n_tok) AS min_tokens,
+       MIN(CASE WHEN rk = FLOOR(0.25 * (n - 1)) + 1 THEN n_tok END) AS p25_tokens,
+       MIN(CASE WHEN rk = FLOOR(0.5 * (n - 1)) + 1 THEN n_tok END) AS p50_tokens,
+       MIN(CASE WHEN rk = FLOOR(0.9 * (n - 1)) + 1 THEN n_tok END) AS p90_tokens,
+       MAX(n_tok) AS max_tokens
+FROM idx
+GROUP BY source
+ORDER BY source"""
 
   /** Global top-k vocabulary: term frequency + document frequency for
    *  the k most frequent terms — the corpus profile a tokenizer

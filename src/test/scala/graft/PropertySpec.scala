@@ -106,4 +106,30 @@ class PropertySpec extends SparkSpec {
       assert(got === lab, s"seed=$seed")
     }
   }
+
+  test("cluster-size histogram is consistent with the cluster rows on random graphs") {
+    import graft.pipeline.Clustering
+    val docs = (0L to 15L).map(i => (i, s"doc $i", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (seed <- 1L to 5L) {
+      val edges = sample(Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))), seed)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val pairs = Some(edges.toDF("doc_a", "doc_b"))
+      val clusters = Clustering.dedupClusters(docs, precomputedPairs = pairs)
+        .collect()
+      val hist = Clustering.clusterSizes(docs, precomputedPairs = pairs)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      // histogram re-derived from the per-doc cluster rows
+      val want = clusters.groupBy(_.getAs[Long]("cluster_size"))
+        .map { case (sz, rows) =>
+          val nClusters = rows.map(_.getAs[Long]("cluster_id")).distinct.length.toLong
+          (sz, (nClusters, nClusters * (sz - 1)))
+        }
+      assert(hist.toMap === want, s"seed=$seed")
+      // every clustered doc is accounted for exactly once
+      assert(hist.map { case (sz, (n, _)) => sz * n }.sum === clusters.length.toLong)
+    }
+  }
 }

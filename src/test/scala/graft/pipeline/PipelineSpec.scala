@@ -477,6 +477,58 @@ class PipelineSpec extends SparkSpec {
       - row.getAs[Double]("centroid_norm_sq")) < 1e-9)
   }
 
+  test("pack stats ledger conserves tokens and matches the assignment") {
+    val packed = Sampling.shardPack(docs, budgetTokens = 10L).collect()
+    val ledger = Sampling.packStats(docs, budgetTokens = 10L).collect()
+    assert(ledger.map(_.getAs[Long]("shard_tokens")).sum ===
+      packed.map(_.getAs[Long]("n_tok")).sum)
+    assert(ledger.map(_.getAs[Long]("n_docs")).sum === packed.length.toLong)
+    // every ledger row really exists in the assignment
+    val shards = packed.map(r => (r.getAs[Long]("writer"), r.getAs[Long]("shard_idx"))).toSet
+    assert(ledger.map(r => (r.getAs[Long]("writer"), r.getAs[Long]("shard_idx"))).toSet === shards)
+  }
+
+  test("length quantiles: nearest-rank picks on a hand fixture") {
+    val q = TextAnalysis.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s3 holds only "tiny doc" (2 tokens): every statistic collapses to it
+    val s3 = q("s3")
+    assert(s3.getAs[Long]("n_docs") === 1L)
+    for (c <- Seq("min_tokens", "p25_tokens", "p50_tokens", "p90_tokens", "max_tokens"))
+      assert(s3.getAs[Long](c) === 2L, c)
+    // s0 holds docs 0 and 1 (14 tokens each)
+    val s0 = q("s0")
+    assert(s0.getAs[Long]("n_docs") === 2L)
+    assert(s0.getAs[Long]("p50_tokens") === 14L)
+    assert(s0.getAs[Long]("total_tokens") === 28L)
+  }
+
+  test("curate corpus: manifest holds exactly the quality+dedup survivors, each packed once") {
+    val manifest = Curation.curateCorpus(docs, minQuality = 0.0).collect()
+    // minQuality 0 -> quality gate keeps everything; doc 3 (exact dup
+    // of 0) is dropped by stage 2; docs 1 (near-dup of 0 in the same
+    // cluster) is dropped by stage 3's min-label survivor rule
+    val ids = manifest.map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 2L, 4L))
+    // every surviving row carries a complete, consistent assignment
+    for (r <- manifest) {
+      assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+      assert(r.getAs[Long]("shard_idx") >= 0L)
+      assert(r.getAs[Long]("n_tok") > 0L)
+    }
+    // split/pack agree with the standalone operators on the same set
+    val surv = docs.filter(col("doc_id").isin(0L, 2L, 4L))
+    val wantSplit = Sampling.splitAssign(surv).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(manifest.map(r => r.getLong(0) -> r.getAs[String]("split")).toMap === wantSplit)
+  }
+
+  test("curate corpus plan: no cartesian, quality filter fused before any exchange") {
+    val p = Curation.curateCorpus(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multimodal stub features are pure functions of payload bytes") {
     val f = Multimodal.multimodalFeatures(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
