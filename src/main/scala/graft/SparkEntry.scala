@@ -111,6 +111,7 @@ ORDER BY event_id"""
     "lexical_rarity" -> ((s, d) => TextAnalysis.lexicalRarity(docs(s, d))),
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
+    "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // The composed five-stage pipeline (quality gate -> exact dedup ->
     // near-dup survivors -> split -> shard pack) as ONE dataflow; its
@@ -124,6 +125,8 @@ ORDER BY event_id"""
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
+    "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
+    "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     // Incremental shape: docs >= 400 are "today's batch" against the
     // older corpus; output = full-run pairs touching the batch.
@@ -243,12 +246,15 @@ ORDER BY event_id"""
     "lexical_rarity" -> TextAnalysis.lexicalRarityOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
+    "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "repetition_score" -> TextAnalysis.repetitionScoreOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
+    "dedup_curve" -> Dedup.dedupCurveOracle,
+    "minhash_calibration" -> Dedup.minhashCalibrationOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, QDot, WordNGrams}
+import graft.functions.{PolyHash, QDot, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_ngrams expects exactly 2 arguments")
         WordNGrams(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams_all"),
+      new ExpressionInfo(classOf[WordNGramsAll].getName, "word_ngrams_all"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "word_ngrams_all expects exactly 2 arguments")
+        WordNGramsAll(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),

@@ -69,6 +69,59 @@ SELECT doc_id, content_hash, dup_count
 FROM h WHERE rk = 1
 ORDER BY doc_id"""
 
+  /** Dedup-saturation curve: bucket ingestion order (`doc_id` id-range
+   *  split into `buckets` equal slices) and measure, per slice, the
+   *  fraction of docs that exactly duplicate an EARLIER doc — the
+   *  "is the crawl still finding new content?" signal that decides
+   *  when ingesting more of a source stops paying. Shape: one
+   *  groupBy(content_hash) for first-occurrence ids, one hash-join
+   *  back (both sides partitioned by the hash — AQE coalesces), a
+   *  broadcast one-row max(doc_id), then a `buckets`-row aggregate;
+   *  the cumulative window runs over that aggregate only, never the
+   *  corpus. Fractions are single divisions of exact integer counts. */
+  def dedupCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val first = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.join(first, "content_hash")
+      .crossJoin(broadcast(maxId))
+      .select(
+        expr(s"doc_id * $buckets div (max_id + 1)").as("bucket"),
+        (col("doc_id") > col("first_id")).cast("long").as("is_dup"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .withColumn("cum_docs", sum("n_docs").over(cum))
+      .withColumn("cum_dups", sum("n_dups").over(cum))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        r4(col("n_dups") * lit(1.0) / col("n_docs")).as("dup_frac"),
+        r4(col("cum_dups") * lit(1.0) / col("cum_docs")).as("cum_dup_frac"))
+      .orderBy("bucket")
+  }
+
+  val dedupCurveOracle: String = """
+WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+f AS (SELECT ch, MIN(doc_id) AS first_id FROM h GROUP BY ch),
+m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+b AS (
+  SELECT (h.doc_id * 10) // (m.max_id + 1) AS bucket,
+         CASE WHEN h.doc_id > f.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN f ON h.ch = f.ch CROSS JOIN m),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dups
+  FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket, n_docs, n_dups,
+         CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_dups) OVER (ORDER BY bucket) AS BIGINT) AS cum_dups
+  FROM agg)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_dups,
+       FLOOR((n_dups * 1.0 / n_docs) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+       FLOOR((cum_dups * 1.0 / cum_docs) * 10000.0 + 0.5) / 10000.0 AS cum_dup_frac
+FROM c ORDER BY bucket"""
+
   // ---- shared shingle machinery -------------------------------------
 
   /** Distinct word-3-gram shingles per doc: (doc_id, gram).
@@ -491,25 +544,105 @@ ORDER BY c.doc_a, c.doc_b"""
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
     val shId = shingleIds(sh, idFamily)
-    val minCols = (0 until NumHashes).map { j =>
-      min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
-        .as(s"mh$j")
-    }
-    val sigWide = shId.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(j => col(s"mh$j").cast("string"))
-      struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
-    }
-    val bandSig = sigWide
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("nb"))
-      .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
-    val cands = saltedBucketPairs(bandSig, Seq("band", "bsig"), "doc_id")
+    val cands =
+      saltedBucketPairs(minhashBandSig(minhashSigWide(shId)),
+        Seq("band", "bsig"), "doc_id")
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** doc_id + the 16 min-hash columns `mh0..mh15` — ONE partial-
+   *  aggregating groupBy pass (|docs| rows shuffled, not 16x|shingles|). */
+  private def minhashSigWide(shId: DataFrame): DataFrame = {
+    val minCols = (0 until NumHashes).map { j =>
+      min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
+        .as(s"mh$j")
+    }
+    shId.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** (doc_id, band, bsig) — a pure projection+explode over the wide
+   *  signature frame. */
+  private def minhashBandSig(sigWide: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => col(s"mh$j").cast("string"))
+      struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
+    }
+    sigWide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("nb"))
+      .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
+  }
+
+  /** Sketch-quality calibration: for every LSH candidate pair, the
+   *  signature-estimated similarity (matching min-hash positions / 16)
+   *  next to the exact shingle Jaccard and their absolute gap — the
+   *  table that says whether 16 hashes x 4 bands is ENOUGH before the
+   *  sketch is trusted at 100 TB (tighten hashes/bands when the err
+   *  column is wide, loosen when it hugs zero). Zero-intersection
+   *  band collisions are KEPT (left join; est > 0, true = 0) — those
+   *  false positives are exactly what the table is for. Shape: the
+   *  dedupMinhash candidate plan verbatim, one 16-term equality
+   *  projection per pair, the same bucket-join discipline — no
+   *  all-pairs scan anywhere. All three scores are single double
+   *  expressions over exact integer counts. */
+  def minhashCalibration(docs: DataFrame, idFamily: String = "md5",
+                         precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sigWide = minhashSigWide(shingleIds(sh, idFamily)).cache()
+    val cands = saltedBucketPairs(minhashBandSig(sigWide),
+      Seq("band", "bsig"), "doc_id")
+    val aCols = (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j"))
+    val bCols = (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j"))
+    val matchCnt = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    val est = col("matches") * lit(1.0) / NumHashes
+    val tru = col("inter_n") * lit(1.0) /
+      (col("n_a") + col("n_b") - col("inter_n"))
+    cands
+      .join(sigWide.select(col("doc_id").as("doc_a") +: aCols: _*), "doc_a")
+      .join(sigWide.select(col("doc_id").as("doc_b") +: bCols: _*), "doc_b")
+      .withColumn("matches", matchCnt)
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        r4(est).as("est_sim"), r4(tru).as("jaccard"),
+        r4(abs(est - tru)).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashCalibrationOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
+    minhashCandsSql + """,
+matches AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT m.doc_a, m.doc_b, m.matches,
+       FLOOR((m.matches * 1.0 / 16) * 10000.0 + 0.5) / 10000.0 AS est_sim,
+       FLOOR((COALESCE(i.inter_n, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.inter_n, 0)))
+             * 10000.0 + 0.5) / 10000.0 AS jaccard,
+       FLOOR(ABS(m.matches * 1.0 / 16
+                 - COALESCE(i.inter_n, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.inter_n, 0)))
+             * 10000.0 + 0.5) / 10000.0 AS abs_err
+FROM matches m
+LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+JOIN sizes sa ON m.doc_a = sa.doc_id
+JOIN sizes sb ON m.doc_b = sb.doc_id
+ORDER BY m.doc_a, m.doc_b"""
 
   /** Oracle for the SCALE-MODE MinHash (`idFamily = "poly"`): the
    *  [[polyShidCte]] reproduces the codegen'd poly_hash gram ids
@@ -530,7 +663,10 @@ ORDER BY c.doc_a, c.doc_b"""
     "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
       minhashTailSql
 
-  private lazy val minhashTailSql: String = """
+  /** CTE chain from `shid` to the LSH candidate pair set + the
+   *  sizes/inter verify inputs — shared by the minhash pair oracles
+   *  and [[minhashCalibrationOracle]] so the two can never drift. */
+  private lazy val minhashCandsSql: String = """
 hashes AS (
   SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
   FROM (SELECT unnest(range(0, 16)) AS j)),
@@ -550,7 +686,9 @@ sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
   FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+  private lazy val minhashTailSql: String = minhashCandsSql + """
 SELECT c.doc_a, c.doc_b,
        FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cands c

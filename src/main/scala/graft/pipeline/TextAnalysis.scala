@@ -694,6 +694,73 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** Top-k bigram collocations ranked by pointwise lift
+   *  `(c_xy/B) / ((c_x/T)(c_y/T))` — the PMI signal (PMI = log2(lift),
+   *  and log is monotone, so ranking by lift IS ranking by PMI without
+   *  betting hash-equality on cross-engine libm `log`). Counts come
+   *  from the codegen'd multiplicity-preserving
+   *  [[graft.functions.WordNGramsAll]] (`word_ngrams_all`) — the
+   *  distinct-shingle kernel would bias every count. Shape at scale:
+   *  two explode→partial-agg sweeps (bigram + unigram counts), then
+   *  everything downstream — vocab-sized frames — joins under
+   *  broadcast; the corpus is never shuffled, and the top-k cut is a
+   *  distributed TakeOrdered. Lift is computed over exact integer
+   *  counts in ONE fixed double-expression shape (IEEE ops are
+   *  bit-specified, so the oracle mirror is exact), rounded, and
+   *  ranked on the rounded value with alphabetical tie-break. */
+  def pmiTerms(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val t = uni.agg(sum("c").as("t"))
+    val bc = docs
+      .select(explode(
+        call_function("word_ngrams_all", col("text"), lit(2))).as("gram"))
+      .select(split(col("gram"), " ").getItem(0).as("w1"),
+        split(col("gram"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val b = bc.agg(sum("c_xy").as("b"))
+    val lifted = bc.filter(col("c_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(t)).crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        r4((col("c_xy") * lit(1.0) / col("b")) /
+          ((col("c1") * lit(1.0) / col("t"))
+            * (col("c2") * lit(1.0) / col("t")))).as("lift"))
+    lifted.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("lift"))
+      .orderBy("rank")
+  }
+
+  val pmiTermsOracle: String = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+nums AS (SELECT unnest(range(1, 4001)) AS i),
+toked AS (SELECT string_split(text, ' ') AS tk FROM documents),
+big AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM toked, nums
+        WHERE i + 1 <= len(tk)),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+       FROM big GROUP BY w1, w2),
+btot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS b FROM bc),
+lifted AS (
+  SELECT w1, w2, c_xy,
+         FLOOR(((c_xy * 1.0 / b) / ((u1.c * 1.0 / t) * (u2.c * 1.0 / t)))
+               * 10000.0 + 0.5) / 10000.0 AS lift
+  FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE c_xy >= 5),
+r AS (SELECT w1, w2, c_xy, lift,
+        ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank
+      FROM lifted)
+SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c_xy, lift
+FROM r WHERE rank <= 50
+ORDER BY rank"""
+
   val repetitionScoreOracle: String = "WITH " + Dedup.shinglesCte.trim + """,
 g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS distinct_grams
       FROM shingle GROUP BY doc_id),

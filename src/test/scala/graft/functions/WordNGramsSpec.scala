@@ -37,6 +37,20 @@ class WordNGramsSpec extends SparkSpec {
     assert(rows(2).getSeq[String](1) === Seq.empty)
   }
 
+  test("word_ngrams_all keeps every occurrence in position order") {
+    val df = Seq(
+      ("a b a b a b", 5), // repeats preserved
+      ("one two", 1),
+      ("one", 0)
+    ).toDF("text", "expected_n")
+      .withColumn("g", call_function("word_ngrams_all", col("text"), lit(2)))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](2) ===
+      Seq("a b", "b a", "a b", "b a", "a b"))
+    assert(rows(1).getSeq[String](2) === Seq("one two"))
+    assert(rows(2).getSeq[String](2) === Seq.empty)
+  }
+
   test("word_ngrams participates in whole-stage codegen") {
     val df = spark.range(50)
       .selectExpr("concat('w', id, ' x y z') AS text")

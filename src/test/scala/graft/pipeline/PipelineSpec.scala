@@ -21,12 +21,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 0L).get.getAs[Long]("dup_count") === 2L)
   }
 
+  test("dedup curve flags later exact copies as dups in their id bucket") {
+    // ids 0..4, buckets of width (4+1)/10 -> bucket = id * 10 div 5 = 2*id
+    val out = Dedup.dedupCurve(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dups")))).toMap
+    assert(out === Map(0L -> ((1L, 0L)), 2L -> ((1L, 0L)), 4L -> ((1L, 0L)),
+      6L -> ((1L, 1L)), 8L -> ((1L, 0L))))
+    val last = Dedup.dedupCurve(docs).collect().last
+    assert(last.getAs[Double]("cum_dup_frac") === 0.2)
+  }
+
   test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
     val pairs = Dedup.dedupMinhash(docs, minJaccard = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // one-word difference
     assert(pairs.contains((0L, 3L))) // identical
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc
+  }
+
+  test("minhash calibration: identical docs estimate 1.0 with zero error") {
+    val out = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val identical = out((0L, 3L)) // same text -> same signature, J = 1
+    assert(identical.getAs[Long]("matches") === 16L)
+    assert(identical.getAs[Double]("est_sim") === 1.0)
+    assert(identical.getAs[Double]("jaccard") === 1.0)
+    assert(identical.getAs[Double]("abs_err") === 0.0)
+    val near = out((0L, 1L)) // one-word difference: high but imperfect
+    assert(near.getAs[Double]("jaccard") > 0.8)
+    assert(near.getAs[Long]("matches") >= 12L)
   }
 
   test("ngram Jaccard agrees with a hand computation") {
@@ -278,6 +301,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(0L) === ((2L, 0L, 0.0)))   // original occurrences only
     assert(out(1L) === ((2L, 1L, 0.5)))   // half the doc is a repeated span
     assert(out(2L) === ((1L, 0L, 0.0)))
+  }
+
+  test("pmi lift ranks the always-together bigram above independent pairs") {
+    import spark.implicits._
+    // "x y" always co-occur (5 times); "p"/"q" appear often but never adjacent
+    val d = Seq(
+      (0L, "x y p q p x y q p q x y p p q q x y p q q p x y", "en", "s0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.pmiTerms(d, minCount = 5, k = 10).collect()
+    val top = out.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) === (("x", "y")))
+    assert(top.getAs[Long]("c_xy") === 5L)
+    // lift("x","y") = (5/23) / ((5/24)*(5/24)) = 5.0087 at 4 decimals
+    assert(top.getAs[Double]("lift") === 5.0087)
   }
 
   test("lexical rarity weights tokens by corpus-frequency digits, counts hapaxes") {
