@@ -635,4 +635,106 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs,
        FLOOR(((ss_sum * n_vecs - s2_sum) / (n_vecs * n_vecs * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS dispersion
 FROM per_label
 ORDER BY label"""
+
+  /** Topic clustering over embeddings: one Lloyd round from the
+   *  deterministic hash-seed codebook, then a per-cluster summary —
+   *  population, mean label, and the cosine range to the centroid
+   *  (min/max are order-independent selections, unlike a float mean).
+   *  This is the "what modes does the corpus have, and how tight are
+   *  they" frame a curation pass stratifies on.
+   *
+   *  Determinism contract (what makes the DuckDB mirror bit-exact):
+   *  centroid update is `FLOOR(sum/cnt + 0.5)` over exact integer
+   *  per-dim sums — NOT `round()`, whose half-away-from-zero behavior
+   *  on negative means differs from this formula and needn't agree
+   *  across engines — and every cosine is one div of exact integers
+   *  through IEEE-specified sqrt/mul. Empty clusters keep their seed
+   *  vector (left join + coalesce), mirroring [[trainCentroids]].
+   *
+   *  Scale shape: two broadcast-K assignment passes over the corpus +
+   *  one 64-column integer-mean partial agg — no corpus self-join, no
+   *  window wider than K rows. More Lloyd rounds at 100 TB = repeat
+   *  the same two passes; run them on a hash-sampled slice and assign
+   *  the full corpus once with the final codebook. */
+  def topicClusters(emb: DataFrame, k: Int = 32): DataFrame = {
+    val qv = quantized(emb).cache()
+    val seeds = hashCentroids(qv, k)
+    def assign(cents: DataFrame): DataFrame = qv
+      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") === 1)
+    val a1 = assign(seeds).select(col("cent_id"), col("qarr_b"))
+    val sumCols = (0 until Dims).map(i =>
+      sum(col("qarr_b")(i)).as(s"s$i")) :+ count(lit(1)).as("cnt")
+    val means = a1.groupBy("cent_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("cent_id"), array((0 until Dims).map(i =>
+        floor(col(s"s$i") * lit(1.0) / col("cnt") + lit(0.5))): _*)
+        .as("qarr_new"))
+      .withColumn("nq_new", expr("qdot(qarr_new, qarr_new)"))
+    val cents1 = seeds.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("qarr_new"), col("qarr_a")).as("qarr_a"),
+        coalesce(col("nq_new"), col("nq_a")).as("nq_a"))
+      .localCheckpoint(true)
+    assign(cents1)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cent_id").agg(
+        count(lit(1)).as("n_members"),
+        sum(col("label").cast("long")).as("label_sum"),
+        min("cosine").as("min_cos"),
+        max("cosine").as("max_cos"))
+      .select(col("cent_id"), col("n_members"),
+        r4(col("label_sum") * lit(1.0) / col("n_members")).as("avg_label"),
+        r4(col("min_cos")).as("min_cosine"),
+        r4(col("max_cos")).as("max_cosine"))
+      .orderBy("cent_id")
+  }
+
+  /** One Lloyd round in SQL on top of [[ivfAssignCte]]'s round-0
+   *  assignment — shared chain, so the seed/assign semantics cannot
+   *  drift from `ann_ivf`'s. */
+  val topicClustersOracle: String = "WITH " + ivfAssignCte + """,
+mcnt AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM assigned GROUP BY cent_id),
+msum AS (
+  SELECT a.cent_id, v.i, CAST(SUM(v.q) AS BIGINT) AS sq
+  FROM assigned a JOIN qv v ON v.vec_id = a.vec_id
+  GROUP BY a.cent_id, v.i),
+newc AS (
+  SELECT m.cent_id, m.i,
+         CAST(FLOOR(m.sq * 1.0 / c.cnt + 0.5) AS BIGINT) AS q
+  FROM msum m JOIN mcnt c ON m.cent_id = c.cent_id),
+cents2 AS (
+  SELECT c.cent_id, d.i, COALESCE(n.q, sv.q) AS q
+  FROM cents c CROSS JOIN dims d
+  LEFT JOIN newc n ON n.cent_id = c.cent_id AND n.i = d.i
+  LEFT JOIN qv sv ON sv.vec_id = c.cent_id AND sv.i = d.i),
+nc2 AS (SELECT cent_id, CAST(SUM(q * q) AS BIGINT) AS nq
+        FROM cents2 GROUP BY cent_id),
+dots2 AS (
+  SELECT v.vec_id, c2.cent_id, CAST(SUM(v.q * c2.q) AS BIGINT) AS dot
+  FROM qv v JOIN cents2 c2 ON c2.i = v.i
+  GROUP BY v.vec_id, c2.cent_id),
+cos2 AS (
+  SELECT d.vec_id, d.cent_id, d.dot / (sqrt(nv.nq) * sqrt(n2.nq)) AS cosine
+  FROM dots2 d
+  JOIN nr nv ON d.vec_id = nv.vec_id
+  JOIN nc2 n2 ON d.cent_id = n2.cent_id),
+a2 AS (
+  SELECT vec_id, cent_id, cosine FROM (
+    SELECT vec_id, cent_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM cos2) t WHERE rk = 1)
+SELECT a.cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       FLOOR((SUM(e.label) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_label,
+       FLOOR(MIN(a.cosine) * 10000.0 + 0.5) / 10000.0 AS min_cosine,
+       FLOOR(MAX(a.cosine) * 10000.0 + 0.5) / 10000.0 AS max_cosine
+FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+GROUP BY a.cent_id
+ORDER BY a.cent_id"""
 }

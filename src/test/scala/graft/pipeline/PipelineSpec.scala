@@ -502,6 +502,28 @@ class PipelineSpec extends SparkSpec {
     assert(sweep.map(_.getAs[Long]("n_docs")).sum === 5L)
   }
 
+  test("topic clusters: membership conserved, bounds sane, run deterministic") {
+    import spark.implicits._
+    // two orthogonal modes, 8 vectors each, 64 dims, small per-id jitter
+    val vecs = (0L until 16L).map { id =>
+      val mode = (id % 2).toInt
+      val base = Array.fill(64)(0.0f)
+      base(mode * 10) = 1.0f
+      base((id % 5).toInt + 20 + mode * 8) = 0.1f
+      (id, base.toSeq, mode)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Embeddings.topicClusters(vecs, k = 2).collect()
+    assert(out.length <= 2)
+    assert(out.map(_.getAs[Long]("n_members")).sum === 16L)
+    out.foreach { r =>
+      val avg = r.getAs[Double]("avg_label")
+      assert(avg >= 0.0 && avg <= 1.0, r.toString)
+      assert(r.getAs[Double]("min_cosine") <= r.getAs[Double]("max_cosine"))
+    }
+    val again = Embeddings.topicClusters(vecs, k = 2).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedding label stats: dispersion is zero for identical vectors") {
     val arr = Array.tabulate(64)(i => (0.1f * (i % 5)))
     val emb = (0 until 4).map(v => (v.toLong, arr.toSeq, 7))
