@@ -51,7 +51,13 @@ object Bench {
     // factors; only the data volume changes). Standard warmup practice
     // — the timed numbers then reflect data-proportional work.
     val warmDir = "/root/testdata/sf0.001"
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named keys
+    // (skips the shared-store scenario unless listed). Round artifacts
+    // are always produced with the variable unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     for (n <- names) {
       spark.catalog.clearCache()
       try SparkEntry.queries(n)(spark, warmDir)
@@ -92,15 +98,19 @@ object Bench {
         (-1.0, -1.0)
       }
     }
-    sharedFamilyOnce(warmDir) // absorb codegen/JIT like every other query
-    val sharedRuns = (0 until 3).map(_ => sharedFamilyOnce(sfDir))
+    val runShared = only.forall(s =>
+      s.contains("dedup_family_shared") || s.contains("shingle_store_write"))
+    val sharedRuns = if (runShared) {
+      sharedFamilyOnce(warmDir) // absorb codegen/JIT like every other query
+      (0 until 3).map(_ => sharedFamilyOnce(sfDir))
+    } else Seq.empty
     def medianOf(xs: Seq[Double]): (Double, Double, Double) =
       if (xs.exists(_ < 0)) (-1.0, -1.0, -1.0)
       else (xs.sorted.apply(1), xs.min, xs.max)
 
-    val results = names.map(n => n -> runMedian(n)) :+
-      ("shingle_store_write" -> medianOf(sharedRuns.map(_._1))) :+
-      ("dedup_family_shared" -> medianOf(sharedRuns.map(_._2)))
+    val results = names.map(n => n -> runMedian(n)) ++ (if (runShared) Seq(
+      "shingle_store_write" -> medianOf(sharedRuns.map(_._1)),
+      "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty)
     def r3(x: Double): String =
       if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).filter(_ >= 0).sum

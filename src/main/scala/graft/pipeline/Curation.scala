@@ -43,17 +43,22 @@ object Curation {
     val scored = docs.withColumn("q", TextAnalysis.qualityCol)
       .filter(col("q") >= minQuality).drop("q")
     // 2. exact dedup — first occurrence per content hash (the
-    //    dedupExact rule, applied as a keep-filter)
-    val byContent = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    // Deliberately NOT cached although four consumers re-derive it:
-    // the heavy intermediate (the shingle explode) is already cached
-    // inside dedupNgram, and each re-derivation here is a cheap
-    // column-pruned scan+filter+window — measured at sf0.1, caching
-    // this full-width frame made the pipeline ~20% SLOWER (memory-
-    // store write + unpruned reads). A persistent pipeline would
-    // write the curated store to parquet instead.
-    val exact = scored.withColumn("rn", row_number().over(byContent))
-      .filter(col("rn") === 1).drop("rn")
+    //    dedupExact rule), computed as a NARROW pass: only
+    //    (doc_id, hash) goes through the exchange+window, and the
+    //    winning ids are cached (ids only — tiny) and semi-joined
+    //    back. The four downstream consumers each re-derive `exact`,
+    //    so with the window form every one re-paid a FULL-WIDTH text
+    //    shuffle; with this form they pay a column-pruned scan plus a
+    //    broadcast-able semi-join. (Caching the full-width curated
+    //    frame instead was measured ~20% slower at sf0.1 —
+    //    memory-store write + unpruned reads. A persistent pipeline
+    //    would write the curated store to parquet.)
+    val byContent = Window.partitionBy("h").orderBy("doc_id")
+    val keepIds = scored
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(byContent))
+      .filter(col("rn") === 1).select("doc_id")
+    val exact = scored.join(keepIds, Seq("doc_id"), "left_semi")
     // 3. near-dup clusters over the exact-deduped set; survivors only
     val pairs = Dedup.dedupNgram(exact).select("doc_a", "doc_b")
     val dropped = Clustering.connectedComponents(pairs)
