@@ -112,6 +112,7 @@ ORDER BY event_id"""
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
+    "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // The composed five-stage pipeline (quality gate -> exact dedup ->
     // near-dup survivors -> split -> shard pack) as ONE dataflow; its
@@ -248,6 +249,7 @@ ORDER BY event_id"""
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
+    "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,

@@ -694,6 +694,51 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** Dup x quality interaction: per 0.05-wide quality bucket (the
+   *  [[qualitySweep]] grid — shared expression, no drift), how much of
+   *  the bucket is exact-duplicate mass. This is the "dedup before or
+   *  after the quality gate?" diagnostic: boilerplate tends to be both
+   *  low-quality AND duplicated, and when dup mass concentrates below
+   *  the intended cut the gate already removes it, so a pre-gate dedup
+   *  pass is wasted compute (and vice versa). Shapes match the
+   *  parents: one narrow (hash, id) groupBy + join for first
+   *  occurrence, one 20-row bucket aggregate, fractions as single
+   *  divisions of exact integer counts. */
+  def dupQualityProfile(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("ch"),
+      qualityCol.as("quality"))
+    val first = h.groupBy("ch").agg(min("doc_id").as("first_id"))
+    h.join(first, "ch")
+      .select(floor(col("quality") * 20).cast("long").as("bucket"),
+        (col("doc_id") > col("first_id")).cast("long").as("is_dup"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .select(col("bucket"),
+        r4(col("bucket") / lit(20.0)).as("threshold"),
+        col("n_docs"), col("n_dups"),
+        r4(col("n_dups") * lit(1.0) / col("n_docs")).as("dup_frac"))
+      .orderBy("bucket")
+  }
+
+  val dupQualityProfileOracle: String = s"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS ch, $qualitySqlExpr AS quality
+  FROM documents),
+f AS (SELECT ch, MIN(doc_id) AS first_id FROM h GROUP BY ch),
+b AS (
+  SELECT CAST(FLOOR(h.quality * 20) AS BIGINT) AS bucket,
+         CASE WHEN h.doc_id > f.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN f ON h.ch = f.ch),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dups
+  FROM b GROUP BY bucket)
+SELECT bucket,
+       FLOOR((bucket / 20.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       n_docs, n_dups,
+       FLOOR((n_dups * 1.0 / n_docs) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+FROM agg ORDER BY bucket"""
+
   /** Top-k bigram collocations ranked by pointwise lift
    *  `(c_xy/B) / ((c_x/T)(c_y/T))` — the PMI signal (PMI = log2(lift),
    *  and log is monotone, so ranking by lift IS ranking by PMI without

@@ -223,6 +223,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pmi terms: corpus explodes into partial aggs; all downstream joins broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.pmiTerms(docs))
+    // bigram + unigram counts combine map-side; the vocab-sized count
+    // frames join under broadcast — corpus rows never reach a join
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup curve / dup quality profile: narrow first-occurrence pass, no text shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(graft.pipeline.Dedup.dedupCurve(docs),
+        graft.pipeline.TextAnalysis.dupQualityProfile(docs))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+      // the exchanges carry (hash, id)-width rows, never full text
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach {
+        l => assert(!l.contains("text#"), l)
+      }
+    }
+  }
+
+  test("topic clusters: broadcast-K assignment, no corpus self-join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.topicClusters(emb))
+    // the only nested-loop is the deliberate broadcast-K cross join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mix resample broadcasts the weight table and explodes after the copy filter") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.Sampling.mixResample(docs))
