@@ -173,6 +173,8 @@ ORDER BY event_id"""
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
+    "lexical_vs_embedding" -> ((s, d) =>
+      Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
@@ -272,6 +274,7 @@ ORDER BY event_id"""
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
+    "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

@@ -636,6 +636,61 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs,
 FROM per_label
 ORDER BY label"""
 
+  /** Cross-modal consistency check: every verified lexical near-dup
+   *  pair ([[Dedup.dedupNgram]]'s output, verbatim) next to the
+   *  embedding cosine of the same two documents, plus the gap — the
+   *  "do the embeddings agree with the shingles?" table. A wide gap
+   *  row is either a paraphrase the lexical pass got lucky on or an
+   *  embedding-model blind spot; either way it's the first place to
+   *  look before trusting embedding-only dedup at 100 TB. Pairs keep
+   *  only docs that HAVE an embedding (inner join — the check is
+   *  defined exactly where both modalities exist). Scale shape: the
+   *  pair frame is near-dup-sized (tiny vs corpus), so the two
+   *  quantized-vector joins are hash joins on vec_id; no new corpus
+   *  pass beyond what dedupNgram already pays. Scores are the two
+   *  operators' own rounded values; the gap is one ABS over them,
+   *  mirrored exactly in SQL. */
+  def lexicalVsEmbedding(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val pairs = Dedup.dedupNgram(docs)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        col("jaccard"))
+    val qv = quantized(emb)
+    verifyCosine(pairs, qv, qv, "vec_a", "vec_b", minCosine = -2.0)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("jaccard"), r4(col("cosine")).as("cosine"))
+      .withColumn("gap", r4(abs(col("jaccard") - col("cosine"))))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shares [[Dedup.ngramVerifiedCte]] (the lexical side) and the
+   *  quantized qv/nr chain (the embedding side) — neither can drift
+   *  from its parent oracle. */
+  val lexicalVsEmbeddingOracle: String =
+    "WITH " + Dedup.shinglesCte + "," + Dedup.ngramVerifiedCte + """,
+dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+pdots AS (
+  SELECT v.doc_a, v.doc_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM verified v
+  JOIN qv qa ON qa.vec_id = v.doc_a
+  JOIN qv qb ON qb.vec_id = v.doc_b AND qb.i = qa.i
+  GROUP BY v.doc_a, v.doc_b),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         FLOOR((v.inter_n * 1.0 / (v.n_a + v.n_b - v.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         FLOOR((p.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM pdots p
+  JOIN verified v ON p.doc_a = v.doc_a AND p.doc_b = v.doc_b
+  JOIN nr na ON p.doc_a = na.vec_id
+  JOIN nr nb ON p.doc_b = nb.vec_id)
+SELECT doc_a, doc_b, jaccard, cosine,
+       FLOOR(ABS(jaccard - cosine) * 10000.0 + 0.5) / 10000.0 AS gap
+FROM scored
+ORDER BY doc_a, doc_b"""
+
   /** Topic clustering over embeddings: one Lloyd round from the
    *  deterministic hash-seed codebook, then a per-cluster summary —
    *  population, mean label, and the cosine range to the centroid

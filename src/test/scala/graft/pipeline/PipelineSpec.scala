@@ -524,6 +524,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("lexical-vs-embedding: identical text with identical vectors gives zero gap") {
+    import spark.implicits._
+    val vec = Seq.fill(64)(0.5f)
+    val other = (0 until 64).map(i => if (i % 2 == 0) 0.9f else -0.1f)
+    val embs = Seq((0L, vec, 0), (1L, vec, 0), (3L, other.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s0", 70L),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "s0", 70L),
+      (3L, "completely different content about spark data processing at massive scale", "en", "s1", 74L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Embeddings.lexicalVsEmbedding(pairDocs, embs).collect()
+    assert(out.length === 1) // only (0,1) is a verified near-dup pair
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getAs[Double]("jaccard") === 1.0)
+    assert(r.getAs[Double]("cosine") === 1.0)
+    assert(r.getAs[Double]("gap") === 0.0)
+  }
+
   test("embedding label stats: dispersion is zero for identical vectors") {
     val arr = Array.tabulate(64)(i => (0.1f * (i % 5)))
     val emb = (0 until 4).map(v => (v.toLong, arr.toSeq, 7))
