@@ -16,6 +16,9 @@ import graft.functions.{PolyHash, QDot, WordNGrams, WordNGramsAll}
  *    integer dot product ([[graft.functions.QDot]]).
  *  - `word_ngrams(string, int) -> array<string>` — codegen'd distinct
  *    word n-gram shingling ([[graft.functions.WordNGrams]]).
+ *  - `word_ngrams_all(string, int) -> array<string>` — multiplicity-
+ *    preserving variant for n-gram statistics
+ *    ([[graft.functions.WordNGramsAll]]).
  *  - `poly_hash(string) -> bigint` — codegen'd polynomial rolling
  *    hash mod 1000003, the SQL-reproducible scale-mode gram-id family
  *    ([[graft.functions.PolyHash]]).
