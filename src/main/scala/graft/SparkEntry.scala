@@ -69,6 +69,8 @@ ORDER BY event_id"""
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
     "task_executor_asof" -> ((s, d) => Diagnostics.taskExecutorAsof(canon(s, d))),
     "critical_path" -> ((s, d) => Diagnostics.criticalPath(canon(s, d))),
+    "concurrency_profile" -> ((s, d) =>
+      Diagnostics.concurrencyProfile(canon(s, d))),
     "shuffle_skew" -> ((s, d) => Diagnostics.shuffleSkew(canon(s, d))),
     "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
@@ -214,6 +216,7 @@ ORDER BY event_id"""
     "user_sessions" -> Diagnostics.userSessionsOracle,
     "task_executor_asof" -> Diagnostics.taskExecutorAsofOracle,
     "critical_path" -> Diagnostics.criticalPathOracle,
+    "concurrency_profile" -> Diagnostics.concurrencyProfileOracle,
     "shuffle_skew" -> Diagnostics.shuffleSkewOracle,
     "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,

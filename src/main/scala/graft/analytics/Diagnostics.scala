@@ -224,6 +224,75 @@ FROM per_stage
 GROUP BY app_id
 ORDER BY app_id"""
 
+  /** Per-app peak task concurrency by interval sweep-line: each task
+   *  contributes +1 at start (`end − duration`) and −1 at end; the
+   *  running sum's maximum is the realized parallelism ceiling, and
+   *  `peak_at_us` is the first instant it is reached. Read next to
+   *  allocated cores this answers "did the app ever USE the executors
+   *  it held?" — the complement of [[graft.analytics.Trends]]'
+   *  ratio-based cpu_util (average utilization hides a spiky profile;
+   *  the sweep shows it). Tie rule: at equal timestamps ends (−1)
+   *  order before starts (+1), so back-to-back tasks don't double-
+   *  count — encoded as `ORDER BY ts, delta, task_id`, a total order
+   *  both engines sort identically. Scale shape: one shuffle by
+   *  app_id for the per-app ordered running sum (per-app cardinality,
+   *  not corpus-wide), then the peak lookup joins a broadcast-sized
+   *  per-app aggregate. */
+  def concurrencyProfile(canon: DataFrame): DataFrame = {
+    val te = canon
+      .filter(col("event_type") === TaskEnd && col("duration_ms").isNotNull)
+      .select(col("app_id"), col("task_id"),
+        (col("event_time_us") - col("duration_ms") * 1000L).as("start_us"),
+        col("event_time_us").as("end_us"))
+    val deltas = te.select(col("app_id"), col("task_id"),
+        col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionByName(te.select(col("app_id"), col("task_id"),
+        col("end_us").as("ts_us"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("app_id")
+      .orderBy(col("ts_us"), col("delta"), col("task_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = deltas.withColumn("conc", sum("delta").over(w))
+    val peaks = cum.groupBy("app_id").agg(
+      sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_tasks"),
+      max("conc").as("peak_concurrency"))
+    cum.join(broadcast(peaks), "app_id")
+      .filter(col("conc") === col("peak_concurrency"))
+      .groupBy("app_id", "n_tasks", "peak_concurrency")
+      .agg(min("ts_us").as("peak_at_us"))
+      .select(col("app_id"), col("n_tasks"), col("peak_concurrency"),
+        col("peak_at_us"))
+      .orderBy("app_id")
+  }
+
+  val concurrencyProfileOracle: String = canonCte + """
+, te AS (
+  SELECT app_id, task_id,
+         event_time_us - duration_ms * 1000 AS start_us,
+         event_time_us AS end_us
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND duration_ms IS NOT NULL),
+deltas AS (
+  SELECT app_id, task_id, start_us AS ts_us, 1 AS delta FROM te
+  UNION ALL
+  SELECT app_id, task_id, end_us AS ts_us, -1 AS delta FROM te),
+cum AS (
+  SELECT app_id, ts_us, delta,
+         CAST(SUM(delta) OVER (PARTITION BY app_id
+           ORDER BY ts_us, delta, task_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+  FROM deltas),
+peaks AS (
+  SELECT app_id,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tasks,
+         CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+  FROM cum GROUP BY app_id)
+SELECT c.app_id, p.n_tasks, p.peak_concurrency,
+       CAST(MIN(c.ts_us) AS BIGINT) AS peak_at_us
+FROM cum c JOIN peaks p
+  ON c.app_id = p.app_id AND c.conc = p.peak_concurrency
+GROUP BY c.app_id, p.n_tasks, p.peak_concurrency
+ORDER BY c.app_id"""
+
   /** Per-stage shuffle-BYTES skew — [[stragglerStages]] sees time skew,
    *  this sees the data skew that causes it (one reducer dragging 10×
    *  its share of shuffle input is the classic AQE-skew-join /

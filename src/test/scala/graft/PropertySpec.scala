@@ -132,4 +132,26 @@ class PropertySpec extends SparkSpec {
       assert(hist.map { case (sz, (n, _)) => sz * n }.sum === clusters.length.toLong)
     }
   }
+
+  test("dedup curve conserves mass and counts dups as docs-minus-distinct on random corpora") {
+    import graft.pipeline.Dedup
+    for (seed <- 1L to 5L) {
+      // random ids and heavy text collisions to exercise every bucket shape
+      val rows = sample(Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0L, 200L), Gen.chooseNum(0, 7))), seed)
+        .map { case (id, t) => (id, s"text variant $t") }
+        .distinct.groupBy(_._1).map(_._2.head).toSeq // unique doc_ids
+      val docs = rows.map { case (id, t) => (id, t, "en", "s0", 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Dedup.dedupCurve(docs).collect()
+      assert(out.map(_.getAs[Long]("n_docs")).sum === rows.length.toLong, s"seed=$seed")
+      assert(out.map(_.getAs[Long]("n_dups")).sum ===
+        (rows.length - rows.map(_._2).distinct.length).toLong, s"seed=$seed")
+      // cumulative fraction of the last bucket covers the whole corpus
+      val last = out.last
+      assert(last.getAs[Double]("cum_dup_frac") ===
+        math.floor((rows.length - rows.map(_._2).distinct.length) * 1.0 /
+          rows.length * 10000.0 + 0.5) / 10000.0, s"seed=$seed")
+    }
+  }
 }

@@ -16,6 +16,21 @@ class DiagnosticsSpec extends SparkSpec {
     rows.toDF("app_id", "event_type", "event_time_us", "duration_ms",
       "gc_time_ms", "stage_id", "executor_id", "app_user", "event_id")
 
+  test("concurrency sweep: ends at equal timestamps release before starts") {
+    // task1 [0,10ms], task2 [5,15], task3 [15,25]: task3 begins the
+    // instant task2 ends, so the peak stays 2 (at t=5ms), never 3
+    val rows = Seq(
+      ("app-c", "SparkListenerTaskEnd", 10000L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(1L)),
+      ("app-c", "SparkListenerTaskEnd", 15000L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(2L)),
+      ("app-c", "SparkListenerTaskEnd", 25000L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(3L))
+    ).toDF("app_id", "event_type", "event_time_us", "duration_ms", "task_id")
+    val out = Diagnostics.concurrencyProfile(rows).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_tasks") === 3L)
+    assert(out(0).getAs[Long]("peak_concurrency") === 2L)
+    assert(out(0).getAs[Long]("peak_at_us") === 5000L)
+  }
+
   test("task quantiles pick exact nearest-rank elements") {
     // durations 10..100 step 10 (n=10): p50 idx = floor(0.5*9)+1 = 5 -> 50
     // p75 idx = floor(0.75*9)+1 = 7 -> 70; p95 idx = floor(0.95*9)+1 = 9 -> 90
