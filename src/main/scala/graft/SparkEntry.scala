@@ -115,6 +115,7 @@ ORDER BY event_id"""
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
+    "quality_rules" -> ((s, d) => TextAnalysis.qualityRules(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // The composed five-stage pipeline (quality gate -> exact dedup ->
     // near-dup survivors -> split -> shard pack) as ONE dataflow; its
@@ -130,6 +131,7 @@ ORDER BY event_id"""
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
+    "dedup_ngram_fast" -> ((s, d) => Dedup.dedupNgramFast(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     // Incremental shape: docs >= 400 are "today's batch" against the
     // older corpus; output = full-run pairs touching the batch.
@@ -255,6 +257,7 @@ ORDER BY event_id"""
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
+    "quality_rules" -> TextAnalysis.qualityRulesOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
@@ -263,6 +266,7 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
+    "dedup_ngram_fast" -> Dedup.dedupNgramFastOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,

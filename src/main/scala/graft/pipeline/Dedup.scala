@@ -319,6 +319,62 @@ SELECT doc_a, doc_b, inter_n, n_a, n_b,
 FROM verified
 ORDER BY doc_a, doc_b"""
 
+  /** 100 TB mode of [[dedupNgram]]: candidate BLOCKING keys on the
+   *  8-byte integer gram id (`idFamily`, default the SQL-reproducible
+   *  `"poly"`) instead of the gram string — document frequency,
+   *  the rare filter, and the inverted-index pair join all shuffle
+   *  fixed-width longs, and gram TEXT never enters an exchange until
+   *  verification. At corpus scale that is the difference between
+   *  shuffling ~8 bytes and ~50+ bytes per shingle row on the
+   *  heaviest join of the family. VERIFICATION is unchanged — exact
+   *  Jaccard over the true gram strings — so a gid collision can only
+   *  add a (rejected) candidate or, rarely, inflate a rare gram's df
+   *  past `maxDf` and lose its blocking power: the same probabilistic
+   *  recall contract banded MinHash already has, mirrored bit-exactly
+   *  by the oracle (the SQL computes identical poly ids, so identical
+   *  collisions). */
+  def dedupNgramFast(docs: DataFrame, maxDf: Long = 5L,
+                     minJaccard: Double = 0.2,
+                     idFamily: String = "poly",
+                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val shId = shingleIds(sh, idFamily)
+    val df = shId.groupBy("gid").agg(count(lit(1)).as("df_cnt"))
+    val rare = df.filter(col("df_cnt") <= maxDf).select("gid")
+    val rareSh = shId.join(rare, "gid")
+    val cands = rareSh.select(col("gid"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gid"), col("doc_id").as("doc_b")), "gid")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    withJaccard(cands, sh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("n_a"),
+        col("n_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramFastOracle: String =
+    "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + """,
+dfreq AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shid GROUP BY gid),
+rare AS (SELECT gid FROM dfreq WHERE df_cnt <= 5),
+raresh AS (SELECT s.doc_id, s.gid FROM shid s JOIN rare r ON s.gid = r.gid),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gid = b.gid AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY c.doc_a, c.doc_b"""
+
   /** Cross-source duplication matrix — WHERE the near-dup mass comes
    *  from: verified [[dedupNgram]] pairs rolled up by (source, source),
    *  normalized by the population of each source pair, so a mirror

@@ -694,6 +694,100 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** Rule-based filter ledger (the Gopher/Dolma-style counterpart to
+   *  the continuous [[qualityScore]]): five boolean cleaning rules,
+   *  each reported with the doc count and token mass it would remove,
+   *  plus the `any` union row — the table a curation review reads to
+   *  see what each rule COSTS before switching it on. Every threshold
+   *  is evaluated in cross-multiplied INTEGER form (`punct * 50 >
+   *  n_chars` instead of `punct/n_chars > 0.02`), so there is no
+   *  float comparison anywhere and the SQL mirror is trivially exact.
+   *  Shape: one map-side-combining aggregate over a pure projection;
+   *  the 6-row unpivot happens on the one-row aggregate. Token
+   *  counts reuse [[textStats]]' conventions (whitespace tokens,
+   *  ceil-div-4 BPE estimate, the shared stopword/punct expressions
+   *  of [[qualityCol]]). */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val flags = docs.select(
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+      size(expr("filter(split(text, ' '), w -> w = 'the' OR w = 'a')"))
+        .cast("long").as("stop_tok"),
+      size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
+        .as("punct"),
+      col("n_chars"),
+      expr("(n_chars + 3) div 4").as("bpe"))
+      .select(
+        (col("n_tok") < 30L).cast("long").as("f_short"),
+        ((col("n_chars") - (col("n_tok") - 1L)) > col("n_tok") * 6L)
+          .cast("long").as("f_long_word"),
+        (col("punct") * 50L > col("n_chars")).cast("long").as("f_symbol"),
+        (col("stop_tok") * 50L < col("n_tok")).cast("long").as("f_stop_low"),
+        (col("n_distinct") * 10L < col("n_tok") * 3L).cast("long").as("f_repeat"),
+        col("bpe"))
+      .withColumn("f_any",
+        (col("f_short") + col("f_long_word") + col("f_symbol")
+          + col("f_stop_low") + col("f_repeat") > 0L).cast("long"))
+    val rules = Seq("any", "long_word", "repeat", "short", "stop_low", "symbol")
+    val aggCols = Seq(
+      count(lit(1)).as("total_docs"), sum("bpe").as("total_tokens")) ++
+      rules.flatMap(r => Seq(
+        sum(col(s"f_$r")).as(s"d_$r"),
+        sum(col(s"f_$r") * col("bpe")).as(s"t_$r")))
+    val agg = flags.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = rules
+      .map(r => s"'$r', d_$r, t_$r").mkString(", ")
+    agg.select(col("total_docs"), col("total_tokens"),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, docs_flagged, tokens_flagged)"))
+      .select(col("rule"), col("docs_flagged"), col("tokens_flagged"),
+        r4(col("docs_flagged") * lit(1.0) / col("total_docs")).as("doc_share"),
+        r4(col("tokens_flagged") * lit(1.0) / col("total_tokens")).as("token_share"))
+      .orderBy("rule")
+  }
+
+  val qualityRulesOracle: String = """
+WITH c AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_tok,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct,
+         n_chars, (n_chars + 3) // 4 AS bpe
+  FROM documents),
+f AS (
+  SELECT bpe,
+         CASE WHEN n_tok < 30 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN (n_chars - (n_tok - 1)) > n_tok * 6 THEN 1 ELSE 0 END AS f_long_word,
+         CASE WHEN punct * 50 > n_chars THEN 1 ELSE 0 END AS f_symbol,
+         CASE WHEN stop_tok * 50 < n_tok THEN 1 ELSE 0 END AS f_stop_low,
+         CASE WHEN n_distinct * 10 < n_tok * 3 THEN 1 ELSE 0 END AS f_repeat
+  FROM c),
+g AS (
+  SELECT *, CASE WHEN f_short + f_long_word + f_symbol + f_stop_low + f_repeat > 0
+                 THEN 1 ELSE 0 END AS f_any
+  FROM f),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+         CAST(SUM(bpe) AS BIGINT) AS total_tokens,
+         CAST(SUM(f_any) AS BIGINT) AS d_any, CAST(SUM(f_any * bpe) AS BIGINT) AS t_any,
+         CAST(SUM(f_long_word) AS BIGINT) AS d_long_word, CAST(SUM(f_long_word * bpe) AS BIGINT) AS t_long_word,
+         CAST(SUM(f_repeat) AS BIGINT) AS d_repeat, CAST(SUM(f_repeat * bpe) AS BIGINT) AS t_repeat,
+         CAST(SUM(f_short) AS BIGINT) AS d_short, CAST(SUM(f_short * bpe) AS BIGINT) AS t_short,
+         CAST(SUM(f_stop_low) AS BIGINT) AS d_stop_low, CAST(SUM(f_stop_low * bpe) AS BIGINT) AS t_stop_low,
+         CAST(SUM(f_symbol) AS BIGINT) AS d_symbol, CAST(SUM(f_symbol * bpe) AS BIGINT) AS t_symbol
+  FROM g),
+u AS (
+  SELECT 'any' AS rule, d_any AS docs_flagged, t_any AS tokens_flagged, total_docs, total_tokens FROM a
+  UNION ALL SELECT 'long_word', d_long_word, t_long_word, total_docs, total_tokens FROM a
+  UNION ALL SELECT 'repeat', d_repeat, t_repeat, total_docs, total_tokens FROM a
+  UNION ALL SELECT 'short', d_short, t_short, total_docs, total_tokens FROM a
+  UNION ALL SELECT 'stop_low', d_stop_low, t_stop_low, total_docs, total_tokens FROM a
+  UNION ALL SELECT 'symbol', d_symbol, t_symbol, total_docs, total_tokens FROM a)
+SELECT rule, docs_flagged, tokens_flagged,
+       FLOOR((docs_flagged * 1.0 / total_docs) * 10000.0 + 0.5) / 10000.0 AS doc_share,
+       FLOOR((tokens_flagged * 1.0 / total_tokens) * 10000.0 + 0.5) / 10000.0 AS token_share
+FROM u
+ORDER BY rule"""
+
   /** Dup x quality interaction: per 0.05-wide quality bucket (the
    *  [[qualitySweep]] grid — shared expression, no drift), how much of
    *  the bucket is exact-duplicate mass. This is the "dedup before or

@@ -61,6 +61,13 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("jaccard") - 11.0 / 13.0) < 1e-3)
   }
 
+  test("ngram fast mode returns the exact-blocking result on the fixture") {
+    val slow = Dedup.dedupNgram(docs).collect().map(_.toString).toSeq
+    val fast = Dedup.dedupNgramFast(docs).collect().map(_.toString).toSeq
+    assert(fast === slow) // no gid collisions at fixture scale
+    assert(fast.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; banding is exact for <= 3") {
     val out = Dedup.dedupSimhash(docs, maxHamming = 3)
     val h = out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
@@ -315,6 +322,25 @@ class PipelineSpec extends SparkSpec {
     assert(top.getAs[Long]("c_xy") === 5L)
     // lift("x","y") = (5/23) / ((5/24)*(5/24)) = 5.0087 at 4 decimals
     assert(top.getAs[Double]("lift") === 5.0087)
+  }
+
+  test("quality rules ledger: hand fixture trips exactly the planted rules") {
+    import spark.implicits._
+    val fix = Seq(
+      // 40 distinct-ish tokens incl. 'the' twice: trips nothing
+      (0L, ("the alpha " * 2 + (1 to 36).map(i => s"w$i").mkString(" ")).trim, "en", "s0", 250L),
+      // 5 tokens -> short; no stopwords -> stop_low
+      (1L, "one two three four five", "en", "s0", 23L),
+      // 'x ' * 40 -> repeat (1 distinct / 40) + short? no (40 tokens) -> stop_low too
+      (2L, ("x " * 40).trim, "en", "s0", 79L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.qualityRules(fix).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("docs_flagged")).toMap
+    assert(out("short") === 1L)
+    assert(out("repeat") === 1L)
+    assert(out("stop_low") === 2L)
+    assert(out("symbol") === 0L)
+    assert(out("any") === 2L)
   }
 
   test("lexical rarity weights tokens by corpus-frequency digits, counts hapaxes") {
