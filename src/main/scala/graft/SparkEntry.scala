@@ -71,6 +71,7 @@ ORDER BY event_id"""
     "critical_path" -> ((s, d) => Diagnostics.criticalPath(canon(s, d))),
     "concurrency_profile" -> ((s, d) =>
       Diagnostics.concurrencyProfile(canon(s, d))),
+    "host_hotspots" -> ((s, d) => Diagnostics.hostHotspots(canon(s, d))),
     "shuffle_skew" -> ((s, d) => Diagnostics.shuffleSkew(canon(s, d))),
     "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
@@ -219,6 +220,7 @@ ORDER BY event_id"""
     "task_executor_asof" -> Diagnostics.taskExecutorAsofOracle,
     "critical_path" -> Diagnostics.criticalPathOracle,
     "concurrency_profile" -> Diagnostics.concurrencyProfileOracle,
+    "host_hotspots" -> Diagnostics.hostHotspotsOracle,
     "shuffle_skew" -> Diagnostics.shuffleSkewOracle,
     "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,

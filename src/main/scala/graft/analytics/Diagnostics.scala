@@ -224,6 +224,71 @@ FROM per_stage
 GROUP BY app_id
 ORDER BY app_id"""
 
+  /** Per-host workload and failure concentration — the bad-node
+   *  detector: a host whose failure share runs ahead of its task
+   *  share (`failure_concentration` > 1) is failing MORE than its
+   *  workload explains (disk going bad, memory errors, noisy
+   *  neighbor), the signal a cluster operator decommissions on.
+   *  One map-side-combining aggregate to host cardinality; the share
+   *  windows run over that per-host aggregate only. The concentration
+   *  ratio is computed in doubles (integer products would overflow at
+   *  fleet scale), one fixed expression mirrored by the oracle. */
+  def hostHotspots(canon: DataFrame): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("host").isNotNull &&
+        col("duration_ms").isNotNull)
+      .select(col("host"), col("duration_ms"), col("input_bytes"),
+        when(col("end_reason").isNotNull && col("end_reason") =!= "Success",
+          1L).otherwise(0L).as("failed"))
+    val all = Window.partitionBy()
+    tasks.groupBy("host").agg(
+        count(lit(1)).as("n_tasks"),
+        sum("duration_ms").as("task_ms"),
+        sum("input_bytes").as("input_bytes"),
+        sum("failed").as("failed_n"))
+      .withColumn("cluster_tasks", sum("n_tasks").over(all))
+      .withColumn("cluster_failed", sum("failed_n").over(all))
+      .select(col("host"), col("n_tasks"), col("task_ms"),
+        col("input_bytes"), col("failed_n"),
+        r4(col("n_tasks") * lit(1.0) / col("cluster_tasks")).as("task_share"),
+        r4(col("failed_n") * lit(1.0) / col("n_tasks")).as("failure_rate"),
+        r4(when(col("cluster_failed") > 0,
+          (col("failed_n") * lit(1.0) * col("cluster_tasks"))
+            / (col("n_tasks") * lit(1.0) * col("cluster_failed"))))
+          .as("failure_concentration"))
+      .orderBy("host")
+  }
+
+  val hostHotspotsOracle: String = canonCte + """
+, t AS (
+  SELECT host, duration_ms, input_bytes,
+         CASE WHEN end_reason IS NOT NULL AND end_reason <> 'Success'
+              THEN 1 ELSE 0 END AS failed
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND host IS NOT NULL AND duration_ms IS NOT NULL),
+per_host AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         CAST(SUM(duration_ms) AS BIGINT) AS task_ms,
+         CAST(SUM(input_bytes) AS BIGINT) AS input_bytes,
+         CAST(SUM(failed) AS BIGINT) AS failed_n
+  FROM t GROUP BY host),
+tot AS (
+  SELECT host, n_tasks, task_ms, input_bytes, failed_n,
+         CAST(SUM(n_tasks) OVER () AS BIGINT) AS cluster_tasks,
+         CAST(SUM(failed_n) OVER () AS BIGINT) AS cluster_failed
+  FROM per_host)
+SELECT host, n_tasks, task_ms, input_bytes, failed_n,
+       FLOOR((n_tasks * 1.0 / cluster_tasks) * 10000.0 + 0.5) / 10000.0 AS task_share,
+       FLOOR((failed_n * 1.0 / n_tasks) * 10000.0 + 0.5) / 10000.0 AS failure_rate,
+       CASE WHEN cluster_failed > 0 THEN
+         FLOOR(((failed_n * 1.0 * cluster_tasks) / (n_tasks * 1.0 * cluster_failed))
+               * 10000.0 + 0.5) / 10000.0
+       END AS failure_concentration
+FROM tot
+ORDER BY host"""
+
   /** Per-app peak task concurrency by interval sweep-line: each task
    *  contributes +1 at start (`end − duration`) and −1 at end; the
    *  running sum's maximum is the realized parallelism ceiling, and

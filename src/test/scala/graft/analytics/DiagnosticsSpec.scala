@@ -16,6 +16,25 @@ class DiagnosticsSpec extends SparkSpec {
     rows.toDF("app_id", "event_type", "event_time_us", "duration_ms",
       "gc_time_ms", "stage_id", "executor_id", "app_user", "event_id")
 
+  test("host hotspots: failure concentration flags the host failing beyond its share") {
+    // host-a: 8 tasks 1 failure; host-b: 2 tasks 1 failure
+    // task shares 0.8/0.2; failure shares 0.5/0.5 -> concentration 0.625 / 2.5
+    val rows = (1 to 8).map(i => ("app-h", "SparkListenerTaskEnd", 1000L + i,
+        java.lang.Long.valueOf(10L), "host-a",
+        if (i == 1) "ExceptionFailure" else "Success", 100L + i)) ++
+      (1 to 2).map(i => ("app-h", "SparkListenerTaskEnd", 2000L + i,
+        java.lang.Long.valueOf(10L), "host-b",
+        if (i == 1) "ExceptionFailure" else "Success", 200L + i))
+    val canon = rows.toDF("app_id", "event_type", "event_time_us",
+      "duration_ms", "host", "end_reason", "input_bytes")
+    val out = Diagnostics.hostHotspots(canon).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("host-a").getAs[Double]("failure_concentration") === 0.625)
+    assert(out("host-b").getAs[Double]("failure_concentration") === 2.5)
+    assert(out("host-b").getAs[Double]("failure_rate") === 0.5)
+    assert(out("host-a").getAs[Double]("task_share") === 0.8)
+  }
+
   test("concurrency sweep: ends at equal timestamps release before starts") {
     // task1 [0,10ms], task2 [5,15], task3 [15,25]: task3 begins the
     // instant task2 ends, so the peak stays 2 (at t=5ms), never 3
