@@ -180,6 +180,7 @@ ORDER BY event_id"""
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
+    "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
@@ -284,6 +285,7 @@ ORDER BY event_id"""
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
+    "split_leakage" -> Sampling.splitLeakageOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

@@ -324,4 +324,65 @@ ranked AS (
 SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, quality
 FROM ranked WHERE rk <= 25
 ORDER BY lang, rank"""
+  /** Split-leakage audit: near-dup pairs that CROSS the deterministic
+   *  train/val/test boundary — the eval-integrity hole a random split
+   *  always has on a deduped-but-not-clustered corpus (doc-level
+   *  splits leak near-duplicate content between train and eval; this
+   *  table is the evidence). One row per (own_split, partner_split):
+   *  how many docs of `own_split` have at least one near-dup partner
+   *  in `partner_split`, and how many pairs cross that edge. The fix
+   *  it motivates is cluster-aware splitting (split on
+   *  [[graft.pipeline.Clustering]] cluster ids, not doc ids).
+   *  Shape: the pair frame is near-dup-sized; two id-keyed joins
+   *  against the split projection and one small aggregate — no new
+   *  corpus pass beyond dedupNgram's own. The split rule is
+   *  [[splitAssign]] verbatim. */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    val split = splitAssign(docs, trainPct, valPct)
+      .select("doc_id", "split")
+    val pairs = Dedup.dedupNgram(docs).select("doc_a", "doc_b")
+    val halves = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+      .unionByName(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
+    halves
+      .join(split, "doc_id")
+      .join(split.select(col("doc_id").as("partner"),
+        col("split").as("partner_split")), "partner")
+      .filter(col("split") =!= col("partner_split"))
+      .groupBy("split", "partner_split")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_pairs"))
+      .select(col("split").as("own_split"), col("partner_split"),
+        col("n_docs"), col("n_pairs"))
+      .orderBy("own_split", "partner_split")
+  }
+
+  /** Shares [[Dedup.ngramVerifiedCte]] and [[Sampling.splitAssign]]'s
+   *  md5-bucket rule. */
+  val splitLeakageOracle: String =
+    "WITH " + Dedup.shinglesCte + "," + Dedup.ngramVerifiedCte + """,
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'train'
+              WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+halves AS (
+  SELECT doc_a AS doc_id, doc_b AS partner FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS partner FROM verified),
+j AS (
+  SELECT h.doc_id, s1.split, s2.split AS partner_split
+  FROM halves h
+  JOIN sp s1 ON h.doc_id = s1.doc_id
+  JOIN sp s2 ON h.partner = s2.doc_id
+  WHERE s1.split <> s2.split)
+SELECT split AS own_split, partner_split,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j
+GROUP BY split, partner_split
+ORDER BY own_split, partner_split"""
+
 }

@@ -61,6 +61,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("jaccard") - 11.0 / 13.0) < 1e-3)
   }
 
+  test("split leakage equals the hand-joined pair/split composition") {
+    val split = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val pairs = Dedup.dedupNgram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (d, p) => split(d) != split(p) }
+      .groupBy { case (d, p) => (split(d), split(p)) }
+      .map { case (k, v) => k -> ((v.map(_._1).distinct.length.toLong, v.length.toLong)) }
+    val got = Sampling.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs")))).toMap
+    assert(got === want)
+  }
+
   test("ngram fast mode returns the exact-blocking result on the fixture") {
     val slow = Dedup.dedupNgram(docs).collect().map(_.toString).toSeq
     val fast = Dedup.dedupNgramFast(docs).collect().map(_.toString).toSeq
