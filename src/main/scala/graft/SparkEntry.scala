@@ -181,6 +181,7 @@ ORDER BY event_id"""
     "lexical_vs_embedding" -> ((s, d) =>
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
     "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
+    "cluster_split" -> ((s, d) => Sampling.clusterSplit(docs(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
@@ -286,6 +287,7 @@ ORDER BY event_id"""
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "split_leakage" -> Sampling.splitLeakageOracle,
+    "cluster_split" -> Sampling.clusterSplitOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

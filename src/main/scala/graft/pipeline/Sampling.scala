@@ -324,6 +324,54 @@ ranked AS (
 SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, quality
 FROM ranked WHERE rk <= 25
 ORDER BY lang, rank"""
+  /** Cluster-aware split assignment — the FIX for what
+   *  [[splitLeakage]] measures: the split bucket is computed from the
+   *  near-dup CLUSTER id (min doc_id in the connected component;
+   *  singletons are their own cluster), so every near-duplicate
+   *  family lands wholly in one split and cross-split leakage is zero
+   *  BY CONSTRUCTION (asserted in PipelineSpec by composing the two
+   *  operators). Same deterministic md5-bucket rule as
+   *  [[splitAssign]], applied to `cluster_id` instead of `doc_id`;
+   *  the extra cost over a plain split is the near-dup pass + closure
+   *  a curation pipeline has already paid (`precomputedPairs`
+   *  composes with any detector, same contract as
+   *  [[graft.pipeline.Clustering.dedupClusters]]). */
+  def clusterSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+                   precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(Dedup.dedupNgram(docs))
+      .select("doc_a", "doc_b")
+    val comp = Clustering.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"), bucket100("cluster_id"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Shares [[graft.pipeline.Clustering]]'s recursive-closure CTE
+   *  chain and [[splitAssign]]'s bucket spelling. */
+  val clusterSplitOracle: String =
+    "WITH RECURSIVE " + Dedup.shinglesCte.trim + "," +
+      Clustering.closureFromShingles + """,
+allc AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+bk AS (
+  SELECT doc_id, cluster_id,
+         CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+  FROM allc)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM bk
+ORDER BY doc_id"""
+
   /** Split-leakage audit: near-dup pairs that CROSS the deterministic
    *  train/val/test boundary — the eval-integrity hole a random split
    *  always has on a deduped-but-not-clustered corpus (doc-level

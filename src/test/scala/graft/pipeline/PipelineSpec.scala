@@ -76,6 +76,19 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cluster-aware split has zero cross-split leakage by construction") {
+    val split = Sampling.clusterSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val pairs = Dedup.dedupNgram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) crosses splits")
+    }
+    // singletons still covered: every doc gets an assignment
+    assert(split.keySet === docs.collect().map(_.getLong(0)).toSet)
+  }
+
   test("ngram fast mode returns the exact-blocking result on the fixture") {
     val slow = Dedup.dedupNgram(docs).collect().map(_.toString).toSeq
     val fast = Dedup.dedupNgramFast(docs).collect().map(_.toString).toSeq
