@@ -182,9 +182,13 @@ ORDER BY event_id"""
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
     "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
     "cluster_split" -> ((s, d) => Sampling.clusterSplit(docs(s, d))),
+    "embedding_coverage" -> ((s, d) =>
+      Embeddings.embeddingCoverage(docs(s, d), emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
+    "ann_ivf_trained" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d),
+      trainedCentroids = Some(Embeddings.trainCentroids(emb(s, d), iters = 1)))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
@@ -288,6 +292,8 @@ ORDER BY event_id"""
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "split_leakage" -> Sampling.splitLeakageOracle,
     "cluster_split" -> Sampling.clusterSplitOracle,
+    "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
+    "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

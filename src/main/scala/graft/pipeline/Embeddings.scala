@@ -382,8 +382,11 @@ ORDER BY query_id, rank"""
         sum(col("qarr_b")(i)).as(s"s$i")) :+ count(lit(1)).as("cnt")
       val means = assigned.groupBy("cent_id")
         .agg(sumCols.head, sumCols.tail: _*)
+        // FLOOR(sum/cnt + 0.5), the same round()-free centroid-update
+        // rule topicClusters oracles bit-exactly (round()'s negative-
+        // mean behavior is engine-dependent; this formula is not)
         .select(col("cent_id"), array((0 until Dims).map(i =>
-          round(col(s"s$i").cast("double") / col("cnt")).cast("long")): _*)
+          floor(col(s"s$i") * lit(1.0) / col("cnt") + lit(0.5))): _*)
           .as("qarr_new"))
         .withColumn("nq_new", expr("qdot(qarr_new, qarr_new)"))
       cents = cents.join(means, Seq("cent_id"), "left")
@@ -636,6 +639,49 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs,
 FROM per_label
 ORDER BY label"""
 
+  /** Embedding-coverage QA: per source, how much of the corpus (docs
+   *  AND token mass) actually HAS an embedding — the gate before any
+   *  embedding-dependent operator is trusted ([[dedupEmbedding]] and
+   *  ANN silently skip uncovered docs, so a 60%-covered source makes
+   *  "embedding dedup found nothing" meaningless). One id-keyed left
+   *  join + one map-side aggregate to source cardinality; coverage
+   *  fractions are single divisions of exact integer counts. */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val has = emb.select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("has_emb", lit(1L))
+    docs.select(col("doc_id"), col("source"),
+        expr("(n_chars + 3) div 4").as("bpe"))
+      .join(has, Seq("doc_id"), "left")
+      .withColumn("has_emb", coalesce(col("has_emb"), lit(0L)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("has_emb").as("n_with_emb"),
+        sum("bpe").as("n_tokens"),
+        sum(col("bpe") * col("has_emb")).as("tokens_with_emb"))
+      .select(col("source"), col("n_docs"), col("n_with_emb"),
+        r4(col("n_with_emb") * lit(1.0) / col("n_docs")).as("doc_coverage"),
+        col("n_tokens"), col("tokens_with_emb"),
+        r4(col("tokens_with_emb") * lit(1.0) / col("n_tokens"))
+          .as("token_coverage"))
+      .orderBy("source")
+  }
+
+  val embeddingCoverageOracle: String = """
+WITH has AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+j AS (
+  SELECT d.source, (d.n_chars + 3) // 4 AS bpe,
+         CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS has_emb
+  FROM documents d LEFT JOIN has h ON d.doc_id = h.doc_id)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_emb) AS BIGINT) AS n_with_emb,
+       FLOOR((SUM(has_emb) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS doc_coverage,
+       CAST(SUM(bpe) AS BIGINT) AS n_tokens,
+       CAST(SUM(bpe * has_emb) AS BIGINT) AS tokens_with_emb,
+       FLOOR((SUM(bpe * has_emb) * 1.0 / SUM(bpe)) * 10000.0 + 0.5) / 10000.0 AS token_coverage
+FROM j
+GROUP BY source
+ORDER BY source"""
+
   /** Cross-modal consistency check: every verified lexical near-dup
    *  pair ([[Dedup.dedupNgram]]'s output, verbatim) next to the
    *  embedding cosine of the same two documents, plus the gap — the
@@ -713,30 +759,16 @@ ORDER BY doc_a, doc_b"""
    *  the full corpus once with the final codebook. */
   def topicClusters(emb: DataFrame, k: Int = 32): DataFrame = {
     val qv = quantized(emb).cache()
-    val seeds = hashCentroids(qv, k)
-    def assign(cents: DataFrame): DataFrame = qv
-      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
-      .crossJoin(broadcast(cents))
+    // the codebook IS trainCentroids(iters = 1) — one implementation
+    // of the Lloyd round, shared with the ann_ivf_trained path
+    val cents1 = trainCentroids(emb, numCentroids = k, iters = 1)
+    qv.select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(cents1))
       .withColumn("cosine",
         expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
       .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("cosine").desc, col("cent_id"))))
       .filter(col("rk") === 1)
-    val a1 = assign(seeds).select(col("cent_id"), col("qarr_b"))
-    val sumCols = (0 until Dims).map(i =>
-      sum(col("qarr_b")(i)).as(s"s$i")) :+ count(lit(1)).as("cnt")
-    val means = a1.groupBy("cent_id")
-      .agg(sumCols.head, sumCols.tail: _*)
-      .select(col("cent_id"), array((0 until Dims).map(i =>
-        floor(col(s"s$i") * lit(1.0) / col("cnt") + lit(0.5))): _*)
-        .as("qarr_new"))
-      .withColumn("nq_new", expr("qdot(qarr_new, qarr_new)"))
-    val cents1 = seeds.join(means, Seq("cent_id"), "left")
-      .select(col("cent_id"),
-        coalesce(col("qarr_new"), col("qarr_a")).as("qarr_a"),
-        coalesce(col("nq_new"), col("nq_a")).as("nq_a"))
-      .localCheckpoint(true)
-    assign(cents1)
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .groupBy("cent_id").agg(
         count(lit(1)).as("n_members"),
@@ -751,10 +783,12 @@ ORDER BY doc_a, doc_b"""
   }
 
   /** One Lloyd round in SQL on top of [[ivfAssignCte]]'s round-0
-   *  assignment — shared chain, so the seed/assign semantics cannot
-   *  drift from `ann_ivf`'s. */
-  val topicClustersOracle: String = "WITH " + ivfAssignCte + """,
-mcnt AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cnt
+   *  assignment: the updated codebook (`cents2`), its cosines over the
+   *  corpus (`cos2`), and the round-1 assignment (`a2`). Shared by
+   *  [[topicClustersOracle]] and [[annIvfTrainedOracle]] — one SQL
+   *  spelling of the Lloyd round, exactly as [[trainCentroids]] is the
+   *  one Scala spelling. */
+  private val lloydRoundCte: String = """mcnt AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM assigned GROUP BY cent_id),
 msum AS (
   SELECT a.cent_id, v.i, CAST(SUM(v.q) AS BIGINT) AS sq
@@ -784,7 +818,10 @@ a2 AS (
   SELECT vec_id, cent_id, cosine FROM (
     SELECT vec_id, cent_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM cos2) t WHERE rk = 1)
+    FROM cos2) t WHERE rk = 1)"""
+
+  val topicClustersOracle: String =
+    "WITH " + ivfAssignCte + "," + lloydRoundCte + """
 SELECT a.cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        FLOOR((SUM(e.label) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_label,
        FLOOR(MIN(a.cosine) * 10000.0 + 0.5) / 10000.0 AS min_cosine,
@@ -792,4 +829,39 @@ SELECT a.cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
 FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
 GROUP BY a.cent_id
 ORDER BY a.cent_id"""
+
+  /** `ann_ivf` probing under the ONE-ROUND-TRAINED codebook — the
+   *  previously spec-only [[trainCentroids]] path, now hash-verified:
+   *  the oracle reruns the identical Lloyd round ([[lloydRoundCte]])
+   *  and probes `cents2`, so the trained codebook, its assignments,
+   *  and the final ranked neighbors are all checked bit-for-bit. */
+  val annIvfTrainedOracle: String =
+    "WITH " + ivfAssignCte + "," + lloydRoundCte + """,
+probes2 AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM cos2 WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+cands2 AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes2 p JOIN a2 a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.vec_id),
+cdots2 AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM cands2 c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.vec_id),
+ranked2 AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+  FROM cdots2 d
+  JOIN nr na ON d.query_id = na.vec_id
+  JOIN nr nb ON d.vec_id = nb.vec_id)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
+       FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM ranked2 WHERE rk <= 10
+ORDER BY query_id, rank"""
 }
