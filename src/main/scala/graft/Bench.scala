@@ -98,6 +98,53 @@ object Bench {
         (-1.0, -1.0)
       }
     }
+    /** Streaming near-dup trigger cost vs corpus size: seed the state
+      * stores (corpus + shingles + gram-df) from a PREFIX of the
+      * documents table, then time ONE processBatch of the same fixed
+      * tail batch. Run at a quarter-size and a full-size seed — the
+      * two timings being ~equal is the measured form of the
+      * "per-trigger cost tracks arrival rate, not corpus size" claim
+      * (the trigger reads only the maintained stores; nothing
+      * re-shingles corpus text). */
+    def streamingTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25) // last ~4%
+        val seedN = (batchStart * seedFrac).toLong
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-stream-$seedFrac").toString
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        seed.write.mode("overwrite").parquet(s"$base/corpus")
+        graft.pipeline.Dedup.writeShingleStore(seed, s"$base/shingles")
+        spark.read.parquet(s"$base/shingles").groupBy("gram")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df_cnt"))
+          .write.mode("overwrite").parquet(s"$base/gramdf")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/shingles",
+          s"$base/gramdf", maxDf = 5L, minJaccard = 0.2)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val runStream = only.forall(s => s.exists(_.startsWith("stream_trigger")))
+    val streamRuns = if (runStream) {
+      streamingTriggerOnce(warmDir, 1.0) // absorb codegen/JIT
+      (0 until 3).map(_ =>
+        (streamingTriggerOnce(sfDir, 0.25), streamingTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
+
     val runShared = only.forall(s =>
       s.contains("dedup_family_shared") || s.contains("shingle_store_write"))
     val sharedRuns = if (runShared) {
@@ -110,7 +157,10 @@ object Bench {
 
     val results = names.map(n => n -> runMedian(n)) ++ (if (runShared) Seq(
       "shingle_store_write" -> medianOf(sharedRuns.map(_._1)),
-      "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty)
+      "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty) ++
+      (if (runStream) Seq(
+        "stream_trigger_quarter_corpus" -> medianOf(streamRuns.map(_._1)),
+        "stream_trigger_full_corpus" -> medianOf(streamRuns.map(_._2))) else Seq.empty)
     def r3(x: Double): String =
       if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).filter(_ >= 0).sum
