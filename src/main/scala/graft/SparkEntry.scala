@@ -72,6 +72,7 @@ ORDER BY event_id"""
     "concurrency_profile" -> ((s, d) =>
       Diagnostics.concurrencyProfile(canon(s, d))),
     "host_hotspots" -> ((s, d) => Diagnostics.hostHotspots(canon(s, d))),
+    "app_idle_gaps" -> ((s, d) => Diagnostics.appIdleGaps(canon(s, d))),
     "shuffle_skew" -> ((s, d) => Diagnostics.shuffleSkew(canon(s, d))),
     "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
@@ -227,6 +228,7 @@ ORDER BY event_id"""
     "critical_path" -> Diagnostics.criticalPathOracle,
     "concurrency_profile" -> Diagnostics.concurrencyProfileOracle,
     "host_hotspots" -> Diagnostics.hostHotspotsOracle,
+    "app_idle_gaps" -> Diagnostics.appIdleGapsOracle,
     "shuffle_skew" -> Diagnostics.shuffleSkewOracle,
     "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,

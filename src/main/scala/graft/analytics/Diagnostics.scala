@@ -224,6 +224,104 @@ FROM per_stage
 GROUP BY app_id
 ORDER BY app_id"""
 
+  /** Driver idle-gap analysis (gaps-and-islands over job intervals):
+   *  merge each app's job intervals into busy islands — a new island
+   *  starts when a job begins after every earlier job has ended — and
+   *  report wall time, busy time, the idle remainder, and the gap
+   *  count. High `idle_frac` with many islands is the "driver does
+   *  sequential work between jobs" signature (collect-and-loop driver
+   *  code, slow planning, external calls) that executor-side metrics
+   *  can't see. Jobs pair by (app, job_id): min JobStart ts to max
+   *  JobEnd ts; unpaired jobs drop. Shape: one shuffle by app for the
+   *  per-app ordered windows (running max-end, island ids), then one
+   *  two-level aggregate (island → app); everything after the first
+   *  window runs on interval cardinality. */
+  def appIdleGaps(canon: DataFrame): DataFrame = {
+    val jobs = canon
+      .filter(col("event_type").isin("SparkListenerJobStart",
+        "SparkListenerJobEnd") && col("job_id").isNotNull)
+      .groupBy("app_id", "job_id").agg(
+        min(when(col("event_type") === "SparkListenerJobStart",
+          col("event_time_us"))).as("start_us"),
+        max(when(col("event_type") === "SparkListenerJobEnd",
+          col("event_time_us"))).as("end_us"))
+      .filter(col("start_us").isNotNull && col("end_us").isNotNull &&
+        col("end_us") >= col("start_us"))
+    val ordered = Window.partitionBy("app_id")
+      .orderBy(col("start_us"), col("end_us"), col("job_id"))
+    val prevMaxEnd = max("end_us").over(
+      ordered.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = jobs
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("start_us") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perIsland = islands.groupBy("app_id", "island").agg(
+      count(lit(1)).as("n_jobs"),
+      min("start_us").as("i_start"), max("end_us").as("i_end"))
+    perIsland.groupBy("app_id").agg(
+        sum("n_jobs").as("n_jobs"),
+        count(lit(1)).as("n_islands"),
+        (max("i_end") - min("i_start")).as("wall_us"),
+        sum(col("i_end") - col("i_start")).as("busy_us"))
+      .select(col("app_id"), col("n_jobs"), col("n_islands"),
+        col("wall_us"), col("busy_us"),
+        (col("wall_us") - col("busy_us")).as("idle_us"),
+        r4(when(col("wall_us") > 0,
+          (col("wall_us") - col("busy_us")) * lit(1.0) / col("wall_us"))
+          .otherwise(lit(0.0))).as("idle_frac"))
+      .orderBy("app_id")
+  }
+
+  val appIdleGapsOracle: String = canonCte + """
+, jobs AS (
+  SELECT app_id, job_id,
+         MIN(CASE WHEN event_type = 'SparkListenerJobStart' THEN event_time_us END) AS start_us,
+         MAX(CASE WHEN event_type = 'SparkListenerJobEnd' THEN event_time_us END) AS end_us
+  FROM canon
+  WHERE event_type IN ('SparkListenerJobStart', 'SparkListenerJobEnd')
+    AND job_id IS NOT NULL
+  GROUP BY app_id, job_id),
+paired AS (
+  SELECT app_id, job_id, start_us, end_us FROM jobs
+  WHERE start_us IS NOT NULL AND end_us IS NOT NULL AND end_us >= start_us),
+flagged AS (
+  SELECT app_id, job_id, start_us, end_us,
+         CASE WHEN MAX(end_us) OVER (PARTITION BY app_id
+                ORDER BY start_us, end_us, job_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start_us > MAX(end_us) OVER (PARTITION BY app_id
+                ORDER BY start_us, end_us, job_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM paired),
+islanded AS (
+  SELECT app_id, start_us, end_us,
+         SUM(new_island) OVER (PARTITION BY app_id
+           ORDER BY start_us, end_us, job_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+per_island AS (
+  SELECT app_id, island,
+         CAST(COUNT(*) AS BIGINT) AS n_jobs,
+         MIN(start_us) AS i_start, MAX(end_us) AS i_end
+  FROM islanded GROUP BY app_id, island),
+per_app AS (
+  SELECT app_id,
+         CAST(SUM(n_jobs) AS BIGINT) AS n_jobs,
+         CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(MAX(i_end) - MIN(i_start) AS BIGINT) AS wall_us,
+         CAST(SUM(i_end - i_start) AS BIGINT) AS busy_us
+  FROM per_island GROUP BY app_id)
+SELECT app_id, n_jobs, n_islands, wall_us, busy_us,
+       wall_us - busy_us AS idle_us,
+       CASE WHEN wall_us > 0 THEN
+         FLOOR(((wall_us - busy_us) * 1.0 / wall_us) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS idle_frac
+FROM per_app
+ORDER BY app_id"""
+
   /** Per-host workload and failure concentration — the bad-node
    *  detector: a host whose failure share runs ahead of its task
    *  share (`failure_concentration` > 1) is failing MORE than its

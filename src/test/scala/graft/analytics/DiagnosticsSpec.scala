@@ -16,6 +16,26 @@ class DiagnosticsSpec extends SparkSpec {
     rows.toDF("app_id", "event_type", "event_time_us", "duration_ms",
       "gc_time_ms", "stage_id", "executor_id", "app_user", "event_id")
 
+  test("idle gaps: overlapping jobs merge into one island; a gap splits them") {
+    // job1 [0,10], job2 [5,15] overlap -> island [0,15]; job3 [20,25]
+    // second island. wall 25, busy 20, idle 5, idle_frac 0.2
+    val rows = Seq(
+      ("app-g", "SparkListenerJobStart", 0L, 1L),
+      ("app-g", "SparkListenerJobEnd", 10L, 1L),
+      ("app-g", "SparkListenerJobStart", 5L, 2L),
+      ("app-g", "SparkListenerJobEnd", 15L, 2L),
+      ("app-g", "SparkListenerJobStart", 20L, 3L),
+      ("app-g", "SparkListenerJobEnd", 25L, 3L)
+    ).toDF("app_id", "event_type", "event_time_us", "job_id")
+    val out = Diagnostics.appIdleGaps(rows).collect()(0)
+    assert(out.getAs[Long]("n_jobs") === 3L)
+    assert(out.getAs[Long]("n_islands") === 2L)
+    assert(out.getAs[Long]("wall_us") === 25L)
+    assert(out.getAs[Long]("busy_us") === 20L)
+    assert(out.getAs[Long]("idle_us") === 5L)
+    assert(out.getAs[Double]("idle_frac") === 0.2)
+  }
+
   test("host hotspots: failure concentration flags the host failing beyond its share") {
     // host-a: 8 tasks 1 failure; host-b: 2 tasks 1 failure
     // task shares 0.8/0.2; failure shares 0.5/0.5 -> concentration 0.625 / 2.5
