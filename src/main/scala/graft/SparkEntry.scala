@@ -116,6 +116,7 @@ ORDER BY event_id"""
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
+    "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
     "quality_rules" -> ((s, d) => TextAnalysis.qualityRules(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
@@ -190,6 +191,7 @@ ORDER BY event_id"""
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
     "ann_ivf_trained" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d),
       trainedCentroids = Some(Embeddings.trainCentroids(emb(s, d), iters = 1)))),
+    "ann_pq" -> ((s, d) => Embeddings.annPq(emb(s, d), annQueries(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
@@ -266,6 +268,7 @@ ORDER BY event_id"""
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
+    "bm25_search" -> TextAnalysis.bm25SearchOracle,
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
     "quality_rules" -> TextAnalysis.qualityRulesOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
@@ -296,6 +299,7 @@ ORDER BY event_id"""
     "cluster_split" -> Sampling.clusterSplitOracle,
     "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
     "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
+    "ann_pq" -> Embeddings.annPqOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

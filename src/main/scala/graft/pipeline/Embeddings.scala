@@ -864,4 +864,168 @@ SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
        FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM ranked2 WHERE rk <= 10
 ORDER BY query_id, rank"""
+
+  /** Product-quantization ANN (the FAISS `IndexPQ` shape — Jégou et
+   *  al., "Product Quantization for Nearest Neighbor Search", PAMI
+   *  2011): the 64-dim vector is split into 8 subspaces of 8 dims;
+   *  each subvector is replaced by the id of its nearest codebook
+   *  entry, so a vector compresses to 8 small codes (+ its stored
+   *  norm) — at 100 TB the ADC scan reads ~16 bytes/vector instead of
+   *  256, a ~16x memory-bandwidth win, and the codes frame is the
+   *  persistable index. Queries never decompress the corpus:
+   *  asymmetric distance computation (ADC) precomputes, per query, the
+   *  exact integer dot of the query subvector with every codebook
+   *  entry (an 8x16 lookup table), and a candidate's approximate dot
+   *  is 8 in-row table lookups.
+   *
+   *  Everything stays cross-engine exact: codebook = the same
+   *  hash-ordered deterministic sample [[annIvf]] uses (dense code
+   *  index = rank by vec_id over the 16-row sample); encode picks
+   *  argmin of the exact integer squared L2 per subspace
+   *  (order-independent `min(struct(d2, cidx))`, ties -> lowest
+   *  index); ADC dots are integer sums. The only doubles are the two
+   *  final cosine projections. Output carries BOTH the PQ-approximated
+   *  cosine and the exact cosine of each returned candidate (a
+   *  k-bounded verify join), so the quantization error is visible in
+   *  the result itself.
+   *
+   *  Plan shape: encode = one explode(8) + broadcast(128-row codebook)
+   *  join + map-side-combining min-agg; scoring = corpus-codes x
+   *  broadcast(query LUT array) with the per-pair sum as one in-row
+   *  8-step lookup fold — no exchange carries more than (corpus x
+   *  queries) narrow rows, and composing with [[annIvf]]'s `assigned`
+   *  relation (join codes on the probed lists first) is the IVF-PQ
+   *  scale path. */
+  def annPq(emb: DataFrame, queries: DataFrame,
+            k: Int = 10, numCodes: Int = 16, subDims: Int = 8,
+            precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    require(Dims % subDims == 0, "subDims must divide Dims")
+    val nSub = Dims / subDims
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    // 16-entry codebook with a dense 0-based index (rank by vec_id over
+    // the hash-ordered sample; the window runs over numCodes rows only),
+    // exploded into per-subspace entries: (m, cidx, sub_c) x 128 rows.
+    val cb = hashCentroids(qv, numCodes)
+      .withColumn("cidx",
+        (row_number().over(Window.orderBy("cent_id")) - 1).cast("long"))
+      .select(col("cidx"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
+          s"'m', CAST(mm AS BIGINT), 'sub_c', slice(qarr_a, mm * $subDims + 1, $subDims)))"))
+        .as("e"))
+      .select(col("cidx"), col("e.m").as("m"), col("e.sub_c").as("sub_c"))
+    def subvectors(frame: DataFrame, idCol: String): DataFrame =
+      frame.select(col("vec_id").as(idCol), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
+          s"'m', CAST(mm AS BIGINT), 'sub_v', slice(qarr, mm * $subDims + 1, $subDims)))"))
+        .as("e"))
+        .select(col(idCol), col("e.m").as("m"), col("e.sub_v").as("sub_v"))
+    // ENCODE: nearest code per (vector, subspace) by exact integer L2;
+    // min(struct) is aggregation-order independent, ties -> lowest cidx.
+    val codes = subvectors(qv, "vec_id").join(broadcast(cb), "m")
+      .withColumn("d2",
+        call_function("qdot", col("sub_v"), col("sub_v"))
+          - lit(2L) * call_function("qdot", col("sub_v"), col("sub_c"))
+          + call_function("qdot", col("sub_c"), col("sub_c")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cidx"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cidx").as("cidx"))
+    // the compressed index row: 8 codes + the stored exact norm
+    // (array_sort over unique m keys -> deterministic layout)
+    val packed = codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'m', m, 'cidx', cidx))), s -> s.cidx)").as("codes"))
+      .join(qv.select(col("vec_id"), col("nq")), "vec_id")
+    // ADC lookup table per query, flattened to one array ordered by
+    // (m, cidx) so position m*numCodes+cidx is the in-row lookup key
+    val qq = quantized(queries)
+    val lut = subvectors(qq, "query_id").join(broadcast(cb), "m")
+      .withColumn("ldot", call_function("qdot", col("sub_v"), col("sub_c")))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'m', m, 'cidx', cidx, 'ldot', ldot))), s -> s.ldot)").as("lut"))
+      .join(qq.select(col("vec_id").as("query_id"), col("nq").as("nq_q")),
+        "query_id")
+    val adcTop = packed.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc_dot", expr(
+        s"aggregate(sequence(0, ${nSub - 1}), CAST(0 AS BIGINT), " +
+          s"(acc, mm) -> acc + lut[CAST(mm * $numCodes + codes[mm] AS INT)])"))
+      .withColumn("pq_cosine",
+        col("adc_dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("pq_cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("pq_cosine"))
+    // exact cosine of the returned candidates only (k-bounded join) —
+    // the quantization-error readout next to the approximate score
+    adcTop
+      .join(qq.select(col("vec_id").as("query_id"),
+        col("qarr").as("qarr_a"), col("nq").as("nq_a")), "query_id")
+      .join(qv.select(col("vec_id"),
+        col("qarr").as("qarr_b"), col("nq").as("nq_b")), "vec_id")
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("vec_id"), r4(col("pq_cosine")).as("pq_cosine"),
+        r4(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+cents AS (SELECT vec_id AS code_vec FROM nr
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cidx AS (SELECT code_vec, CAST(ROW_NUMBER() OVER (ORDER BY code_vec) - 1 AS BIGINT) AS cidx
+         FROM cents),
+cb AS (SELECT x.cidx, CAST((q.i - 1) // 8 AS BIGINT) AS m, q.i, q.q
+       FROM cidx x JOIN qv q ON q.vec_id = x.code_vec),
+vsub AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS m, i, q FROM qv),
+dist AS (
+  SELECT v.vec_id, v.m, c.cidx,
+         CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS d2
+  FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
+  GROUP BY v.vec_id, v.m, c.cidx),
+codes AS (
+  SELECT vec_id, m, cidx FROM (
+    SELECT vec_id, m, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cidx) AS rk
+    FROM dist) t WHERE rk = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, c.m, c.cidx, CAST(SUM(v.q * c.q) AS BIGINT) AS ldot
+  FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
+  WHERE v.vec_id % 100 = 0
+  GROUP BY v.vec_id, c.m, c.cidx),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.ldot) AS BIGINT) AS adc_dot
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cidx = c.cidx
+  WHERE l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id),
+ranked AS (
+  SELECT a.query_id, a.vec_id,
+         a.adc_dot / (sqrt(nq.nq) * sqrt(nv.nq)) AS pq_cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+           ORDER BY a.adc_dot / (sqrt(nq.nq) * sqrt(nv.nq)) DESC, a.vec_id) AS rk
+  FROM adc a
+  JOIN nr nq ON a.query_id = nq.vec_id
+  JOIN nr nv ON a.vec_id = nv.vec_id),
+exact AS (
+  SELECT r.query_id, r.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM ranked r
+  JOIN qv qa ON qa.vec_id = r.query_id
+  JOIN qv qb ON qb.vec_id = r.vec_id AND qb.i = qa.i
+  WHERE r.rk <= 10
+  GROUP BY r.query_id, r.vec_id)
+SELECT r.query_id, CAST(r.rk AS BIGINT) AS rank, r.vec_id,
+       FLOOR((r.pq_cosine) * 10000.0 + 0.5) / 10000.0 AS pq_cosine,
+       FLOOR((e.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM ranked r
+JOIN exact e ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+JOIN nr na ON r.query_id = na.vec_id
+JOIN nr nb ON r.vec_id = nb.vec_id
+WHERE r.rk <= 10
+ORDER BY r.query_id, rank"""
 }

@@ -694,6 +694,87 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** BM25-shaped retrieval scoring over the corpus for a fixed term
+   *  set — the "find training docs about X" primitive (targeted
+   *  curation, query-set decontamination, eval-neighborhood
+   *  inspection). Two determinism-driven departures from textbook
+   *  BM25, both documented because they're load-bearing: (1) idf is
+   *  the LOG-FREE ratio `(N - df + 0.5) / (df + 0.5)` — libm `log` is
+   *  not bit-specified across engines, and for a fixed query the
+   *  ranking it induces is close in practice while the arithmetic is
+   *  exactly mirrorable; (2) per-term scores live in SEPARATE columns
+   *  summed in one fixed left-associated expression — never a SQL
+   *  `SUM()` over term rows, whose accumulation order is unspecified.
+   *  tf comes from a per-row `filter()` count, so scoring is a pure
+   *  projection: one corpus scan + a broadcast one-row stats frame +
+   *  a distributed TakeOrdered(k). */
+  def bm25Search(docs: DataFrame,
+                 terms: Seq[String] = Seq("spark", "data", "join"),
+                 k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9]+")),
+      "terms must be simple alphanumeric tokens")
+    val base = terms.zipWithIndex.foldLeft(
+      docs.select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))) {
+      case (df, (t, i)) => df.withColumn(s"tf$i",
+        size(expr(s"filter(split(text, ' '), w -> w = '$t')")).cast("long"))
+    }.drop("text")
+    val statCols = Seq(count(lit(1)).as("n_docs"),
+      sum("n_tok").as("tok_sum")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5))
+      idf * (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("n_tok") * col("n_docs") / col("tok_sum")))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0L)
+      .select(col("doc_id"), r4(perTerm.reduce(_ + _)).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Default-parameter mirror (terms spark/data/join, k1=1.2, b=0.75):
+   *  same log-free idf, same fixed-order three-column sum. */
+  val bm25SearchOracle: String = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'data')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'join')) AS BIGINT) AS tf2
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base),
+scored AS (
+  SELECT b.doc_id,
+         FLOOR((
+           ((s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5)) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.n_tok * s.n_docs / s.tok_sum))
+           + ((s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5)) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.n_tok * s.n_docs / s.tok_sum))
+           + ((s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5)) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.n_tok * s.n_docs / s.tok_sum))
+         ) * 10000.0 + 0.5) / 10000.0 AS score
+  FROM base b CROSS JOIN stats s
+  WHERE b.tf0 + b.tf1 + b.tf2 > 0),
+r AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= 50
+ORDER BY rank"""
+
   /** Rule-based filter ledger (the Gopher/Dolma-style counterpart to
    *  the continuous [[qualityScore]]): five boolean cleaning rules,
    *  each reported with the doc count and token mass it would remove,

