@@ -74,6 +74,8 @@ ORDER BY event_id"""
     "host_hotspots" -> ((s, d) => Diagnostics.hostHotspots(canon(s, d))),
     "app_idle_gaps" -> ((s, d) => Diagnostics.appIdleGaps(canon(s, d))),
     "shuffle_skew" -> ((s, d) => Diagnostics.shuffleSkew(canon(s, d))),
+    "spill_stages" -> ((s, d) => Diagnostics.spillStages(canon(s, d))),
+    "attempt_regression" -> ((s, d) => Diagnostics.attemptRegression(canon(s, d))),
     "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
@@ -232,6 +234,8 @@ ORDER BY event_id"""
     "host_hotspots" -> Diagnostics.hostHotspotsOracle,
     "app_idle_gaps" -> Diagnostics.appIdleGapsOracle,
     "shuffle_skew" -> Diagnostics.shuffleSkewOracle,
+    "spill_stages" -> Diagnostics.spillStagesOracle,
+    "attempt_regression" -> Diagnostics.attemptRegressionOracle,
     "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,

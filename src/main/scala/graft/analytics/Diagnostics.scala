@@ -609,4 +609,114 @@ SELECT app_user, CAST(session_idx AS BIGINT) AS session_idx,
 FROM sessions
 GROUP BY app_user, session_idx
 ORDER BY app_user, session_idx"""
+
+  /** Per-stage spill analysis: which stages overflow execution memory
+   *  (the direct "raise `spark.sql.shuffle.partitions` / executor
+   *  memory, or salt this key" advisory — `shuffle_skew` says the
+   *  bytes are imbalanced, this says memory actually gave out).
+   *  Reports per (app, stage): task count, tasks that spilled, memory
+   *  + disk spill mass, the shuffle-write mass for scale context, and
+   *  spill amplification = spilled bytes / shuffle-written bytes. One
+   *  map-side-combining aggregation to stage cardinality; only stages
+   *  that spilled at all are emitted (the advisory set, not a full
+   *  inventory — `mem_usage` already publishes per-app totals).
+   *  Cf. reference executor-metric aggregation
+   *  (`duckdb_store_backup.rs` memory-metrics spec). */
+  def spillStages(canon: DataFrame): DataFrame =
+    canon
+      .filter(col("event_type") === TaskEnd && col("stage_id").isNotNull)
+      .groupBy("app_id", "stage_id").agg(
+        count(lit(1)).as("task_n"),
+        sum(when(coalesce(col("memory_spilled_bytes"), lit(0L)) +
+          coalesce(col("disk_spilled_bytes"), lit(0L)) > 0, 1L)
+          .otherwise(0L)).as("spilled_tasks"),
+        coalesce(sum("memory_spilled_bytes"), lit(0L)).as("memory_spill_bytes"),
+        coalesce(sum("disk_spilled_bytes"), lit(0L)).as("disk_spill_bytes"),
+        coalesce(sum("shuffle_write_bytes"), lit(0L)).as("shuffle_write_bytes"))
+      .filter(col("memory_spill_bytes") + col("disk_spill_bytes") > 0)
+      .select(col("app_id"), col("stage_id"), col("task_n"),
+        col("spilled_tasks"), col("memory_spill_bytes"),
+        col("disk_spill_bytes"), col("shuffle_write_bytes"),
+        r4(when(col("shuffle_write_bytes") > 0,
+          (col("memory_spill_bytes") + col("disk_spill_bytes")) * lit(1.0)
+            / col("shuffle_write_bytes"))).as("spill_amplification"))
+      .orderBy("app_id", "stage_id")
+
+  val spillStagesOracle: String = canonCte + """
+, agg AS (
+  SELECT app_id, stage_id,
+         CAST(COUNT(*) AS BIGINT) AS task_n,
+         CAST(SUM(CASE WHEN COALESCE(memory_spilled_bytes, 0)
+                          + COALESCE(disk_spilled_bytes, 0) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS spilled_tasks,
+         CAST(COALESCE(SUM(memory_spilled_bytes), 0) AS BIGINT) AS memory_spill_bytes,
+         CAST(COALESCE(SUM(disk_spilled_bytes), 0) AS BIGINT) AS disk_spill_bytes,
+         CAST(COALESCE(SUM(shuffle_write_bytes), 0) AS BIGINT) AS shuffle_write_bytes
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND stage_id IS NOT NULL
+  GROUP BY app_id, stage_id)
+SELECT app_id, stage_id, task_n, spilled_tasks, memory_spill_bytes,
+       disk_spill_bytes, shuffle_write_bytes,
+       FLOOR((CASE WHEN shuffle_write_bytes > 0
+              THEN (memory_spill_bytes + disk_spill_bytes) * 1.0 / shuffle_write_bytes
+              END) * 10000.0 + 0.5) / 10000.0 AS spill_amplification
+FROM agg
+WHERE memory_spill_bytes + disk_spill_bytes > 0
+ORDER BY app_id, stage_id"""
+
+  /** Attempt-over-attempt regression: the same app's attempt 1 vs
+   *  attempt 2 compared on task count, task-time mass, GC mass, and
+   *  shuffle I/O — the "did the rerun get slower, and where" diff a
+   *  history server answers when a nightly job is re-submitted. ONE
+   *  conditional-aggregation pass (no self-join: each metric is a
+   *  `sum(when(attempt=...))` pair, so the plan is a single map-side-
+   *  combining aggregate to app cardinality); only apps that actually
+   *  ran both attempts are compared. Ratio in a final double
+   *  projection; all masses integer. */
+  def attemptRegression(canon: DataFrame): DataFrame = {
+    def side(a: String, c: String) =
+      coalesce(sum(when(col("attempt_id") === a, col(c))), lit(0L))
+    canon
+      .filter(col("event_type") === TaskEnd && col("attempt_id").isNotNull)
+      .groupBy("app_id").agg(
+        sum(when(col("attempt_id") === "1", 1L).otherwise(0L)).as("a1_tasks"),
+        sum(when(col("attempt_id") === "2", 1L).otherwise(0L)).as("a2_tasks"),
+        side("1", "run_time_ms").as("a1_ms"),
+        side("2", "run_time_ms").as("a2_ms"),
+        side("1", "gc_time_ms").as("a1_gc_ms"),
+        side("2", "gc_time_ms").as("a2_gc_ms"),
+        side("1", "shuffle_read_bytes").as("a1_shuffle_read_bytes"),
+        side("2", "shuffle_read_bytes").as("a2_shuffle_read_bytes"))
+      .filter(col("a1_tasks") > 0 && col("a2_tasks") > 0)
+      .select(col("app_id"), col("a1_tasks"), col("a2_tasks"),
+        col("a1_ms"), col("a2_ms"),
+        (col("a2_ms") - col("a1_ms")).as("delta_ms"),
+        r4(when(col("a1_ms") > 0, col("a2_ms") * lit(1.0) / col("a1_ms")))
+          .as("ms_ratio"),
+        col("a1_gc_ms"), col("a2_gc_ms"),
+        col("a1_shuffle_read_bytes"), col("a2_shuffle_read_bytes"))
+      .orderBy("app_id")
+  }
+
+  val attemptRegressionOracle: String = canonCte + """
+, agg AS (
+  SELECT app_id,
+         CAST(SUM(CASE WHEN attempt_id = '1' THEN 1 ELSE 0 END) AS BIGINT) AS a1_tasks,
+         CAST(SUM(CASE WHEN attempt_id = '2' THEN 1 ELSE 0 END) AS BIGINT) AS a2_tasks,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '1' THEN run_time_ms END), 0) AS BIGINT) AS a1_ms,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '2' THEN run_time_ms END), 0) AS BIGINT) AS a2_ms,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '1' THEN gc_time_ms END), 0) AS BIGINT) AS a1_gc_ms,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '2' THEN gc_time_ms END), 0) AS BIGINT) AS a2_gc_ms,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '1' THEN shuffle_read_bytes END), 0) AS BIGINT) AS a1_shuffle_read_bytes,
+         CAST(COALESCE(SUM(CASE WHEN attempt_id = '2' THEN shuffle_read_bytes END), 0) AS BIGINT) AS a2_shuffle_read_bytes
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND attempt_id IS NOT NULL
+  GROUP BY app_id)
+SELECT app_id, a1_tasks, a2_tasks, a1_ms, a2_ms,
+       a2_ms - a1_ms AS delta_ms,
+       FLOOR((CASE WHEN a1_ms > 0 THEN a2_ms * 1.0 / a1_ms END) * 10000.0 + 0.5) / 10000.0 AS ms_ratio,
+       a1_gc_ms, a2_gc_ms, a1_shuffle_read_bytes, a2_shuffle_read_bytes
+FROM agg
+WHERE a1_tasks > 0 AND a2_tasks > 0
+ORDER BY app_id"""
 }
