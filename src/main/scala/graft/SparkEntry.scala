@@ -194,6 +194,7 @@ ORDER BY event_id"""
     "ann_ivf_trained" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d),
       trainedCentroids = Some(Embeddings.trainCentroids(emb(s, d), iters = 1)))),
     "ann_pq" -> ((s, d) => Embeddings.annPq(emb(s, d), annQueries(s, d))),
+    "ann_ivf_pq" -> ((s, d) => Embeddings.annIvfPq(emb(s, d), annQueries(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
@@ -304,6 +305,7 @@ ORDER BY event_id"""
     "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
     "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
     "ann_pq" -> Embeddings.annPqOracle,
+    "ann_ivf_pq" -> Embeddings.annIvfPqOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,

@@ -896,16 +896,14 @@ ORDER BY query_id, rank"""
    *  queries) narrow rows, and composing with [[annIvf]]'s `assigned`
    *  relation (join codes on the probed lists first) is the IVF-PQ
    *  scale path. */
-  def annPq(emb: DataFrame, queries: DataFrame,
-            k: Int = 10, numCodes: Int = 16, subDims: Int = 8,
-            precomputedQuantized: Option[DataFrame] = None): DataFrame = {
-    require(Dims % subDims == 0, "subDims must divide Dims")
+  /** The per-subspace codebook: dense 0-based code index (rank by
+   *  vec_id over the hash-ordered `numCodes`-row sample; the window
+   *  runs over those rows only), exploded into per-subspace entries —
+   *  (m, cidx, sub_c) x (numCodes * Dims/subDims) rows, broadcast by
+   *  every consumer. */
+  private def pqCodebook(qv: DataFrame, numCodes: Int, subDims: Int): DataFrame = {
     val nSub = Dims / subDims
-    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
-    // 16-entry codebook with a dense 0-based index (rank by vec_id over
-    // the hash-ordered sample; the window runs over numCodes rows only),
-    // exploded into per-subspace entries: (m, cidx, sub_c) x 128 rows.
-    val cb = hashCentroids(qv, numCodes)
+    hashCentroids(qv, numCodes)
       .withColumn("cidx",
         (row_number().over(Window.orderBy("cent_id")) - 1).cast("long"))
       .select(col("cidx"), explode(expr(
@@ -913,39 +911,57 @@ ORDER BY query_id, rank"""
           s"'m', CAST(mm AS BIGINT), 'sub_c', slice(qarr_a, mm * $subDims + 1, $subDims)))"))
         .as("e"))
       .select(col("cidx"), col("e.m").as("m"), col("e.sub_c").as("sub_c"))
-    def subvectors(frame: DataFrame, idCol: String): DataFrame =
-      frame.select(col("vec_id").as(idCol), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
-          s"'m', CAST(mm AS BIGINT), 'sub_v', slice(qarr, mm * $subDims + 1, $subDims)))"))
-        .as("e"))
-        .select(col(idCol), col("e.m").as("m"), col("e.sub_v").as("sub_v"))
-    // ENCODE: nearest code per (vector, subspace) by exact integer L2;
-    // min(struct) is aggregation-order independent, ties -> lowest cidx.
-    val codes = subvectors(qv, "vec_id").join(broadcast(cb), "m")
+  }
+
+  private def pqSubvectors(frame: DataFrame, idCol: String,
+                           subDims: Int): DataFrame = {
+    val nSub = Dims / subDims
+    frame.select(col("vec_id").as(idCol), explode(expr(
+      s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
+        s"'m', CAST(mm AS BIGINT), 'sub_v', slice(qarr, mm * $subDims + 1, $subDims)))"))
+      .as("e"))
+      .select(col(idCol), col("e.m").as("m"), col("e.sub_v").as("sub_v"))
+  }
+
+  /** ENCODE + pack: nearest code per (vector, subspace) by exact
+   *  integer L2 (`min(struct)` is aggregation-order independent, ties
+   *  -> lowest cidx), packed in-row to the compressed index record —
+   *  8 codes + the stored exact norm (array_sort over unique m keys
+   *  -> deterministic layout). This frame IS the persistable PQ
+   *  index: ~16 B/vector against 256 B of raw floats. */
+  private def pqPacked(qv: DataFrame, cb: DataFrame, subDims: Int): DataFrame =
+    pqSubvectors(qv, "vec_id", subDims).join(broadcast(cb), "m")
       .withColumn("d2",
         call_function("qdot", col("sub_v"), col("sub_v"))
           - lit(2L) * call_function("qdot", col("sub_v"), col("sub_c"))
           + call_function("qdot", col("sub_c"), col("sub_c")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cidx"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cidx").as("cidx"))
-    // the compressed index row: 8 codes + the stored exact norm
-    // (array_sort over unique m keys -> deterministic layout)
-    val packed = codes.groupBy("vec_id")
+      .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(named_struct(" +
-        "'m', m, 'cidx', cidx))), s -> s.cidx)").as("codes"))
+        "'m', m, 'cidx', best.cidx))), s -> s.cidx)").as("codes"))
       .join(qv.select(col("vec_id"), col("nq")), "vec_id")
-    // ADC lookup table per query, flattened to one array ordered by
-    // (m, cidx) so position m*numCodes+cidx is the in-row lookup key
-    val qq = quantized(queries)
-    val lut = subvectors(qq, "query_id").join(broadcast(cb), "m")
+
+  /** Per-query ADC lookup table, flattened to one array ordered by
+   *  (m, cidx) so position m*numCodes+cidx is the in-row lookup key;
+   *  carries the query's exact norm for the cosine projection. */
+  private def pqLut(qq: DataFrame, cb: DataFrame, subDims: Int): DataFrame =
+    pqSubvectors(qq, "query_id", subDims).join(broadcast(cb), "m")
       .withColumn("ldot", call_function("qdot", col("sub_v"), col("sub_c")))
       .groupBy("query_id")
       .agg(expr("transform(array_sort(collect_list(named_struct(" +
         "'m', m, 'cidx', cidx, 'ldot', ldot))), s -> s.ldot)").as("lut"))
       .join(qq.select(col("vec_id").as("query_id"), col("nq").as("nq_q")),
         "query_id")
-    val adcTop = packed.crossJoin(broadcast(lut))
+
+  /** ADC-score (query, candidate) rows carrying (codes, nq, lut,
+   *  nq_q): the approximate dot is one in-row lookup fold over the
+   *  broadcast LUT array; rank per query, keep top k, then verify the
+   *  k-bounded winners with the exact cosine. */
+  private def pqScore(pairs: DataFrame, qq: DataFrame, qv: DataFrame,
+                      numCodes: Int, subDims: Int, k: Int): DataFrame = {
+    val nSub = Dims / subDims
+    val adcTop = pairs
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adc_dot", expr(
         s"aggregate(sequence(0, ${nSub - 1}), CAST(0 AS BIGINT), " +
@@ -969,6 +985,49 @@ ORDER BY query_id, rank"""
         col("vec_id"), r4(col("pq_cosine")).as("pq_cosine"),
         r4(col("cosine")).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  def annPq(emb: DataFrame, queries: DataFrame,
+            k: Int = 10, numCodes: Int = 16, subDims: Int = 8,
+            precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    require(Dims % subDims == 0, "subDims must divide Dims")
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val cb = pqCodebook(qv, numCodes, subDims)
+    val packed = pqPacked(qv, cb, subDims)
+    val qq = quantized(queries)
+    val lut = pqLut(qq, cb, subDims)
+    pqScore(packed.crossJoin(broadcast(lut)), qq, qv, numCodes, subDims, k)
+  }
+
+  /** IVF-PQ (the FAISS `IndexIVFPQ` architecture — the shape that
+   *  actually serves billion-vector corpora): [[annIvf]]'s coarse
+   *  quantizer assigns every vector to an inverted list and each
+   *  query probes only its `nprobe` nearest lists, while [[annPq]]'s
+   *  product code compresses what the probe scans — so a query
+   *  touches ~|corpus| * nprobe / numCentroids CANDIDATES and reads
+   *  ~16 B per candidate, multiplying the two reductions. The probed
+   *  candidate set is ADC-scored (broadcast LUT, in-row lookup fold)
+   *  and the k winners verified with the exact cosine, same as
+   *  [[annPq]]. At 100 TB: `assigned`-co-partitioned code lists +
+   *  a broadcast probe frame — no corpus-wide exchange anywhere. */
+  def annIvfPq(emb: DataFrame, queries: DataFrame,
+               k: Int = 10, nprobe: Int = 2, numCentroids: Int = 32,
+               numCodes: Int = 16, subDims: Int = 8,
+               precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    require(Dims % subDims == 0, "subDims must divide Dims")
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val centroids = hashCentroids(qv, numCentroids)
+    val assigned = nearestCentroids(qv, centroids, 1)
+    val qq = quantized(queries)
+    val probes = nearestCentroids(qq, centroids, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cands = probes.join(assigned, "cent_id")
+      .select("query_id", "vec_id").distinct()
+    val cb = pqCodebook(qv, numCodes, subDims)
+    val pairs = cands
+      .join(pqPacked(qv, cb, subDims), "vec_id")
+      .join(broadcast(pqLut(qq, cb, subDims)), "query_id")
+    pqScore(pairs, qq, qv, numCodes, subDims, k)
   }
 
   val annPqOracle: String = """
@@ -1003,6 +1062,73 @@ adc AS (
   SELECT l.query_id, c.vec_id, CAST(SUM(l.ldot) AS BIGINT) AS adc_dot
   FROM codes c JOIN lut l ON l.m = c.m AND l.cidx = c.cidx
   WHERE l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id),
+ranked AS (
+  SELECT a.query_id, a.vec_id,
+         a.adc_dot / (sqrt(nq.nq) * sqrt(nv.nq)) AS pq_cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+           ORDER BY a.adc_dot / (sqrt(nq.nq) * sqrt(nv.nq)) DESC, a.vec_id) AS rk
+  FROM adc a
+  JOIN nr nq ON a.query_id = nq.vec_id
+  JOIN nr nv ON a.vec_id = nv.vec_id),
+exact AS (
+  SELECT r.query_id, r.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM ranked r
+  JOIN qv qa ON qa.vec_id = r.query_id
+  JOIN qv qb ON qb.vec_id = r.vec_id AND qb.i = qa.i
+  WHERE r.rk <= 10
+  GROUP BY r.query_id, r.vec_id)
+SELECT r.query_id, CAST(r.rk AS BIGINT) AS rank, r.vec_id,
+       FLOOR((r.pq_cosine) * 10000.0 + 0.5) / 10000.0 AS pq_cosine,
+       FLOOR((e.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM ranked r
+JOIN exact e ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+JOIN nr na ON r.query_id = na.vec_id
+JOIN nr nb ON r.vec_id = nb.vec_id
+WHERE r.rk <= 10
+ORDER BY r.query_id, rank"""
+
+  /** [[annIvfPq]]'s mirror: the shared IVF assignment chain restricts
+   *  the ADC join to probed-list candidates; the PQ chain is the
+   *  [[annPqOracle]] CTEs renamed to avoid colliding with the IVF
+   *  `cents`. */
+  val annIvfPqOracle: String = "WITH " + ivfAssignCte + """,
+pqcents AS (SELECT vec_id AS code_vec FROM nr
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+pqcidx AS (SELECT code_vec, CAST(ROW_NUMBER() OVER (ORDER BY code_vec) - 1 AS BIGINT) AS cidx
+           FROM pqcents),
+cb AS (SELECT x.cidx, CAST((q.i - 1) // 8 AS BIGINT) AS m, q.i, q.q
+       FROM pqcidx x JOIN qv q ON q.vec_id = x.code_vec),
+vsub AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS m, i, q FROM qv),
+pqdist AS (
+  SELECT v.vec_id, v.m, c.cidx,
+         CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS d2
+  FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
+  GROUP BY v.vec_id, v.m, c.cidx),
+codes AS (
+  SELECT vec_id, m, cidx FROM (
+    SELECT vec_id, m, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cidx) AS rk
+    FROM pqdist) t WHERE rk = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, c.m, c.cidx, CAST(SUM(v.q * c.q) AS BIGINT) AS ldot
+  FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
+  WHERE v.vec_id % 100 = 0
+  GROUP BY v.vec_id, c.m, c.cidx),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.vec_id),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.ldot) AS BIGINT) AS adc_dot
+  FROM cands cd
+  JOIN codes c ON c.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m AND l.cidx = c.cidx
   GROUP BY l.query_id, c.vec_id),
 ranked AS (
   SELECT a.query_id, a.vec_id,
