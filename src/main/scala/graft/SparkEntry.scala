@@ -107,6 +107,7 @@ ORDER BY event_id"""
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "source_lang_mix" -> ((s, d) => Sampling.sourceLangMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
+    "mix_temperature" -> ((s, d) => Sampling.mixTemperature(docs(s, d))),
     // the synthetic corpus carries no PII, so at any SF this key
     // proves cross-engine regex parity on the no-op path; the
     // operator's redaction behavior is pinned by PipelineSpec on a
@@ -266,6 +267,7 @@ ORDER BY event_id"""
     "source_mix" -> Sampling.sourceMixOracle,
     "source_lang_mix" -> Sampling.sourceLangMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
+    "mix_temperature" -> Sampling.mixTemperatureOracle,
     "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
     "passage_dedup" -> TextAnalysis.passageDedupOracle,

@@ -283,6 +283,74 @@ SELECT doc_id, source,
 FROM c
 ORDER BY doc_id, copy_idx"""
 
+  /** Temperature-based mixture reweighting (the multilingual-corpus
+   *  rebalancing rule: sampling probability ∝ share^α flattens the
+   *  source distribution — α=1 keeps natural proportions, α→0
+   *  approaches uniform; cf. the multilingual-pretraining practice of
+   *  α in [0.2, 0.7]). This operator pins **α = 0.5** because
+   *  `sqrt` is IEEE-754 correctly rounded in BOTH engines, while a
+   *  general `pow(x, α)` is libm-implementation-defined — the same
+   *  determinism call [[TextAnalysis.bm25Search]] documents for
+   *  `log`. The α=0.5 weight is computed once per source in 1e-6
+   *  FIXED POINT (`floor(sqrt(share) * 1e6 + 0.5)` — one double
+   *  sqrt + one double division per source, then integers), and the
+   *  normalizer is the INTEGER sum of those fixed-point weights, so
+   *  every output is exact under any aggregation order. Reports, per
+   *  source: natural token share, the fixed-point temperature weight,
+   *  the resampled probability, and the boost factor (resampled /
+   *  natural — >1 means the source is upsampled).
+   *
+   *  Scale shape: identical to [[sourceMix]] — one map-side-combining
+   *  aggregation to source cardinality; the windows run over the
+   *  K-row aggregate only. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("w6",
+        floor(sqrt(col("n_tokens") * lit(1.0) / col("total_tokens"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("w6_sum", sum("w6").over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r4(col("n_tokens") * lit(1.0) / col("total_tokens")).as("token_share"),
+        col("w6").as("temp_weight6"),
+        r4(col("w6") * lit(1.0) / col("w6_sum")).as("sample_prob"),
+        r4(col("w6") * lit(1.0) * col("total_tokens")
+          / (col("w6_sum") * lit(1.0) * col("n_tokens"))).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureOracle: String = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM per),
+w AS (
+  SELECT source, n_docs, n_tokens, total_tokens,
+         CAST(FLOOR(sqrt(n_tokens * 1.0 / total_tokens) * 1000000.0 + 0.5) AS BIGINT) AS w6
+  FROM tot),
+n AS (
+  SELECT source, n_docs, n_tokens, total_tokens, w6,
+         CAST(SUM(w6) OVER () AS BIGINT) AS w6_sum
+  FROM w)
+SELECT source, n_docs, n_tokens,
+       FLOOR((n_tokens * 1.0 / total_tokens) * 10000.0 + 0.5) / 10000.0 AS token_share,
+       w6 AS temp_weight6,
+       FLOOR((w6 * 1.0 / w6_sum) * 10000.0 + 0.5) / 10000.0 AS sample_prob,
+       FLOOR((w6 * 1.0 * total_tokens / (w6_sum * 1.0 * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS boost
+FROM n
+ORDER BY source"""
+
   /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
    *  quality score (ties broken by doc_id) — the "best docs per
    *  stratum" selection that keeps low-resource languages represented
