@@ -354,4 +354,62 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bm25: one corpus scan, broadcast one-row stats, driver-bounded top-k cut") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.bm25Search(docs))
+    // the stats side is a single broadcast row — the corpus join to it
+    // must be a broadcast nested loop (one row), never an exchange of
+    // the corpus; the top-k is a TakeOrdered, not a global sort.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one scan of the documents parquet (tf + stats both
+    // derive from the same base projection, stats via broadcast)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("PQ ANN: codebook and LUT join broadcast; no corpus self-join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val p = plan(graft.pipeline.Embeddings.annPq(emb, queries))
+    // encode joins the 128-row codebook broadcast; scoring joins the
+    // bounded query LUT broadcast — the corpus never shuffles against
+    // itself and never appears on both sides of a shuffled join
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("IVF-PQ: probed candidate set bounds the ADC join; broadcast codebook/LUT") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val p = plan(graft.pipeline.Embeddings.annIvfPq(emb, queries))
+    assert(!p.contains("CartesianProduct"), p)
+    // centroid assignment + LUT are broadcast; the candidate restriction
+    // happens via hash joins on (cent_id)/(vec_id), never a corpus-wide
+    // nested loop against the corpus itself
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("spill stages / attempt regression: one partial agg to low cardinality, no join") {
+    val p1 = plan(Diagnostics.spillStages(canon))
+    assert("HashAggregate".r.findAllIn(p1).size >= 2, p1)
+    assert(!p1.contains("Join"), p1)
+    val p2 = plan(Diagnostics.attemptRegression(canon))
+    assert("HashAggregate".r.findAllIn(p2).size >= 2, p2)
+    assert(!p2.contains("Join"), p2)
+    assert(!p2.contains("Window"), p2)
+  }
+
+  test("mix temperature: windows run over the source-cardinality aggregate only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Sampling.mixTemperature(docs)
+    val p = plan(df)
+    // the corpus collapses to K source rows in one partial agg BEFORE
+    // any window; the unpartitioned windows then see K rows, not docs
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
