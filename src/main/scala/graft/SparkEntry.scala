@@ -100,6 +100,7 @@ ORDER BY event_id"""
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(docs(s, d))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
@@ -118,6 +119,7 @@ ORDER BY event_id"""
     "lexical_rarity" -> ((s, d) => TextAnalysis.lexicalRarity(docs(s, d))),
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
+    "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
@@ -260,6 +262,7 @@ ORDER BY event_id"""
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
+    "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
@@ -274,6 +277,7 @@ ORDER BY event_id"""
     "lexical_rarity" -> TextAnalysis.lexicalRarityOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
+    "vocab_growth" -> TextAnalysis.vocabGrowthOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,

@@ -243,6 +243,83 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id"""
 
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD'03 —
+   *  the MOSS algorithm): hash every word `n`-gram, slide a window of
+   *  `w` consecutive gram hashes over each document, and keep the
+   *  minimum hash per window — the selected set is position-robust
+   *  (any sufficiently long shared passage between two docs is
+   *  GUARANTEED to share a fingerprint), ~2/(w+1) dense, and
+   *  local: inserting text far from a passage cannot change which of
+   *  the passage's grams are selected. The cross-doc overlap-join on
+   *  the output is the plagiarism/boilerplate detector `fingerprint`'s
+   *  whole-doc digest cannot express.
+   *
+   *  Determinism: gram hash = the codegen'd [[graft.functions.PolyHash]]
+   *  (values < 2^20), packed with the gram position into ONE integer
+   *  (`h * 2^20 + pos`), so the per-window argmin is a plain integer
+   *  `MIN` — aggregation-order free, ties resolved toward the LEFTMOST
+   *  minimal gram by construction (the SWA paper picks rightmost;
+   *  either is a valid deterministic winnowing — noted, not hidden).
+   *  Scale shape: one in-row explode (position-preserving
+   *  `word_ngrams_all`), ONE doc-partitioned exchange for the sliding
+   *  window, then a distinct on the selected set; no join, no corpus-
+   *  wide window, text never passes an exchange. */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr(s"word_ngrams_all(text, $n)").as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        posexplode(col("gs")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_grams"), col("pos").cast("long").as("pos"),
+        (call_function("poly_hash", col("gram")) * lit(1048576L)
+          + col("pos").cast("long")).as("pk"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min("pk").over(win))
+      .filter(col("pos") <= col("n_grams") - w)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .select(col("doc_id"),
+        (col("wmin") % lit(1048576L)).as("fp_pos"),
+        expr("wmin div 1048576").as("fp_hash"))
+      .orderBy("doc_id", "fp_pos")
+  }
+
+  /** Mirrors the packed-min winnowing selection; the recursive `pw`
+   *  power table reproduces [[graft.functions.PolyHash]] exactly
+   *  (code-point granular — the documented ASCII-corpus assumption
+   *  [[graft.pipeline.Dedup.polyShidCte]] carries applies here too). */
+  val winnowFingerprintsOracle: String = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+         CAST(unnest(range(0, GREATEST(len(t) - 2, 0))) AS BIGINT) AS pos, t
+  FROM toks),
+grams AS (
+  SELECT doc_id, n_grams, pos,
+         t[pos + 1] || ' ' || t[pos + 2] || ' ' || t[pos + 3] AS gram
+  FROM g),
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+ph AS (
+  SELECT gr.doc_id, gr.n_grams, gr.pos,
+         CAST(SUM(ord(substr(gr.gram, p.i, 1)) * p.v) % 1000003 AS BIGINT) AS h
+  FROM grams gr JOIN pw p ON p.i <= LEAST(len(gr.gram), 64)
+  GROUP BY gr.doc_id, gr.n_grams, gr.pos),
+wm AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM ph),
+sel AS (
+  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= n_grams - 4)
+SELECT doc_id, CAST(wmin % 1048576 AS BIGINT) AS fp_pos,
+       CAST(wmin // 1048576 AS BIGINT) AS fp_hash
+FROM sel
+ORDER BY doc_id, fp_pos"""
+
   /** Top-k distinctive terms per doc, ranked tf/df descending (the
    *  classic tf-idf shape with a rational idf — no logs, so the score
    *  is an exact ratio of integers and the ordering is engine-exact;
@@ -664,6 +741,76 @@ ORDER BY source"""
    *  TakeOrdered(k) — the ONLY single-point step touches k rows, never
    *  the vocabulary. Ties rank alphabetically so the cut is
    *  deterministic. */
+  /** Heaps-law vocabulary growth curve: per ingestion decile (doc_id
+   *  order, the same bucketing rule as
+   *  [[graft.pipeline.Dedup.dedupCurve]]), the token mass, the count
+   *  of NEVER-SEEN-BEFORE terms (first occurrence lands in the decile
+   *  of its earliest doc), and the cumulative vocabulary — the "is new
+   *  data still contributing new language" complement to dedupCurve's
+   *  "is new data still contributing new documents". A flattening
+   *  `cum_vocab` against a linear `cum_tokens` is Heaps saturation:
+   *  more of the same source stops growing the vocabulary long before
+   *  it stops growing the token count. Ratio-only output — the Heaps
+   *  exponent itself needs `log`, which is libm-defined, so the curve
+   *  publishes exact integer masses and one rounded division instead.
+   *  Scale shape: one explode → term-keyed partial-agg MIN (vocab
+   *  cardinality, the only real shuffle), one per-doc token agg to
+   *  decile cardinality; cumulative windows run over the 10-row
+   *  bucket aggregate only. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val toks = docs.crossJoin(broadcast(maxId))
+      .select(expr(s"doc_id * $buckets div (max_id + 1)").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("bucket").agg(sum("n_tok").as("n_tokens"))
+    val newTerms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_id"))
+      .crossJoin(broadcast(maxId))
+      .select(expr(s"first_id * $buckets div (max_id + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+      .withColumn("cum_vocab", sum("new_terms").over(cum))
+      .select(col("bucket"), col("n_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"),
+        r4(col("cum_vocab") * lit(1.0) / col("cum_tokens"))
+          .as("vocab_token_ratio"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthOracle: String = """
+WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+toks AS (
+  SELECT (doc_id * 10) // (max_id + 1) AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents CROSS JOIN m),
+tb AS (
+  SELECT bucket, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY bucket),
+f AS (
+  SELECT term, MIN(doc_id) AS first_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY term),
+nt AS (
+  SELECT (first_id * 10) // (max_id + 1) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM f CROSS JOIN m GROUP BY bucket),
+j AS (
+  SELECT tb.bucket, tb.n_tokens, COALESCE(nt.new_terms, 0) AS new_terms
+  FROM tb LEFT JOIN nt ON tb.bucket = nt.bucket),
+c AS (
+  SELECT bucket, n_tokens, new_terms,
+         CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+         CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+  FROM j)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, new_terms, cum_tokens, cum_vocab,
+       FLOOR((cum_vocab * 1.0 / cum_tokens) * 10000.0 + 0.5) / 10000.0 AS vocab_token_ratio
+FROM c ORDER BY bucket"""
+
   def vocabTopk(docs: DataFrame, k: Int = 100): DataFrame = {
     val stats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
