@@ -101,6 +101,7 @@ ORDER BY event_id"""
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(docs(s, d))),
+    "winnow_overlap" -> ((s, d) => TextAnalysis.winnowOverlap(docs(s, d))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
@@ -263,6 +264,7 @@ ORDER BY event_id"""
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracle,
+    "winnow_overlap" -> TextAnalysis.winnowOverlapOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,

@@ -320,6 +320,86 @@ SELECT doc_id, CAST(wmin % 1048576 AS BIGINT) AS fp_pos,
 FROM sel
 ORDER BY doc_id, fp_pos"""
 
+  /** Cross-document passage overlap on [[winnowFingerprints]] — the
+   *  MOSS detector itself: two docs sharing `minShared`+ winnowed
+   *  fingerprints share that many distinct locally-minimal passages,
+   *  which catches copied/boilerplate SPANS between documents whose
+   *  overall Jaccard is far below any near-dup threshold (a 10-line
+   *  license block inside two otherwise-unrelated files). Same
+   *  inverted-index blocking discipline as the n-gram dedup family:
+   *  fingerprints with document frequency > `maxDf` are dropped
+   *  before pairing (a fingerprint in thousands of docs is corpus
+   *  boilerplate — it would contribute quadratic pairs and no
+   *  discrimination). The df cap is also the skew guard: every
+   *  surviving join key fans out to at most maxDf members (maxDf²/2
+   *  pairs), so the pair join needs no salting — the shared-count is
+   *  the per-pair multiplicity of the keyed self-join, which is why
+   *  this does NOT reuse `saltedBucketPairs` (that helper returns the
+   *  distinct pair SET and deliberately erases multiplicity).
+   *  Accepts a precomputed fingerprint frame (the persisted output of
+   *  [[winnowFingerprints]]) so the corpus is fingerprinted once,
+   *  not per overlap query. */
+  def winnowOverlap(docs: DataFrame, maxDf: Long = 5L, minShared: Long = 2L,
+                    precomputedFps: Option[DataFrame] = None): DataFrame = {
+    val fps = precomputedFps.getOrElse(winnowFingerprints(docs))
+      .select("doc_id", "fp_hash").distinct()
+    val df = fps.groupBy("fp_hash").agg(count(lit(1)).as("df_cnt"))
+    val rare = fps.join(df.filter(col("df_cnt") <= maxDf), "fp_hash")
+    rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")), "fp_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Extends [[winnowFingerprintsOracle]]'s chain; the plain self-join
+   *  mirrors the salted pair set exactly (salting never changes the
+   *  pair SET, asserted in PipelineSpec). */
+  val winnowOverlapOracle: String = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+         CAST(unnest(range(0, GREATEST(len(t) - 2, 0))) AS BIGINT) AS pos, t
+  FROM toks),
+grams AS (
+  SELECT doc_id, n_grams, pos,
+         t[pos + 1] || ' ' || t[pos + 2] || ' ' || t[pos + 3] AS gram
+  FROM g),
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+ph AS (
+  SELECT gr.doc_id, gr.n_grams, gr.pos,
+         CAST(SUM(ord(substr(gr.gram, p.i, 1)) * p.v) % 1000003 AS BIGINT) AS h
+  FROM grams gr JOIN pw p ON p.i <= LEAST(len(gr.gram), 64)
+  GROUP BY gr.doc_id, gr.n_grams, gr.pos),
+wm AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM ph),
+fpd AS (
+  SELECT DISTINCT doc_id, wmin // 1048576 AS fp_hash
+  FROM wm WHERE pos <= n_grams - 4),
+dfc AS (
+  SELECT fp_hash, COUNT(*) AS df_cnt FROM fpd GROUP BY fp_hash),
+rare AS (
+  SELECT f.doc_id, f.fp_hash
+  FROM fpd f JOIN dfc ON f.fp_hash = dfc.fp_hash
+  WHERE dfc.df_cnt <= 5),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM rare a JOIN rare b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, shared_fps
+FROM p WHERE shared_fps >= 2
+ORDER BY doc_a, doc_b"""
+
   /** Top-k distinctive terms per doc, ranked tf/df descending (the
    *  classic tf-idf shape with a rational idf — no logs, so the score
    *  is an exact ratio of integers and the ordering is engine-exact;
