@@ -106,6 +106,7 @@ ORDER BY event_id"""
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
+    "seq_pack" -> ((s, d) => Sampling.seqPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "source_lang_mix" -> ((s, d) => Sampling.sourceLangMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
@@ -183,6 +184,7 @@ ORDER BY event_id"""
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
     "cluster_sizes" -> ((s, d) => Clustering.clusterSizes(docs(s, d))),
+    "cluster_canonical" -> ((s, d) => Clustering.clusterCanonical(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
@@ -269,6 +271,7 @@ ORDER BY event_id"""
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
     "pack_stats" -> Sampling.packStatsOracle,
+    "seq_pack" -> Sampling.seqPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,
     "source_lang_mix" -> Sampling.sourceLangMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
@@ -304,6 +307,7 @@ ORDER BY event_id"""
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
     "cluster_sizes" -> Clustering.clusterSizesOracle,
+    "cluster_canonical" -> Clustering.clusterCanonicalOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,

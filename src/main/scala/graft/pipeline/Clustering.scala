@@ -199,4 +199,78 @@ SELECT cluster_size,
 FROM csize
 GROUP BY cluster_size
 ORDER BY cluster_size"""
+
+  /** Survivorship POLICY selection — which copy of each duplicate
+   *  cluster to keep. [[dedupClusters]]'s min-doc_id survivor is an
+   *  arbitrary tiebreak; a real curation pipeline keeps the BEST
+   *  copy (the longest one is usually the superset — others are
+   *  truncated mirrors). Rule, all-integer so the argmax is exact
+   *  under any aggregation order: most tokens, then most distinct
+   *  tokens, then smallest doc_id.
+   *
+   *  Scale shape: the argmax is `max(struct(n_tok, n_distinct,
+   *  -doc_id))` — a commutative aggregate with a map-side partial,
+   *  NOT a per-cluster row_number window (which would sort every
+   *  cluster's members; boilerplate clusters at 100 TB have millions
+   *  of members and would straggle the window sort). One credential
+   *  join keyed on doc_id + one cluster-keyed aggregation; composable
+   *  via the same `precomputedPairs` as the cluster family. Output:
+   *  one row per cluster with the canonical doc, its token mass, the
+   *  tokens a keep-canonical dedup drops, and whether the policy
+   *  disagrees with the min-id default. */
+  def clusterCanonical(docs: DataFrame,
+                       precomputedPairs: Option[DataFrame] = None,
+                       precomputedShingles: Option[DataFrame] = None,
+                       reliable: Boolean = false): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+        Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, reliable = reliable)
+    val cred = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    comp.join(cred, "doc_id")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum("n_tok").as("total_tokens"),
+        max(struct(col("n_tok"), col("n_distinct"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg_id")).as("canonical_doc"),
+        col("best.n_tok").as("canonical_tokens"),
+        (col("total_tokens") - col("best.n_tok")).as("dropped_tokens"),
+        when(-col("best.neg_id") =!= col("cluster_id"), 1L).otherwise(0L)
+          .as("differs_from_minid"))
+      .orderBy("cluster_id")
+  }
+
+  /** Same closure chain; the argmax is mirrored as a per-cluster
+   *  ROW_NUMBER with the identical (n_tok DESC, n_distinct DESC,
+   *  doc_id ASC) order — fine in SQL where the cluster cardinality is
+   *  oracle-sized. */
+  val clusterCanonicalOracle: String = clustersCteChain + """,
+cred AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents),
+j AS (
+  SELECT c.cluster_id, c.doc_id, cr.n_tok, cr.n_distinct
+  FROM comp c JOIN cred cr ON c.doc_id = cr.doc_id),
+best AS (
+  SELECT cluster_id, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY n_tok DESC, n_distinct DESC, doc_id ASC) AS rn
+  FROM j),
+tot AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM j GROUP BY cluster_id)
+SELECT t.cluster_id, t.cluster_size,
+       b.doc_id AS canonical_doc, b.n_tok AS canonical_tokens,
+       t.total_tokens - b.n_tok AS dropped_tokens,
+       CAST(CASE WHEN b.doc_id = t.cluster_id THEN 0 ELSE 1 END AS BIGINT) AS differs_from_minid
+FROM tot t JOIN best b ON b.cluster_id = t.cluster_id AND b.rn = 1
+ORDER BY t.cluster_id"""
 }

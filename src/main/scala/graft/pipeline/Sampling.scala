@@ -131,6 +131,71 @@ FROM packed
 GROUP BY writer, shard_idx
 ORDER BY writer, shard_idx"""
 
+  /** Fixed-length training-sequence packing (concat-and-chunk) — the
+   *  OTHER packing discipline a trainer runs: [[shardPack]] cuts at
+   *  document boundaries into ~budget shards; this concatenates each
+   *  writer lane's token stream and slices it into exact `seqLen`-token
+   *  context windows, docs crossing cuts mid-document — the standard
+   *  pre-training batch layout. Output is the per-sequence manifest:
+   *  how many docs touch each window, how many BEGIN in it (= where a
+   *  trainer resets attention masks / EOD loss), and its token fill
+   *  (only each lane's last window is partial).
+   *
+   *  All integer: a doc occupies half-open token span [cum_before,
+   *  cum_before + n_tok); its windows are span div seqLen, exploded
+   *  with `sequence(first_seq, last_seq)` (ascending by construction —
+   *  n_tok >= 1), overlap length by integer min/max. Scale shape: the
+   *  running sum is per-LANE (same two-level discipline as
+   *  [[shardPack]] — no global window), the explode fan-out per doc is
+   *  bounded by n_tok/seqLen + 1 (total fan-out = corpus tokens /
+   *  seqLen + docs), and the manifest aggregation partial-aggregates
+   *  map-side on (writer, seq_idx). */
+  def seqPack(docs: DataFrame, seqLen: Long = 512L,
+              writers: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % writers).as("writer"))
+    val lane = Window.partitionBy("writer").orderBy("doc_id")
+    toks
+      .withColumn("cum_before", coalesce(
+        sum("n_tok").over(lane.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("first_seq", expr(s"cum_before div $seqLen"))
+      .withColumn("last_seq", expr(s"(cum_before + n_tok - 1) div $seqLen"))
+      .select(col("writer"), col("cum_before"), col("n_tok"), col("first_seq"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_idx"))
+      .withColumn("tok_in_seq",
+        least(col("cum_before") + col("n_tok"), (col("seq_idx") + lit(1L)) * lit(seqLen))
+          - greatest(col("cum_before"), col("seq_idx") * lit(seqLen)))
+      .groupBy("writer", "seq_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq_idx"), 1L).otherwise(0L)).as("n_starts"),
+        sum("tok_in_seq").as("n_tokens"))
+      .orderBy("writer", "seq_idx")
+  }
+
+  /** Extends [[shardPackCte]]'s lane/cumsum chain (same writer hash,
+   *  same running sum) with the window explode via `range`. */
+  val seqPackOracle: String = "WITH " + shardPackCte.trim + """,
+s AS (
+  SELECT writer, cum_before, n_tok,
+         cum_before // 512 AS first_seq,
+         (cum_before + n_tok - 1) // 512 AS last_seq
+  FROM c),
+e AS (
+  SELECT writer, cum_before, n_tok, first_seq,
+         CAST(unnest(range(first_seq, last_seq + 1)) AS BIGINT) AS seq_idx
+  FROM s)
+SELECT writer, seq_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN first_seq = seq_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       CAST(SUM(LEAST(cum_before + n_tok, (seq_idx + 1) * 512)
+              - GREATEST(cum_before, seq_idx * 512)) AS BIGINT) AS n_tokens
+FROM e
+GROUP BY writer, seq_idx
+ORDER BY writer, seq_idx"""
+
   /** Per-source mixture accounting + uniform-mixture resampling
    *  weights — the "data mixing" step of a pre-training pipeline:
    *  what fraction of tokens each source contributes and the weight

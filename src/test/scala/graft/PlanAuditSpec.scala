@@ -401,6 +401,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Window"), p2)
   }
 
+  test("winnowing: doc-partitioned window, no join, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.winnowFingerprints(docs))
+    // per-doc sliding MIN partitions by doc_id; the fingerprint pass
+    // must never join and never collapse to a single partition
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("winnow overlap: df-capped fingerprint join, no cartesian, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.winnowOverlap(docs))
+    // pairing is a keyed self-join on rare fingerprints (every key
+    // fans out <= maxDf members — the df cap IS the skew guard);
+    // the shared-count aggregation partial-aggregates map-side
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("cluster canonical: argmax is a commutative partial agg, not a per-cluster window sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Clustering.clusterCanonical(docs))
+    // max(struct(...)) must partial-aggregate map-side; a row_number
+    // window would sort every cluster's members (boilerplate clusters
+    // at scale have millions) — assert no Window at all
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_max") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("seq pack: lane-partitioned running sum, in-row window explode, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Sampling.seqPack(docs))
+    assert(p.contains("Exchange hashpartitioning(writer"), p)
+    assert(p.contains("Generate explode"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("mix temperature: windows run over the source-cardinality aggregate only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.pipeline.Sampling.mixTemperature(docs)

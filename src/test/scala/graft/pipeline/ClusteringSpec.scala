@@ -64,6 +64,29 @@ class ClusteringSpec extends SparkSpec {
     assert(out(30L) === ((30L, 2L, 1L)))
   }
 
+  test("clusterCanonical keeps the longest copy, not the min-id one") {
+    // Cluster {4,5,6}: doc 6 is the longest (a superset copy) so the
+    // policy must pick it over min-id 4; cluster {10,11}: equal token
+    // counts and equal distinct counts, so min doc_id 10 wins and the
+    // policy AGREES with the default.
+    val docs = Seq(
+      (4L, "short", "en", "s0", 5L),
+      (5L, "medium length copy", "en", "s0", 18L),
+      (6L, "the longest superset copy with six", "en", "s0", 34L),
+      (10L, "tie one alpha", "en", "s1", 13L),
+      (11L, "tie one beta", "en", "s1", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((4L, 5L), (5L, 6L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Clustering.clusterCanonical(docs, precomputedPairs = Some(pairs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // cluster 4: canonical=6 (6 tokens), drops 1+3=4 tokens, differs
+    assert(out(4L) === ((3L, 6L, 6L, 4L, 1L)))
+    // cluster 10: both 3 tokens; 10 has 3 distinct, 11 has 3 distinct
+    // -> min id 10, agrees with the default survivor
+    assert(out(10L) === ((2L, 10L, 3L, 3L, 0L)))
+  }
+
   test("reliable checkpoint mode produces identical components") {
     val dir = tmpDir("cc-checkpoint")
     spark.sparkContext.setCheckpointDir(dir)

@@ -665,6 +665,25 @@ class PipelineSpec extends SparkSpec {
     assert(ledger.map(r => (r.getAs[Long]("writer"), r.getAs[Long]("shard_idx"))).toSet === shards)
   }
 
+  test("seq pack conserves tokens; every non-last window per lane is exactly full") {
+    // seqLen=8 forces docs (14/14/10/14/2 tokens) to cross window cuts
+    val packed = Sampling.seqPack(docs, seqLen = 8L).collect()
+    val totalTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum === totalTok)
+    // every doc BEGINS in exactly one window
+    assert(packed.map(_.getAs[Long]("n_starts")).sum === docs.count())
+    // within a lane, all windows but the last carry exactly seqLen
+    // tokens and window ids are dense from 0
+    packed.groupBy(_.getAs[Long]("writer")).foreach { case (_, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Long]("seq_idx"))
+      assert(byIdx.map(_.getAs[Long]("seq_idx")).toSeq ===
+        (0L until byIdx.length.toLong).toSeq)
+      byIdx.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") === 8L))
+      assert(byIdx.last.getAs[Long]("n_tokens") <= 8L)
+    }
+  }
+
   test("length quantiles: nearest-rank picks on a hand fixture") {
     val q = TextAnalysis.lengthQuantiles(docs).collect()
       .map(r => r.getString(0) -> r).toMap
