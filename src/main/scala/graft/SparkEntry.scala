@@ -186,6 +186,8 @@ ORDER BY event_id"""
     "cluster_sizes" -> ((s, d) => Clustering.clusterSizes(docs(s, d))),
     "cluster_canonical" -> ((s, d) => Clustering.clusterCanonical(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
+    "knn_graph" -> ((s, d) => Embeddings.knnGraph(emb(s, d))),
+    "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(emb(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
@@ -308,6 +310,8 @@ ORDER BY event_id"""
     "dedup_clusters" -> Clustering.dedupClustersOracle,
     "cluster_sizes" -> Clustering.clusterSizesOracle,
     "cluster_canonical" -> Clustering.clusterCanonicalOracle,
+    "knn_graph" -> Embeddings.knnGraphOracle,
+    "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,

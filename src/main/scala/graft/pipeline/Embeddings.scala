@@ -502,6 +502,146 @@ SELECT a.vec_id, a.cent_id,
 FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
 ORDER BY a.vec_id"""
 
+  /** k-nearest-neighbor graph over the corpus — the primitive SemDeDup
+   *  grouping, graph-based topic discovery, and diversity sampling all
+   *  consume: for EVERY vector (not a query sample), its `k` nearest
+   *  neighbors by exact quantized cosine among vectors sharing its
+   *  IVF cell. Cell-restricted by construction — candidate work is
+   *  Σ|cell|², never |corpus|², and [[Dedup.saltedBucketPairs]]
+   *  spreads a hot cell's pair generation over `salts` reducers; the
+   *  per-vertex top-k window partitions on the vertex (cell-bounded
+   *  candidate lists, hash-partitioned exchange — no global sort).
+   *  Cell-restriction is the standard approximation: cross-cell true
+   *  neighbors are missed, the price every IVF index pays
+   *  ([[annRecall]] is the family's calibration gauge).
+   *
+   *  Output (vec_id, rank, neighbor_id, cosine) — both directions of
+   *  every candidate pair rank independently, so the graph is directed
+   *  (a's top-k may contain b while b's omits a; mutuality is the
+   *  downstream [[semanticClusters]] filter). */
+  def knnGraph(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
+               precomputedQuantized: Option[DataFrame] = None,
+               trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(hashCentroids(qv, numCentroids))
+    val assigned = nearestCentroids(qv, centroids, 1)
+    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val sym = cands.union(
+      cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    verifyCosine(sym, qv, qv, "vec_a", "vec_b", minCosine = -1.0)
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_a")
+        .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_a").as("vec_id"), col("rk").cast("long").as("rank"),
+        col("vec_b").as("neighbor_id"), r4(col("cosine")).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Shares [[ivfAssignCte]]; the within-cell pair set is enumerated
+   *  plainly (salting never changes the pair SET) and both directions
+   *  rank via one ROW_NUMBER. */
+  val knnGraphOracle: String = "WITH " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id)
+SELECT vec_a AS vec_id, CAST(rk AS BIGINT) AS rank, vec_b AS neighbor_id,
+       FLOOR(cosine * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM kranked WHERE rk <= 5
+ORDER BY vec_id, rank"""
+
+  /** Semantic grouping by MUTUAL-kNN connected components — the
+   *  grouping stage of SemDeDup-style pruning and the classic
+   *  community detector over embedding spaces: an undirected edge
+   *  exists where BOTH endpoints list each other in their top-k at
+   *  cosine >= `minCosine` (mutuality kills the hub problem — a
+   *  centroid-ish vector near everything cannot glue unrelated docs
+   *  together through one-directional edges), then components via the
+   *  same min-label propagation the lexical cluster family uses
+   *  ([[Clustering.connectedComponents]] — composability across
+   *  families is the point). Output: one row per vector appearing in
+   *  a mutual edge, with its cluster id and size.
+   *
+   *  Scale: the mutual filter is a self-join of the k-bounded edge
+   *  list on the reversed key — |edges| <= k·|corpus| rows keyed on
+   *  (vec, neighbor), nothing quadratic; propagation cost is rounds ×
+   *  one keyed shuffle of the node set. */
+  def semanticClusters(emb: DataFrame, k: Int = 5, minCosine: Double = 0.4,
+                       numCentroids: Int = 32,
+                       precomputedQuantized: Option[DataFrame] = None,
+                       trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val e = knnGraph(emb, k, numCentroids, precomputedQuantized, trainedCentroids)
+      .filter(col("cosine") >= minCosine)
+      .select("vec_id", "neighbor_id")
+    val mutual = e.join(
+        e.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")),
+        Seq("vec_id", "neighbor_id"))
+      .filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    val comp = Clustering.connectedComponents(mutual)
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "label")
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** [[knnGraphOracle]]'s chain + mutual filter + the same recursive
+   *  transitive closure the lexical clusters oracle uses. The rounded
+   *  cosine threshold compares the identical IEEE expression in both
+   *  engines (precedent: [[dedupEmbeddingOracle]]). */
+  val semanticClustersOracle: String = "WITH RECURSIVE " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+ke AS (SELECT vec_a, vec_b FROM kranked WHERE rk <= 5 AND cosine >= 0.4),
+mutual AS (
+  SELECT e1.vec_a AS src, e1.vec_b AS dst
+  FROM ke e1 JOIN ke e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a),
+kreach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM mutual) t
+  UNION
+  SELECT r.src, m.dst FROM kreach r JOIN mutual m ON r.dst = m.src),
+kcomp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM kreach GROUP BY src),
+kcsize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM kcomp GROUP BY cluster_id)
+SELECT c.vec_id, c.cluster_id, s.cluster_size
+FROM kcomp c JOIN kcsize s ON c.cluster_id = s.cluster_id
+ORDER BY c.vec_id"""
+
   /** ANN recall evaluation — "measure, don't guess" for the LSH path:
    *  per query, how much of the TRUE cosine top-k ([[annTopK]], the
    *  exact baseline) the bucketed [[annLsh]] pipeline (nibble blocking

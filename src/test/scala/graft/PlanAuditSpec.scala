@@ -449,6 +449,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("knn graph: cell-restricted salted pair join, vertex-partitioned rank window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.knnGraph(emb))
+    // candidates come from the salted cent_id bucket join — never a
+    // corpus self cross-join; the top-k window partitions per vertex
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Exchange hashpartitioning(vec_a"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
+  }
+
   test("mix temperature: windows run over the source-cardinality aggregate only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.pipeline.Sampling.mixTemperature(docs)

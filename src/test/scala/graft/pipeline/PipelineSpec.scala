@@ -461,6 +461,44 @@ class PipelineSpec extends SparkSpec {
       again.orderBy("cent_id").collect().toSeq)
   }
 
+  test("knn graph + mutual components recover planted semantic groups") {
+    // 3 groups x 3 near-identical vectors (tiny deterministic jitter),
+    // well-separated directions — mutual-kNN must recover exactly the
+    // planted groups and nothing across them
+    val vecs = for (g <- 0 until 3; j <- 0 until 3) yield {
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 21 == g) 1.0f else 0.0f
+        base + (((g * 3 + j) * 13 + d * 5) % 7 - 3) * 0.01f
+      }
+      (g * 10L + j, v, s"g$g")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    // numCentroids = 1: one cell = the full graph (at 9 vectors the
+    // default 32-centroid quantizer makes every vector its own
+    // singleton cell — the K ≈ √N sizing guidance, degenerately)
+    val g = Embeddings.knnGraph(emb, k = 2, numCentroids = 1)
+    val rows = g.collect()
+    assert(rows.length === 9 * 2)
+    // every vector gets exactly k neighbors (cells hold >= 3 members
+    // here only if groups share a cell — in any case its OWN group's
+    // other two rank first at cosine ~1)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    for ((v, ns) <- byVec) {
+      val top = ns.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
+      assert(top.take(2).toSet === (Set(0L, 1L, 2L).map(_ + (v / 10) * 10) - v),
+        s"vec $v got ${top.toSeq}")
+    }
+    val clusters = Embeddings.semanticClusters(emb, k = 2, minCosine = 0.9,
+        numCentroids = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(clusters.keySet === vecs.map(_._1).toSet)
+    for ((v, (cid, sz)) <- clusters) {
+      assert(cid === (v / 10) * 10) // min id of the planted group
+      assert(sz === 3L)
+    }
+  }
+
   test("PQ ANN approximates exact top-k on clustered embeddings") {
     // same deterministic 4-cluster fixture as the IVF test
     val vecs = for (c <- 0 until 4; j <- 0 until 40) yield {
