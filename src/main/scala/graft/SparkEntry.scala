@@ -68,6 +68,7 @@ ORDER BY event_id"""
     "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
     "task_executor_asof" -> ((s, d) => Diagnostics.taskExecutorAsof(canon(s, d))),
+    "executor_task_range" -> ((s, d) => Diagnostics.executorTaskRange(canon(s, d))),
     "critical_path" -> ((s, d) => Diagnostics.criticalPath(canon(s, d))),
     "concurrency_profile" -> ((s, d) =>
       Diagnostics.concurrencyProfile(canon(s, d))),
@@ -238,6 +239,7 @@ ORDER BY event_id"""
     "executor_timeline" -> Diagnostics.executorTimelineOracle,
     "user_sessions" -> Diagnostics.userSessionsOracle,
     "task_executor_asof" -> Diagnostics.taskExecutorAsofOracle,
+    "executor_task_range" -> Diagnostics.executorTaskRangeOracle,
     "critical_path" -> Diagnostics.criticalPathOracle,
     "concurrency_profile" -> Diagnostics.concurrencyProfileOracle,
     "host_hotspots" -> Diagnostics.hostHotspotsOracle,

@@ -168,6 +168,83 @@ FROM t ASOF LEFT JOIN ed
  AND ed.event_time_us <= t.event_time_us
 ORDER BY t.event_id"""
 
+  /** Work attribution per executor LIFETIME — every TaskEnd range-
+   *  joined ([[graft.operators.RangeJoin]]'s banded blocking, no
+   *  per-key all-pairs) onto its executor's [registration, removal]
+   *  interval; removal-less executors close at their app's last event.
+   *  Complements [[taskExecutorAsof]]: as-of stamps each task with the
+   *  latest registration BEFORE it, the interval join additionally
+   *  bounds the END — a task logged after its executor's removal (late
+   *  heartbeat, clock skew, lost-then-reported) attributes to NO
+   *  lifetime and drops out, which is the semantic a billing or
+   *  bad-node rollup needs. Output: per (app, executor) lifetime, its
+   *  task count and task-ms. The per-app close-off bound is a
+   *  broadcast one-row-per-app join. */
+  def executorTaskRange(canon: DataFrame): DataFrame = {
+    val execEv = canon
+      .filter(col("event_type").isin(ExecutorAdded, ExecutorRemoved) &&
+        col("executor_id").isNotNull && col("event_time_us").isNotNull)
+    val iv0 = execEv.groupBy("app_id", "executor_id").agg(
+      min(when(col("event_type") === ExecutorAdded, col("event_time_us")))
+        .as("life_start_us"),
+      max(when(col("event_type") === ExecutorRemoved, col("event_time_us")))
+        .as("life_end_raw"))
+    val appMax = canon.filter(col("event_time_us").isNotNull)
+      .groupBy("app_id").agg(max("event_time_us").as("app_max_us"))
+    val iv = iv0.join(broadcast(appMax), "app_id")
+      .filter(col("life_start_us").isNotNull)
+      .select(col("app_id"), col("executor_id"), col("life_start_us"),
+        coalesce(col("life_end_raw"), col("app_max_us")).as("life_end_us"))
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("executor_id").isNotNull &&
+        col("event_time_us").isNotNull)
+      .select("app_id", "executor_id", "event_time_us", "duration_ms")
+    graft.operators.RangeJoin.rangeJoin(
+        tasks, iv, keys = Seq("app_id", "executor_id"),
+        tsCol = "event_time_us", startCol = "life_start_us", endCol = "life_end_us")
+      .groupBy("app_id", "executor_id", "life_start_us", "life_end_us")
+      .agg(count(lit(1)).as("n_tasks"), sum("duration_ms").as("task_ms"))
+      .orderBy("app_id", "executor_id", "life_start_us")
+  }
+
+  /** The BETWEEN join is planned natively by DuckDB — the operator is
+   *  verified against an independent interval-join implementation
+   *  (same discipline as [[taskExecutorAsofOracle]]'s native ASOF). */
+  val executorTaskRangeOracle: String = canonCte + """
+, ee AS (
+  SELECT app_id, executor_id, event_type, event_time_us
+  FROM canon
+  WHERE event_type IN ('SparkListenerExecutorAdded', 'SparkListenerExecutorRemoved')
+    AND executor_id IS NOT NULL AND event_time_us IS NOT NULL),
+iv0 AS (
+  SELECT app_id, executor_id,
+         MIN(CASE WHEN event_type = 'SparkListenerExecutorAdded'
+                  THEN event_time_us END) AS life_start_us,
+         MAX(CASE WHEN event_type = 'SparkListenerExecutorRemoved'
+                  THEN event_time_us END) AS life_end_raw
+  FROM ee GROUP BY app_id, executor_id),
+amax AS (
+  SELECT app_id, MAX(event_time_us) AS app_max_us
+  FROM canon WHERE event_time_us IS NOT NULL GROUP BY app_id),
+iv AS (
+  SELECT i.app_id, i.executor_id, i.life_start_us,
+         COALESCE(i.life_end_raw, a.app_max_us) AS life_end_us
+  FROM iv0 i JOIN amax a ON i.app_id = a.app_id
+  WHERE i.life_start_us IS NOT NULL),
+t AS (
+  SELECT app_id, executor_id, event_time_us, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd'
+    AND executor_id IS NOT NULL AND event_time_us IS NOT NULL)
+SELECT iv.app_id, iv.executor_id, iv.life_start_us, iv.life_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(SUM(t.duration_ms) AS BIGINT) AS task_ms
+FROM t JOIN iv
+  ON t.app_id = iv.app_id AND t.executor_id = iv.executor_id
+ AND t.event_time_us BETWEEN iv.life_start_us AND iv.life_end_us
+GROUP BY iv.app_id, iv.executor_id, iv.life_start_us, iv.life_end_us
+ORDER BY iv.app_id, iv.executor_id, iv.life_start_us"""
+
   /** Per-app critical-path decomposition: the wall-clock lower bound a
    *  perfectly-parallel scheduler could reach (each stage is gated by
    *  its slowest task, stages assumed sequential — the Spark DAG's

@@ -449,6 +449,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("executor task range: banded equi-join on (keys, bucket), no cartesian, no per-key all-pairs") {
+    val p = plan(graft.analytics.Diagnostics.executorTaskRange(canon))
+    // the interval join must plan as an equi-join whose key INCLUDES
+    // the time bucket — a key-only equi-join with the BETWEEN left as
+    // a post-join filter is the quadratic hot-key shape
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__bucket"), p)
+    assert(p.contains("Generate explode"), p)
+    // join keys carry the bucket: look for the bucket column inside a
+    // join's key list on the keys line of any join operator
+    val joinKeyLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("__bucket")).toSeq
+    assert(joinKeyLines.nonEmpty, p)
+  }
+
   test("knn graph: cell-restricted salted pair join, vertex-partitioned rank window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.pipeline.Embeddings.knnGraph(emb))
