@@ -151,6 +151,18 @@ ORDER BY event_id"""
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
+    "dedup_minhash_incr" -> ((s, d) => Dedup.dedupMinhashIncremental(
+      docs(s, d).filter(col("doc_id") < 400),
+      docs(s, d).filter(col("doc_id") >= 400))),
+    // Signature-store path: corpus text never re-read or re-signed;
+    // must hash-match the same full-run-restricted oracle.
+    "dedup_minhash_incr_store" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 400)
+      Dedup.dedupMinhashIncremental(
+        corpus.limit(0), docs(s, d).filter(col("doc_id") >= 400),
+        corpusShingles = Some(Dedup.shingles(corpus)),
+        corpusSignatures = Some(Dedup.minhashSignatures(corpus)))
+    }),
     // Same incremental split, but through the MAINTAINED-STORE path
     // (precomputed corpus shingles + append-only gram-df deltas — the
     // StreamingDedup per-trigger shape): corpus text is never
@@ -304,6 +316,8 @@ ORDER BY event_id"""
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
+    "dedup_minhash_incr" -> Dedup.dedupMinhashIncrementalOracle,
+    "dedup_minhash_incr_store" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,

@@ -562,6 +562,80 @@ ORDER BY c.doc_a, c.doc_b"""
   /** Oracle: the FULL pair set restricted to pairs touching the
    *  "batch" (harness split: doc_id >= 400) — equality proves the
    *  incremental path loses nothing a full run would find. */
+  /** Incremental MinHash near-dup — the sketch-family twin of
+   *  [[dedupNgramIncremental]], with a BETTER incremental story:
+   *  min-hash signatures are per-document (no corpus-wide df in the
+   *  blocking), so a new batch needs ONLY its own shingle + signature
+   *  pass, and the result is bit-identical to the full run restricted
+   *  to batch-touching pairs — not merely equal under frozen rarity.
+   *  Candidate generation band-joins the batch's band signatures
+   *  against corpus+batch bands with the batch restriction BELOW the
+   *  pair join (the O(old²) bulk never enumerates); verification is
+   *  the same exact-Jaccard pass.
+   *
+   *  Maintained-store mode: pass `corpusShingles` (the
+   *  [[writeShingleStore]] frame, for verification) and
+   *  `corpusSignatures` (the [[writeMinhashStore]] frame) and the
+   *  per-call cost is O(batch) compute + two store scans — corpus
+   *  TEXT is never read, and unlike the n-gram store there is no
+   *  df-delta store to fold: the signature store appends
+   *  per-document rows, the simplest possible incremental state. */
+  def dedupMinhashIncremental(corpus: DataFrame, batch: DataFrame,
+                              minJaccard: Double = 0.2,
+                              idFamily: String = "md5",
+                              corpusShingles: Option[DataFrame] = None,
+                              corpusSignatures: Option[DataFrame] = None): DataFrame = {
+    val batchSh = shingles(batch.select("doc_id", "text")).cache()
+    val corpusSh = corpusShingles.map(_.select("doc_id", "gram"))
+      .getOrElse(shingles(corpus.select("doc_id", "text"))).cache()
+    val batchSig = minhashSigWide(shingleIds(batchSh, idFamily))
+    val corpusSig = corpusSignatures
+      .map(_.select(col("doc_id") +: (0 until NumHashes).map(j => col(s"mh$j")): _*))
+      .getOrElse(minhashSigWide(shingleIds(corpusSh, idFamily)))
+    val allBands = minhashBandSig(corpusSig.unionByName(batchSig))
+    val batchBands = minhashBandSig(batchSig)
+    val cands = allBands
+      .select(col("band"), col("bsig"), col("doc_id").as("id_any"))
+      .join(batchBands.select(col("band"), col("bsig"), col("doc_id").as("id_new")),
+        Seq("band", "bsig"))
+      .filter(col("id_any") =!= col("id_new"))
+      .select(least(col("id_any"), col("id_new")).as("doc_a"),
+              greatest(col("id_any"), col("id_new")).as("doc_b"))
+      .distinct()
+    withJaccard(cands, corpusSh.unionByName(batchSh))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The per-doc wide signature frame (`doc_id, mh0..mh15`) — the
+   *  append-only state [[dedupMinhashIncremental]]'s maintained-store
+   *  mode reads instead of re-signing the corpus. */
+  def minhashSignatures(docs: DataFrame, idFamily: String = "md5"): DataFrame =
+    minhashSigWide(shingleIds(shingles(docs.select("doc_id", "text")), idFamily))
+
+  /** Materialize [[minhashSignatures]] as a parquet store. */
+  def writeMinhashStore(docs: DataFrame, path: String,
+                        idFamily: String = "md5"): Unit =
+    minhashSignatures(docs, idFamily).write.mode("overwrite").parquet(path)
+
+  /** The FULL-run minhash chain with the batch restriction applied to
+   *  the final pair set — valid as the incremental oracle because
+   *  signatures are per-document: the incremental run's candidates
+   *  and verdicts are exactly the full run's, restricted. */
+  val dedupMinhashIncrementalOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
+    minhashCandsSql + """
+SELECT c.doc_a, c.doc_b,
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+  AND (c.doc_a >= 400 OR c.doc_b >= 400)
+ORDER BY c.doc_a, c.doc_b"""
+
   val dedupNgramIncrementalOracle: String = "WITH " + shinglesCte.trim + """,
 dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
 rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),

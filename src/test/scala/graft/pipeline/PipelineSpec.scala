@@ -165,6 +165,24 @@ class PipelineSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)) // Jaccard misses it
   }
 
+  test("incremental minhash equals the full run restricted to batch-touching pairs") {
+    val corpus = docs.filter(col("doc_id") < 3)
+    val batch = docs.filter(col("doc_id") >= 3)
+    val full = Dedup.dedupMinhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = full.filter { case (a, b) => a >= 3 || b >= 3 }
+    val incr = Dedup.dedupMinhashIncremental(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === wantPairs)
+    // store path: corpus text never consulted (limit(0) proves it)
+    val store = Dedup.dedupMinhashIncremental(
+      corpus.limit(0), batch,
+      corpusShingles = Some(Dedup.shingles(corpus)),
+      corpusSignatures = Some(Dedup.minhashSignatures(corpus))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store === wantPairs)
+  }
+
   test("precomputed shingle store yields identical near-dup output") {
     val store = tmpDir("shingle-store") + "/shingles"
     Dedup.writeShingleStore(docs, store)
