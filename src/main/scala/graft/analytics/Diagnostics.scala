@@ -168,10 +168,9 @@ FROM t ASOF LEFT JOIN ed
  AND ed.event_time_us <= t.event_time_us
 ORDER BY t.event_id"""
 
-  /** Work attribution per executor LIFETIME — every TaskEnd range-
-   *  joined ([[graft.operators.RangeJoin]]'s banded blocking, no
-   *  per-key all-pairs) onto its executor's [registration, removal]
-   *  interval; removal-less executors close at their app's last event.
+  /** Work attribution per executor LIFETIME — every TaskEnd joined
+   *  onto its executor's [registration, removal] interval;
+   *  removal-less executors close at their app's last event.
    *  Complements [[taskExecutorAsof]]: as-of stamps each task with the
    *  latest registration BEFORE it, the interval join additionally
    *  bounds the END — a task logged after its executor's removal (late
@@ -179,7 +178,19 @@ ORDER BY t.event_id"""
    *  lifetime and drops out, which is the semantic a billing or
    *  bad-node rollup needs. Output: per (app, executor) lifetime, its
    *  task count and task-ms. The per-app close-off bound is a
-   *  broadcast one-row-per-app join. */
+   *  broadcast one-row-per-app join.
+   *
+   *  NOT a [[graft.operators.RangeJoin]] call, deliberately: banded
+   *  blocking earns its explode fan-out only when one key holds MANY
+   *  intervals. Here the build side is unique per (app_id,
+   *  executor_id) — min/max collapsed one interval per key — so the
+   *  equi-join on the key alone is already linear (every probe row
+   *  meets exactly one interval) and the interval side is tiny
+   *  relative to tasks — AQE broadcasts it when it fits, shuffles on
+   *  the (already co-located) key when it doesn't; banding the same
+   *  join just multiplies the build side by span/width (executor
+   *  lifetimes span their whole app, thousands of 60s buckets each)
+   *  for zero pruning. */
   def executorTaskRange(canon: DataFrame): DataFrame = {
     val execEv = canon
       .filter(col("event_type").isin(ExecutorAdded, ExecutorRemoved) &&
@@ -199,9 +210,9 @@ ORDER BY t.event_id"""
       .filter(col("event_type") === TaskEnd && col("executor_id").isNotNull &&
         col("event_time_us").isNotNull)
       .select("app_id", "executor_id", "event_time_us", "duration_ms")
-    graft.operators.RangeJoin.rangeJoin(
-        tasks, iv, keys = Seq("app_id", "executor_id"),
-        tsCol = "event_time_us", startCol = "life_start_us", endCol = "life_end_us")
+    tasks.join(iv, Seq("app_id", "executor_id"))
+      .filter(col("event_time_us") >= col("life_start_us") &&
+        col("event_time_us") <= col("life_end_us"))
       .groupBy("app_id", "executor_id", "life_start_us", "life_end_us")
       .agg(count(lit(1)).as("n_tasks"), sum("duration_ms").as("task_ms"))
       .orderBy("app_id", "executor_id", "life_start_us")
