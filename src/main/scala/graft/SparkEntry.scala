@@ -122,6 +122,7 @@ ORDER BY event_id"""
     "lexical_rarity" -> ((s, d) => TextAnalysis.lexicalRarity(docs(s, d))),
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
+    "oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
@@ -151,6 +152,18 @@ ORDER BY event_id"""
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
+    // Exact-dup arrival harness: batch = verbatim shifted-id copies of
+    // every 5th doc (true dups) + tail-perturbed copies of the next
+    // residue class (non-dups); corpus = the full table.
+    "dedup_exact_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.dedupExactIncremental(dd, batch)
+    }),
     "dedup_minhash_incr" -> ((s, d) => Dedup.dedupMinhashIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -298,6 +311,7 @@ ORDER BY event_id"""
     "lexical_rarity" -> TextAnalysis.lexicalRarityOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
+    "oov_rate" -> TextAnalysis.oovRateOracle,
     "vocab_growth" -> TextAnalysis.vocabGrowthOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
@@ -316,6 +330,7 @@ ORDER BY event_id"""
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
+    "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
     "dedup_minhash_incr" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_minhash_incr_store" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,

@@ -908,4 +908,118 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
   val dedupSimhashFastOracle: String =
     "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
       simhashTailSql
+
+  /** Bloom-filter geometry for [[dedupExactIncremental]]. 2^20 bits =
+   *  16 Ki 64-bit words (128 KiB broadcast); 5 probes give fp ~0.01 at
+   *  ~100k corpus hashes per 2^20 bits — size `mBits` ~10x the corpus
+   *  cardinality and re-derive. */
+  val BloomBits = 1 << 20
+  val BloomProbes = 5
+
+  /** Corpus membership bloom as a PLAIN DATAFRAME of (word_idx, word)
+   *  64-bit words — no driver-side sketch object, no UDF. Each doc's
+   *  two xxhash64 seeds expand to `probes` double-hashed bit
+   *  positions (h1 + i*h2 mod m — Kirsch-Mitzenmacher, so two text
+   *  hashes fund any probe count); positions fold to words via
+   *  `bit_or`. The frame is at most m/64 rows regardless of corpus
+   *  size, mergeable by the same bit_or fold (append a delta frame,
+   *  re-fold on read — the [[graft.streaming.StreamingDedup]] gram-df
+   *  delta-store discipline), and broadcastable to probes. */
+  /** Kirsch-Mitzenmacher probe i of a double-hashed bloom, in
+   *  ANSI-safe arithmetic: both hashes reduce mod m BEFORE the affine
+   *  combine, so `pmod(h,m) + i*pmod(h,m)` stays < (probes+1)*m and
+   *  never wraps a long (Spark 4's ANSI mode throws on overflow
+   *  instead of wrapping). Build and probe share this definition —
+   *  that identity is the no-false-negative guarantee. */
+  private def probePos(h1: Column, h2: Column, i: Column, mBits: Int): Column =
+    pmod(pmod(h1, lit(mBits.toLong)) + i * pmod(h2, lit(mBits.toLong)),
+      lit(mBits.toLong))
+
+  def bloomWords(docs: DataFrame, mBits: Int = BloomBits,
+                 probes: Int = BloomProbes): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    docs.select(xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(1)).as("h2"))
+      .select(explode(sequence(lit(0), lit(probes - 1))).as("i"),
+        col("h1"), col("h2"))
+      .select(probePos(col("h1"), col("h2"), col("i"), mBits).as("pos"))
+      .select(expr("pos div 64").cast("int").as("word_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
+  }
+
+  /** Incremental EXACT dedup: which batch docs already exist verbatim
+   *  in the corpus, without joining the whole batch against the
+   *  corpus hash store. A broadcast [[bloomWords]] prefilter prunes
+   *  the batch in-row first (a left join onto the <=m/64-word frame +
+   *  a per-doc all-probes-set test); only bloom-POSITIVE docs reach
+   *  the md5 verify join, so its probe side carries true dups plus
+   *  the ~1% false positives instead of the full batch. Blooms never
+   *  produce false negatives, so the verify join restores exactness —
+   *  the final answer is independent of the filter, which is why this
+   *  operator keeps a plain SQL oracle despite the xxhash64 probes.
+   *
+   *  Steady-state ingest shape at 100 TB: both state frames are
+   *  incrementally maintained — the hash store by appending each
+   *  accepted batch's hashes, the bloom by appending the batch's
+   *  delta words (bit_or-fold on read) — so per-trigger cost is
+   *  O(batch) probes + a verify join over the pruned candidate set;
+   *  pass the maintained frame via `corpusWords` (it must have been
+   *  built with the SAME mBits/probes). Corpus text is scanned only
+   *  when the caller supplies neither store (the from-scratch query
+   *  form below). */
+  def dedupExactIncremental(corpus: DataFrame, batch: DataFrame,
+                            mBits: Int = BloomBits, probes: Int = BloomProbes,
+                            corpusWords: Option[DataFrame] = None): DataFrame = {
+    val words = corpusWords.getOrElse(bloomWords(corpus, mBits, probes))
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+    val b = batch.select(col("doc_id"), col("text"),
+      xxhash64(col("text")).as("h1"), xxhash64(col("text"), lit(1)).as("h2"))
+    val hits = b
+      .select(col("doc_id"), explode(sequence(lit(0), lit(probes - 1))).as("i"),
+        col("h1"), col("h2"))
+      .select(col("doc_id"), probePos(col("h1"), col("h2"), col("i"), mBits).as("pos"))
+      .select(col("doc_id"), expr("pos div 64").cast("int").as("word_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("mask"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .select(col("doc_id"),
+        when(col("word").isNotNull &&
+          col("word").bitwiseAND(col("mask")) =!= 0L, 1L).otherwise(0L).as("hit"))
+      .groupBy("doc_id").agg(sum("hit").as("n_hits"))
+      .filter(col("n_hits") === probes.toLong)
+      .select("doc_id")
+    val candidates = b.join(hits, "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val corpusHashes = corpus
+      .select(md5(col("text")).as("content_hash"))
+      .groupBy("content_hash").agg(count(lit(1)).as("n_corpus_copies"))
+    val verified = candidates.join(corpusHashes, "content_hash")
+      .select(col("doc_id"), col("n_corpus_copies"))
+    batch.select("doc_id").join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("n_corpus_copies"), lit(0L)) > 0L, 1L)
+          .otherwise(0L).as("is_dup"),
+        coalesce(col("n_corpus_copies"), lit(0L)).as("n_corpus_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** The bloom is answer-invariant (no false negatives + exact
+   *  verify), so the oracle is the filter-free hash join over the
+   *  same harness frames: corpus = documents, batch = shifted-id
+   *  verbatim copies of every 5th doc (all true dups) plus
+   *  tail-perturbed copies of the next residue class (all non-dups). */
+  val dedupExactIncrementalOracle: String = """
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id % 5 = 1),
+ch AS (
+  SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_corpus_copies
+  FROM documents GROUP BY 1)
+SELECT b.doc_id,
+       CAST(CASE WHEN ch.n_corpus_copies IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       COALESCE(ch.n_corpus_copies, CAST(0 AS BIGINT)) AS n_corpus_copies
+FROM batch b LEFT JOIN ch ON md5(b.text) = ch.content_hash
+ORDER BY b.doc_id"""
 }

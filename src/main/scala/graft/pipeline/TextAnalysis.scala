@@ -921,6 +921,55 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** Per-doc out-of-vocabulary rate against the global top-k
+   *  vocabulary — the tokenizer-readiness signal (how much of each
+   *  doc a k-entry vocab fails to cover) and the per-doc drilldown
+   *  [[vocabTopk]] aggregates away. The vocab reuses vocabTopk's
+   *  deterministic (count desc, term) tie-break, collapses to ONE
+   *  array row, and broadcasts; per-doc counting is then a pure
+   *  in-row projection — no token explode, no shuffle keyed on
+   *  doc_id, so the corpus-side cost is one scan regardless of
+   *  scale. The membership lambda runs interpreted (Spark 4 HOF),
+   *  an accepted constant factor; the alternative explode +
+   *  broadcast-join + re-group shape shuffles every token row. */
+  def oovRate(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(k)
+      .agg(collect_list("term").as("vocab"))
+    docs.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(expr("filter(split(text, ' '), w -> NOT array_contains(vocab, w))"))
+          .cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        r4(col("n_oov") * lit(1.0) / col("n_tok")).as("oov_pct"))
+      .orderBy("doc_id")
+  }
+
+  /** Same top-100 vocab under the same tie-break; the per-doc count
+   *  goes through an explicit token LEFT JOIN (exact integers either
+   *  way). */
+  val oovRateOracle: String = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+s AS (SELECT term, COUNT(*) AS term_count FROM toks GROUP BY term),
+r AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS rank
+  FROM s),
+v AS (SELECT term FROM r WHERE rank <= 100),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+o AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM t LEFT JOIN v ON t.term = v.term GROUP BY t.doc_id)
+SELECT doc_id, n_tok, n_oov,
+       FLOOR(n_oov * 1.0 / n_tok * 10000.0 + 0.5) / 10000.0 AS oov_pct
+FROM o ORDER BY doc_id"""
+
   /** BM25-shaped retrieval scoring over the corpus for a fixed term
    *  set — the "find training docs about X" primitive (targeted
    *  curation, query-set decontamination, eval-neighborhood
