@@ -964,13 +964,14 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  accepted batch's hashes, the bloom by appending the batch's
    *  delta words (bit_or-fold on read) — so per-trigger cost is
    *  O(batch) probes + a verify join over the pruned candidate set;
-   *  pass the maintained frame via `corpusWords` (it must have been
-   *  built with the SAME mBits/probes). Corpus text is scanned only
-   *  when the caller supplies neither store (the from-scratch query
-   *  form below). */
+   *  pass the maintained frames via `corpusWords` (must have been
+   *  built with the SAME mBits/probes) and `corpusHashes`. Corpus
+   *  text is scanned only when a state frame is missing (the
+   *  from-scratch query form below). */
   def dedupExactIncremental(corpus: DataFrame, batch: DataFrame,
                             mBits: Int = BloomBits, probes: Int = BloomProbes,
-                            corpusWords: Option[DataFrame] = None): DataFrame = {
+                            corpusWords: Option[DataFrame] = None,
+                            corpusHashes: Option[DataFrame] = None): DataFrame = {
     val words = corpusWords.getOrElse(bloomWords(corpus, mBits, probes))
       .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
     val b = batch.select(col("doc_id"), col("text"),
@@ -990,10 +991,14 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
       .select("doc_id")
     val candidates = b.join(hits, "doc_id")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-    val corpusHashes = corpus
-      .select(md5(col("text")).as("content_hash"))
+    // maintained store form: one (doc_id, content_hash) row per
+    // accepted corpus doc, count-folded here — corpus TEXT is not an
+    // input when both state frames are supplied
+    val hashCounts = corpusHashes
+      .map(_.select("content_hash"))
+      .getOrElse(corpus.select(md5(col("text")).as("content_hash")))
       .groupBy("content_hash").agg(count(lit(1)).as("n_corpus_copies"))
-    val verified = candidates.join(corpusHashes, "content_hash")
+    val verified = candidates.join(hashCounts, "content_hash")
       .select(col("doc_id"), col("n_corpus_copies"))
     batch.select("doc_id").join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -265,6 +265,77 @@ class StreamingIngestSpec extends SparkSpec {
     assert(probePairs === pairsBefore)
   }
 
+  test("streaming exact dedup: verbatim copies drop across and within batches") {
+    import spark.implicits._
+    val src = tmpDir("sxdedup-src")
+    val store = tmpDir("sxdedup-store") + "/corpus"
+    val ckpt = tmpDir("sxdedup-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingExactDedup.dedupedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 1 is a verbatim in-batch copy of 0 (smaller id wins)
+    Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    // batch 2: 10 repeats stored 2 verbatim; near-dup is NOT exact-dup
+    Seq((10L, "delta epsilon zeta"), (11L, "delta epsilon zeta eta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    // the bloom store never outgrows its fixed bit space
+    assert(spark.read.parquet(store + "_bloom")
+      .groupBy("word_idx").agg(expr("bit_or(word)"))
+      .count() <= graft.pipeline.Dedup.BloomBits / 64)
+    // compaction preserves trigger verdicts
+    val probe = Seq((20L, "alpha beta gamma"), (21L, "new text")).toDF("doc_id", "text")
+    def verdicts = StreamingExactDedup.triggerFlags(spark, probe,
+        store + "_hashes", store + "_bloom",
+        graft.pipeline.Dedup.BloomBits, graft.pipeline.Dedup.BloomProbes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = verdicts
+    assert(before === Set((20L, 1L), (21L, 0L)))
+    StreamingExactDedup.compactState(spark, store)
+    assert(verdicts === before)
+    assert(spark.read.parquet(store + "_bloom").count() ===
+      spark.read.parquet(store + "_bloom").select("word_idx").distinct().count())
+  }
+
+  test("streaming exact dedup trigger reads ONLY the hash/bloom stores — never corpus text") {
+    import spark.implicits._
+    val base = tmpDir("sxdedup-audit")
+    val corpusDir = base + "/corpusdocs"
+    val hashDir = base + "/hashstore"
+    val wordsDir = base + "/bloomstore"
+    val corpus = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    corpus.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .write.parquet(hashDir)
+    graft.pipeline.Dedup.bloomWords(corpus).write.parquet(wordsDir)
+    val batch = Seq((10L, "alpha beta gamma"), (11L, "novel")).toDF("doc_id", "text")
+    val flags = StreamingExactDedup.triggerFlags(spark, batch, hashDir, wordsDir,
+      graft.pipeline.Dedup.BloomBits, graft.pipeline.Dedup.BloomProbes)
+    val p = flags.queryExecution.executedPlan.toString
+    val locations = p.linesIterator.filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, p)
+    assert(locations.forall(l =>
+      l.contains("hashstore") || l.contains("bloomstore")), locations.toString)
+    assert(!p.contains("corpusdocs"), p)
+    assert(flags.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((10L, 1L), (11L, 0L)))
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
