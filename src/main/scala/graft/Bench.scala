@@ -138,11 +138,55 @@ object Bench {
         -1.0
       }
     }
+    /** Same measurement for the EXACT-dedup ingest loop: seed the
+      * hash + bloom state stores from a prefix, time ONE processBatch
+      * of the same fixed tail batch at two seed sizes. The bloom
+      * store is <= m/64 rows at ANY seed, so the quarter-vs-full gap
+      * can only come from the hash-store verify join's columnar
+      * scan. */
+    def streamingExactTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-xstream-$seedFrac").toString
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        seed.select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.col("text")).as("content_hash"))
+          .write.mode("overwrite").parquet(s"$base/hashes")
+        graft.pipeline.Dedup.bloomWords(seed)
+          .write.mode("overwrite").parquet(s"$base/bloom")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingExactDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/hashes", s"$base/bloom",
+          graft.pipeline.Dedup.BloomBits, graft.pipeline.Dedup.BloomProbes)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_exact_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
     val runStream = only.forall(s => s.exists(_.startsWith("stream_trigger")))
     val streamRuns = if (runStream) {
       streamingTriggerOnce(warmDir, 1.0) // absorb codegen/JIT
       (0 until 3).map(_ =>
         (streamingTriggerOnce(sfDir, 0.25), streamingTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
+    val runXStream = only.forall(s => s.exists(_.startsWith("stream_exact_trigger")))
+    val xstreamRuns = if (runXStream) {
+      streamingExactTriggerOnce(warmDir, 1.0)
+      (0 until 3).map(_ =>
+        (streamingExactTriggerOnce(sfDir, 0.25), streamingExactTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
 
     val runShared = only.forall(s =>
@@ -160,7 +204,10 @@ object Bench {
       "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty) ++
       (if (runStream) Seq(
         "stream_trigger_quarter_corpus" -> medianOf(streamRuns.map(_._1)),
-        "stream_trigger_full_corpus" -> medianOf(streamRuns.map(_._2))) else Seq.empty)
+        "stream_trigger_full_corpus" -> medianOf(streamRuns.map(_._2))) else Seq.empty) ++
+      (if (runXStream) Seq(
+        "stream_exact_trigger_quarter_corpus" -> medianOf(xstreamRuns.map(_._1)),
+        "stream_exact_trigger_full_corpus" -> medianOf(xstreamRuns.map(_._2))) else Seq.empty)
     def r3(x: Double): String =
       if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).filter(_ >= 0).sum
