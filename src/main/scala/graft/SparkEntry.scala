@@ -214,6 +214,8 @@ ORDER BY event_id"""
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(emb(s, d))),
     "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(emb(s, d))),
+    "semantic_survivors" -> ((s, d) =>
+      Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
@@ -343,6 +345,7 @@ ORDER BY event_id"""
     "cluster_canonical" -> Clustering.clusterCanonicalOracle,
     "knn_graph" -> Embeddings.knnGraphOracle,
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
+    "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,

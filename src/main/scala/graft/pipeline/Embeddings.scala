@@ -607,7 +607,10 @@ ORDER BY vec_id, rank"""
    *  transitive closure the lexical clusters oracle uses. The rounded
    *  cosine threshold compares the identical IEEE expression in both
    *  engines (precedent: [[dedupEmbeddingOracle]]). */
-  val semanticClustersOracle: String = "WITH RECURSIVE " + ivfAssignCte + """,
+  /** The shared component chain: kNN candidates -> mutual filter ->
+   *  recursive closure -> (vec_id, cluster_id) + sizes. Reused by the
+   *  survivor oracle below. */
+  private val semanticCompCteChain: String = "WITH RECURSIVE " + ivfAssignCte + """,
 kpairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM assigned a JOIN assigned b
@@ -637,10 +640,75 @@ kreach AS (
 kcomp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM kreach GROUP BY src),
 kcsize AS (
   SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-  FROM kcomp GROUP BY cluster_id)
+  FROM kcomp GROUP BY cluster_id)"""
+
+  val semanticClustersOracle: String = semanticCompCteChain + """
 SELECT c.vec_id, c.cluster_id, s.cluster_size
 FROM kcomp c JOIN kcsize s ON c.cluster_id = s.cluster_id
 ORDER BY c.vec_id"""
+
+  /** SemDeDup's PRUNE step on top of [[semanticClusters]]: within
+   *  each mutual-kNN semantic group, keep exactly one document and
+   *  account for what pruning the rest costs. The survivor policy is
+   *  the SAME (n_tok DESC, n_distinct DESC, doc_id ASC) credential
+   *  argmax as the lexical [[Clustering.clusterCanonical]] — one
+   *  policy definition across both families, so a curation pipeline
+   *  that switches blocking (lexical n-gram vs embedding kNN) does
+   *  not silently switch survivorship. vec_id joins doc_id 1:1 (the
+   *  testdata contract [[lexicalVsEmbedding]] also relies on).
+   *  Scale shape: the clusters frame is k-bounded-edge components,
+   *  the credential join is keyed on doc_id, and the argmax is ONE
+   *  map-side-combining struct-max aggregate — no per-cluster window
+   *  over the corpus. */
+  def semanticSurvivors(docs: DataFrame, emb: DataFrame, k: Int = 5,
+                        minCosine: Double = 0.4,
+                        numCentroids: Int = 32): DataFrame = {
+    val comp = semanticClusters(emb, k, minCosine, numCentroids)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val cred = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    comp.join(cred, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum("n_tok").as("total_tokens"),
+        max(struct(col("n_tok"), col("n_distinct"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg_id")).as("keep_doc"),
+        col("best.n_tok").as("keep_tokens"),
+        (col("cluster_size") - 1L).as("pruned_docs"),
+        (col("total_tokens") - col("best.n_tok")).as("pruned_tokens"))
+      .orderBy("cluster_id")
+  }
+
+  /** [[semanticCompCteChain]] + the clusterCanonical-style argmax
+   *  mirror (per-cluster ROW_NUMBER at oracle cardinality). */
+  val semanticSurvivorsOracle: String = semanticCompCteChain + """,
+scred AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents),
+sj AS (
+  SELECT c.cluster_id, c.vec_id AS doc_id, cr.n_tok, cr.n_distinct
+  FROM kcomp c JOIN scred cr ON c.vec_id = cr.doc_id),
+sbest AS (
+  SELECT cluster_id, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY n_tok DESC, n_distinct DESC, doc_id ASC) AS rn
+  FROM sj),
+stot AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM sj GROUP BY cluster_id)
+SELECT t.cluster_id, t.cluster_size,
+       b.doc_id AS keep_doc, b.n_tok AS keep_tokens,
+       t.cluster_size - 1 AS pruned_docs,
+       t.total_tokens - b.n_tok AS pruned_tokens
+FROM stot t JOIN sbest b ON b.cluster_id = t.cluster_id AND b.rn = 1
+ORDER BY t.cluster_id"""
 
   /** ANN recall evaluation — "measure, don't guess" for the LSH path:
    *  per query, how much of the TRUE cosine top-k ([[annTopK]], the

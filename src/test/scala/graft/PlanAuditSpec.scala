@@ -449,17 +449,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("executor task range: banded equi-join on (keys, bucket), no cartesian, no per-key all-pairs") {
+  test("executor task range: key equi-join (unique build side), no banding, no cartesian") {
     val p = plan(graft.analytics.Diagnostics.executorTaskRange(canon))
-    // the interval join must plan as an equi-join whose key INCLUDES
-    // the time bucket — a key-only equi-join with the BETWEEN left as
-    // a post-join filter is the quadratic hot-key shape
+    // the build side is one interval per (app, executor), so the right
+    // plan is a plain key equi-join with the BETWEEN as the join's
+    // residual condition — NOT the banded explode (which would
+    // multiply each app-spanning lifetime into thousands of buckets
+    // for zero pruning) and never a nested-loop/cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("__bucket"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("life_start_us") && p.contains("life_end_us"), p)
+  }
+
+  test("generic range join: banded equi-join carries the bucket in its keys, no cartesian") {
+    import spark.implicits._
+    // many intervals per key — the case banding exists for
+    val points = Seq(("k1", 10L), ("k1", 250L), ("k2", 30L)).toDF("k", "ts")
+    val intervals = Seq(("k1", 0L, 100L), ("k1", 200L, 300L), ("k2", 0L, 50L))
+      .toDF("k", "s", "e")
+    val out = graft.operators.RangeJoin.rangeJoin(
+      points, intervals, Seq("k"), "ts", "s", "e", bucketWidth = 64L)
+    val p = plan(out)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("__bucket"), p)
     assert(p.contains("Generate explode"), p)
-    // join keys carry the bucket: look for the bucket column inside a
-    // join's key list on the keys line of any join operator
     val joinKeyLines = p.linesIterator.filter(l =>
       l.contains("Join") && l.contains("__bucket")).toSeq
     assert(joinKeyLines.nonEmpty, p)
