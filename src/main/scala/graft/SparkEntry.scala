@@ -123,6 +123,7 @@ ORDER BY event_id"""
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
     "oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
+    "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(docs(s, d))),
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
@@ -163,6 +164,22 @@ ORDER BY event_id"""
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text")))
       Dedup.dedupExactIncremental(dd, batch)
+    }),
+    // Maintained-store path of the same operator: the bloom words and
+    // the hash store are materialized first and corpus text is NOT an
+    // input to the dedup call — hash-matched against the identical
+    // full-run oracle (the dedup_ngram_incr_store discipline).
+    "dedup_exact_incr_store" -> ((s, d) => {
+      val dd = docs(s, d)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.dedupExactIncremental(dd.limit(0), batch,
+        corpusWords = Some(Dedup.bloomWords(dd)),
+        corpusHashes = Some(dd.select(col("doc_id"),
+          md5(col("text")).as("content_hash"))))
     }),
     "dedup_minhash_incr" -> ((s, d) => Dedup.dedupMinhashIncremental(
       docs(s, d).filter(col("doc_id") < 400),
@@ -314,6 +331,7 @@ ORDER BY event_id"""
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
     "oov_rate" -> TextAnalysis.oovRateOracle,
+    "bpe_pair_stats" -> TextAnalysis.bpePairStatsOracle,
     "vocab_growth" -> TextAnalysis.vocabGrowthOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
@@ -333,6 +351,7 @@ ORDER BY event_id"""
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
+    "dedup_exact_incr_store" -> Dedup.dedupExactIncrementalOracle,
     "dedup_minhash_incr" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_minhash_incr_store" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,

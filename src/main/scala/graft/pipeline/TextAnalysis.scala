@@ -949,6 +949,60 @@ ORDER BY rank"""
       .orderBy("doc_id")
   }
 
+  /** The BPE merge primitive — global adjacent-character-pair
+   *  frequencies within words, the count a tokenizer trainer's first
+   *  merge iteration argmaxes over (and the third leg of the
+   *  tokenizer-readiness family: [[vocabTopk]] = word vocab,
+   *  [[oovRate]] = vocab coverage, this = subword statistics).
+   *  Occurrence-weighted (every word instance counts, as textbook BPE
+   *  does) plus the distinct-word support behind each pair. Shape:
+   *  two in-row explodes (word, then position — `sequence(1, len-1)`
+   *  guarded to len >= 2 because Spark 4's sequence counts DOWN when
+   *  the bound inverts) feed ONE map-side-combining aggregate keyed
+   *  on ~alphabet² distinct pairs, then a driver-bounded top-k; the
+   *  explode fan-out is corpus CHARACTER count, never materialized
+   *  past the partial agg. `substring(word, i, 2)` is 1-indexed
+   *  identically in both engines, so the oracle is a verbatim
+   *  mirror. */
+  def bpePairStats(docs: DataFrame, k: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("word"))
+    val stats = pairs.groupBy("pair").agg(
+      count(lit(1)).as("pair_count"),
+      countDistinct("word").as("distinct_words"))
+    stats.orderBy(col("pair_count").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pair_count").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("pair_count"), col("distinct_words"))
+      .orderBy("rank")
+  }
+
+  /** Verbatim mirror: same explode chain via unnest(generate_series),
+   *  same (count DESC, pair) tie-break. */
+  val bpePairStatsOracle: String = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT word FROM words WHERE len(word) >= 2),
+pairs AS (
+  SELECT word, substring(word, CAST(i AS INTEGER), 2) AS pair
+  FROM w2, unnest(generate_series(1, len(word) - 1)) AS t(i)),
+s AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_words
+  FROM pairs GROUP BY pair),
+r AS (
+  SELECT pair, pair_count, distinct_words,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+  FROM s)
+SELECT CAST(rank AS BIGINT) AS rank, pair, pair_count, distinct_words
+FROM r WHERE rank <= 50
+ORDER BY rank"""
+
   /** Same top-100 vocab under the same tie-break; the per-doc count
    *  goes through an explicit token LEFT JOIN (exact integers either
    *  way). */
