@@ -481,6 +481,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinKeyLines.nonEmpty, p)
   }
 
+  test("oov rate: one-row vocab broadcast, in-row counting, no token-explode shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.oovRate(docs))
+    // the per-doc side must join the one-row vocab array by broadcast
+    // (a nested-loop against ONE row is the broadcast degenerate case,
+    // not a corpus cartesian) and count in-row: no exchange keyed on
+    // doc_id may exist anywhere in the plan
+    assert(p.contains("Broadcast"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(doc_id")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe pair stats: in-row explodes feed a partial agg, driver-bounded top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.bpePairStats(docs))
+    // the character fan-out must collapse map-side: partial/final
+    // HashAggregate pair around the only exchange, and the top-k cut
+    // must be TakeOrdered, never a global sort of the pair table
+    assert(p.contains("Generate explode"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom exact dedup: verify join sees only bloom survivors; word frame joins broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val p = plan(graft.pipeline.Dedup.dedupExactIncremental(docs, batch))
+    // the probe side joins the <=m/64-row word frame by broadcast, and
+    // the md5 verify join's batch input is gated by the all-probes-set
+    // filter (n_hits = probes) — the full batch never reaches it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("n_hits")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("knn graph: cell-restricted salted pair join, vertex-partitioned rank window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.pipeline.Embeddings.knnGraph(emb))
