@@ -336,6 +336,55 @@ class StreamingIngestSpec extends SparkSpec {
       Set((10L, 1L), (11L, 0L)))
   }
 
+  test("composed trigger: exact gate runs FIRST, near-dup sees only its survivors") {
+    import spark.implicits._
+    // the deployment StreamingExactDedup's header promises: chain the
+    // two processBatch calls inside one trigger — verbatim copies die
+    // at the cheap hash gate and never pay shingling; near-dups of
+    // stored docs die at the second gate; only genuinely novel docs
+    // reach the corpus store, and every store stays in lockstep
+    val root = tmpDir("combo-dedup")
+    val xstore = root + "/exact"       // exact gate state
+    val store = root + "/corpus"       // near-dup corpus + state
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def exactThenNear(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      StreamingExactDedup.processBatch(b, id, xstore,
+        xstore + "_hashes", xstore + "_bloom",
+        graft.pipeline.Dedup.BloomBits, graft.pipeline.Dedup.BloomProbes)
+      // the exact gate's survivors for THIS batch are the appended doc
+      // ids intersected with the batch (replay keeps this exact)
+      val survivors = b.join(
+        spark.read.parquet(xstore).select("doc_id"), "doc_id")
+      StreamingDedup.processBatch(survivors, id, store, root + "/pairs",
+        store + "_shingles", store + "_gramdf", 5L, 0.2)
+    }
+    exactThenNear(batch(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")),
+      0L)
+    // 1 died at the exact gate (verbatim copy of 0), so the near-dup
+    // pair store must NOT contain (0, 1) — it never saw doc 1
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    val pairs1 = spark.read.parquet(root + "/pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs1.contains((0L, 1L)))
+    exactThenNear(batch(
+      (10L, "completely different content about spark data processing at massive scale"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (12L, "entirely novel prose with no overlap whatsoever against anything before")),
+      1L)
+    // 10 = verbatim copy of stored 2 -> exact gate; 11 = near-dup of
+    // stored 0 -> second gate; 12 novel -> survives both
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 12L))
+    val pairs2 = spark.read.parquet(root + "/pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2.contains((0L, 11L)))
+    assert(!pairs2.exists(p => p._1 == 10L || p._2 == 10L))
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
