@@ -233,6 +233,7 @@ ORDER BY event_id"""
     "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(emb(s, d))),
     "semantic_survivors" -> ((s, d) =>
       Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
+    "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
@@ -365,6 +366,7 @@ ORDER BY event_id"""
     "knn_graph" -> Embeddings.knnGraphOracle,
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
+    "knn_hubness" -> Embeddings.knnHubnessOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,

@@ -710,6 +710,59 @@ SELECT t.cluster_id, t.cluster_size,
 FROM stot t JOIN sbest b ON b.cluster_id = t.cluster_id AND b.rn = 1
 ORDER BY t.cluster_id"""
 
+  /** Hubness diagnostic over the kNN graph: the IN-degree histogram —
+   *  how many vectors are listed in d other vectors' top-k, including
+   *  the never-referenced at d = 0. The embedding-space QA number
+   *  behind [[semanticClusters]]' mutuality filter: a hub (in-degree
+   *  >> k) glues unrelated docs through one-directional edges, and
+   *  the mass in the histogram's tail is what decides whether k is
+   *  too large or the space needs whitening before SemDeDup runs.
+   *  Shape: the k-bounded edge list aggregates per neighbor (hot hub
+   *  keys partial-combine), zero-degree vectors come from one left
+   *  join against the vector ids, and the final histogram groups at
+   *  degree cardinality. */
+  def knnHubness(emb: DataFrame, k: Int = 5,
+                 numCentroids: Int = 32): DataFrame = {
+    val indeg = knnGraph(emb, k, numCentroids)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select("vec_id").join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_degree")
+  }
+
+  /** Same kranked chain as [[knnGraphOracle]]; degree-0 mass via the
+   *  same left join against all vector ids. */
+  val knnHubnessOracle: String = "WITH " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+indeg AS (
+  SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM kranked WHERE rk <= 5 GROUP BY vec_b),
+deg AS (
+  SELECT e.vec_id, COALESCE(i.in_degree, CAST(0 AS BIGINT)) AS in_degree
+  FROM (SELECT vec_id FROM embeddings) e
+  LEFT JOIN indeg i ON e.vec_id = i.vec_id)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM deg GROUP BY in_degree
+ORDER BY in_degree"""
+
   /** ANN recall evaluation — "measure, don't guess" for the LSH path:
    *  per query, how much of the TRUE cosine top-k ([[annTopK]], the
    *  exact baseline) the bucketed [[annLsh]] pipeline (nibble blocking
