@@ -91,6 +91,7 @@ ORDER BY event_id"""
     "cross_app_summary" -> ((s, d) => CrossApp.crossAppSummary(canon(s, d))),
     "task_distribution" -> ((s, d) => CrossApp.taskDistribution(canon(s, d))),
     "executor_utilization" -> ((s, d) => CrossApp.executorUtilization(canon(s, d))),
+    "app_daily_active" -> ((s, d) => CrossApp.appDailyActive(canon(s, d))),
     "resource_util_metrics" -> ((s, d) => CrossApp.resourceUtilMetrics(canon(s, d))),
     "resource_hogs" -> ((s, d) => Optimization.resourceHogs(canon(s, d))),
     "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
@@ -304,6 +305,7 @@ ORDER BY event_id"""
     "cross_app_summary" -> CrossApp.crossAppSummaryOracle,
     "task_distribution" -> CrossApp.taskDistributionOracle,
     "executor_utilization" -> CrossApp.executorUtilizationOracle,
+    "app_daily_active" -> CrossApp.appDailyActiveOracle,
     "resource_util_metrics" -> CrossApp.resourceUtilMetricsOracle,
     "resource_hogs" -> Optimization.resourceHogsOracle,
     "efficiency_analysis" -> Optimization.efficiencyAnalysisOracle,

@@ -239,4 +239,60 @@ SELECT em.executor_id, em.host, em.app_id, em.total_tasks,
 FROM em LEFT JOIN status ON em.app_id = status.app_id
 ORDER BY em.app_id, em.executor_id, em.host
 LIMIT 2000"""
+
+  /** Concurrently-active applications per calendar day — the
+   *  capacity-planning number behind `capacity_trends`' volume
+   *  rollups: not "how many apps logged events on day D" but "how
+   *  many app LIFETIMES overlapped day D", counting apps that span a
+   *  day silently (long-running apps emitting nothing on a quiet
+   *  day). The overlap join is the genuine
+   *  [[graft.operators.RangeJoin]] case: day-start points against
+   *  app-lifetime intervals with NO equi-key (every interval would
+   *  hit every day in a naive plan), so the banded blocking — day
+   *  points project to one 24h bucket, app intervals explode to the
+   *  O(lifetime-days) buckets they span — is exactly what bounds the
+   *  work at fleet scale. The interval start is floored to its day so
+   *  point-in-interval containment coincides with day-overlap.
+   *  COUNT(*) (not DISTINCT) is deliberate: each (day, app) pair
+   *  meets in exactly one bucket, and the oracle's independently-
+   *  planned BETWEEN join would expose any duplicate. */
+  def appDailyActive(canon: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = canon.filter(col("event_time_us").isNotNull)
+      .select("app_id", "event_time_us", "event_date")
+    val days = ev.select(col("event_date"),
+        expr(s"(event_time_us div $dayUs) * $dayUs").as("day_us"))
+      .distinct()
+    val apps = ev.groupBy("app_id").agg(
+        min("event_time_us").as("a_start"), max("event_time_us").as("a_end"))
+      .select(col("app_id"),
+        expr(s"(a_start div $dayUs) * $dayUs").as("life_start_us"),
+        col("a_end").as("life_end_us"))
+    graft.operators.RangeJoin.rangeJoin(days, apps, keys = Seq.empty,
+        tsCol = "day_us", startCol = "life_start_us", endCol = "life_end_us",
+        bucketWidth = dayUs)
+      .groupBy("event_date").agg(count(lit(1)).as("n_active_apps"))
+      .orderBy("event_date")
+  }
+
+  /** DuckDB plans the BETWEEN join natively — an independent
+   *  implementation of the same overlap semantics. */
+  val appDailyActiveOracle: String = canonCte + """,
+ev AS (
+  SELECT app_id, event_time_us, event_date
+  FROM canon WHERE event_time_us IS NOT NULL),
+days AS (
+  SELECT DISTINCT event_date,
+         (event_time_us // 86400000000) * 86400000000 AS day_us
+  FROM ev),
+apps AS (
+  SELECT app_id,
+         (MIN(event_time_us) // 86400000000) * 86400000000 AS life_start_us,
+         MAX(event_time_us) AS life_end_us
+  FROM ev GROUP BY app_id)
+SELECT d.event_date, CAST(COUNT(*) AS BIGINT) AS n_active_apps
+FROM days d JOIN apps a
+  ON d.day_us BETWEEN a.life_start_us AND a.life_end_us
+GROUP BY d.event_date
+ORDER BY d.event_date"""
 }
