@@ -144,6 +144,7 @@ ORDER BY event_id"""
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
+    "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
     "dedup_ngram_fast" -> ((s, d) => Dedup.dedupNgramFast(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
@@ -354,6 +355,7 @@ ORDER BY event_id"""
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
+    "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle,
     "dedup_exact_incr_store" -> Dedup.dedupExactIncrementalOracle,
     "dedup_minhash_incr" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_minhash_incr_store" -> Dedup.dedupMinhashIncrementalOracle,

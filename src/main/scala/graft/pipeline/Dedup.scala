@@ -1027,4 +1027,86 @@ SELECT b.doc_id,
        COALESCE(ch.n_corpus_copies, CAST(0 AS BIGINT)) AS n_corpus_copies
 FROM batch b LEFT JOIN ch ON md5(b.text) = ch.content_hash
 ORDER BY b.doc_id"""
+
+  /** What a Jaccard cutoff COSTS — the dedup counterpart of
+   *  `quality_sweep`'s filter-survival table: for each candidate
+   *  threshold 0.10..0.50 (twentieths), the verified near-dup pairs a
+   *  cutoff there would flag and the distinct documents they touch.
+   *  The table a curation review reads before committing to
+   *  `minJaccard`, instead of re-running the full dedup per setting.
+   *  Every threshold test is the cross-multiplied INTEGER comparison
+   *  `inter * 20 >= step * union` — no float-boundary membership
+   *  anywhere (the qualityRules discipline). Shape: ONE candidate +
+   *  intersection pass (identical to [[dedupNgram]]'s, floor-free),
+   *  then a 9-way in-row grid explode over the PAIR frame (bounded by
+   *  near-dup density, not the corpus) and two bucket-cardinality
+   *  aggregates. */
+  def dedupThresholdSweep(docs: DataFrame, maxDf: Long = 5L): DataFrame = {
+    val sh = shingles(docs).cache()
+    val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
+    val rareSh = sh.join(rare, "gram")
+    val cands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val scored = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
+    val graded = scored
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"),
+        explode(sequence(lit(2L), lit(10L))).as("step"))
+      .filter(col("inter_n") * lit(20L) >= col("step") * col("union_n"))
+    val pairsPerT = graded.groupBy("step").agg(count(lit(1)).as("n_pairs"))
+    val docsPerT = graded
+      .select(col("step"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("step").agg(countDistinct("doc_id").as("n_docs_flagged"))
+    pairsPerT.join(docsPerT, Seq("step"))
+      .select(r4(col("step") * lit(1.0) / lit(20.0)).as("threshold"),
+        col("n_pairs"), col("n_docs_flagged"))
+      .orderBy("threshold")
+  }
+
+  /** Same floor-free candidate chain as [[ngramVerifiedCte]] minus its
+   *  baked-in 0.2 WHERE; the grid and both counts mirror the
+   *  cross-multiplied integer comparisons verbatim. */
+  val dedupThresholdSweepOracle: String = "WITH " + shinglesCte + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+rare AS (SELECT gram FROM dfreq WHERE df_cnt <= 5),
+raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN rare r ON s.gram = r.gram),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM raresh a JOIN raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b, i.inter_n,
+         sa.n + sb.n - i.inter_n AS union_n
+  FROM cands c
+  JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id),
+graded AS (
+  SELECT s.doc_a, s.doc_b, s.inter_n, s.union_n, g.step
+  FROM scored s, unnest(generate_series(2, 10)) AS g(step)
+  WHERE s.inter_n * 20 >= g.step * s.union_n),
+ppt AS (SELECT step, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM graded GROUP BY step),
+dpt AS (
+  SELECT step, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged
+  FROM (SELECT step, doc_a AS doc_id FROM graded
+        UNION ALL SELECT step, doc_b FROM graded) u
+  GROUP BY step)
+SELECT FLOOR((p.step * 1.0 / 20.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       p.n_pairs, d.n_docs_flagged
+FROM ppt p JOIN dpt d ON p.step = d.step
+ORDER BY threshold"""
 }
