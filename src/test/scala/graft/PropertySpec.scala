@@ -154,4 +154,42 @@ class PropertySpec extends SparkSpec {
           rows.length * 10000.0 + 0.5) / 10000.0, s"seed=$seed")
     }
   }
+
+  test("knn hubness: histogram mass equals the vector count, edge mass equals the graph") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hist = graft.pipeline.Embeddings.knnHubness(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.map(_._2).sum === emb.count())
+    // Σ in_degree·n_vectors = total in-edges = the kNN edge count
+    assert(hist.map { case (d, n) => d * n }.sum ===
+      graft.pipeline.Embeddings.knnGraph(emb).count())
+  }
+
+  test("bpe pair stats equal a hand count on a fixture") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab cd x"), (1L, "abab"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", lit(9L))
+    val got = graft.pipeline.TextAnalysis.bpePairStats(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // "abab" x2 occurrences, 1 distinct word: ab x2/word, ba x1; "cd" x1;
+    // "x" has no pair (len 1 filtered)
+    assert(got.toSet === Set(("ab", 4L, 1L), ("ba", 2L, 1L), ("cd", 1L, 1L)))
+    // rank order: count desc, pair asc
+    assert(got.map(_._1) === Seq("ab", "ba", "cd"))
+  }
+
+  test("threshold sweep is monotone and agrees with dedupNgram at the 0.2 grid point") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sweep = graft.pipeline.Dedup.dedupThresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // flagged mass can only shrink as the cutoff rises
+    assert(sweep.map(_._2).toSeq === sweep.map(_._2).sorted.reverse.toSeq)
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).sorted.reverse.toSeq)
+    // cross-operator consistency: the 0.2 row counts exactly the pairs
+    // the production dedup_ngram query verifies at its default cutoff
+    val at02 = sweep.find(_._1 == 0.2).map(_._2)
+    assert(at02.contains(graft.pipeline.Dedup.dedupNgram(docs).count()))
+  }
 }
