@@ -254,7 +254,9 @@ ORDER BY event_id"""
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2))
+      Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2)),
+    "frame_dedup" -> ((s, d) =>
+      Multimodal.frameDedup(docs(s, d), frameBytes = 64, stride = 2))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -386,6 +388,7 @@ ORDER BY event_id"""
     "ann_ivf" -> Embeddings.annIvfOracle,
     "ann_recall" -> Embeddings.annRecallOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
-    "frame_sample" -> Multimodal.frameSampleOracle
+    "frame_sample" -> Multimodal.frameSampleOracle,
+    "frame_dedup" -> Multimodal.frameDedupOracle
   )
 }

@@ -140,6 +140,36 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM s
 ORDER BY doc_id, frame_idx"""
 
+  /** Cross-video repeated-frame detection — the intro/outro/title-card
+   *  dedup primitive a video pipeline runs before paying encode or
+   *  embedding cost on redundant frames: fingerprint-identical frames
+   *  appearing in >= `minDocs` distinct documents, with their doc and
+   *  occurrence mass. Grouping is BY FINGERPRINT (crc + length), the
+   *  same contract a production pipeline has with a strong frame
+   *  hash; payload bytes never shuffle — the per-frame features are
+   *  extracted partition-locally by [[frameSample]] and only (crc,
+   *  len, doc_id) rows reach the exchange. */
+  def frameDedup(docs: DataFrame, frameBytes: Int = 1024, stride: Int = 2,
+                 minDocs: Long = 2L): DataFrame =
+    frameSample(docs, frameBytes, stride)
+      .groupBy("frame_crc", "frame_len")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("frame_crc", "frame_len")
+
+  /** Wraps [[frameSampleOracle]]'s chain (same 64-byte harness
+   *  frames) in the fingerprint group-by. */
+  val frameDedupOracle: String =
+    "WITH fs AS (" + frameSampleOracle + """)
+SELECT frame_crc, frame_len,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM fs
+GROUP BY frame_crc, frame_len
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY frame_crc, frame_len"""
+
   /** The stub features are pure integer functions of the UTF-8 bytes,
    *  so DuckDB reproduces them: mean_byte is the mean code unit (docs
    *  are ASCII, so code units == bytes) and feature_crc is the rolling
