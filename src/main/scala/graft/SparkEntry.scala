@@ -126,6 +126,7 @@ ORDER BY event_id"""
     "oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(docs(s, d))),
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(docs(s, d))),
+    "zipf_points" -> ((s, d) => TextAnalysis.zipfPoints(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
@@ -225,6 +226,19 @@ ORDER BY event_id"""
     // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
     "dedup_simhash_fast" -> ((s, d) =>
       Dedup.dedupSimhash(docs(s, d), idFamily = "poly")),
+    "dedup_simhash_incr" -> ((s, d) => Dedup.dedupSimhashIncremental(
+      docs(s, d).filter(col("doc_id") < 400),
+      docs(s, d).filter(col("doc_id") >= 400))),
+    // Fingerprint-store path: the corpus contributes ONE long per doc
+    // (no shingle store — simhash verifies from fingerprints), corpus
+    // text never re-read; must hash-match the full-run-restricted
+    // oracle.
+    "dedup_simhash_incr_store" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 400)
+      Dedup.dedupSimhashIncremental(
+        corpus.limit(0), docs(s, d).filter(col("doc_id") >= 400),
+        corpusFingerprints = Some(Dedup.simhashFingerprints(corpus)))
+    }),
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
@@ -250,6 +264,7 @@ ORDER BY event_id"""
     "ann_ivf_trained" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d),
       trainedCentroids = Some(Embeddings.trainCentroids(emb(s, d), iters = 1)))),
     "ann_pq" -> ((s, d) => Embeddings.annPq(emb(s, d), annQueries(s, d))),
+    "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(emb(s, d))),
     "ann_ivf_pq" -> ((s, d) => Embeddings.annIvfPq(emb(s, d), annQueries(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
@@ -339,6 +354,7 @@ ORDER BY event_id"""
     "oov_rate" -> TextAnalysis.oovRateOracle,
     "bpe_pair_stats" -> TextAnalysis.bpePairStatsOracle,
     "vocab_growth" -> TextAnalysis.vocabGrowthOracle,
+    "zipf_points" -> TextAnalysis.zipfPointsOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
@@ -361,6 +377,8 @@ ORDER BY event_id"""
     "dedup_exact_incr_store" -> Dedup.dedupExactIncrementalOracle,
     "dedup_minhash_incr" -> Dedup.dedupMinhashIncrementalOracle,
     "dedup_minhash_incr_store" -> Dedup.dedupMinhashIncrementalOracle,
+    "dedup_simhash_incr" -> Dedup.dedupSimhashIncrementalOracle,
+    "dedup_simhash_incr_store" -> Dedup.dedupSimhashIncrementalOracle,
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
@@ -382,6 +400,7 @@ ORDER BY event_id"""
     "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
     "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
     "ann_pq" -> Embeddings.annPqOracle,
+    "pq_distortion" -> Embeddings.pqDistortionOracle,
     "ann_ivf_pq" -> Embeddings.annIvfPqOracle,
     "ann_topk" -> Embeddings.annTopKOracle,
     "ann_lsh" -> Embeddings.annLshOracle,

@@ -839,9 +839,16 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
                    idFamily: String = "md5",
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
-    val shId = shingleIds(sh, idFamily)
-    // One partial-aggregating pass: 32 signed bit-vote sums as columns
-    // (not a 32x row blowup); the fingerprint is then a pure projection.
+    val fp = simhashFpWide(shingleIds(sh, idFamily))
+      .cache() // used for banding AND the per-side fp lookup below
+    val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id")
+    simhashVerify(cands, fp, maxHamming)
+  }
+
+  /** doc_id + the 32-bit majority fingerprint — ONE partial-
+   *  aggregating pass with 32 signed bit-vote sums as columns (not a
+   *  32x row blowup); the fingerprint is then a pure projection. */
+  private def simhashFpWide(shId: DataFrame): DataFrame = {
     val voteCols = (0 until SimBits).map { b =>
       sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
         1L).otherwise(-1L)).as(s"s$b")
@@ -849,15 +856,24 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     val fpCol = (0 until SimBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fp = shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), fpCol.as("fp"))
-      .cache() // used for banding AND the per-side fp lookup below
-    val nibbles = fp.select(col("doc_id"),
+  }
+
+  /** (doc_id, band, nib) byte-band rows — a pure projection+explode
+   *  over the fingerprint frame. */
+  private def simhashNibbles(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${SimBands - 1}), bd -> " +
           s"named_struct('band', cast(bd as long), 'nib', shiftright(fp, $SimBandBits * bd) & ${(1 << SimBandBits) - 1}))"))
           .as("nb"))
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.nib").as("nib"))
-    val cands = saltedBucketPairs(nibbles, Seq("band", "nib"), "doc_id")
+
+  /** Hamming verify of an oriented candidate pair set against the
+   *  fingerprint frame — band collisions are necessary, not
+   *  sufficient, for hamming <= maxHamming. */
+  private def simhashVerify(cands: DataFrame, fp: DataFrame,
+                            maxHamming: Int): DataFrame =
     cands
       .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
@@ -865,11 +881,63 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
       .orderBy("doc_a", "doc_b")
+
+  /** The per-doc fingerprint frame (`doc_id, fp`) — the append-only
+   *  state [[dedupSimhashIncremental]]'s maintained-store mode reads
+   *  instead of re-fingerprinting the corpus. ONE long per document:
+   *  the cheapest incremental near-dup state in the family (minhash
+   *  keeps 16 longs + the shingle store for verify; simhash verifies
+   *  from the fingerprints themselves, so this frame is the WHOLE
+   *  state). */
+  def simhashFingerprints(docs: DataFrame, idFamily: String = "md5"): DataFrame =
+    simhashFpWide(shingleIds(shingles(docs.select("doc_id", "text")), idFamily))
+
+  /** Materialize [[simhashFingerprints]] as a parquet store. */
+  def writeSimhashStore(docs: DataFrame, path: String,
+                        idFamily: String = "md5"): Unit =
+    simhashFingerprints(docs, idFamily).write.mode("overwrite").parquet(path)
+
+  /** Incremental SimHash near-dup — the third incremental family
+   *  member ([[dedupNgramIncremental]], [[dedupMinhashIncremental]]),
+   *  with the BEST incremental story of the three: fingerprints are
+   *  per-document AND verification needs only the fingerprints (no
+   *  shingle store at all), so the maintained state is one
+   *  (doc_id, fp) long per corpus document and a new batch costs one
+   *  shingle+fingerprint pass over ITSELF plus a band join against
+   *  the store. Candidate generation joins corpus+batch nibbles
+   *  against only the batch's nibbles — the batch restriction sits
+   *  BELOW the pair join, the O(old²) bulk never enumerates — and
+   *  the result is bit-identical to the full run restricted to
+   *  batch-touching pairs.
+   *
+   *  Maintained-store mode: pass `corpusFingerprints` (the
+   *  [[writeSimhashStore]] frame) and corpus TEXT is never read. */
+  def dedupSimhashIncremental(corpus: DataFrame, batch: DataFrame,
+                              maxHamming: Int = 3,
+                              idFamily: String = "md5",
+                              corpusFingerprints: Option[DataFrame] = None): DataFrame = {
+    val batchFp = simhashFingerprints(batch, idFamily)
+    val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
+      .getOrElse(simhashFingerprints(corpus, idFamily))
+    val allFp = corpusFp.unionByName(batchFp).cache()
+    val cands = simhashNibbles(allFp)
+      .select(col("band"), col("nib"), col("doc_id").as("id_any"))
+      .join(simhashNibbles(batchFp)
+        .select(col("band"), col("nib"), col("doc_id").as("id_new")),
+        Seq("band", "nib"))
+      .filter(col("id_any") =!= col("id_new"))
+      .select(least(col("id_any"), col("id_new")).as("doc_a"),
+              greatest(col("id_any"), col("id_new")).as("doc_b"))
+      .distinct()
+    simhashVerify(cands, allFp, maxHamming)
   }
 
   /** Everything downstream of `shid` is family-independent: the bit
-   *  votes, fingerprint, banding, and verify read only (doc_id, gid). */
-  private val simhashTailSql: String = """
+   *  votes, fingerprint, banding, and verify read only (doc_id, gid).
+   *  `candPred` injects an extra candidate predicate (the incremental
+   *  oracle's batch restriction) into the SAME chain, so the full-run
+   *  and incremental oracles can never drift. */
+  private def simhashTailSqlWith(candPred: String): String = s"""
 bits AS (
   SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
   FROM (SELECT unnest(range(0, 32)) AS b)),
@@ -889,12 +957,22 @@ cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.fp AS fp_a, b.fp AS fp_b
   FROM nib a JOIN nib b
-    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id$candPred)
 SELECT doc_a, doc_b, fp_a, fp_b,
        CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
 FROM cands
 WHERE bit_count(xor(fp_a, fp_b)) <= 3
 ORDER BY doc_a, doc_b"""
+
+  private val simhashTailSql: String = simhashTailSqlWith("")
+
+  /** The FULL-run simhash chain with the batch restriction applied to
+   *  candidate generation — valid as the incremental oracle because
+   *  fingerprints are per-document: the incremental run's candidates
+   *  and verdicts are exactly the full run's, restricted. */
+  val dedupSimhashIncrementalOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
+    simhashTailSqlWith("\n    AND (a.doc_id >= 400 OR b.doc_id >= 400)")
 
   val dedupSimhashOracle: String = "WITH " + shinglesCte + """,
 shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +

@@ -1260,6 +1260,86 @@ ORDER BY query_id, rank"""
     pqScore(packed.crossJoin(broadcast(lut)), qq, qv, numCodes, subDims, k)
   }
 
+  /** PQ quantization-distortion accounting — the index-quality
+   *  readout a PQ deployment watches BEFORE trusting [[annPq]]'s
+   *  approximate scores: per subspace, the vector count, the total
+   *  and mean squared L2 between each subvector and its assigned
+   *  code, how many of the `numCodes` codes the encoder actually
+   *  used, and the hottest code's load (codebook imbalance — a
+   *  subspace where one code swallows most vectors contributes near-
+   *  zero discriminative signal to the ADC sum, the first thing to
+   *  check when PQ recall sags). Everything integer-exact: `d2` is
+   *  the same qdot-based integer squared L2 [[annPq]]'s encoder
+   *  argmins over, so total/mean distortion are aggregation-order
+   *  independent and the mean is the one rounded division per row.
+   *  Plan shape: encode = explode(8) + broadcast codebook join +
+   *  map-side-combining min-agg (identical to [[annPq]]'s); the
+   *  rollups group at (8 x numCodes) then 8-row cardinality. */
+  def pqDistortion(emb: DataFrame, numCodes: Int = 16, subDims: Int = 8,
+                   precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    require(Dims % subDims == 0, "subDims must divide Dims")
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val cb = pqCodebook(qv, numCodes, subDims)
+    val best = pqSubvectors(qv, "vec_id", subDims).join(broadcast(cb), "m")
+      .withColumn("d2",
+        call_function("qdot", col("sub_v"), col("sub_v"))
+          - lit(2L) * call_function("qdot", col("sub_v"), col("sub_c"))
+          + call_function("qdot", col("sub_c"), col("sub_c")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cidx"))).as("best"))
+      .select(col("m"), col("best.d2").as("d2"), col("best.cidx").as("cidx"))
+    val perM = best.groupBy("m").agg(
+      count(lit(1)).as("n_vecs"), sum("d2").as("total_d2"))
+    val loadM = best.groupBy("m", "cidx")
+      .agg(count(lit(1)).as("n_load"))
+      .groupBy("m").agg(
+        count(lit(1)).as("codes_used"), max("n_load").as("max_code_load"))
+    perM.join(loadM, "m")
+      .select(col("m"), col("n_vecs"), col("total_d2"),
+        r4(col("total_d2") * lit(1.0) / col("n_vecs")).as("mean_d2"),
+        col("codes_used"), col("max_code_load"))
+      .orderBy("m")
+  }
+
+  /** Mirrors [[annPqOracle]]'s encode chain (dims..codes) exactly —
+   *  both are hash-checked against the same Spark-side codebook, so
+   *  a drift in either surfaces as a correctness failure. */
+  val pqDistortionOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+cents AS (SELECT vec_id AS code_vec FROM nr
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cidx AS (SELECT code_vec, CAST(ROW_NUMBER() OVER (ORDER BY code_vec) - 1 AS BIGINT) AS cidx
+         FROM cents),
+cb AS (SELECT x.cidx, CAST((q.i - 1) // 8 AS BIGINT) AS m, q.i, q.q
+       FROM cidx x JOIN qv q ON q.vec_id = x.code_vec),
+vsub AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS m, i, q FROM qv),
+dist AS (
+  SELECT v.vec_id, v.m, c.cidx,
+         CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS d2
+  FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
+  GROUP BY v.vec_id, v.m, c.cidx),
+best AS (
+  SELECT vec_id, m, cidx, d2 FROM (
+    SELECT vec_id, m, cidx, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cidx) AS rk
+    FROM dist) t WHERE rk = 1),
+perm AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS total_d2
+  FROM best GROUP BY m),
+permload AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS codes_used, CAST(MAX(n_load) AS BIGINT) AS max_code_load
+  FROM (SELECT m, cidx, CAST(COUNT(*) AS BIGINT) AS n_load FROM best GROUP BY m, cidx) t
+  GROUP BY m)
+SELECT p.m, p.n_vecs, p.total_d2,
+       FLOOR((p.total_d2 * 1.0 / p.n_vecs) * 10000.0 + 0.5) / 10000.0 AS mean_d2,
+       l.codes_used, l.max_code_load
+FROM perm p JOIN permload l ON p.m = l.m
+ORDER BY p.m"""
+
   /** IVF-PQ (the FAISS `IndexIVFPQ` architecture — the shape that
    *  actually serves billion-vector corpora): [[annIvf]]'s coarse
    *  quantizer assigns every vector to an inverted list and each

@@ -921,6 +921,61 @@ SELECT CAST(rank AS BIGINT) AS rank, term, term_count, doc_freq
 FROM r WHERE rank <= 100
 ORDER BY rank"""
 
+  /** Zipf rank-frequency profile at power-of-two ranks: for each rank
+   *  r in {1, 2, 4, ..., maxRank}, the term, its global frequency, the
+   *  frequency at rank 2r, and the `doubling_ratio` f(r)/f(2r). Under
+   *  a Zipf law with exponent s the ratio is 2^s at EVERY r, so a flat
+   *  ratio column reads as "Zipfian with slope log2(ratio)" and a
+   *  drifting one localizes where the distribution bends (head
+   *  boilerplate, truncated tail) — the standard corpus-naturalness
+   *  diagnostic, published in linear space because a log-log OLS fit
+   *  would put libm `log`/`ln` inside an aggregation, which the
+   *  cross-engine exactness discipline forbids (see [[vocabGrowth]]);
+   *  the ratio is integer-derived with ONE rounded division per row.
+   *  Scale shape: the term-keyed partial agg is the only real shuffle
+   *  (vocab cardinality); orderBy+limit is a driver-bounded
+   *  TakeOrdered(2*maxRank); the rank window and the r->2r self-join
+   *  run over those <=2*maxRank rows only. Ties rank alphabetically,
+   *  same determinism rule as [[vocabTopk]]. */
+  def zipfPoints(docs: DataFrame, maxRank: Int = 256): DataFrame = {
+    val ranked = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(2 * maxRank)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("term_count").desc, col("term"))).cast("long"))
+    ranked
+      .filter((col("rank").bitwiseAND(col("rank") - 1) === 0) &&
+        col("rank") <= maxRank)
+      .join(ranked.select(col("rank").as("rank_2r"),
+        col("term_count").as("count_2r")),
+        col("rank_2r") === col("rank") * 2)
+      .select(col("rank"), col("term"), col("term_count").as("count_r"),
+        col("count_2r"),
+        r4(col("term_count") * lit(1.0) / col("count_2r")).as("doubling_ratio"))
+      .orderBy("rank")
+  }
+
+  val zipfPointsOracle: String = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+s AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+  FROM toks GROUP BY term),
+r AS (
+  SELECT term, term_count,
+         ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS rank
+  FROM s),
+p AS (
+  SELECT rank, term, term_count FROM r
+  WHERE rank <= 256 AND (rank & (rank - 1)) = 0)
+SELECT CAST(p.rank AS BIGINT) AS rank, p.term,
+       p.term_count AS count_r, q.term_count AS count_2r,
+       FLOOR((p.term_count * 1.0 / q.term_count) * 10000.0 + 0.5) / 10000.0 AS doubling_ratio
+FROM p JOIN r q ON q.rank = 2 * p.rank
+ORDER BY p.rank"""
+
   /** Per-doc out-of-vocabulary rate against the global top-k
    *  vocabulary — the tokenizer-readiness signal (how much of each
    *  doc a k-entry vocab fails to cover) and the per-doc drilldown

@@ -183,6 +183,24 @@ class PipelineSpec extends SparkSpec {
     assert(store === wantPairs)
   }
 
+  test("incremental simhash equals the full run restricted to batch-touching pairs") {
+    val corpus = docs.filter(col("doc_id") < 3)
+    val batch = docs.filter(col("doc_id") >= 3)
+    val full = Dedup.dedupSimhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = full.filter { case (a, b) => a >= 3 || b >= 3 }
+    val incr = Dedup.dedupSimhashIncremental(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === wantPairs)
+    // store path: the ENTIRE corpus state is one (doc_id, fp) long per
+    // doc — corpus text never consulted (limit(0) proves it)
+    val store = Dedup.dedupSimhashIncremental(
+      corpus.limit(0), batch,
+      corpusFingerprints = Some(Dedup.simhashFingerprints(corpus))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store === wantPairs)
+  }
+
   test("precomputed shingle store yields identical near-dup output") {
     val store = tmpDir("shingle-store") + "/shingles"
     Dedup.writeShingleStore(docs, store)
