@@ -304,6 +304,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(got === Set((0L, 10L)))
   }
 
+  test("streaming SIMHASH trigger reads ONLY the fingerprint store — never corpus text") {
+    import spark.implicits._
+    val base = tmpDir("simdedup-audit")
+    val corpusDir = base + "/corpusdocs"
+    val fpDir = base + "/fpstore"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "completely different content about spark data processing")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Dedup.simhashFingerprints(corpus).write.parquet(fpDir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val pairs = graft.streaming.StreamingSimhashDedup.triggerPairs(
+      spark, batch, fpDir, 3, "md5")
+    // the batch is a LocalRelation, so every file scan in the trigger
+    // plan is a store read — and the simhash store is ONE long per
+    // corpus doc, the smallest per-trigger state in the family
+    val locations = plan(pairs).linesIterator
+      .filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, plan(pairs))
+    assert(locations.forall(_.contains("fpstore")), locations.toString)
+    assert(!plan(pairs).contains("corpusdocs"), plan(pairs))
+    // identical text => identical fingerprint => hamming 0 vs stored 0
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 10L)))
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),

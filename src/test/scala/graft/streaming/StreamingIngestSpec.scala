@@ -156,6 +156,73 @@ class StreamingIngestSpec extends SparkSpec {
     assert(pairSet3.contains((5L, 11L)))
   }
 
+  test("streaming simhash dedup: fingerprint store grows with survivors, batches dedup against it") {
+    import spark.implicits._
+    val root = tmpDir("simdedup-stream")
+    val src = root + "/src"
+    val store = root + "/corpus"
+    val pairsDir = root + "/pairs"
+    val ckpt = root + "/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingSimhashDedup.dedupedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, pairsDir, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 1 is a verbatim copy of 0 (hamming 0 in any family);
+    // 2 unrelated
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    // batch 2: 10 copies STORED doc 0 (dropped via the fp store); 5
+    // copies STORED doc 2 with a SMALLER id — pair (2, 5)? no: (2, 5)
+    // orients 2 < 5, so 5 is doc_b and drops; 11 novel survives
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "completely different content about spark data processing at massive scale"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    // the fp store tracks the doc store exactly (one long per doc)
+    val fpIds = spark.read.parquet(store + "_fp").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(fpIds === Set(0L, 2L, 11L))
+    val pairSet = spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L)))
+    assert(pairSet.contains((0L, 10L)))
+    assert(pairSet.contains((2L, 5L)))
+    // batch 3: 7 copies STORED doc 11 with a SMALLER id — the pair is
+    // (7, 11), the batch doc is doc_a, and it must still drop (ids
+    // carry no arrival order); 12 novel survives
+    Seq(
+      (7L, "entirely novel prose with no overlap whatsoever against anything before"),
+      (12L, "fresh standalone sentences mentioning neither foxes nor any prior topic")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+    assert(spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((7L, 11L)))
+    // compaction: distinct + rewrite leaves the same state
+    StreamingSimhashDedup.compactState(spark, store)
+    val fpAfter = spark.read.parquet(store + "_fp").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(fpAfter === Set(0L, 2L, 11L, 12L))
+  }
+
   test("streaming dedup restart recovery: per-batch restarts equal one continuous run, state stores track the doc store") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
