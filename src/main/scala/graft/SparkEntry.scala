@@ -245,6 +245,19 @@ ORDER BY event_id"""
     "cluster_sizes" -> ((s, d) => Clustering.clusterSizes(docs(s, d))),
     "cluster_canonical" -> ((s, d) => Clustering.clusterCanonical(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
+    "dedup_embedding_incr" -> ((s, d) => Embeddings.dedupEmbeddingIncremental(
+      emb(s, d).filter(col("vec_id") < 400),
+      emb(s, d).filter(col("vec_id") >= 400))),
+    // Quantized-store path: the corpus contributes the SAME persisted
+    // index frame the whole ANN family reads ([[writeQuantizedStore]]);
+    // corpus embeddings never re-quantized (limit(0) proves it); must
+    // hash-match the full-run-restricted oracle.
+    "dedup_embedding_incr_store" -> ((s, d) => {
+      val corpus = emb(s, d).filter(col("vec_id") < 400)
+      Embeddings.dedupEmbeddingIncremental(
+        corpus.limit(0), emb(s, d).filter(col("vec_id") >= 400),
+        corpusQuantized = Some(Embeddings.quantizedIndex(corpus)))
+    }),
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(emb(s, d))),
     "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(emb(s, d))),
     "semantic_survivors" -> ((s, d) =>
@@ -392,6 +405,8 @@ ORDER BY event_id"""
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
+    "dedup_embedding_incr" -> Embeddings.dedupEmbeddingIncrementalOracle,
+    "dedup_embedding_incr_store" -> Embeddings.dedupEmbeddingIncrementalOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,

@@ -57,6 +57,11 @@ object Embeddings {
   def writeQuantizedStore(emb: DataFrame, path: String): Unit =
     quantized(emb).write.mode("overwrite").parquet(path)
 
+  /** The [[writeQuantizedStore]] frame itself (`vec_id, qarr, nq`) —
+   *  for callers maintaining the index as a DataFrame (the
+   *  incremental/streaming appenders) rather than a parquet path. */
+  def quantizedIndex(emb: DataFrame): DataFrame = quantized(emb)
+
   private val pairDot = "qdot(qarr_a, qarr_b)"
 
   /** The IVF coarse codebook: the `k` vectors with the smallest
@@ -414,11 +419,14 @@ ORDER BY query_id, rank"""
       .orderBy("vec_a", "vec_b")
   }
 
-  val dedupEmbeddingOracle: String = "WITH " + planeFpCte + """,
+  /** Shared tail from `nib` to the verified pair set; `candPred`
+   *  injects the incremental oracle's batch restriction into the SAME
+   *  chain, so the full-run and incremental oracles can never drift. */
+  private def dedupEmbeddingTailSql(candPred: String): String = s""",
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
-  WHERE a.vec_id < b.vec_id),
+  WHERE a.vec_id < b.vec_id$candPred),
 dots AS (
   SELECT c.vec_a, c.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM cands c
@@ -432,6 +440,51 @@ JOIN nr na ON d.vec_a = na.vec_id
 JOIN nr nb ON d.vec_b = nb.vec_id
 WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.4
 ORDER BY d.vec_a, d.vec_b"""
+
+  val dedupEmbeddingOracle: String =
+    "WITH " + planeFpCte + dedupEmbeddingTailSql("")
+
+  /** Incremental embedding-cosine near-dup — the FOURTH incremental
+   *  blocking family ([[graft.pipeline.Dedup.dedupNgramIncremental]]
+   *  n-gram rarity, `dedupMinhashIncremental` signature LSH,
+   *  `dedupSimhashIncremental` hamming bands, this sign-bit
+   *  hyperplane LSH): a new batch of vectors near-dup-checks against
+   *  an indexed corpus without re-quantizing or re-fingerprinting it.
+   *  Per-doc state is the quantized vector itself (the
+   *  [[writeQuantizedStore]] frame — the SAME index every ANN family
+   *  member reads; fingerprints stay derived, they are a pure
+   *  projection over it), candidate generation joins corpus+batch
+   *  nibbles against only the batch's nibbles — the batch restriction
+   *  below the pair join, O(old²) never enumerates — and the result
+   *  is bit-identical to the full run restricted to batch-touching
+   *  pairs (fingerprints are per-vector). */
+  def dedupEmbeddingIncremental(emb: DataFrame, batch: DataFrame,
+                                minCosine: Double = 0.4,
+                                corpusQuantized: Option[DataFrame] = None): DataFrame = {
+    val corpusQv = corpusQuantized
+      .map(_.select(col("vec_id"), col("qarr"), col("nq")))
+      .getOrElse(quantized(emb))
+    val batchQv = quantized(batch)
+    val allQv = corpusQv.unionByName(batchQv).cache()
+    val cands = nibbles(allQv)
+      .select(col("band"), col("nibv"), col("vec_id").as("id_any"))
+      .join(nibbles(batchQv)
+        .select(col("band"), col("nibv"), col("vec_id").as("id_new")),
+        Seq("band", "nibv"))
+      .filter(col("id_any") =!= col("id_new"))
+      .select(least(col("id_any"), col("id_new")).as("vec_a"),
+              greatest(col("id_any"), col("id_new")).as("vec_b"))
+      .distinct()
+    verifyCosine(cands, allQv, allQv, "vec_a", "vec_b", minCosine)
+      .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The FULL-run chain with the batch restriction applied to
+   *  candidate generation (harness split: vec_id >= 400). */
+  val dedupEmbeddingIncrementalOracle: String =
+    "WITH " + planeFpCte +
+      dedupEmbeddingTailSql(" AND (a.vec_id >= 400 OR b.vec_id >= 400)")
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
    *  arXiv:2303.09540): a coarse k-means-shaped partition (the same

@@ -293,6 +293,32 @@ class PipelineSpec extends SparkSpec {
     assert(lshDirect === lshStored)
   }
 
+  test("incremental embedding dedup equals the full run restricted to batch-touching pairs") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.5f), 0),
+      (1L, Array.fill(64)(0.5f), 0),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 1),
+      (10L, Array.tabulate(64)(i => 0.5f + (i % 3) * 0.01f), 0),
+      (11L, Array.tabulate(64)(i => if (i % 2 == 0) -1.0f else 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = emb.filter(col("vec_id") < 10)
+    val batch = emb.filter(col("vec_id") >= 10)
+    val full = Embeddings.dedupEmbedding(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = full.filter { case (a, b) => a >= 10 || b >= 10 }
+    val incr = Embeddings.dedupEmbeddingIncremental(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === wantPairs)
+    // the corpus-internal pair (0,1) exists but must NOT be re-reported
+    assert(full.contains((0L, 1L)) && !incr.contains((0L, 1L)))
+    // store path: corpus embeddings never consulted (limit(0) proves it)
+    val store = Embeddings.dedupEmbeddingIncremental(
+      corpus.limit(0), batch,
+      corpusQuantized = Some(Embeddings.quantizedIndex(corpus))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store === wantPairs)
+  }
+
   test("repetition score flags looping text that novelty cannot see") {
     val reps = Seq(
       // "a b c" looped: 9 tokens, 7 total grams, 3 distinct -> 1 - 3/7
