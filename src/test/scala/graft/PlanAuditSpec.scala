@@ -334,6 +334,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(got === Set((0L, 10L)))
   }
 
+  test("streaming MINHASH trigger reads ONLY the signature/shingle stores — never corpus text") {
+    import spark.implicits._
+    val base = tmpDir("mhdedup-audit")
+    val corpusDir = base + "/corpusdocs"
+    val shDir = base + "/shinglestore"
+    val sigDir = base + "/sigstore"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Dedup.shingles(corpus).write.parquet(shDir)
+    graft.pipeline.Dedup.minhashSignatures(corpus).write.parquet(sigDir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val pairs = graft.streaming.StreamingMinhashDedup.triggerPairs(
+      spark, batch, shDir, sigDir, 0.2, "md5")
+    // the batch is a LocalRelation, so every file scan in the trigger
+    // plan is a store read: band candidates come from the signature
+    // store, exact-Jaccard verify from the shingle store — corpus text
+    // appears nowhere
+    val locations = plan(pairs).linesIterator
+      .filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, plan(pairs))
+    assert(locations.forall(l =>
+      l.contains("sigstore") || l.contains("shinglestore")), locations.toString)
+    assert(!plan(pairs).contains("corpusdocs"), plan(pairs))
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 10L)))
+  }
+
+  test("streaming EMBEDDING trigger reads ONLY the quantized index — never corpus embeddings") {
+    import spark.implicits._
+    val base = tmpDir("embdedup-audit")
+    val corpusDir = base + "/corpusvecs"
+    val qvDir = base + "/qvstore"
+    // Walsh-pattern directions: mutually orthogonal by construction
+    val vecA = Array.fill(graft.pipeline.Embeddings.Dims)(0.5f)
+    val vecB = Array.tabulate(graft.pipeline.Embeddings.Dims)(
+      i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((0L, vecA), (1L, vecB)).toDF("vec_id", "embedding")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Embeddings.quantizedIndex(corpus).write.parquet(qvDir)
+    val batch = Seq((10L, vecA)).toDF("vec_id", "embedding")
+    val pairs = graft.streaming.StreamingEmbeddingDedup.triggerPairs(
+      spark, batch, qvDir, 0.4)
+    // the batch is a LocalRelation, so every file scan in the trigger
+    // plan is the quantized index — raw corpus embeddings are never
+    // re-quantized per trigger
+    val locations = plan(pairs).linesIterator
+      .filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, plan(pairs))
+    assert(locations.forall(_.contains("qvstore")), locations.toString)
+    assert(!plan(pairs).contains("corpusvecs"), plan(pairs))
+    // identical vector => cosine 1.0 vs stored 0
+    val got = pairs.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 10L)))
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),

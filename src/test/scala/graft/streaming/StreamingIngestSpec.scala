@@ -223,6 +223,142 @@ class StreamingIngestSpec extends SparkSpec {
     assert(fpAfter === Set(0L, 2L, 11L, 12L))
   }
 
+  test("streaming minhash dedup: signature+shingle stores grow with survivors, batches dedup against them") {
+    import spark.implicits._
+    val root = tmpDir("mhdedup-stream")
+    val src = root + "/src"
+    val store = root + "/corpus"
+    val pairsDir = root + "/pairs"
+    val ckpt = root + "/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingMinhashDedup.dedupedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, pairsDir, ckpt)
+      q.awaitTermination(60000)
+    }
+    // Verbatim copies: identical signatures match in EVERY band, so
+    // the banded-LSH verdict is deterministic (at J ~ 0.5 banded
+    // recall is probabilistic — near-identical recall is covered by
+    // PipelineSpec's incremental-minhash test, not re-rolled here)
+    // batch 1: 1 copies 0; 2 unrelated
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    // batch 2: 10 copies STORED doc 0 (caught via the signature
+    // store); 5 copies STORED doc 2 — orientation (2, 5), the batch
+    // doc is doc_b and drops; 11 novel survives
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "completely different content about spark data processing at massive scale"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    // both state stores track the doc store exactly
+    assert(spark.read.parquet(store + "_sig").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    assert(spark.read.parquet(store + "_shingles").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    val pairSet = spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L)))
+    assert(pairSet.contains((0L, 10L)))
+    assert(pairSet.contains((2L, 5L)))
+    assert(!pairSet.exists(p => p._1 == 11L || p._2 == 11L))
+    // batch 3: 7 copies STORED doc 11 with a SMALLER id — the pair is
+    // (7, 11), the batch doc is doc_a, and it must still drop
+    Seq(
+      (7L, "entirely novel prose with no overlap whatsoever against anything before"),
+      (12L, "fresh standalone sentences mentioning neither foxes nor any prior topic")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+    assert(spark.read.parquet(pairsDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((7L, 11L)))
+    // compaction: distinct + rewrite leaves the same state
+    StreamingMinhashDedup.compactState(spark, store)
+    assert(spark.read.parquet(store + "_sig").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+    assert(spark.read.parquet(store + "_shingles").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+  }
+
+  test("streaming embedding dedup: quantized index grows with survivors, batches dedup against it") {
+    import spark.implicits._
+    val root = tmpDir("embdedup-stream")
+    val src = root + "/src"
+    val store = root + "/corpus"
+    val pairsDir = root + "/pairs"
+    val ckpt = root + "/ckpt"
+    // Walsh-pattern directions: mutually orthogonal by construction
+    // (period-2/4 sign patterns and the constant vector), so "novel"
+    // really means cosine 0 against everything stored
+    val dims = graft.pipeline.Embeddings.Dims
+    val vecA = Array.fill(dims)(0.5f)
+    val vecB = Array.tabulate(dims)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecC = Array.tabulate(dims)(i => if (i % 4 < 2) 1.0f else -1.0f)
+    val vecD = Array.tabulate(dims)(
+      i => if (i % 4 == 0 || i % 4 == 3) 1.0f else -1.0f)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def runOnce(): Unit = {
+      val q = StreamingEmbeddingDedup.dedupedVecStream(
+        spark.readStream.schema(schema).parquet(src), store, pairsDir, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 1 duplicates 0's direction exactly; 2 unrelated
+    Seq((0L, vecA), (1L, vecA), (2L, vecB))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    // batch 2: 10 duplicates STORED vec 0 (via the index store); 3
+    // duplicates STORED vec 2 with a SMALLER id — orientation is
+    // (2, 3), the batch doc is vec_b and drops; 11 novel survives
+    Seq((10L, vecA), (3L, vecB), (11L, vecC))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    assert(spark.read.parquet(store + "_qv").select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    val pairSet = spark.read.parquet(pairsDir).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L)))
+    assert(pairSet.contains((0L, 10L)))
+    assert(pairSet.contains((2L, 3L)))
+    // batch 3: 4 duplicates STORED vec 11 with a SMALLER id — the pair
+    // is (4, 11), the batch doc is vec_a, and it must still drop
+    Seq((4L, vecC), (12L, vecD))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+    assert(spark.read.parquet(pairsDir).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((4L, 11L)))
+    // compaction preserves the index
+    StreamingEmbeddingDedup.compactState(spark, store)
+    assert(spark.read.parquet(store + "_qv").select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+  }
+
   test("streaming dedup restart recovery: per-batch restarts equal one continuous run, state stores track the doc store") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(

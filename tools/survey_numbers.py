@@ -26,9 +26,42 @@ def latest_bench():
     return benches[-1]
 
 
-def render(bench_path, tests):
+def load_bench(bench_path):
+    """Load a bench artifact in either format: the bench's own JSON line
+    (has "queries"), or the harness wrapper {n, rc, cpus, sf, tail,
+    parsed}. The wrapper's `parsed` is used when present; when it is
+    null (the harness's tail window truncated the JSON line — observed
+    r06/r07), we try to recover a complete JSON object from `tail`, and
+    otherwise fall back to bench_local_last.json, which Bench.scala
+    writes directly with full precision and no tail-window limit."""
     with open(bench_path) as f:
         b = json.load(f)
+    if "queries" in b:
+        return b, bench_path
+    if isinstance(b.get("parsed"), dict) and "queries" in b["parsed"]:
+        return b["parsed"], bench_path
+    tail = b.get("tail") or ""
+    start = tail.find('{"metric"')
+    if start >= 0:
+        for end in range(len(tail), start, -1):
+            try:
+                cand = json.loads(tail[start:end])
+            except ValueError:
+                continue
+            if "queries" in cand:
+                return cand, bench_path
+    fallback = os.path.join(ROOT, "bench_local_last.json")
+    if os.path.exists(fallback):
+        print(f"note: {os.path.basename(bench_path)} is an unparsed harness"
+              " wrapper; using bench_local_last.json", file=sys.stderr)
+        with open(fallback) as f:
+            return json.load(f), fallback
+    sys.exit(f"{bench_path} has no usable bench JSON and no"
+             " bench_local_last.json fallback exists")
+
+
+def render(bench_path, tests):
+    b, bench_path = load_bench(bench_path)
     queries = b["queries"]
     spread = b.get("query_spread", {})
     ok = {k: v for k, v in queries.items() if v >= 0}
