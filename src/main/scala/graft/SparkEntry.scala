@@ -143,6 +143,9 @@ ORDER BY event_id"""
       docs(s, d).filter(col("doc_id") % 20 === 0))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(docs(s, d))),
+    "span_dedup" -> ((s, d) => TextAnalysis.spanDedup(docs(s, d))),
+    "lm_surprisal" -> ((s, d) => TextAnalysis.lmSurprisal(docs(s, d))),
+    "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
@@ -263,6 +266,9 @@ ORDER BY event_id"""
     "semantic_survivors" -> ((s, d) =>
       Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
     "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
+    "knn_pagerank" -> ((s, d) => Embeddings.knnPagerank(emb(s, d))),
+    "ivf_probe_sweep" -> ((s, d) =>
+      Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
@@ -377,6 +383,9 @@ ORDER BY event_id"""
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "repetition_score" -> TextAnalysis.repetitionScoreOracle,
+    "span_dedup" -> TextAnalysis.spanDedupOracle,
+    "lm_surprisal" -> TextAnalysis.lmSurprisalOracle,
+    "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
@@ -404,6 +413,8 @@ ORDER BY event_id"""
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
+    "knn_pagerank" -> Embeddings.knnPagerankOracle,
+    "ivf_probe_sweep" -> Embeddings.ivfProbeSweepOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,
     "dedup_embedding_incr" -> Embeddings.dedupEmbeddingIncrementalOracle,
     "dedup_embedding_incr_store" -> Embeddings.dedupEmbeddingIncrementalOracle,

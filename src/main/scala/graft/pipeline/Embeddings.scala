@@ -816,6 +816,105 @@ SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM deg GROUP BY in_degree
 ORDER BY in_degree"""
 
+  /** Fixed-point PageRank centrality over the directed kNN graph —
+   *  the representativeness score behind graph-based coreset
+   *  selection (a vector many other vectors list among their nearest
+   *  neighbors sits in a dense, well-covered region; rank-ordered
+   *  selection keeps the modes of the distribution, prunes the
+   *  fringe). Classic power iteration (Page et al. 1999), made
+   *  cross-engine EXACT: float damping would accumulate
+   *  engine-specific rounding over iterations, so ranks live in
+   *  integer micro-units of 1e-12 (`SCALE`), the teleport term is
+   *  `(15 * SCALE) div (100 * n)` and each neighbor contribution is
+   *  `rank div out_deg` then `(85 * sum) div 100` — floor division at
+   *  every step, identical in Spark (`div`) and DuckDB (`//`) for the
+   *  all-positive operands here. Out-degree-0 vectors (no candidate
+   *  in their IVF cell) keep receiving teleport mass but distribute
+   *  none — their dangling mass is dropped rather than redistributed
+   *  (documented deviation; redistribution needs a global scalar per
+   *  iteration, a poor trade for one more all-to-one pass at scale).
+   *
+   *  Scale shape: the edge frame is k-bounded (|E| <= k|V|), built
+   *  once and cached; each of the `iters` power steps is one keyed
+   *  join + one partial-agg sum on dst — no corpus-wide window, no
+   *  driver-side state, plan depth linear in the (small, fixed)
+   *  iteration count. */
+  def knnPagerank(emb: DataFrame, k: Int = 5, iters: Int = 5,
+                  numCentroids: Int = 32): DataFrame = {
+    val nodes = emb.select("vec_id")
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    val edges = knnGraph(emb, k, numCentroids)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").cache()
+    val nodesN = nodes.crossJoin(broadcast(nFrame))
+    var r = nodesN.select(col("vec_id"), col("n"),
+      expr("1000000000000 div n").as("rank_fp"))
+    for (_ <- 1 to iters) {
+      val sums = r.join(edgesDeg, r("vec_id") === edgesDeg("src"))
+        .select(col("dst"), expr("rank_fp div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      r = nodesN.join(sums, nodesN("vec_id") === sums("dst"), "left")
+        .select(nodesN("vec_id"), col("n"),
+          (expr("(15 * 1000000000000) div (100 * n)")
+            + expr("(85 * coalesce(s, 0)) div 100")).as("rank_fp"))
+    }
+    r.join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("out_deg"),
+        col("rank_fp"),
+        r4(col("rank_fp") * col("n") * lit(1.0) / lit(1.0e12)).as("rank_rel"))
+      .orderBy("vec_id")
+  }
+
+  /** Same kranked chain as [[knnGraphOracle]]; the power iterations
+   *  unroll as one CTE each, every arithmetic step the byte-identical
+   *  floor-division expression the Spark side uses. */
+  val knnPagerankOracle: String = {
+    val head = "WITH " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM kranked WHERE rk <= 5),
+degt AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+it0 AS (
+  SELECT vec_id, n, 1000000000000 // n AS rank_fp
+  FROM (SELECT vec_id FROM embeddings) CROSS JOIN nn)"""
+    val its = (1 to 5).map { i =>
+      s""",
+it$i AS (
+  SELECT nd.vec_id, nd.n,
+         (15 * 1000000000000) // (100 * nd.n)
+         + (85 * COALESCE(s.s, 0)) // 100 AS rank_fp
+  FROM it${i - 1} nd LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.rank_fp // d.deg) AS BIGINT) AS s
+    FROM it${i - 1} r JOIN edges e ON r.vec_id = e.src
+    JOIN degt d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.vec_id = s.dst)"""
+    }.mkString
+    head + its + """
+SELECT nd.vec_id, COALESCE(d.deg, 0) AS out_deg, nd.rank_fp,
+       FLOOR((nd.rank_fp * nd.n * 1.0 / 1000000000000.0) * 10000.0 + 0.5)
+         / 10000.0 AS rank_rel
+FROM it5 nd LEFT JOIN degt d ON nd.vec_id = d.src
+ORDER BY nd.vec_id"""
+  }
+
   /** ANN recall evaluation — "measure, don't guess" for the LSH path:
    *  per query, how much of the TRUE cosine top-k ([[annTopK]], the
    *  exact baseline) the bucketed [[annLsh]] pipeline (nibble blocking
@@ -881,6 +980,110 @@ FROM truth t
 LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
 GROUP BY t.query_id
 ORDER BY t.query_id"""
+
+  /** IVF probe-count sweep — the recall/cost trade-off curve an index
+   *  owner reads before fixing `nprobe` in production: for each probe
+   *  count, the candidate-list size the probes generate (the cost —
+   *  exact-verify work grows linearly in it) and recall@k against the
+   *  brute-force truth ([[annTopK]]'s exact cosine ranking). Because
+   *  candidates are ranked by the SAME exact cosine the truth uses,
+   *  a truth member reaching the candidate list always survives the
+   *  final top-k cut (nothing outside the global top-k can outrank
+   *  it), so recall counts candidate∩truth directly — no second
+   *  ranking stage on either engine.
+   *
+   *  Scale shape: ONE probe ranking pass at max(nprobe) (the sweep
+   *  points are a 3-row broadcast unrolled by `rk <= nprobe`, not
+   *  re-probes), the same K-bounded broadcast centroid assignment
+   *  [[annIvf]] uses, and the bounded-query-sample contract of
+   *  [[annRecall]] (ground truth is brute force by design). */
+  def ivfProbeSweep(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                    probeNs: Seq[Int] = Seq(1, 2, 4),
+                    numCentroids: Int = 32): DataFrame = {
+    val qv = quantized(emb).cache()
+    val centroids = hashCentroids(qv, numCentroids)
+    val assigned = nearestCentroids(qv, centroids, 1)
+    val maxP = probeNs.max
+    val probeRk = quantized(queries)
+      .select(col("vec_id").as("query_id"), col("qarr").as("qarr_b"),
+        col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") <= maxP)
+      .select(col("query_id"), col("cent_id"), col("rk"))
+    val nps = emb.sparkSession.range(1)
+      .select(explode(array(probeNs.map(n => lit(n.toLong)): _*)).as("nprobe"))
+    val cands = probeRk.crossJoin(broadcast(nps))
+      .filter(col("rk") <= col("nprobe"))
+      .join(assigned, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("nprobe", "query_id", "vec_id").distinct()
+    val truth = annTopK(emb, queries, k).select("query_id", "vec_id")
+    val perNp = cands
+      .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("nprobe").agg(
+        count(lit(1)).as("candidates_total"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val truthTotal = truth.agg(count(lit(1)).as("truth_total"))
+    nps.join(perNp, Seq("nprobe"), "left")
+      .crossJoin(broadcast(truthTotal))
+      .select(col("nprobe"),
+        coalesce(col("candidates_total"), lit(0L)).as("candidates_total"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("truth_total"),
+        r4(coalesce(col("hits"), lit(0L)) * lit(1.0) / col("truth_total"))
+          .as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
+  /** Shares [[ivfAssignCte]]'s codebook/assignment chain and
+   *  [[annRecallOracle]]'s brute-force truth CTE; the sweep points are
+   *  a VALUES list joined on `rk <= nprobe`, exactly the Spark side's
+   *  broadcast unroll. */
+  val ivfProbeSweepOracle: String = "WITH " + ivfAssignCte + """,
+probe_ns AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+probes AS (
+  SELECT vec_id AS query_id, cent_id, rk FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 4),
+tdots AS (
+  SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
+  FROM qv qs JOIN qv v ON qs.i = v.i
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  GROUP BY qs.vec_id, v.vec_id),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT d.query_id, d.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+    FROM tdots d
+    JOIN nr na ON d.query_id = na.vec_id
+    JOIN nr nb ON d.vec_id = nb.vec_id)
+  WHERE rk <= 10),
+cands AS (
+  SELECT DISTINCT pn.nprobe, p.query_id, a.vec_id
+  FROM probes p JOIN probe_ns pn ON p.rk <= pn.nprobe
+  JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.vec_id),
+per AS (
+  SELECT c.nprobe, CAST(COUNT(*) AS BIGINT) AS candidates_total,
+         CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM cands c
+  LEFT JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+  GROUP BY c.nprobe),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_total FROM truth)
+SELECT pn.nprobe,
+       COALESCE(per.candidates_total, 0) AS candidates_total,
+       COALESCE(per.hits, 0) AS hits,
+       tt.truth_total,
+       FLOOR((COALESCE(per.hits, 0) * 1.0 / tt.truth_total) * 10000.0 + 0.5)
+         / 10000.0 AS recall_at_k
+FROM probe_ns pn CROSS JOIN tt LEFT JOIN per ON pn.nprobe = per.nprobe
+ORDER BY pn.nprobe"""
 
   /** Per-label embedding geometry — the collection-health report a
    *  vector store publishes per class/cluster: population, mean

@@ -1380,4 +1380,272 @@ SELECT d.doc_id, d.n_tokens,
        END AS repetition
 FROM d LEFT JOIN g ON d.doc_id = g.doc_id
 ORDER BY d.doc_id"""
+
+  /** Exact repeated-SPAN accounting — the token-granular form of the
+   *  suffix-array substring dedup in Lee et al. 2022 ("Deduplicating
+   *  Training Data Makes Language Models Better", arXiv:2107.06499):
+   *  a token is "duplicated" when it is covered by any word `k`-gram
+   *  whose exact string occurs >= 2 times in the corpus (including
+   *  twice within one document — self-repetition is duplication
+   *  there too). Unlike the Jaccard/MinHash family this measures
+   *  VERBATIM overlap extent per document: merged coverage intervals
+   *  give the duplicated-token count, the number of maximal
+   *  duplicated spans, and the longest single span — the inputs to a
+   *  "drop docs that are >X% verbatim-duplicated / trim spans over L
+   *  tokens" policy. The reference's analytics have no equivalent;
+   *  behavior-anchored to the paper, not `/root/reference`.
+   *
+   *  Exactness: duplicated-token coverage is the distinct union of
+   *  [pos, pos+k-1] windows, merged by consecutive-integer islands
+   *  (pos - row_number), so two overlapping or gap < k spans never
+   *  double-count — all integers, cross-engine exact.
+   *
+   *  Scale shape: one in-row explode to gram occurrences (positions
+   *  via `word_ngrams_all`, multiplicity preserved), one partial-agg
+   *  count per gram (the only corpus-wide shuffle, map-side
+   *  combined), a k-bounded in-row coverage explode on the
+   *  DUPLICATED positions only (at 100 TB the duplicated subset is
+   *  the small side), and doc-partitioned windows. Text never passes
+   *  an exchange after the explode; no joins beyond the gram-count
+   *  lookup. */
+  def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"word_ngrams_all(text, $k)").as("gs"))
+    val grams = base
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("gs")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("pos"), col("gram"))
+    val cnt = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+    val dupPos = grams.join(cnt.filter(col("c") >= 2), "gram")
+      .select(col("doc_id"), col("pos"))
+    val covered = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("ti"))
+      .distinct()
+    val spans = covered
+      .withColumn("grp", col("ti") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("span_len"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("dup_spans"),
+      sum("span_len").as("dup_tokens"),
+      max("span_len").as("max_span_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        r4(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupOracle: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks),
+g AS (
+  SELECT doc_id, CAST(unnest(range(0, GREATEST(len(t) - 4, 0))) AS BIGINT) AS pos, t
+  FROM base),
+grams AS (
+  SELECT doc_id, pos,
+         t[pos + 1] || ' ' || t[pos + 2] || ' ' || t[pos + 3] || ' ' ||
+         t[pos + 4] || ' ' || t[pos + 5] AS gram
+  FROM g),
+cnt AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+dup AS (
+  SELECT grams.doc_id, grams.pos
+  FROM grams JOIN cnt ON grams.gram = cnt.gram WHERE cnt.c >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + 5)) AS BIGINT) AS ti
+  FROM dup),
+isl AS (
+  SELECT doc_id, ti,
+         ti - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+  FROM cov),
+spans AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_id, grp),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(per.dup_spans, 0) AS dup_spans,
+       COALESCE(per.dup_tokens, 0) AS dup_tokens,
+       COALESCE(per.max_span_tokens, 0) AS max_span_tokens,
+       FLOOR((COALESCE(per.dup_tokens, 0) * 1.0 / b.n_tokens) * 10000.0 + 0.5)
+         / 10000.0 AS dup_ratio
+FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+ORDER BY b.doc_id"""
+
+  /** Quantized bigram-LM surprisal — the CCNet-style language-model
+   *  quality filter (Wenzek et al. 2020, arXiv:1911.00359: score docs
+   *  by LM perplexity, keep the middle of the distribution) made
+   *  cross-engine EXACT: a float -log2 p(w2|w1) under the corpus
+   *  bigram MLE would drift between Spark's and DuckDB's libm, so
+   *  each bigram occurrence scores the INTEGER bucket
+   *  floor(log2(c1(head) / c2(bigram))) — its surprisal in whole
+   *  bits — computed as `length(bin(c1 div c2)) - 1`, pure integer
+   *  arithmetic in both engines (floor(log2 x) = floor(log2 floor x)
+   *  for x >= 1, and c1 >= c2 always since every bigram occurrence
+   *  contains its head). High mean surprisal = improbable token
+   *  transitions (gibberish, OCR noise, wrong-language spans); zero =
+   *  fully templated text whose every transition is deterministic.
+   *
+   *  Scale shape: two partial-agg counts (unigram, bigram — the only
+   *  corpus-wide shuffles), then per-occurrence lookups via two
+   *  broadcast-able-at-vocab-scale joins and one doc-partitioned
+   *  aggregation. The head token is recovered from the bigram string
+   *  (substring before the space), not a positional self-join. */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr("word_ngrams_all(text, 2)")).as("gram"))
+      .withColumn("head", element_at(split(col("gram"), " "), 1))
+    val c2 = bigrams.groupBy("gram").agg(count(lit(1)).as("c2"))
+    val scored = bigrams
+      .join(c2, "gram")
+      .join(c1.withColumnRenamed("tok", "head"), "head")
+      .select(col("doc_id"),
+        (length(bin(expr("c1 div c2"))) - 1).cast("long").as("bucket"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("bucket").as("surprisal_bits"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        r4(when(col("n_bigrams") > 0,
+          col("surprisal_bits") * lit(1.0) / col("n_bigrams"))
+          .otherwise(lit(0.0))).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val lmSurprisalOracle: String = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+g AS (
+  SELECT doc_id, CAST(unnest(range(0, GREATEST(len(t) - 1, 0))) AS BIGINT) AS pos, t
+  FROM toks),
+bigrams AS (
+  SELECT doc_id, t[pos + 1] || ' ' || t[pos + 2] AS gram, t[pos + 1] AS head
+  FROM g),
+bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigrams GROUP BY gram),
+scored AS (
+  SELECT b.doc_id, CAST(len(bin(uni.c1 // bc.c2)) - 1 AS BIGINT) AS bucket
+  FROM bigrams b JOIN bc ON b.gram = bc.gram JOIN uni ON b.head = uni.tok),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(bucket) AS BIGINT) AS surprisal_bits
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.surprisal_bits, 0) AS surprisal_bits,
+       CASE WHEN COALESCE(per.n_bigrams, 0) > 0 THEN
+         FLOOR((per.surprisal_bits * 1.0 / per.n_bigrams) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS avg_surprisal
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id"""
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+   *  for Language Models via Importance Resampling", arXiv:2302.03169):
+   *  score every document by the log-likelihood ratio
+   *  log p_target(x) / log p_raw(x) under bag-of-words unigram models
+   *  of a TARGET domain (here: the `lang = 'en'` slice — the
+   *  high-resource domain a curation run upsamples toward) vs the RAW
+   *  corpus; resampling by these weights shifts the kept distribution
+   *  toward the target. Made cross-engine EXACT the same way as
+   *  [[lmSurprisal]]: each token occurrence contributes
+   *  `bits_raw - bits_target` where
+   *  `bits_d = floor(log2(T_d div (c_d + 1)))` — the add-one-smoothed
+   *  surprisal of the token under distribution `d` in whole bits,
+   *  computed as `length(bin(T div (c + 1))) - 1`, pure integer
+   *  arithmetic in both engines (smoothing makes the target surprisal
+   *  finite for tokens the target never saw: c_tgt = 0 gives the
+   *  maximal `floor(log2 T_tgt)`). Positive llr = the doc reads more
+   *  like the target than like the average of the corpus.
+   *
+   *  Scale shape: two partial-agg token counts (raw and target — the
+   *  only corpus-wide shuffles, target's input is a filtered subset of
+   *  the same explode), two scalar totals broadcast as 1-row frames,
+   *  vocab-scale count lookups (broadcast-able: vocabulary, not
+   *  corpus, cardinality), one doc-partitioned aggregation. No
+   *  windows, no self-joins, text never shuffles. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cRaw = toks.groupBy("tok").agg(count(lit(1)).as("c_raw"))
+    val cTgt = toks.filter(col("lang") === targetLang)
+      .groupBy("tok").agg(count(lit(1)).as("c_tgt"))
+    val totals = toks.agg(
+      count(lit(1)).as("t_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_tgt"))
+    val scored = toks
+      .join(cRaw, "tok")
+      .join(cTgt, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((length(bin(expr("t_raw div (c_raw + 1)"))) - 1)
+          - (length(bin(expr("t_tgt div (coalesce(c_tgt, 0) + 1)"))) - 1))
+          .cast("long").as("llr"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum("llr").as("llr_bits"))
+    docs.select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr_bits"), lit(0L)).as("llr_bits"),
+        r4(when(col("n_tokens") > 0,
+          col("llr_bits") * lit(1.0) / col("n_tokens"))
+          .otherwise(lit(0.0))).as("avg_llr"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsOracle: String = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+craw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks GROUP BY tok),
+ctgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tgt
+         FROM toks WHERE lang = 'en' GROUP BY tok),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_raw,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_tgt
+  FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CAST((len(bin(tot.t_raw // (craw.c_raw + 1))) - 1)
+            - (len(bin(tot.t_tgt // (COALESCE(ctgt.c_tgt, 0) + 1))) - 1)
+           AS BIGINT) AS llr
+  FROM toks t
+  JOIN craw ON t.tok = craw.tok
+  LEFT JOIN ctgt ON t.tok = ctgt.tok
+  CROSS JOIN tot),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(llr) AS BIGINT) AS llr_bits
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.llr_bits, 0) AS llr_bits,
+       CASE WHEN COALESCE(per.n_tokens, 0) > 0 THEN
+         FLOOR((per.llr_bits * 1.0 / per.n_tokens) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS avg_llr
+FROM (SELECT doc_id, lang FROM documents) d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id"""
 }

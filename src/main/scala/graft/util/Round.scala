@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions.{floor, lit}
   * half-away-from-zero — e.g. -0.00005 -> 0.0 where `round(x, 4)`
   * gives -0.0001. Both engines agree (the formula is mirrored), so
   * correctness is unaffected; it only matters if a metric's sign
-  * convention must match the reference's rounding exactly, and no
-  * current graft metric is negative. Use
-  * `floor(abs(x)*1e4+0.5)*sign(x)/1e4` on BOTH sides if one ever is.
+  * convention must match the reference's rounding exactly. The one
+  * negative-capable metric (`dsir_weights.avg_llr`) relies on exactly
+  * this mirrored-formula agreement; use
+  * `floor(abs(x)*1e4+0.5)*sign(x)/1e4` on BOTH sides if a metric ever
+  * needs half-away-from-zero semantics.
   */
 object Round {
   def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)

@@ -396,6 +396,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(got === Set((0L, 10L)))
   }
 
+  test("span dedup and lm surprisal plans are partial-agg joins, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(graft.pipeline.TextAnalysis.spanDedup(docs),
+      graft.pipeline.TextAnalysis.lmSurprisal(docs))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    }
+  }
+
+  test("dsir weights plan: partial-agg counts, broadcast totals, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.dsirWeights(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the 1-row totals frame rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivf probe sweep plan: no cartesian, centroid and sweep frames are broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val p = plan(graft.pipeline.Embeddings.ivfProbeSweep(emb, queries))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("knn pagerank: no cartesian, the only nested-loop join is the broadcast 1-row count") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.knnPagerank(emb))
+    assert(!p.contains("CartesianProduct"), p)
+    // nodes x count(*) is a broadcast of ONE row, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(graft.pipeline.TextAnalysis.tfidfTerms(docs),

@@ -834,4 +834,139 @@ class PipelineSpec extends SparkSpec {
     assert(f(0L).getAs[Long]("feature_crc") !== f(2L).getAs[Long]("feature_crc"))
     assert(f(4L).getAs[String]("modality") === "audio") // 4 % 3 == 1
   }
+
+  test("span dedup: coverage merges overlapping windows, near-identical doc loses only its novel tail") {
+    // docs fixture: 0 and 3 identical (14 tokens, every 5-gram shared),
+    // 1 differs in the last token only (grams 0..8 shared, gram 9
+    // unique -> tokens 0..12 covered), 2 and 4 share nothing
+    val out = TextAnalysis.spanDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (d <- Seq(0L, 3L)) {
+      assert(out(d).getAs[Long]("n_tokens") === 14L)
+      assert(out(d).getAs[Long]("dup_spans") === 1L)
+      assert(out(d).getAs[Long]("dup_tokens") === 14L)
+      assert(out(d).getAs[Long]("max_span_tokens") === 14L)
+      assert(out(d).getAs[Double]("dup_ratio") === 1.0)
+    }
+    assert(out(1L).getAs[Long]("dup_spans") === 1L)
+    assert(out(1L).getAs[Long]("dup_tokens") === 13L)
+    assert(out(1L).getAs[Long]("max_span_tokens") === 13L)
+    assert(out(1L).getAs[Double]("dup_ratio") === 0.9286)
+    for (d <- Seq(2L, 4L)) {
+      assert(out(d).getAs[Long]("dup_spans") === 0L)
+      assert(out(d).getAs[Long]("dup_tokens") === 0L)
+      assert(out(d).getAs[Double]("dup_ratio") === 0.0)
+    }
+  }
+
+  test("span dedup counts within-document self-repetition and keeps disjoint spans separate") {
+    import spark.implicits._
+    // "a b c d e" repeats at positions 0 and 6 (gap token x at 5):
+    // two disjoint 5-token spans, NOT one 11-token span
+    val selfRep = Seq((0L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedup(selfRep).collect().head
+    assert(r.getAs[Long]("n_tokens") === 11L)
+    assert(r.getAs[Long]("dup_spans") === 2L)
+    assert(r.getAs[Long]("dup_tokens") === 10L)
+    assert(r.getAs[Long]("max_span_tokens") === 5L)
+  }
+
+  test("lm surprisal: integer log2 buckets match hand-computed bigram MLE bits") {
+    import spark.implicits._
+    // corpus: c1(a)=3, c1(b)=2; c2("a a")=1, c2("a b")=2
+    // doc 0: "a a" -> floor(log2(3/1))=1, "a b" -> floor(log2(3/2))=0
+    // doc 1: "a b" -> 0; doc 2: single token, no bigrams
+    val lm = Seq((0L, "a a b"), (1L, "a b"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(lm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_bigrams") === 2L)
+    assert(out(0L).getAs[Long]("surprisal_bits") === 1L)
+    assert(out(0L).getAs[Double]("avg_surprisal") === 0.5)
+    assert(out(1L).getAs[Long]("n_bigrams") === 1L)
+    assert(out(1L).getAs[Long]("surprisal_bits") === 0L)
+    assert(out(2L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(2L).getAs[Double]("avg_surprisal") === 0.0)
+  }
+
+  test("dsir weights: hand-computed smoothed unigram LLR, negative for off-target docs") {
+    import spark.implicits._
+    // T_raw=6, T_tgt(en)=4; c_raw: a=3 b=2 c=1; c_tgt: a=2 b=2 c=0
+    // bits(T,c)=floor(log2(T//(c+1))): raw a=0 b=1 c=1; tgt a=0 b=0 c=2
+    // llr per occurrence: a=0, b=+1, c=-1
+    val mixed = Seq((0L, "a a b", "en"), (1L, "a c", "fr"), (2L, "b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(mixed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("llr_bits") === 1L)
+    assert(out(0L).getAs[Double]("avg_llr") === 0.3333)
+    assert(out(1L).getAs[Long]("llr_bits") === -1L)
+    assert(out(1L).getAs[Double]("avg_llr") === -0.5)
+    assert(out(2L).getAs[Long]("llr_bits") === 1L)
+    assert(out(2L).getAs[Double]("avg_llr") === 1.0)
+  }
+
+  test("ivf probe sweep: recall and cost are monotone in nprobe; one cell means total recall") {
+    import spark.implicits._
+    val vecs = for (g <- 0 until 4; j <- 0 until 4) yield {
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 16 == g) 1.0f else 0.0f
+        base + (((g * 4 + j) * 13 + d * 5) % 7 - 3) * 0.01f
+      }
+      (g * 10L + j, v, s"g$g")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    // single cell: every probe count sees the whole corpus -> recall 1
+    val one = Embeddings.ivfProbeSweep(emb, queries, k = 3,
+      probeNs = Seq(1, 2), numCentroids = 1).collect()
+    assert(one.length === 2)
+    for (r <- one) {
+      assert(r.getAs[Double]("recall_at_k") === 1.0)
+      assert(r.getAs[Long]("candidates_total") === 4L * 15L)
+    }
+    // multi-cell: widening the probe list never loses candidates or recall
+    val sweep = Embeddings.ivfProbeSweep(emb, queries, k = 3,
+      probeNs = Seq(1, 2, 4), numCentroids = 4).collect()
+    assert(sweep.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L))
+    val cands = sweep.map(_.getAs[Long]("candidates_total"))
+    val recall = sweep.map(_.getAs[Double]("recall_at_k"))
+    assert(cands.sorted.toSeq === cands.toSeq)
+    assert(recall.sorted.toSeq === recall.toSeq)
+    assert(recall.last <= 1.0 && recall.head >= 0.0)
+    val tt = sweep.head.getAs[Long]("truth_total")
+    for (r <- sweep) assert(r.getAs[Long]("hits") <= tt)
+  }
+
+  test("knn pagerank: symmetric regular graph converges to the exact uniform fixed-point value") {
+    import spark.implicits._
+    // the knnGraph 3x3 fixture: three planted groups, numCentroids=1,
+    // k=2 -> three disjoint bidirectional triangles, every node
+    // out-degree 2 and in-degree 2 -> by symmetry every rank is the
+    // same integer, reproducible by running the SAME floor arithmetic
+    // scalar-side
+    val vecs = for (g <- 0 until 3; j <- 0 until 3) yield {
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 21 == g) 1.0f else 0.0f
+        base + (((g * 3 + j) * 13 + d * 5) % 7 - 3) * 0.01f
+      }
+      (g * 10L + j, v, s"g$g")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Embeddings.knnPagerank(emb, k = 2, iters = 5, numCentroids = 1)
+      .collect()
+    assert(out.length === 9)
+    val scale = 1000000000000L
+    var expect = scale / 9
+    for (_ <- 1 to 5) {
+      val s = 2L * (expect / 2L) // two in-neighbors, each deg 2
+      expect = (15L * scale) / (100L * 9L) + (85L * s) / 100L
+    }
+    for (r <- out) {
+      assert(r.getAs[Long]("out_deg") === 2L)
+      assert(r.getAs[Long]("rank_fp") === expect, r.toString)
+    }
+    // dangling mass is dropped, never created: total <= SCALE
+    assert(out.map(_.getAs[Long]("rank_fp")).sum <= scale)
+  }
 }
