@@ -146,6 +146,8 @@ ORDER BY event_id"""
     "span_dedup" -> ((s, d) => TextAnalysis.spanDedup(docs(s, d))),
     "lm_surprisal" -> ((s, d) => TextAnalysis.lmSurprisal(docs(s, d))),
     "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(docs(s, d))),
+    "span_trim" -> ((s, d) => TextAnalysis.spanTrim(docs(s, d))),
+    "surprisal_buckets" -> ((s, d) => TextAnalysis.surprisalBuckets(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
@@ -386,6 +388,8 @@ ORDER BY event_id"""
     "span_dedup" -> TextAnalysis.spanDedupOracle,
     "lm_surprisal" -> TextAnalysis.lmSurprisalOracle,
     "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "span_trim" -> TextAnalysis.spanTrimOracle,
+    "surprisal_buckets" -> TextAnalysis.surprisalBucketsOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,

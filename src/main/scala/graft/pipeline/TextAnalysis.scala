@@ -1409,6 +1409,29 @@ ORDER BY d.doc_id"""
    *  an exchange after the explode; no joins beyond the gram-count
    *  lookup. */
   def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    val (base, spans) = spanFrames(docs, k)
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("dup_spans"),
+      sum("span_len").as("dup_tokens"),
+      max("span_len").as("max_span_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        r4(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared [[spanDedup]]/[[spanTrim]] machinery: `base(doc_id,
+   *  n_tokens)` plus the maximal-duplicated-span frame `spans(doc_id,
+   *  grp, span_len)` — duplicated k-gram positions expanded to token
+   *  coverage, distinct-unioned, merged by consecutive-integer
+   *  islands. */
+  private def spanFrames(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"word_ngrams_all(text, $k)").as("gs"))
@@ -1428,23 +1451,12 @@ ORDER BY d.doc_id"""
       .withColumn("grp", col("ti") -
         row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
       .groupBy("doc_id", "grp").agg(count(lit(1)).as("span_len"))
-    val perDoc = spans.groupBy("doc_id").agg(
-      count(lit(1)).as("dup_spans"),
-      sum("span_len").as("dup_tokens"),
-      max("span_len").as("max_span_tokens"))
-    base.select("doc_id", "n_tokens")
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
-        r4(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"))
-          .as("dup_ratio"))
-      .orderBy("doc_id")
+    (base, spans)
   }
 
-  val spanDedupOracle: String = """
+  /** The toks→spans CTE chain [[spanDedupOracle]] and
+   *  [[spanTrimOracle]] share — the SQL mirror of [[spanFrames]]. */
+  private val spanCtePrefix: String = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 base AS (
@@ -1470,7 +1482,9 @@ isl AS (
   FROM cov),
 spans AS (
   SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS span_len
-  FROM isl GROUP BY doc_id, grp),
+  FROM isl GROUP BY doc_id, grp)"""
+
+  val spanDedupOracle: String = spanCtePrefix + """,
 per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
          CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
@@ -1482,6 +1496,48 @@ SELECT b.doc_id, b.n_tokens,
        COALESCE(per.max_span_tokens, 0) AS max_span_tokens,
        FLOOR((COALESCE(per.dup_tokens, 0) * 1.0 / b.n_tokens) * 10000.0 + 0.5)
          / 10000.0 AS dup_ratio
+FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+ORDER BY b.doc_id"""
+
+  /** The policy half of [[spanDedup]] — apply the Lee et al. 2022
+   *  trim rule (arXiv:2107.06499 removes every duplicated substring
+   *  over a length cutoff; short incidental repeats stay): trim each
+   *  maximal duplicated span of `minTrim`+ tokens and account for
+   *  what survives. Per doc: spans trimmed, tokens removed, tokens
+   *  kept, and the kept ratio — the writer-side ledger a
+   *  span-trimming curation pass emits. Same shape as [[spanDedup]]
+   *  (shares [[spanFrames]]); the policy filter runs on the k-bounded
+   *  spans frame, so the cutoff is a tuning knob, not a recompute. */
+  def spanTrim(docs: DataFrame, k: Int = 5, minTrim: Int = 8): DataFrame = {
+    val (base, spans) = spanFrames(docs, k)
+    val trimmed = spans.filter(col("span_len") >= minTrim)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("trimmed_spans"),
+        sum("span_len").as("trimmed_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(trimmed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("trimmed_spans"), lit(0L)).as("trimmed_spans"),
+        coalesce(col("trimmed_tokens"), lit(0L)).as("trimmed_tokens"),
+        (col("n_tokens") - coalesce(col("trimmed_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        r4((col("n_tokens") - coalesce(col("trimmed_tokens"), lit(0L)))
+          * lit(1.0) / col("n_tokens")).as("kept_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val spanTrimOracle: String = spanCtePrefix + """,
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS trimmed_spans,
+         CAST(SUM(span_len) AS BIGINT) AS trimmed_tokens
+  FROM spans WHERE span_len >= 8 GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(per.trimmed_spans, 0) AS trimmed_spans,
+       COALESCE(per.trimmed_tokens, 0) AS trimmed_tokens,
+       b.n_tokens - COALESCE(per.trimmed_tokens, 0) AS kept_tokens,
+       FLOOR(((b.n_tokens - COALESCE(per.trimmed_tokens, 0)) * 1.0 / b.n_tokens)
+         * 10000.0 + 0.5) / 10000.0 AS kept_ratio
 FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
 ORDER BY b.doc_id"""
 
@@ -1504,7 +1560,19 @@ ORDER BY b.doc_id"""
    *  broadcast-able-at-vocab-scale joins and one doc-partitioned
    *  aggregation. The head token is recovered from the bigram string
    *  (substring before the space), not a positional self-join. */
-  def lmSurprisal(docs: DataFrame): DataFrame = {
+  def lmSurprisal(docs: DataFrame): DataFrame =
+    surprisalPerDoc(docs)
+      .select(
+        col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        r4(when(col("n_bigrams") > 0,
+          col("surprisal_bits") * lit(1.0) / col("n_bigrams"))
+          .otherwise(lit(0.0))).as("avg_surprisal"))
+      .orderBy("doc_id")
+
+  /** Every doc's `(n_bigrams, surprisal_bits)` under the corpus
+   *  bigram MLE — the shared core of [[lmSurprisal]] and
+   *  [[surprisalBuckets]]; zero-coalesced so bigram-less docs stay. */
+  private def surprisalPerDoc(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
@@ -1525,14 +1593,13 @@ ORDER BY b.doc_id"""
       .select(
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
-        r4(when(col("n_bigrams") > 0,
-          col("surprisal_bits") * lit(1.0) / col("n_bigrams"))
-          .otherwise(lit(0.0))).as("avg_surprisal"))
-      .orderBy("doc_id")
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
   }
 
-  val lmSurprisalOracle: String = """
+  /** The toks→per bigram-MLE CTE chain [[lmSurprisalOracle]] and
+   *  [[surprisalBucketsOracle]] share — the SQL mirror of
+   *  [[surprisalPerDoc]]'s aggregation half. */
+  private val lmCtePrefix: String = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 uni AS (
@@ -1551,7 +1618,9 @@ scored AS (
 per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          CAST(SUM(bucket) AS BIGINT) AS surprisal_bits
-  FROM scored GROUP BY doc_id)
+  FROM scored GROUP BY doc_id)"""
+
+  val lmSurprisalOracle: String = lmCtePrefix + """
 SELECT d.doc_id,
        COALESCE(per.n_bigrams, 0) AS n_bigrams,
        COALESCE(per.surprisal_bits, 0) AS surprisal_bits,
@@ -1560,6 +1629,82 @@ SELECT d.doc_id,
        ELSE 0.0 END AS avg_surprisal
 FROM (SELECT doc_id FROM documents) d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id"""
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+   *  arXiv:1911.00359 shard each language by LM perplexity into
+   *  head/middle/tail thirds; training mixes then upsample the head):
+   *  per (lang, bucket) document counts, token mass, and the
+   *  surprisal range, from [[surprisalPerDoc]]'s integer frame.
+   *
+   *  Exact AND scale-safe tertiles without a corpus-wide rank: each
+   *  doc quantizes to `avg_milli = (surprisal_bits * 1000) div
+   *  n_bigrams` (an integer in ~[0, 20000]), the corpus partial-aggs
+   *  to a per-(lang, avg_milli) HISTOGRAM, and the tertile rule
+   *  `bucket = (docs_strictly_below * 3) div n_lang` runs as a
+   *  cumulative window over that bounded histogram — never over
+   *  documents. Ties (same avg_milli) share a bucket by
+   *  construction, so the result is order-independent; the histogram
+   *  join back to docs is broadcast-able at any corpus size. (CCNet's
+   *  own cutoffs are also precomputed on a histogram, not a sort.) */
+  def surprisalBuckets(docs: DataFrame): DataFrame = {
+    val per = surprisalPerDoc(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("avg_milli",
+        when(col("n_bigrams") > 0,
+          expr("(surprisal_bits * 1000) div n_bigrams")).otherwise(lit(0L)))
+    val hist = per.groupBy("lang", "avg_milli").agg(
+      count(lit(1)).as("n_docs_v"),
+      sum("n_bigrams").as("bg_v"),
+      sum("surprisal_bits").as("bits_v"))
+    val nLang = hist.groupBy("lang").agg(sum("n_docs_v").as("n_lang"))
+    val cum = hist
+      .withColumn("cum_le", sum("n_docs_v")
+        .over(Window.partitionBy("lang").orderBy("avg_milli")))
+      .join(nLang, "lang")
+      .withColumn("bucket", expr("((cum_le - n_docs_v) * 3) div n_lang"))
+    cum.groupBy("lang", "bucket").agg(
+      sum("n_docs_v").as("n_docs"),
+      sum("bg_v").as("total_bigrams"),
+      sum("bits_v").as("total_bits"),
+      min("avg_milli").as("min_avg_milli"),
+      max("avg_milli").as("max_avg_milli"))
+      .orderBy("lang", "bucket")
+  }
+
+  val surprisalBucketsOracle: String = lmCtePrefix + """,
+perl AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(per.n_bigrams, 0) AS n_bigrams,
+         COALESCE(per.surprisal_bits, 0) AS surprisal_bits
+  FROM (SELECT doc_id, lang FROM documents) d
+  LEFT JOIN per ON d.doc_id = per.doc_id),
+av AS (
+  SELECT lang, n_bigrams, surprisal_bits,
+         CASE WHEN n_bigrams > 0
+           THEN (surprisal_bits * 1000) // n_bigrams ELSE 0 END AS avg_milli
+  FROM perl),
+hist AS (
+  SELECT lang, avg_milli, CAST(COUNT(*) AS BIGINT) AS n_docs_v,
+         CAST(SUM(n_bigrams) AS BIGINT) AS bg_v,
+         CAST(SUM(surprisal_bits) AS BIGINT) AS bits_v
+  FROM av GROUP BY lang, avg_milli),
+nl AS (SELECT lang, CAST(SUM(n_docs_v) AS BIGINT) AS n_lang FROM hist GROUP BY lang),
+cum AS (
+  SELECT h.lang, h.avg_milli, h.n_docs_v, h.bg_v, h.bits_v, nl.n_lang,
+         SUM(h.n_docs_v) OVER (PARTITION BY h.lang ORDER BY h.avg_milli) AS cum_le
+  FROM hist h JOIN nl ON h.lang = nl.lang),
+bk AS (
+  SELECT lang, ((cum_le - n_docs_v) * 3) // n_lang AS bucket,
+         n_docs_v, bg_v, bits_v, avg_milli
+  FROM cum)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(n_docs_v) AS BIGINT) AS n_docs,
+       CAST(SUM(bg_v) AS BIGINT) AS total_bigrams,
+       CAST(SUM(bits_v) AS BIGINT) AS total_bits,
+       CAST(MIN(avg_milli) AS BIGINT) AS min_avg_milli,
+       CAST(MAX(avg_milli) AS BIGINT) AS max_avg_milli
+FROM bk GROUP BY lang, bucket
+ORDER BY lang, bucket"""
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
    *  for Language Models via Importance Resampling", arXiv:2302.03169):

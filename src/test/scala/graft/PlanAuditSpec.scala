@@ -406,6 +406,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span trim and surprisal buckets plans: no cartesian; the bucket window is histogram-scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pt = plan(graft.pipeline.TextAnalysis.spanTrim(docs))
+    assert(!pt.contains("CartesianProduct"), pt)
+    val pb = plan(graft.pipeline.TextAnalysis.surprisalBuckets(docs))
+    assert(!pb.contains("CartesianProduct"), pb)
+    // the tertile window runs over the (lang, avg_milli) HISTOGRAM —
+    // its direct child chain (sort/exchange then input) must be the
+    // histogram HashAggregate, never the per-doc frame
+    val lines = pb.linesIterator.toArray
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, pb)
+    assert(lines.slice(winIdx + 1, winIdx + 7).exists(_.contains("HashAggregate")),
+      lines.slice(winIdx, winIdx + 7).mkString("\n"))
+  }
+
   test("dsir weights plan: partial-agg counts, broadcast totals, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.dsirWeights(docs))

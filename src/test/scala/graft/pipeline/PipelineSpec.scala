@@ -889,6 +889,66 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("avg_surprisal") === 0.0)
   }
 
+  test("span trim: long duplicated spans trimmed, short incidental repeats kept") {
+    import spark.implicits._
+    // docs 10/11 share a 12-token prefix (one >= 8 span, trimmed);
+    // doc 12 self-repeats a 5-token run (one 10-token... no: two
+    // disjoint 5-token spans, both < 8, kept)
+    val fixture = Seq(
+      (10L, "a b c d e f g h i j k l unique1 tail1 x1"),
+      (11L, "a b c d e f g h i j k l unique2 tail2 y2"),
+      (12L, "p q r s t gap p q r s t")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanTrim(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (d <- Seq(10L, 11L)) {
+      assert(out(d).getAs[Long]("n_tokens") === 15L)
+      assert(out(d).getAs[Long]("trimmed_spans") === 1L)
+      assert(out(d).getAs[Long]("trimmed_tokens") === 12L)
+      assert(out(d).getAs[Long]("kept_tokens") === 3L)
+      assert(out(d).getAs[Double]("kept_ratio") === 0.2)
+    }
+    assert(out(12L).getAs[Long]("trimmed_spans") === 0L)
+    assert(out(12L).getAs[Long]("trimmed_tokens") === 0L)
+    assert(out(12L).getAs[Long]("kept_tokens") === 11L)
+    // same fixture through spanDedup: doc 12's repeats ARE dup spans
+    val dd = TextAnalysis.spanDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(dd(12L).getAs[Long]("dup_spans") === 2L)
+    assert(dd(12L).getAs[Long]("dup_tokens") === 10L)
+  }
+
+  test("surprisal buckets: tertile rule on the histogram matches the rank rule, ties share a bucket") {
+    import spark.implicits._
+    // one lang, 4 docs; under the bigram MLE docs 0 and 3 both score
+    // 0 bits (every transition deterministic given its head — doc 3's
+    // heads are singletons, so p(w2|w1) = 1), doc 1 has one 4-bit
+    // transition (avg_milli 571), doc 2 two (avg_milli 1142).
+    // Tertile rule on the histogram: value 0 (2 docs, 0 below) ->
+    // bucket 0; 571 (2 below) -> 6 div 4 = 1; 1142 (3 below) -> 2
+    val base = Seq(
+      (0L, "w w w w w w w w", "en"),
+      (1L, "w w w w w w w rare1", "en"),
+      (2L, "w w w w rare2 w rare3 w", "en"),
+      (3L, "rare4 rare5 rare6 rare7", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.surprisalBuckets(base).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 1L, 1L))
+    // min/max ranges are disjoint and increasing across buckets
+    val ranges = out.map(r =>
+      (r.getAs[Long]("min_avg_milli"), r.getAs[Long]("max_avg_milli")))
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    assert(ranges.sliding(2).forall { case Array((_, h), (l, _)) => h < l })
+    // identical docs can never split across buckets
+    val tied = Seq(
+      (0L, "x y", "de"), (1L, "x y", "de"), (2L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val t = TextAnalysis.surprisalBuckets(tied).collect()
+    assert(t.length === 1 && t.head.getAs[Long]("n_docs") === 3L)
+    assert(t.head.getAs[Long]("bucket") === 0L)
+  }
+
   test("dsir weights: hand-computed smoothed unigram LLR, negative for off-target docs") {
     import spark.implicits._
     // T_raw=6, T_tgt(en)=4; c_raw: a=3 b=2 c=1; c_tgt: a=2 b=2 c=0
