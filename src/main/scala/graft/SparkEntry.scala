@@ -147,6 +147,22 @@ ORDER BY event_id"""
     "lm_surprisal" -> ((s, d) => TextAnalysis.lmSurprisal(docs(s, d))),
     "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(docs(s, d))),
     "span_trim" -> ((s, d) => TextAnalysis.spanTrim(docs(s, d))),
+    "span_dedup_incr" -> ((s, d) => TextAnalysis.spanDedupIncremental(
+      docs(s, d).filter(col("doc_id") < 400),
+      docs(s, d).filter(col("doc_id") >= 400))),
+    // Maintained-store path: corpus text never re-shingled — counts
+    // come from an append-only (gram, cnt) store, split in two delta
+    // pieces on purpose to prove the SUM-fold is exact; must
+    // hash-match the same full-run-restricted oracle.
+    "span_dedup_incr_store" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 400)
+      val deltas = TextAnalysis.spanGramCounts(corpus.filter(col("doc_id") < 200))
+        .unionByName(TextAnalysis.spanGramCounts(
+          corpus.filter(col("doc_id") >= 200)))
+      TextAnalysis.spanDedupIncremental(
+        corpus.limit(0), docs(s, d).filter(col("doc_id") >= 400),
+        corpusGramCounts = Some(deltas))
+    }),
     "surprisal_buckets" -> ((s, d) => TextAnalysis.surprisalBuckets(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
@@ -389,6 +405,8 @@ ORDER BY event_id"""
     "lm_surprisal" -> TextAnalysis.lmSurprisalOracle,
     "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "span_trim" -> TextAnalysis.spanTrimOracle,
+    "span_dedup_incr" -> TextAnalysis.spanDedupIncrementalOracle,
+    "span_dedup_incr_store" -> TextAnalysis.spanDedupIncrementalOracle,
     "surprisal_buckets" -> TextAnalysis.surprisalBucketsOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,

@@ -1410,6 +1410,46 @@ ORDER BY d.doc_id"""
    *  lookup. */
   def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
     val (base, spans) = spanFrames(docs, k)
+    spanOutput(base, spans)
+  }
+
+  /** Incremental [[spanDedup]] — span-account a NEW batch against an
+   *  already-ingested corpus without re-shingling corpus text: the
+   *  batch's grams look their corpus-wide occurrence counts up in a
+   *  maintained `(gram, cnt)` store (`corpusGramCounts`, append-only
+   *  deltas folded by SUM at read — the gram-df-store discipline the
+   *  streaming dedup family uses) and add their own batch deltas, so
+   *  per-call cost tracks the BATCH, not the corpus. Bit-identical to
+   *  the full run restricted to batch docs: a batch doc's span stats
+   *  depend only on the total counts of its own grams. (The usual
+   *  count-maintained asymmetry applies: a new batch can raise an OLD
+   *  doc's counts — old docs' stats refresh on the next full run,
+   *  batch docs' never change retroactively.) Without the store the
+   *  corpus frame is shingled once (the cold path). */
+  def spanDedupIncremental(corpus: DataFrame, batch: DataFrame, k: Int = 5,
+                           corpusGramCounts: Option[DataFrame] = None): DataFrame = {
+    val (base, grams) = spanGrams(batch, k)
+    val corpusCnt = corpusGramCounts
+      .map(_.groupBy("gram").agg(sum("cnt").as("c_corpus")))
+      .getOrElse(spanGrams(corpus, k)._2.groupBy("gram")
+        .agg(count(lit(1)).as("c_corpus")))
+    val batchCnt = grams.groupBy("gram").agg(count(lit(1)).as("c_batch"))
+    val total = batchCnt.join(corpusCnt, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("c_batch") + coalesce(col("c_corpus"), lit(0L))).as("c"))
+    val dupPos = grams.join(total.filter(col("c") >= 2), "gram")
+      .select(col("doc_id"), col("pos"))
+    spanOutput(base, spansFromDupPos(dupPos, k))
+  }
+
+  /** The maintained store [[spanDedupIncremental]] folds: per-gram
+   *  occurrence-count deltas `(gram, cnt)` for a doc frame — append
+   *  one per ingested batch. */
+  def spanGramCounts(docs: DataFrame, k: Int = 5): DataFrame =
+    spanGrams(docs, k)._2.groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Shared [[spanDedup]]/[[spanDedupIncremental]] output tail. */
+  private def spanOutput(base: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id").agg(
       count(lit(1)).as("dup_spans"),
       sum("span_len").as("dup_tokens"),
@@ -1432,6 +1472,17 @@ ORDER BY d.doc_id"""
    *  coverage, distinct-unioned, merged by consecutive-integer
    *  islands. */
   private def spanFrames(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val (base, grams) = spanGrams(docs, k)
+    val cnt = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+    val dupPos = grams.join(cnt.filter(col("c") >= 2), "gram")
+      .select(col("doc_id"), col("pos"))
+    (base, spansFromDupPos(dupPos, k))
+  }
+
+  /** `base(doc_id, n_tokens)` + positioned gram occurrences
+   *  `grams(doc_id, n_tokens, pos, gram)` — the in-row explode every
+   *  span-family member starts from. */
+  private def spanGrams(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"word_ngrams_all(text, $k)").as("gs"))
@@ -1440,19 +1491,19 @@ ORDER BY d.doc_id"""
         posexplode(col("gs")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("pos"), col("gram"))
-    val cnt = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-    val dupPos = grams.join(cnt.filter(col("c") >= 2), "gram")
-      .select(col("doc_id"), col("pos"))
-    val covered = dupPos
+    (base.select("doc_id", "n_tokens"), grams)
+  }
+
+  /** Duplicated gram positions → maximal merged spans: k-wide token
+   *  coverage, distinct union, consecutive-integer islands. */
+  private def spansFromDupPos(dupPos: DataFrame, k: Int): DataFrame =
+    dupPos
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("ti"))
       .distinct()
-    val spans = covered
       .withColumn("grp", col("ti") -
         row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
       .groupBy("doc_id", "grp").agg(count(lit(1)).as("span_len"))
-    (base, spans)
-  }
 
   /** The toks→spans CTE chain [[spanDedupOracle]] and
    *  [[spanTrimOracle]] share — the SQL mirror of [[spanFrames]]. */
@@ -1497,6 +1548,24 @@ SELECT b.doc_id, b.n_tokens,
        FLOOR((COALESCE(per.dup_tokens, 0) * 1.0 / b.n_tokens) * 10000.0 + 0.5)
          / 10000.0 AS dup_ratio
 FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+ORDER BY b.doc_id"""
+
+  /** The FULL-run chain restricted to the batch (doc_id >= 400) —
+   *  the incremental path must hash-match it exactly. */
+  val spanDedupIncrementalOracle: String = spanCtePrefix + """,
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(per.dup_spans, 0) AS dup_spans,
+       COALESCE(per.dup_tokens, 0) AS dup_tokens,
+       COALESCE(per.max_span_tokens, 0) AS max_span_tokens,
+       FLOOR((COALESCE(per.dup_tokens, 0) * 1.0 / b.n_tokens) * 10000.0 + 0.5)
+         / 10000.0 AS dup_ratio
+FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+WHERE b.doc_id >= 400
 ORDER BY b.doc_id"""
 
   /** The policy half of [[spanDedup]] — apply the Lee et al. 2022

@@ -406,6 +406,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental span dedup store path never shingles corpus text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("span_store").toString
+    graft.pipeline.TextAnalysis.spanGramCounts(corpus)
+      .write.mode("overwrite").parquet(storeDir)
+    val p = plan(graft.pipeline.TextAnalysis.spanDedupIncremental(
+      corpus.limit(0), docs.filter(col("doc_id") >= 400),
+      corpusGramCounts = Some(spark.read.parquet(storeDir))))
+    // the store is a parquet read; lazy getOrElse must not graft the
+    // corpus shingle pipeline into the plan: every scan that reads
+    // document TEXT carries the batch pushdown (doc_id >= 400) — the
+    // corpus store contributes via its parquet scan only
+    val textScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet")
+        && l.contains("text")).toList
+    assert(textScans.nonEmpty, p)
+    assert(textScans.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
+      textScans.mkString("\n"))
+    assert(p.contains("span_store"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("span trim and surprisal buckets plans: no cartesian; the bucket window is histogram-scale") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pt = plan(graft.pipeline.TextAnalysis.spanTrim(docs))

@@ -918,6 +918,39 @@ class PipelineSpec extends SparkSpec {
     assert(dd(12L).getAs[Long]("dup_tokens") === 10L)
   }
 
+  test("incremental span dedup is bit-identical to the full run restricted to the batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"), // corpus-internal dup of 0
+      (2L, "k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (400L, "a b c d e u v w x y"),  // 5-gram "a b c d e" dups vs corpus
+      (401L, "k l m n o p q r s t"),  // verbatim corpus dup
+      (402L, "z1 z2 z3 z4 z5 z6 z7")  // novel
+    ).toDF("doc_id", "text")
+    val full = TextAnalysis.spanDedup(corpus.unionByName(batch))
+      .filter(col("doc_id") >= 400).collect().map(_.toSeq)
+    val incr = TextAnalysis.spanDedupIncremental(corpus, batch)
+      .collect().map(_.toSeq)
+    assert(incr.toSeq === full.toSeq)
+    // maintained-store path: corpus frame EMPTY, counts from split
+    // deltas — same result
+    val deltas = TextAnalysis.spanGramCounts(corpus.filter(col("doc_id") < 2))
+      .unionByName(TextAnalysis.spanGramCounts(corpus.filter(col("doc_id") >= 2)))
+    val store = TextAnalysis.spanDedupIncremental(corpus.limit(0), batch,
+      corpusGramCounts = Some(deltas)).collect().map(_.toSeq)
+    assert(store.toSeq === full.toSeq)
+    // batch-internal duplication alone must also count: two identical
+    // batch docs vs a disjoint corpus
+    val selfBatch = Seq((410L, "m1 m2 m3 m4 m5 tail1"), (411L, "m1 m2 m3 m4 m5 tail2"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupIncremental(corpus, selfBatch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(out === Map(410L -> 5L, 411L -> 5L))
+  }
+
   test("surprisal buckets: tertile rule on the histogram matches the rank rule, ties share a bucket") {
     import spark.implicits._
     // one lang, 4 docs; under the bigram MLE docs 0 and 3 both score
