@@ -146,6 +146,7 @@ ORDER BY event_id"""
     "span_dedup" -> ((s, d) => TextAnalysis.spanDedup(docs(s, d))),
     "lm_surprisal" -> ((s, d) => TextAnalysis.lmSurprisal(docs(s, d))),
     "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(docs(s, d))),
+    "dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(docs(s, d))),
     "span_trim" -> ((s, d) => TextAnalysis.spanTrim(docs(s, d))),
     "span_dedup_incr" -> ((s, d) => TextAnalysis.spanDedupIncremental(
       docs(s, d).filter(col("doc_id") < 400),
@@ -404,6 +405,7 @@ ORDER BY event_id"""
     "span_dedup" -> TextAnalysis.spanDedupOracle,
     "lm_surprisal" -> TextAnalysis.lmSurprisalOracle,
     "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "dsir_select" -> TextAnalysis.dsirSelectOracle,
     "span_trim" -> TextAnalysis.spanTrimOracle,
     "span_dedup_incr" -> TextAnalysis.spanDedupIncrementalOracle,
     "span_dedup_incr_store" -> TextAnalysis.spanDedupIncrementalOracle,

@@ -1799,7 +1799,19 @@ ORDER BY lang, bucket"""
    *  vocab-scale count lookups (broadcast-able: vocabulary, not
    *  corpus, cardinality), one doc-partitioned aggregation. No
    *  windows, no self-joins, text never shuffles. */
-  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    dsirPerDoc(docs, targetLang)
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("llr_bits"),
+        r4(when(col("n_tokens") > 0,
+          col("llr_bits") * lit(1.0) / col("n_tokens"))
+          .otherwise(lit(0.0))).as("avg_llr"))
+      .orderBy("doc_id")
+
+  /** Every doc's `(lang, n_tokens, llr_bits)` under the target-vs-raw
+   *  smoothed unigram models — the shared core of [[dsirWeights]] and
+   *  [[dsirSelect]]; zero-coalesced so every doc appears. */
+  private def dsirPerDoc(docs: DataFrame, targetLang: String): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val cRaw = toks.groupBy("tok").agg(count(lit(1)).as("c_raw"))
@@ -1824,14 +1836,57 @@ ORDER BY lang, bucket"""
       .select(
         col("doc_id"), col("lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("llr_bits"), lit(0L)).as("llr_bits"),
-        r4(when(col("n_tokens") > 0,
-          col("llr_bits") * lit(1.0) / col("n_tokens"))
-          .otherwise(lit(0.0))).as("avg_llr"))
-      .orderBy("doc_id")
+        coalesce(col("llr_bits"), lit(0L)).as("llr_bits"))
   }
 
-  val dsirWeightsOracle: String = """
+  /** DSIR selection (the "resampling" half of Xie et al. 2023 made
+   *  deterministic): keep the `keepPct`% of the corpus with the
+   *  highest per-token target-vs-raw log-likelihood ratio
+   *  ([[dsirWeights]]); report the per-lang composition of the kept
+   *  set — how hard DSIR shifts the language mix toward the target.
+   *
+   *  Exact and scale-safe via the [[surprisalBuckets]] histogram
+   *  discipline: docs quantize to an integer key — SHIFTED
+   *  nonnegative as `((llr_bits + 63*n_tokens) * 1000) div n_tokens`
+   *  (per-token llr is within [-63, 63] because each side's
+   *  surprisal is at most 63 bits), so Spark's toward-zero `div` and
+   *  DuckDB's floor `//` agree — the corpus partial-aggs to a
+   *  per-key histogram, and the cutoff (smallest key whose
+   *  strictly-above cumulative count is under the target size) is a
+   *  window over that bounded histogram (its unpartitioned WindowExec
+   *  runs over histogram rows, same benign shape as vocab_topk). Ties
+   *  at the cutoff key keep the WHOLE group — deterministic,
+   *  order-independent, over-selects by at most one tie group. */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+                 keepPct: Int = 25): DataFrame = {
+    val per = dsirPerDoc(docs, targetLang)
+      .withColumn("key", when(col("n_tokens") > 0,
+        expr("((llr_bits + 63 * n_tokens) * 1000) div n_tokens"))
+        .otherwise(lit(0L)))
+    val hist = per.groupBy("key").agg(count(lit(1)).as("n_v"))
+    val n = hist.agg(sum("n_v").as("n"))
+    val cutoff = hist.crossJoin(broadcast(n))
+      .withColumn("cum_above",
+        coalesce(sum("n_v").over(Window.orderBy(col("key").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_above") < expr(s"(n * $keepPct) div 100"))
+      .agg(min("key").as("min_key"))
+    per.crossJoin(broadcast(cutoff))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("key") >= col("min_key"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("key") >= col("min_key"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        col("total_tokens"), col("kept_tokens"),
+        r4(col("n_kept") * lit(1.0) / col("n_docs")).as("kept_frac"))
+      .orderBy("lang")
+  }
+
+  /** The toks→perd target-vs-raw CTE chain [[dsirWeightsOracle]] and
+   *  [[dsirSelectOracle]] share — the SQL mirror of [[dsirPerDoc]]. */
+  private val dsirCtePrefix: String = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
 craw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks GROUP BY tok),
@@ -1853,13 +1908,46 @@ scored AS (
 per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          CAST(SUM(llr) AS BIGINT) AS llr_bits
-  FROM scored GROUP BY doc_id)
-SELECT d.doc_id, d.lang,
-       COALESCE(per.n_tokens, 0) AS n_tokens,
-       COALESCE(per.llr_bits, 0) AS llr_bits,
-       CASE WHEN COALESCE(per.n_tokens, 0) > 0 THEN
-         FLOOR((per.llr_bits * 1.0 / per.n_tokens) * 10000.0 + 0.5) / 10000.0
+  FROM scored GROUP BY doc_id),
+perd AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(per.n_tokens, 0) AS n_tokens,
+         COALESCE(per.llr_bits, 0) AS llr_bits
+  FROM (SELECT doc_id, lang FROM documents) d
+  LEFT JOIN per ON d.doc_id = per.doc_id)"""
+
+  val dsirWeightsOracle: String = dsirCtePrefix + """
+SELECT doc_id, lang, n_tokens, llr_bits,
+       CASE WHEN n_tokens > 0 THEN
+         FLOOR((llr_bits * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS avg_llr
-FROM (SELECT doc_id, lang FROM documents) d LEFT JOIN per ON d.doc_id = per.doc_id
-ORDER BY d.doc_id"""
+FROM perd
+ORDER BY doc_id"""
+
+  val dsirSelectOracle: String = dsirCtePrefix + """,
+keyd AS (
+  SELECT lang, n_tokens,
+         CASE WHEN n_tokens > 0
+           THEN ((llr_bits + 63 * n_tokens) * 1000) // n_tokens
+           ELSE 0 END AS key
+  FROM perd),
+hist AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_v FROM keyd GROUP BY key),
+nn AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT key, n_v,
+         COALESCE(SUM(n_v) OVER (ORDER BY key DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_above
+  FROM hist),
+cutoff AS (
+  SELECT MIN(key) AS min_key FROM cum CROSS JOIN nn
+  WHERE cum.cum_above < (nn.n * 25) // 100)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN key >= cutoff.min_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN key >= cutoff.min_key THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       FLOOR((SUM(CASE WHEN key >= cutoff.min_key THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS kept_frac
+FROM keyd CROSS JOIN cutoff
+GROUP BY lang
+ORDER BY lang"""
 }

@@ -455,6 +455,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dsir select plan: cutoff window is histogram-scale, broadcast frames only, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.dsirSelect(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    // the cum-above window's child chain is the key histogram
+    // aggregate, never the per-doc frame
+    val lines = p.linesIterator.toArray
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p)
+    assert(lines.slice(winIdx + 1, winIdx + 7).exists(_.contains("HashAggregate")),
+      lines.slice(winIdx, winIdx + 7).mkString("\n"))
+  }
+
   test("ivf probe sweep plan: no cartesian, centroid and sweep frames are broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)

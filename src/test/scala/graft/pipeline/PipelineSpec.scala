@@ -999,6 +999,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("avg_llr") === 1.0)
   }
 
+  test("dsir select: histogram cutoff keeps the top fraction, ties keep the whole group") {
+    import spark.implicits._
+    // same corpus as the dsir weights test: llr_bits doc0=+1 (n=3),
+    // doc1=-1 (n=2), doc2=+1 (n=1) -> shifted keys 63333, 62500, 64000
+    val mixed = Seq((0L, "a a b", "en"), (1L, "a c", "fr"), (2L, "b", "en"))
+      .toDF("doc_id", "text", "lang")
+    def byLang(keepPct: Int) =
+      TextAnalysis.dsirSelect(mixed, keepPct = keepPct).collect()
+        .map(r => r.getAs[String]("lang") -> r).toMap
+    // target (3*34) div 100 = 1 -> only the top key group (doc 2)
+    val k34 = byLang(34)
+    assert(k34("en").getAs[Long]("n_kept") === 1L)
+    assert(k34("fr").getAs[Long]("n_kept") === 0L)
+    assert(k34("en").getAs[Long]("n_docs") === 2L)
+    // target (3*67) div 100 = 2 -> keys 64000 and 63333 (docs 2, 0)
+    val k67 = byLang(67)
+    assert(k67("en").getAs[Long]("n_kept") === 2L)
+    assert(k67("en").getAs[Double]("kept_frac") === 1.0)
+    assert(k67("fr").getAs[Long]("n_kept") === 0L)
+    // target (3*25) div 100 = 0 -> nothing qualifies, nothing kept
+    val k25 = byLang(25)
+    assert(k25("en").getAs[Long]("n_kept") === 0L)
+    assert(k25("fr").getAs[Long]("n_kept") === 0L)
+    // identical docs share one key: the cutoff group is kept WHOLE
+    // even though the target size is 1
+    val tied = Seq((0L, "x y", "en"), (1L, "x y", "en"),
+      (2L, "x y", "en"), (3L, "x y", "en")).toDF("doc_id", "text", "lang")
+    val t = TextAnalysis.dsirSelect(tied, keepPct = 25).collect()
+    assert(t.length === 1)
+    assert(t.head.getAs[Long]("n_kept") === 4L)
+    assert(t.head.getAs[Double]("kept_frac") === 1.0)
+  }
+
   test("ivf probe sweep: recall and cost are monotone in nprobe; one cell means total recall") {
     import spark.implicits._
     val vecs = for (g <- 0 until 4; j <- 0 until 4) yield {

@@ -597,4 +597,90 @@ class StreamingIngestSpec extends SparkSpec {
     assert(agg.columns.toSeq ===
       Seq("date", "app_id", "event_count", "total_duration_ms"))
   }
+
+  test("streaming span curation rejects mostly-verbatim docs against the maintained count store") {
+    import spark.implicits._
+    val root = tmpDir("spancur-stream")
+    val src = root + "/src"
+    val store = root + "/corpus"
+    val statsDir = root + "/stats"
+    val ckpt = root + "/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingSpanDedup.curatedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, statsDir, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 0 and 1 are identical twins — the span measure is
+    // symmetric, BOTH reject (survivor selection is the pair members'
+    // job; this is a verbatim-extent quality gate); 2 is novel
+    Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    // batch 2 vs the STORE: 10 copies stored 2 verbatim (ratio 1.0,
+    // rejected); 11 is 10/14 stored tokens (0.7143, rejected); 13
+    // overlaps 5/20 (0.25, survives with nonzero ledger stats); 12
+    // novel
+    Seq(
+      (10L, "k l m n o p q r s t"),
+      (11L, "k l m n o p q r s t n1 n2 n3 n4"),
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (13L, "k l m n o w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 12L, 13L))
+    val ledger = spark.read.parquet(statsDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ledger(10L).getAs[Double]("dup_ratio") === 1.0)
+    assert(ledger(11L).getAs[Long]("dup_tokens") === 10L)
+    assert(ledger(13L).getAs[Long]("dup_tokens") === 5L)
+    assert(ledger(13L).getAs[Double]("dup_ratio") === 0.25)
+    assert(ledger(2L).getAs[Long]("dup_tokens") === 0L)
+    // batch 3: a verbatim copy of batch-2 SURVIVOR 12 rejects —
+    // survivors' counts advanced the store
+    Seq((20L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 12L, 13L))
+    // compaction folds the delta store without changing its fold
+    val before = spark.read.parquet(store + "_gramcnt")
+      .groupBy("gram").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    StreamingSpanDedup.compactState(spark, store)
+    val after = spark.read.parquet(store + "_gramcnt")
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    assert(after === before)
+    // the folded store equals a fresh count over exactly the stored docs
+    val fresh = graft.pipeline.TextAnalysis.spanGramCounts(
+      spark.read.parquet(store))
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    assert(after === fresh)
+  }
+
+  test("streaming span curation trigger plan only file-scans the count store, never corpus text") {
+    import spark.implicits._
+    val root = tmpDir("spancur-plan")
+    val store = root + "/corpus"
+    val gramCntDir = store + "_gramcnt"
+    graft.pipeline.TextAnalysis.spanGramCounts(
+      Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+      .write.parquet(gramCntDir)
+    val batch = Seq((100L, "a b c d e x y z w v")).toDF("doc_id", "text")
+    val p = StreamingSpanDedup.triggerStats(spark, batch, gramCntDir, 5)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toList
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(_.contains("_gramcnt")), scans.mkString("\n"))
+  }
 }
