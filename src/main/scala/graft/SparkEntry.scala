@@ -175,6 +175,7 @@ ORDER BY event_id"""
     // older corpus; output = full-run pairs touching the batch.
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(docs(s, d))),
     "dup_source_matrix" -> ((s, d) => Dedup.dupSourceMatrix(docs(s, d))),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -417,6 +418,7 @@ ORDER BY event_id"""
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
+    "source_overlap" -> Dedup.sourceOverlapSketchOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle,

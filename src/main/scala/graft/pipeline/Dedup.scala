@@ -445,6 +445,82 @@ JOIN per_source pa ON c.source_a = pa.source
 JOIN per_source pb ON c.source_b = pb.source
 ORDER BY c.source_a, c.source_b"""
 
+  /** Source-level overlap SKETCH: one MinHash union signature per
+   *  SOURCE (min of the per-doc min-hashes — min-of-mins IS the
+   *  signature of the source's pooled gram set), compared pairwise at
+   *  source-pair cardinality. `matches/16` estimates the Jaccard of
+   *  the two sources' whole gram sets — the "are these two feeds the
+   *  same corpus" triage that runs BEFORE paying for any pair join:
+   *  [[dupSourceMatrix]] answers the same question exactly but via
+   *  the verified near-dup pair set; this answers it from two
+   *  partial-aggregating passes and a K²-bounded comparison, touching
+   *  no doc pair at all. Shape at scale: per-doc signatures are the
+   *  ONE existing partial-agg pass ([[minhashSigWide]]); the source
+   *  rollup is a second map-side-combining min over |docs| rows; the
+   *  pairwise stage is a broadcast self-join over K = |sources| rows
+   *  (a nested-loop over a K-row broadcast — bounded by source
+   *  cardinality, never corpus). Estimator determinism: the sketch
+   *  IS the deliverable (not a sampled proxy of one), so the oracle
+   *  reproduces it bit-for-bit from the same affine hash family. */
+  def sourceOverlapSketch(docs: DataFrame, idFamily: String = "md5",
+                          precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs))
+    val sigWide = minhashSigWide(shingleIds(sh, idFamily))
+    val minCols = (0 until NumHashes).map(j => min(col(s"mh$j")).as(s"mh$j"))
+    val srcSig = sigWide
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(minCols.head, minCols.tail: _*)
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source")
+    val aSide = srcSig.select(col("source").as("source_a") +:
+      col("n_docs").as("docs_a") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val bSide = srcSig.select(col("source").as("source_b") +:
+      col("n_docs").as("docs_b") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val matchCnt = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    aSide.join(broadcast(bSide), col("source_a") < col("source_b"))
+      .withColumn("matches", matchCnt)
+      .select(col("source_a"), col("source_b"), col("docs_a"),
+        col("docs_b"), col("matches"),
+        r4(col("matches") * lit(1.0) / NumHashes).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Mirrors [[sourceOverlapSketch]]: the shared `sig` hash chain
+   *  rolled up per source, pairwise match counting over the K-row
+   *  source signatures. `matches/16` has <= 4 binary fraction digits,
+   *  so the rounded decimal is exact in both engines. */
+  val sourceOverlapSketchOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
+hashes AS (
+  SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
+  FROM (SELECT unnest(range(0, 16)) AS j)),
+sig AS (
+  SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
+  FROM shid s CROSS JOIN hashes h
+  GROUP BY s.doc_id, h.j),
+srcsig AS (
+  SELECT d.source, g.j, MIN(g.mh) AS mh
+  FROM sig g JOIN documents d ON g.doc_id = d.doc_id
+  GROUP BY d.source, g.j),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM srcsig a JOIN srcsig b ON a.j = b.j AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.source_a, p.source_b, pa.n_docs AS docs_a, pb.n_docs AS docs_b,
+       p.matches,
+       FLOOR((p.matches * 1.0 / 16) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+FROM pairs p
+JOIN per_source pa ON p.source_a = pa.source
+JOIN per_source pb ON p.source_b = pb.source
+ORDER BY p.source_a, p.source_b"""
+
   /** Containment near-dup: pairs where the SMALLER document's shingle
    *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —
    *  which catches excerpts, quotes, and template-plus-payload pages
