@@ -290,6 +290,7 @@ ORDER BY event_id"""
     "ivf_probe_sweep" -> ((s, d) =>
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
+    "emb_principal" -> ((s, d) => Embeddings.principalDirection(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
@@ -445,6 +446,7 @@ ORDER BY event_id"""
     "dedup_embedding_incr" -> Embeddings.dedupEmbeddingIncrementalOracle,
     "dedup_embedding_incr_store" -> Embeddings.dedupEmbeddingIncrementalOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
+    "emb_principal" -> Embeddings.principalDirectionOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "split_leakage" -> Sampling.splitLeakageOracle,

@@ -1156,6 +1156,136 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs,
 FROM per_label
 ORDER BY label"""
 
+  /** Corpus-wide dominant embedding direction by fixed-point POWER
+   *  ITERATION over the integer Gram matrix — the anisotropy readout
+   *  (Ethayarajh 2019; Mu & Viswanath 2018 "all-but-the-top") that
+   *  decides whether embeddings need mean-removal / whitening BEFORE
+   *  the cosine-based family ([[dedupSemantic]], [[annLsh]],
+   *  [[knnGraph]]) is trusted: a common dominant direction inflates
+   *  every cosine and collapses LSH bucket diversity. Per dim:
+   *  `gram_diag` (exact Σq²), `var_share_ppm` (its share of the
+   *  trace), `mean_milli` (mean coordinate — eyeballs whether the
+   *  dominant direction IS the mean direction), `loading` (the
+   *  fixed-point eigenvector estimate after `iters` iterations).
+   *
+   *  Scale shape: ONE corpus pass — a 64×64 in-row fan-out
+   *  (posexplode twice over the same row, no self-join) partial-aggs
+   *  to the 4096-key Gram frame; every later step (rescale, the
+   *  matrix-vector iterations, the final projection) runs on that
+   *  d²-row frame and a 64-row vector, never the corpus. Compute is
+   *  d² multiplies per vector — heavy but linear, map-side combined;
+   *  run it on a hash-sampled subset when d² × N passes matter.
+   *
+   *  Cross-engine exactness: every quantity is integer. Overflow is
+   *  controlled by SHIFT rescaling: the Gram matrix is divided by
+   *  2^max(bitlen(max|g|)−30, 0) and each iterate by
+   *  2^max(bitlen(max|y|)−20, 0), so |G'| ≤ 2³⁰, |v| ≤ 2²⁰ and the
+   *  64-term matrix-vector products stay ≤ 2⁵⁶ < 2⁶³. bitlen is
+   *  `length(bin(x))` in BOTH engines (no leading zeros either side);
+   *  all signed divisions are sign-split `-((-x) div p)` so Spark's
+   *  toward-zero `div` and DuckDB's floor `//` agree. */
+  def principalDirection(emb: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("qarr"))
+    val pairs = qv
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qarr")).as(Seq("j", "qj")))
+    val gram = pairs.groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("g")).cache()
+    val gShift = gram.agg(
+      greatest(length(bin(max(abs(col("g"))))) - lit(30), lit(0)).as("s"))
+    val gsc = gram.crossJoin(broadcast(gShift))
+      .select(col("i"), col("j"), expr(
+        """CASE WHEN g < 0
+           THEN -((-g) div shiftleft(CAST(1 AS BIGINT), s))
+           ELSE g div shiftleft(CAST(1 AS BIGINT), s) END""").as("g"))
+      .cache()
+    var v = (0 until Dims).map(j => (j.toLong, 1048576L))
+      .toDF("j", "v")
+    for (_ <- 1 to iters) {
+      val y = gsc.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("g") * col("v")).as("y"))
+      val yShift = y.agg(
+        greatest(length(bin(max(abs(col("y"))))) - lit(20), lit(0)).as("t"))
+      v = y.crossJoin(broadcast(yShift))
+        .select(col("i").as("j"), expr(
+          """CASE WHEN y < 0
+             THEN -((-y) div shiftleft(CAST(1 AS BIGINT), t))
+             ELSE y div shiftleft(CAST(1 AS BIGINT), t) END""").as("v"))
+    }
+    val diag = gram.filter(col("i") === col("j"))
+      .select(col("i").as("dim"), col("g").as("gram_diag"))
+    val trace = diag.agg(sum("gram_diag").as("tr"))
+    val mean = qv
+      .select(posexplode(col("qarr")).as(Seq("dim", "q")))
+      .groupBy("dim").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+    diag
+      .crossJoin(broadcast(trace))
+      .join(broadcast(mean), "dim")
+      .join(broadcast(v.withColumnRenamed("j", "dim")), "dim")
+      .select(col("dim").cast("long").as("dim"), col("gram_diag"),
+        expr("(gram_diag * 1000000) div GREATEST(tr, 1)").as("var_share_ppm"),
+        expr("CASE WHEN sq < 0 THEN -((-sq) div n) ELSE sq div n END")
+          .as("mean_milli"),
+        col("v").as("loading"))
+      .orderBy("dim")
+  }
+
+  /** Mirrors [[principalDirection]] with the power iterations unrolled
+   *  one CTE each (the [[knnPagerankOracle]] discipline); every
+   *  arithmetic step is the byte-identical shift/sign-split integer
+   *  expression, so the whole readout — loadings included — matches
+   *  bit-for-bit. */
+  val principalDirectionOracle: String = {
+    val head = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+gram AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+  FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i),
+gshift AS (SELECT GREATEST(LENGTH(BIN(MAX(ABS(g)))) - 30, 0) AS s FROM gram),
+gsc AS (
+  SELECT i, j,
+         CASE WHEN g < 0 THEN -((-g) // (1::BIGINT << s))
+              ELSE g // (1::BIGINT << s) END AS g
+  FROM gram, gshift),
+v0 AS (SELECT i AS j, CAST(1048576 AS BIGINT) AS v FROM dims)"""
+    val its = (1 to 4).map { t =>
+      s""",
+y$t AS (
+  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS y
+  FROM gsc g JOIN v${t - 1} v ON g.j = v.j GROUP BY g.i),
+m$t AS (SELECT GREATEST(LENGTH(BIN(MAX(ABS(y)))) - 20, 0) AS t FROM y$t),
+v$t AS (
+  SELECT y.i AS j,
+         CASE WHEN y < 0 THEN -((-y) // (1::BIGINT << t))
+              ELSE y // (1::BIGINT << t) END AS v
+  FROM y$t y, m$t)"""
+    }.mkString
+    head + its + """,
+diag AS (SELECT i, g FROM gram WHERE i = j),
+trace AS (SELECT CAST(SUM(g) AS BIGINT) AS tr FROM diag),
+meanv AS (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qv GROUP BY i)
+SELECT d.i - 1 AS dim, d.g AS gram_diag,
+       (d.g * 1000000) // GREATEST(t.tr, 1) AS var_share_ppm,
+       CASE WHEN m.sq < 0 THEN -((-m.sq) // m.n) ELSE m.sq // m.n END AS mean_milli,
+       v.v AS loading
+FROM diag d
+JOIN v4 v ON v.j = d.i
+JOIN meanv m ON m.i = d.i
+CROSS JOIN trace t
+ORDER BY dim"""
+  }
+
   /** Embedding-coverage QA: per source, how much of the corpus (docs
    *  AND token mass) actually HAS an embedding — the gate before any
    *  embedding-dependent operator is trusted ([[dedupEmbedding]] and
