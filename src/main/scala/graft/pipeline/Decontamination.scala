@@ -31,9 +31,11 @@ object Decontamination {
    *  with itself. */
   def benchmarkOverlap(docs: DataFrame, bench: DataFrame,
                        minOverlap: Double = 0.3,
-                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+                       precomputedShingles: Option[DataFrame] = None,
+                       precomputedBenchShingles: Option[DataFrame] = None): DataFrame = {
     val shDocs = precomputedShingles.getOrElse(Dedup.shingles(docs))
-    val shBench = Dedup.shingles(bench)
+    val shBench = precomputedBenchShingles
+      .getOrElse(Dedup.shingles(bench))
       .select(col("doc_id").as("bench_id"), col("gram"))
     val benchSizes = shBench.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
     shDocs.join(broadcast(shBench), "gram")

@@ -668,6 +668,74 @@ class StreamingIngestSpec extends SparkSpec {
     assert(after === fresh)
   }
 
+  test("streaming decontamination admits only benchmark-clean docs; state never grows") {
+    import spark.implicits._
+    val root = tmpDir("decon-stream")
+    val src = root + "/src"
+    val benchSh = root + "/bench_shingles"
+    val store = root + "/corpus"
+    val ledger = root + "/ledger"
+    val ckpt = root + "/ckpt"
+    // benchmark: one 10-token eval doc -> 8 trigram shingles
+    graft.pipeline.Dedup.writeShingleStore(
+      Seq((9000L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+      benchSh)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingDecontamination.cleanDocStream(
+        spark.readStream.schema(schema).parquet(src),
+        benchSh, store, ledger, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 0 quotes the whole benchmark inside a longer page
+    // (containment 1.0 despite low symmetric Jaccard) -> rejected;
+    // 1 shares 2/8 benchmark shingles (0.25 < 0.3) -> admitted;
+    // 2 is clean
+    Seq(
+      (0L, "intro words q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 outro words"),
+      (1L, "q1 q2 q3 q4 other stuff entirely here"),
+      (2L, "nothing shared with the benchmark at all")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the ledger records WHICH benchmark doc was hit and how hard
+    val led = spark.read.parquet(ledger).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(led(0L).getAs[Long]("bench_id") === 9000L)
+    assert(led(0L).getAs[Double]("overlap") === 1.0)
+    assert(!led.contains(1L) && !led.contains(2L))
+    // batch 2: verdicts depend ONLY on the static benchmark — the
+    // batch-1 admissions don't flag later docs (not a dedup gate)
+    Seq((10L, "nothing shared with the benchmark at all"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 10L))
+    // state never grows: the benchmark store is byte-identical
+    assert(spark.read.parquet(benchSh).count() === 8L)
+  }
+
+  test("streaming decontamination trigger plan only file-scans the benchmark store, never corpus text") {
+    import spark.implicits._
+    val root = tmpDir("decon-plan")
+    val benchSh = root + "/bench_shingles"
+    graft.pipeline.Dedup.writeShingleStore(
+      Seq((9000L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+      benchSh)
+    val batch = Seq((100L, "a b c q1 q2 q3 q4 q5 x y")).toDF("doc_id", "text")
+    val p = StreamingDecontamination
+      .triggerOverlap(spark, batch, benchSh, 0.3)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toList
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(_.contains("bench_shingles")), scans.mkString("\n"))
+  }
+
   test("streaming span curation trigger plan only file-scans the count store, never corpus text") {
     import spark.implicits._
     val root = tmpDir("spancur-plan")
