@@ -291,6 +291,7 @@ ORDER BY event_id"""
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "emb_principal" -> ((s, d) => Embeddings.principalDirection(emb(s, d))),
+    "diversity_sample" -> ((s, d) => Embeddings.diversitySample(emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
@@ -447,6 +448,7 @@ ORDER BY event_id"""
     "dedup_embedding_incr_store" -> Embeddings.dedupEmbeddingIncrementalOracle,
     "emb_label_stats" -> Embeddings.labelStatsOracle,
     "emb_principal" -> Embeddings.principalDirectionOracle,
+    "diversity_sample" -> Embeddings.diversitySampleOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "split_leakage" -> Sampling.splitLeakageOracle,

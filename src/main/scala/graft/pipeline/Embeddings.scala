@@ -1156,6 +1156,57 @@ SELECT CAST(label AS BIGINT) AS label, n_vecs,
 FROM per_label
 ORDER BY label"""
 
+  /** Coverage-preserving diversity downsample: keep a deterministic
+   *  `keepPct`% of each IVF cell — the semantic-space-stratified
+   *  subsample that shrinks a corpus without collapsing its coverage
+   *  (a uniform hash sample keeps dense regions dense and starves the
+   *  tails; per-cell quotas keep every region represented — the
+   *  cheap, deterministic cousin of coreset selection, which
+   *  [[knnPagerank]] ranks within). Every cell retains AT LEAST one
+   *  member (the coverage guarantee), and selection inside a cell is
+   *  by content-independent md5(vec_id) order — append-stable like
+   *  [[graft.pipeline.Sampling.splitAssign]], so re-running on a
+   *  grown corpus never un-picks a previously kept vector's hash
+   *  position. Shape at scale: the shared broadcast-K assignment
+   *  pass, a cell-cardinality count, and ONE rank window partitioned
+   *  by cell (hash-partitioned; per-cell sort is the sampling cost,
+   *  bounded by the largest cell — raise `numCentroids` when cells
+   *  outgrow a partition). */
+  def diversitySample(emb: DataFrame, keepPct: Int = 25,
+                      numCentroids: Int = 32,
+                      precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val assigned = nearestCentroids(qv, hashCentroids(qv, numCentroids), 1)
+    val cellN = assigned.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
+    assigned
+      .withColumn("rk", row_number().over(Window.partitionBy("cent_id")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .join(broadcast(cellN), "cent_id")
+      .withColumn("cell_kept",
+        greatest(lit(1L), expr(s"(cell_n * $keepPct) div 100")))
+      .filter(col("rk") <= col("cell_kept"))
+      .select(col("vec_id"), col("cent_id"), col("cell_n"), col("cell_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Shares [[ivfAssignCte]]; the per-cell pick is the same
+   *  md5-order ROW_NUMBER the codebook CTE already proves
+   *  cross-engine. */
+  val diversitySampleOracle: String = "WITH " + ivfAssignCte + """,
+cell_n AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+  FROM assigned GROUP BY cent_id),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY cent_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM assigned)
+SELECT r.vec_id, r.cent_id, c.cell_n,
+       GREATEST(1, (c.cell_n * 25) // 100) AS cell_kept
+FROM ranked r JOIN cell_n c ON r.cent_id = c.cent_id
+WHERE r.rk <= GREATEST(1, (c.cell_n * 25) // 100)
+ORDER BY r.vec_id"""
+
   /** Corpus-wide dominant embedding direction by fixed-point POWER
    *  ITERATION over the integer Gram matrix — the anisotropy readout
    *  (Ethayarajh 2019; Mu & Viswanath 2018 "all-but-the-top") that
