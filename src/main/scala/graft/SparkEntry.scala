@@ -99,6 +99,7 @@ ORDER BY event_id"""
     "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -372,6 +373,7 @@ ORDER BY event_id"""
     "text_stats" -> TextAnalysis.textStatsOracle,
     "length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
+    "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,

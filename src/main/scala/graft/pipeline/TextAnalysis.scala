@@ -96,6 +96,69 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
   ON d.doc_id = b.doc_id
 ORDER BY d.doc_id"""
 
+  /** Language-ID confusion matrix against the corpus's gold `lang`
+   *  labels — the validation pass that says whether [[langId]]'s
+   *  marker heuristic can be TRUSTED to route language-conditional
+   *  operators (per-lang tertiles in `surprisal_buckets`, per-lang
+   *  quotas in `curation_sample`, `mix_temperature`'s rebalancing)
+   *  before it silently misroutes a low-resource language. Per
+   *  (gold, guessed) cell: doc count, token mass, and the share of
+   *  the gold language's docs landing in that cell (row-normalized —
+   *  the diagonal is per-language recall). Shape at scale: the
+   *  classifier pass is [[langId]] verbatim (broadcast marker join,
+   *  partial-agg argmax); the matrix is ONE map-side-combining
+   *  aggregate to |gold|×|guess| cells, and the share window runs
+   *  over that bounded cell frame only, never the corpus. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val guess = langId(docs).select("doc_id", "lang_guess")
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val cells = base.join(guess, "doc_id")
+      .groupBy(col("lang").as("gold_lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val goldW = org.apache.spark.sql.expressions.Window.partitionBy("gold_lang")
+    cells
+      .withColumn("gold_docs", sum("n_docs").over(goldW))
+      .select(col("gold_lang"), col("lang_guess"), col("n_docs"),
+        col("n_tokens"),
+        r4(col("n_docs") * lit(1.0) / col("gold_docs")).as("gold_share"))
+      .orderBy("gold_lang", "lang_guess")
+  }
+
+  /** Extends [[langIdOracle]]'s marker chain with the gold join and
+   *  the cell-frame share window. */
+  val langConfusionOracle: String = """
+WITH markers(word, cand_lang, weight) AS (
+  VALUES ('the', 'en', 3), ('a', 'en', 1),
+         ('spark', 'tech', 2), ('data', 'tech', 1),
+         ('le', 'fr', 3), ('la', 'fr', 1)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+scores AS (
+  SELECT t.doc_id, m.cand_lang, CAST(SUM(m.weight) AS BIGINT) AS score
+  FROM toks t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.cand_lang),
+best AS (
+  SELECT doc_id, cand_lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+  FROM scores),
+guessed AS (
+  SELECT d.doc_id, d.lang AS gold_lang,
+         COALESCE(b.cand_lang, 'und') AS lang_guess,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+    ON d.doc_id = b.doc_id),
+cells AS (
+  SELECT gold_lang, lang_guess,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM guessed GROUP BY gold_lang, lang_guess)
+SELECT gold_lang, lang_guess, n_docs, n_tokens,
+       FLOOR((n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY gold_lang))
+             * 10000.0 + 0.5) / 10000.0 AS gold_share
+FROM cells
+ORDER BY gold_lang, lang_guess"""
+
   /** The composite quality expression shared by [[qualityScore]] (which
    *  also surfaces the components) and [[qualitySweep]] (which buckets
    *  it) — one definition so the two keys can never drift. */
