@@ -100,6 +100,7 @@ ORDER BY event_id"""
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
+    "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -374,6 +375,7 @@ ORDER BY event_id"""
     "length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
+    "token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,

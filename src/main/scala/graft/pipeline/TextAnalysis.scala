@@ -44,6 +44,61 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY doc_id"""
 
+  /** Per-language tokenizer-cost profile ("fertility" in the
+   *  multilingual-tokenizer sense: how many subword tokens a unit of
+   *  raw data costs per language) — the conversion table between
+   *  corpus BYTES on disk and training TOKENS in budget, which is
+   *  what per-language sampling quotas and shard budgets are actually
+   *  denominated in. Per lang: doc/whitespace-token/BPE-estimate/
+   *  char/byte masses (all exact integer sums, sharing [[textStats]]'
+   *  per-doc expressions so the two keys can't drift) and three
+   *  ratios — subwords per word (fertility proper), bytes per
+   *  subword (the storage→budget rate), bytes per char (multibyte
+   *  share; ~1.0 for ASCII langs, up to 3 for CJK). ONE map-side-
+   *  combining aggregate to language cardinality; ratios are single
+   *  divisions over the exact sums. */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("(n_chars + 3) div 4").as("bpe_est"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("words"),
+        sum("bpe_est").as("bpe_tokens"),
+        sum("n_chars").as("chars"),
+        sum("n_bytes").as("bytes"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        col("chars"), col("bytes"),
+        r4(col("bpe_tokens") * lit(1.0) / col("words")).as("fertility"),
+        r4(col("bytes") * lit(1.0) / col("bpe_tokens")).as("bytes_per_token"),
+        r4(col("bytes") * lit(1.0) / col("chars")).as("bytes_per_char"))
+      .orderBy("lang")
+
+  /** DuckDB `strlen` is byte length (its `length` is code points),
+   *  matching Spark's `octet_length`. */
+  val tokenFertilityOracle: String = """
+WITH per_doc AS (
+  SELECT lang, n_chars,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (n_chars + 3) // 4 AS bpe_est
+  FROM documents),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS words,
+         CAST(SUM(bpe_est) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(SUM(n_bytes) AS BIGINT) AS bytes
+  FROM per_doc GROUP BY lang)
+SELECT lang, n_docs, words, bpe_tokens, chars, bytes,
+       FLOOR((bpe_tokens * 1.0 / words) * 10000.0 + 0.5) / 10000.0 AS fertility,
+       FLOOR((bytes * 1.0 / bpe_tokens) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token,
+       FLOOR((bytes * 1.0 / chars) * 10000.0 + 0.5) / 10000.0 AS bytes_per_char
+FROM per_lang
+ORDER BY lang"""
+
   /** Marker-word language heuristic: weighted stopword hits per
    *  candidate language, argmax with alphabetical tie-break, 'und' when
    *  no marker matches. (A real corpus would use a larger n-gram
