@@ -712,6 +712,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!lines.take(winIdx + 1).exists(_.contains("SinglePartition")), p)
   }
 
+  test("source overlap sketch: partial-agg signature passes, K-row broadcast pairwise stage, no corpus pair join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.sourceOverlapSketch(docs))
+    // two min-rollups (doc then source), then the ONLY non-equi join is
+    // the broadcast nested-loop over the K-row source signatures — a
+    // SortMergeJoin or CartesianProduct here would mean doc pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("principal direction: in-row d^2 fan-out to ONE corpus-pass Gram agg; iterations join broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.principalDirection(emb))
+    // the 64x64 fan-out must be generators in-row (no self-join of the
+    // corpus on vec_id), and every join in the plan is broadcast
+    // (4096-row Gram frame, 64-row vector, one-row shift scalars)
+    assert("Generate posexplode".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("diversity sample: broadcast assignment, cell-partitioned rank window, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.diversitySample(emb))
+    assert(!p.contains("CartesianProduct"), p)
+    // cell-count frame joins broadcast; the one Window is partitioned
+    // (per-cell), not global
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("cent_id"), winLine)
+  }
+
+  test("lang confusion / token fertility: share windows over cell aggregates; fertility is join-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pc = plan(graft.pipeline.TextAnalysis.langConfusion(docs))
+    // corpus collapses to (gold, guess) cells before the share window
+    assert(pc.indexOf("HashAggregate") >= 0, pc)
+    assert(!pc.contains("CartesianProduct"), pc)
+    val pf = plan(graft.pipeline.TextAnalysis.tokenFertility(docs))
+    assert(!pf.contains("Join"), pf)
+    assert(!pf.contains("Window"), pf)
+    assert("HashAggregate".r.findAllIn(pf).size >= 2, pf) // partial+final
+  }
+
   test("mix temperature: windows run over the source-cardinality aggregate only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.pipeline.Sampling.mixTemperature(docs)
