@@ -101,6 +101,7 @@ ORDER BY event_id"""
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(docs(s, d))),
+    "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -267,6 +268,19 @@ ORDER BY event_id"""
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
+    // Incremental-cluster harness: the verified pair set splits into
+    // OLD pairs (neither endpoint in the arriving residue class) whose
+    // clusters are pre-built, and BATCH pairs (at least one arriving
+    // endpoint) folded in incrementally — the result must be
+    // bit-identical to the full run, so the oracle is dedup_clusters'
+    // own closure chain verbatim.
+    "dedup_clusters_incr" -> ((s, d) => {
+      val all = Dedup.dedupNgram(docs(s, d)).select("doc_a", "doc_b").cache()
+      val oldP = all.filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+      val batchP = all.filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      Clustering.dedupClustersIncremental(
+        Clustering.connectedComponents(oldP), batchP)
+    }),
     "cluster_sizes" -> ((s, d) => Clustering.clusterSizes(docs(s, d))),
     "cluster_canonical" -> ((s, d) => Clustering.clusterCanonical(docs(s, d))),
     "dedup_embedding" -> ((s, d) => Embeddings.dedupEmbedding(emb(s, d))),
@@ -376,6 +390,7 @@ ORDER BY event_id"""
     "lang_id" -> TextAnalysis.langIdOracle,
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "token_fertility" -> TextAnalysis.tokenFertilityOracle,
+    "quality_drift" -> TextAnalysis.qualityDriftOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
@@ -439,6 +454,7 @@ ORDER BY event_id"""
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
+    "dedup_clusters_incr" -> Clustering.dedupClustersOracle,
     "cluster_sizes" -> Clustering.clusterSizesOracle,
     "cluster_canonical" -> Clustering.clusterCanonicalOracle,
     "knn_graph" -> Embeddings.knnGraphOracle,

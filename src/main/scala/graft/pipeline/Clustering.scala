@@ -119,6 +119,64 @@ object Clustering {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Incremental duplicate clusters — fold a BATCH of new near-dup
+   *  pairs into an existing labeling WITHOUT re-propagating over the
+   *  old edge list (the sixth incremental family member, and the one
+   *  that closes the loop: the incremental pair detectors
+   *  (`dedup_*_incr`) emit exactly the batch-touching pairs this
+   *  consumes). The old graph never re-enters the computation:
+   *  each batch pair's endpoints CONTRACT to their prior cluster
+   *  label (one join against the label frame; prior components are
+   *  single nodes afterwards, so intra-cluster pairs become dropped
+   *  self-loops), components run over that batch-sized contracted
+   *  edge list, and the new labels map back over the prior frame with
+   *  one label-keyed join. Per-call cost tracks the BATCH pair count
+   *  + the label-frame joins — old edges are never read, and
+   *  untouched clusters pass through the left join unchanged.
+   *
+   *  Exactness: a prior label is the min doc_id of a sub-component of
+   *  the grown graph, so propagating minima over {prior labels} ∪
+   *  {new node ids} yields exactly the grown graph's component
+   *  minima — the output is BIT-IDENTICAL to [[dedupClusters]] over
+   *  the full pair set (the oracle IS the full-run closure chain).
+   *
+   *  `priorLabels` = a [[connectedComponents]] output (doc_id, label)
+   *  — or [[dedupClusters]] output reshaped; `batchPairs` = any
+   *  near-dup (doc_a, doc_b) frame touching the batch. */
+  def dedupClustersIncremental(priorLabels: DataFrame,
+                               batchPairs: DataFrame,
+                               reliable: Boolean = false): DataFrame = {
+    val m = priorLabels.select("doc_id", "label")
+    val contracted = batchPairs
+      .join(m.select(col("doc_id").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"), "left")
+      .join(m.select(col("doc_id").as("doc_b"), col("label").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val cc = connectedComponents(contracted, reliable = reliable)
+      .select(col("doc_id").as("old_label"), col("label").as("new_label"))
+    val priorMapped = m
+      .join(cc, m("label") === cc("old_label"), "left")
+      .select(m("doc_id"),
+        coalesce(col("new_label"), m("label")).as("label"))
+    val newNodes = batchPairs.select(col("doc_a").as("doc_id"))
+      .union(batchPairs.select(col("doc_b").as("doc_id"))).distinct()
+      .join(m, Seq("doc_id"), "left_anti")
+    val newMapped = newNodes
+      .join(cc, newNodes("doc_id") === cc("old_label"), "left")
+      .select(newNodes("doc_id"),
+        coalesce(col("new_label"), newNodes("doc_id")).as("label"))
+    val comp = priorMapped.union(newMapped)
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("doc_id"),
+        col("cluster_size"),
+        when(col("doc_id") === col("label"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Cluster-size histogram — the shape of the duplication problem in
    *  one small frame: how many clusters of each size exist and how
    *  many docs a component-level dedup pass would remove from each

@@ -44,6 +44,68 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY doc_id"""
 
+  /** Per-source quality DRIFT over ingestion order — the
+   *  crawl-went-bad detector: a source whose recent deciles score
+   *  below its own mean is degrading (paywall rot, template change,
+   *  spam flood) and should be re-crawled or time-truncated, which a
+   *  whole-source mean ([[qualityScore]] aggregated) can never show.
+   *  Per (source, ingestion decile): doc count, mean quality, the
+   *  source's overall mean, and the decile's signed drift from it.
+   *  Exactness discipline: per-doc quality (the shared [[qualityCol]]
+   *  — one definition with `quality_score`/`quality_sweep`, no drift)
+   *  quantizes to integer MILLI units per doc (a deterministic scalar
+   *  op, identical in both engines), so every aggregate is an integer
+   *  SUM — exact under any aggregation order; means are final
+   *  divisions. One map-side-combining agg to |sources|×10 cells; the
+   *  source-mean windows run over that bounded cell frame only. */
+  def qualityDrift(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val perDoc = docs.crossJoin(broadcast(maxId))
+      .select(col("source"),
+        expr(s"doc_id * $buckets div (max_id + 1)").as("bucket"),
+        floor(qualityCol * lit(1000) + lit(0.5)).cast("long").as("qmilli"))
+    val cells = perDoc.groupBy("source", "bucket").agg(
+      count(lit(1)).as("n_docs"), sum("qmilli").as("qsum"))
+    val srcW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    cells
+      .withColumn("src_docs", sum("n_docs").over(srcW))
+      .withColumn("src_qsum", sum("qsum").over(srcW))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        r4(col("qsum") * lit(1.0) / (col("n_docs") * lit(1000.0)))
+          .as("mean_quality"),
+        r4(col("src_qsum") * lit(1.0) / (col("src_docs") * lit(1000.0)))
+          .as("source_mean"),
+        r4(col("qsum") * lit(1.0) / (col("n_docs") * lit(1000.0))
+          - col("src_qsum") * lit(1.0) / (col("src_docs") * lit(1000.0)))
+          .as("drift"))
+      .orderBy("source", "bucket")
+  }
+
+  // lazy: interpolates qualitySqlExpr, declared further down the object
+  lazy val qualityDriftOracle: String = s"""
+WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+pd AS (
+  SELECT source, (doc_id * 10) // (max_id + 1) AS bucket,
+         CAST(FLOOR(($qualitySqlExpr) * 1000 + 0.5) AS BIGINT) AS qmilli
+  FROM documents CROSS JOIN m),
+cells AS (
+  SELECT source, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(qmilli) AS BIGINT) AS qsum
+  FROM pd GROUP BY source, bucket),
+w AS (
+  SELECT source, bucket, n_docs, qsum,
+         CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+         CAST(SUM(qsum) OVER (PARTITION BY source) AS BIGINT) AS src_qsum
+  FROM cells)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs,
+       FLOOR((qsum * 1.0 / (n_docs * 1000.0)) * 10000.0 + 0.5) / 10000.0 AS mean_quality,
+       FLOOR((src_qsum * 1.0 / (src_docs * 1000.0)) * 10000.0 + 0.5) / 10000.0 AS source_mean,
+       FLOOR((qsum * 1.0 / (n_docs * 1000.0)
+              - src_qsum * 1.0 / (src_docs * 1000.0)) * 10000.0 + 0.5) / 10000.0 AS drift
+FROM w
+ORDER BY source, bucket"""
+
   /** Per-language tokenizer-cost profile ("fertility" in the
    *  multilingual-tokenizer sense: how many subword tokens a unit of
    *  raw data costs per language) — the conversion table between
