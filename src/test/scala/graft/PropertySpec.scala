@@ -107,6 +107,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental clusters are bit-identical to the full run on random graphs and random splits") {
+    import graft.pipeline.Clustering
+    for (seed <- 1L to 5L) {
+      val edges = sample(Gen.listOfN(30,
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))), seed)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // random split: "old" edges are those whose BOTH endpoints fall
+      // outside a randomly chosen arriving residue class
+      val mod = 2 + (seed % 3)
+      val (oldE, batchE) = edges.partition {
+        case (a, b) => a % mod != 0 && b % mod != 0
+      }
+      val full = Clustering
+        .dedupClusters(null, precomputedPairs =
+          Some(edges.toDF("doc_a", "doc_b")))
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          r.getLong(3))).toSet
+      val prior = Clustering.connectedComponents(
+        if (oldE.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else oldE.toDF("doc_a", "doc_b"))
+      val incr = Clustering
+        .dedupClustersIncremental(prior,
+          if (batchE.isEmpty)
+            Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+          else batchE.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(incr === full, s"seed=$seed mod=$mod")
+    }
+  }
+
   test("cluster-size histogram is consistent with the cluster rows on random graphs") {
     import graft.pipeline.Clustering
     val docs = (0L to 15L).map(i => (i, s"doc $i", "en", "s0", 6L))
