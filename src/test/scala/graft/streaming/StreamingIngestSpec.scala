@@ -668,6 +668,53 @@ class StreamingIngestSpec extends SparkSpec {
     assert(after === fresh)
   }
 
+  test("streaming clusters: per-trigger label folds equal full CC; untouched clusters append nothing") {
+    import spark.implicits._
+    val root = tmpDir("clusters-stream")
+    val labels = root + "/labels"
+    def currentLabels: Map[Long, Long] =
+      StreamingClusters.readLabels(spark, labels)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fullCC(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.pipeline.Clustering
+        .connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // trigger 1: two separate clusters {1,2} and {10,11}
+    val b1 = Seq((1L, 2L), (10L, 11L))
+    StreamingClusters.processPairs(b1.toDF("doc_a", "doc_b"), 1L, labels)
+    assert(currentLabels === fullCC(b1))
+    // trigger 2: new doc 20 joins {10,11}; cluster {1,2} untouched —
+    // the delta must contain NO rows for 1 or 2
+    val b2 = Seq((11L, 20L))
+    StreamingClusters.processPairs(b2.toDF("doc_a", "doc_b"), 2L, labels)
+    assert(currentLabels === fullCC(b1 ++ b2))
+    val delta2 = spark.read.parquet(labels)
+      .filter(col("batch_id") === 2L).collect().map(_.getLong(0)).toSet
+    assert(delta2 === Set(20L), delta2)
+    // trigger 3: a bridge pair MERGES the two clusters — members of the
+    // higher-labeled cluster (10, 11, 20) relabel to 1; 1 and 2 keep
+    // their label and append nothing
+    val b3 = Seq((2L, 10L))
+    StreamingClusters.processPairs(b3.toDF("doc_a", "doc_b"), 3L, labels)
+    val after3 = currentLabels
+    assert(after3 === fullCC(b1 ++ b2 ++ b3))
+    assert(after3.values.toSet === Set(1L))
+    val delta3 = spark.read.parquet(labels)
+      .filter(col("batch_id") === 3L).collect().map(_.getLong(0)).toSet
+    assert(delta3 === Set(10L, 11L, 20L), delta3)
+    // replay tolerance: re-running trigger 3 recomputes an EMPTY delta
+    // (labels already folded) — state unchanged
+    val rowsBefore = spark.read.parquet(labels).count()
+    StreamingClusters.processPairs(b3.toDF("doc_a", "doc_b"), 3L, labels)
+    assert(spark.read.parquet(labels).count() === rowsBefore)
+    assert(currentLabels === after3)
+    // compaction folds to one row per doc, same labeling
+    StreamingClusters.compactState(spark, labels)
+    val compacted = spark.read.parquet(labels)
+    assert(compacted.count() === after3.size)
+    assert(currentLabels === after3)
+  }
+
   test("streaming decontamination admits only benchmark-clean docs; state never grows") {
     import spark.implicits._
     val root = tmpDir("decon-stream")
