@@ -61,13 +61,35 @@ object StreamingClusters {
 
   /** Fold one micro-batch's near-dup pairs (any pair-emitting
    *  trigger's output: (doc_a, doc_b), batch-touching) into the label
-   *  store. Appends ONLY changed/new labels, stamped `batchId`. */
+   *  store. Appends ONLY changed/new labels, stamped `batchId`.
+   *
+   *  The fold is TOUCHED-ONLY: the full-store `max_by` fold
+   *  ([[readLabels]]) is a corpus-sized shuffle, so a trigger never
+   *  runs it — it folds (a) the batch pairs' endpoints (one semi-join
+   *  against the store, shuffle bounded by endpoint rows) and (b) the
+   *  members of the clusters those endpoints belong to (one
+   *  label-keyed semi-join; stale delta rows over-select harmlessly —
+   *  their docs fold to their true current label and filter out as
+   *  unchanged). Untouched clusters enter no join and no shuffle; the
+   *  only O(state) term is the delta store's columnar scan, the same
+   *  bound every family member documents. */
   def processPairs(batchPairs: DataFrame, batchId: Long,
                    labelDir: String): Unit = {
     val spark = batchPairs.sparkSession
-    val prior = readLabels(spark, labelDir).cache()
-    val next = Clustering
-      .dedupClustersIncremental(prior, batchPairs.select("doc_a", "doc_b"))
+    val store = readOrEmpty(spark, labelDir)
+    val pairs = batchPairs.select("doc_a", "doc_b").cache()
+    val ends = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val endLabels = store.join(ends, "doc_id")
+      .groupBy("doc_id").agg(expr("max_by(label, batch_id)").as("label"))
+    val touchedLabelVals = endLabels.select("label").distinct()
+    val memberIds = store.join(touchedLabelVals, "label")
+      .select("doc_id").distinct()
+    val touched = ends.union(memberIds).distinct()
+    val prior = store.join(touched, "doc_id")
+      .groupBy("doc_id").agg(expr("max_by(label, batch_id)").as("label"))
+      .cache()
+    val next = Clustering.dedupClustersIncremental(prior, pairs)
       .select(col("doc_id"), col("cluster_id").as("label"))
     val delta = next.join(prior.withColumnRenamed("label", "old_label"),
         Seq("doc_id"), "left")
@@ -75,6 +97,7 @@ object StreamingClusters {
       .select(col("doc_id"), col("label"), lit(batchId).as("batch_id"))
     delta.write.mode("append").parquet(labelDir)
     prior.unpersist()
+    pairs.unpersist()
   }
 
   /** Offline state maintenance: fold to one row per doc and rewrite
