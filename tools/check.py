@@ -25,6 +25,13 @@ def norm(df):
 
 def main():
     con = duckdb.connect()
+    # the heaviest oracles (knn_pagerank's pair-dot chain at sf0.1) spill
+    # >80G to temp disk under DuckDB's default memory limit and die on
+    # machines with bounded /; keep them in RAM on the 128G test box
+    try:
+        con.execute("PRAGMA memory_limit='100GB'")
+    except Exception:
+        pass
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
