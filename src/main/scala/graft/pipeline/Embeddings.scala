@@ -1244,44 +1244,45 @@ ORDER BY r.vec_id"""
     val pairs = qv
       .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
       .select(col("i"), col("qi"), posexplode(col("qarr")).as(Seq("j", "qj")))
-    val gram = pairs.groupBy("i", "j")
-      .agg(sum(col("qi") * col("qj")).as("g")).cache()
-    val gShift = gram.agg(
-      greatest(length(bin(max(abs(col("g"))))) - lit(30), lit(0)).as("s"))
-    val gsc = gram.crossJoin(broadcast(gShift))
-      .select(col("i"), col("j"), expr(
-        """CASE WHEN g < 0
-           THEN -((-g) div shiftleft(CAST(1 AS BIGINT), s))
-           ELSE g div shiftleft(CAST(1 AS BIGINT), s) END""").as("g"))
-      .cache()
-    var v = (0 until Dims).map(j => (j.toLong, 1048576L))
-      .toDF("j", "v")
+    // The Gram matrix is d² rows — bounded by DIMENSION, independent of
+    // corpus size — so it collects (the same bounded-driver-work class
+    // as the CC convergence count), and the power iterations run as
+    // driver scalar arithmetic: distributing 4 iterations of 64-row
+    // matrix-vector products costs ~15 scheduler stages for bytes of
+    // data (measured 6.9 s at sf0.1, ~0.5 s of it compute). The
+    // distributed work is exactly the two corpus passes (Gram, mean).
+    val gramRows = pairs.groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("g")).collect()
+    val g = Array.ofDim[Long](Dims, Dims)
+    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // bitlen/shift/sign-split identical to the oracle's
+    // length(bin(x)) / (1 << s) / -((-x) // p) spelling
+    def bitlen(x: Long): Int =
+      if (x == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def sdiv(x: Long, p: Long): Long = if (x < 0) -((-x) / p) else x / p
+    val gmax = g.iterator.flatMap(_.iterator).map(math.abs).max
+    val s = math.max(bitlen(gmax) - 30, 0)
+    val gs = g.map(_.map(sdiv(_, 1L << s)))
+    var v = Array.fill(Dims)(1048576L)
     for (_ <- 1 to iters) {
-      val y = gsc.join(broadcast(v), "j")
-        .groupBy("i").agg(sum(col("g") * col("v")).as("y"))
-      val yShift = y.agg(
-        greatest(length(bin(max(abs(col("y"))))) - lit(20), lit(0)).as("t"))
-      v = y.crossJoin(broadcast(yShift))
-        .select(col("i").as("j"), expr(
-          """CASE WHEN y < 0
-             THEN -((-y) div shiftleft(CAST(1 AS BIGINT), t))
-             ELSE y div shiftleft(CAST(1 AS BIGINT), t) END""").as("v"))
+      val y = Array.tabulate(Dims)(i =>
+        (0 until Dims).map(j => gs(i)(j) * v(j)).sum)
+      val t = math.max(bitlen(y.iterator.map(math.abs).max) - 20, 0)
+      v = y.map(sdiv(_, 1L << t))
     }
-    val diag = gram.filter(col("i") === col("j"))
-      .select(col("i").as("dim"), col("g").as("gram_diag"))
-    val trace = diag.agg(sum("gram_diag").as("tr"))
+    val trace = (0 until Dims).map(i => g(i)(i)).sum
+    val local = (0 until Dims).map { i =>
+      (i.toLong, g(i)(i), (g(i)(i) * 1000000L) / math.max(trace, 1L), v(i))
+    }.toDF("dim", "gram_diag", "var_share_ppm", "loading")
     val mean = qv
       .select(posexplode(col("qarr")).as(Seq("dim", "q")))
       .groupBy("dim").agg(sum("q").as("sq"), count(lit(1)).as("n"))
-    diag
-      .crossJoin(broadcast(trace))
-      .join(broadcast(mean), "dim")
-      .join(broadcast(v.withColumnRenamed("j", "dim")), "dim")
-      .select(col("dim").cast("long").as("dim"), col("gram_diag"),
-        expr("(gram_diag * 1000000) div GREATEST(tr, 1)").as("var_share_ppm"),
+      .select(col("dim").cast("long").as("dim"),
         expr("CASE WHEN sq < 0 THEN -((-sq) div n) ELSE sq div n END")
-          .as("mean_milli"),
-        col("v").as("loading"))
+          .as("mean_milli"))
+    mean.join(broadcast(local), "dim")
+      .select(col("dim"), col("gram_diag"), col("var_share_ppm"),
+        col("mean_milli"), col("loading"))
       .orderBy("dim")
   }
 

@@ -724,16 +724,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("principal direction: in-row d^2 fan-out to ONE corpus-pass Gram agg; iterations join broadcast") {
+  test("principal direction: in-row fan-out passes, broadcast loading join, no corpus self-join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the d²-row Gram pass collects eagerly (bounded by dimension);
+    // the returned plan is the mean pass + the broadcast join of the
+    // 64-row driver-computed loadings — no sort-merge join, no
+    // cartesian, no self-join of the corpus anywhere
     val p = plan(graft.pipeline.Embeddings.principalDirection(emb))
-    // the 64x64 fan-out must be generators in-row (no self-join of the
-    // corpus on vec_id), and every join in the plan is broadcast
-    // (4096-row Gram frame, 64-row vector, one-row shift scalars)
-    assert("Generate posexplode".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Generate posexplode"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("ShuffledHashJoin"), p)
   }
 
   test("diversity sample: broadcast assignment, cell-partitioned rank window, no cartesian") {
