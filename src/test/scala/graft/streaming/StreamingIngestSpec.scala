@@ -588,6 +588,63 @@ class StreamingIngestSpec extends SparkSpec {
     assert(!pairs2.exists(p => p._1 == 10L || p._2 == 10L))
   }
 
+  test("end-to-end streaming curation: exact gate -> decontamination -> near-dup -> cluster folds") {
+    import spark.implicits._
+    // the full ingest-time curation chain, all four stages inside ONE
+    // trigger, each consuming only the previous stage's survivors:
+    // verbatim copies die at the hash gate (never pay shingling),
+    // benchmark-contaminated docs die at the static-store gate (never
+    // reach the corpus), near-dup pairs feed the incremental label
+    // fold — so at any moment the corpus store + labels are a curated,
+    // clustered snapshot
+    val root = tmpDir("e2e-curation")
+    val xstore = root + "/exact"
+    val benchSh = root + "/bench_shingles"
+    val store = root + "/corpus"
+    val labels = root + "/labels"
+    graft.pipeline.Dedup.writeShingleStore(
+      Seq((9000L, "secret eval question about ducks crossing frozen lakes quickly"))
+        .toDF("doc_id", "text"), benchSh)
+    def trigger(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      StreamingExactDedup.processBatch(b, id, xstore,
+        xstore + "_hashes", xstore + "_bloom",
+        graft.pipeline.Dedup.BloomBits, graft.pipeline.Dedup.BloomProbes)
+      val afterExact = b.join(
+        spark.read.parquet(xstore).select("doc_id"), "doc_id")
+      StreamingDecontamination.processBatch(afterExact, id,
+        root + "/clean", root + "/contamination_ledger", benchSh, 0.3)
+      val afterDecon = afterExact.join(
+        spark.read.parquet(root + "/clean").select("doc_id"), "doc_id")
+      StreamingDedup.processBatch(afterDecon, id, store, root + "/pairs",
+        store + "_shingles", store + "_gramdf", 5L, 0.2)
+      val pairs = spark.read.parquet(root + "/pairs")
+        .filter(col("batch_id") === id).select("doc_a", "doc_b")
+      StreamingClusters.processPairs(pairs, id, labels)
+    }
+    trigger(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a page quoting the secret eval question about ducks crossing frozen lakes quickly verbatim"),
+      (3L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text"), 0L)
+    // 1 died at exact, 2 died at decontamination, 0 and 3 curated
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 3L))
+    assert(spark.read.parquet(root + "/contamination_ledger")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    trigger(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text"), 1L)
+    // 10 is a near-dup of stored 0: rejected from the corpus store but
+    // its pair feeds the label fold -> cluster {0, 10} with survivor 0
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 3L, 11L))
+    val lab = StreamingClusters.readLabels(spark, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(0L -> 0L, 10L -> 0L), lab)
+  }
+
   test("watermarked live aggregate plans with bounded state") {
     val logs = tmpDir("stream-agg")
     EventLogFixture.writeLogs(logs, Seq("app-w1"))
