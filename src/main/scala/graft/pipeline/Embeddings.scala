@@ -1809,8 +1809,9 @@ ORDER BY p.m"""
     pqScore(pairs, qq, qv, numCodes, subDims, k)
   }
 
-  val annPqOracle: String = """
-WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+  /** The PQ chain through the ADC ranking — shared by [[annPqOracle]]
+   *  and [[pqRecallOracle]] so the two can never drift. */
+  private lazy val pqRankCte: String = """dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
@@ -1849,7 +1850,9 @@ ranked AS (
            ORDER BY a.adc_dot / (sqrt(nq.nq) * sqrt(nv.nq)) DESC, a.vec_id) AS rk
   FROM adc a
   JOIN nr nq ON a.query_id = nq.vec_id
-  JOIN nr nv ON a.vec_id = nv.vec_id),
+  JOIN nr nv ON a.vec_id = nv.vec_id)"""
+
+  val annPqOracle: String = "WITH " + pqRankCte + """,
 exact AS (
   SELECT r.query_id, r.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM ranked r
@@ -1866,6 +1869,60 @@ JOIN nr na ON r.query_id = na.vec_id
 JOIN nr nb ON r.vec_id = nb.vec_id
 WHERE r.rk <= 10
 ORDER BY r.query_id, rank"""
+
+  /** PQ-path recall evaluation — completes the "measure, don't guess"
+   *  family across all three ANN serving paths: [[annRecall]] covers
+   *  the LSH path, [[ivfProbeSweep]] the IVF path, this the PQ path.
+   *  Per query: how much of the exact cosine top-k ([[annTopK]]) the
+   *  ADC-ranked [[annPq]] top-k recovers — the codebook-quality
+   *  readout to watch next to [[pqDistortion]] before trusting PQ
+   *  scores at scale (distortion says how lossy the codes are; recall
+   *  says whether that loss actually reorders the answers). Bounded
+   *  query sample by the same brute-force-truth contract as the other
+   *  two; integer hit counts, one final division. */
+  def pqRecall(emb: DataFrame, queries: DataFrame, k: Int = 10,
+               numCodes: Int = 16, subDims: Int = 8): DataFrame = {
+    val hits = annPq(emb, queries, k, numCodes, subDims)
+      .select("query_id", "vec_id")
+    val truth = annTopK(emb, queries, k).select("query_id", "vec_id")
+    truth
+      .join(hits.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id").agg(
+        sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("truth_n"))
+      .select(col("query_id"), col("hits"), col("truth_n"),
+        r4(col("hits") * lit(1.0) / col("truth_n")).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** Shares [[pqRankCte]] (the whole PQ chain, so the scored path can
+   *  never drift from `ann_pq`'s) and the brute-force truth CTE the
+   *  other recall oracles use. */
+  lazy val pqRecallOracle: String = "WITH " + pqRankCte + """,
+hits AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 10),
+tdots AS (
+  SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
+  FROM qv qs JOIN qv v ON qs.i = v.i
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  GROUP BY qs.vec_id, v.vec_id),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT d.query_id, d.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+    FROM tdots d
+    JOIN nr na ON d.query_id = na.vec_id
+    JOIN nr nb ON d.vec_id = nb.vec_id)
+  WHERE rk <= 10)
+SELECT t.query_id,
+       CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS truth_n,
+       FLOOR((SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+              / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+FROM truth t LEFT JOIN hits h
+  ON t.query_id = h.query_id AND t.vec_id = h.vec_id
+GROUP BY t.query_id
+ORDER BY t.query_id"""
 
   /** [[annIvfPq]]'s mirror: the shared IVF assignment chain restricts
    *  the ADC join to probed-list candidates; the PQ chain is the
