@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
  *
  * Scale note: near-dup graphs at 100 TB have HUGE components
  * (boilerplate cliques) but TINY diameters — cliques converge in one
- * round, chains are rare and short. If an adversarial long-chain
- * graph ever matters, the O(log n)-round alternating large-star /
- * small-star formulation (Kiveris et al., "Connected Components in
- * MapReduce and Beyond") drops in behind the same signature; min-label
- * propagation is the right default because its per-round cost is one
- * partial-aggregated groupBy — no edge-list rewriting.
+ * round, chains are rare and short. For an adversarial long-chain
+ * graph, [[connectedComponentsStar]] (the O(log n)-round alternating
+ * large-star / small-star formulation, Kiveris et al.) drops in with
+ * the same output; min-label propagation is the right default because
+ * its per-round cost is one partial-aggregated groupBy — no edge-list
+ * rewriting.
  *
  * The convergence check (`changed` count) is one action per round on
  * the label frame — bounded by |nodes-in-pairs|, never the corpus.
@@ -117,6 +117,84 @@ object Clustering {
         col("cluster_size"),
         when(col("doc_id") === col("label"), 1L).otherwise(0L).as("is_survivor"))
       .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+   *  rounds (Kiveris et al., "Connected Components in MapReduce and
+   *  Beyond", SoCC 2014) — the O(log n)-round alternative the
+   *  [[connectedComponents]] header names for adversarial
+   *  long-diameter graphs: min-label propagation needs
+   *  diameter-many rounds (a 1000-link chain = 1000 shuffles), star
+   *  contraction collapses any graph in O(log n) alternations.
+   *  Per round each operation is one partial-aggregated groupBy +
+   *  one join, the same per-round cost shape as propagation — the
+   *  trade is MORE work per round (edge-list rewriting) for
+   *  exponentially fewer rounds.
+   *
+   *  large-star: every neighbor v > u re-points to min(Γ⁺(u));
+   *  small-star: every neighbor v ≤ u (plus u) points to min(Γ⁺(u))
+   *  over the small-oriented edges. Fixpoint = star graphs centered
+   *  at component minima; labels read off the final edges. Output is
+   *  identical to [[connectedComponents]] (property-tested, including
+   *  path graphs far beyond propagation's round budget). Convergence
+   *  check: (count, xxhash64 checksum) of the canonical edge set —
+   *  one cheap aggregate per round. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30,
+                              reliable: Boolean = false): DataFrame = {
+    def persist(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    var edges = persist(
+      pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct()
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free under ANSI arithmetic
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized neighborhood
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star over the to-smaller orientation (v < u by canon)
+      val dir = canonical(ls)
+        .select(col("v").as("u"), col("u").as("v")) // u = larger end
+      val sMins = dir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ss = dir.join(sMins, "u")
+        .select(col("v").as("c"), col("m"))
+        .union(dir.join(sMins, "u").select(col("u").as("c"), col("m")))
+        .filter(col("c") =!= col("m"))
+        .select(col("c").as("u"), col("m").as("v"))
+      val next = persist(canonical(ss))
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are (member, center) stars with center = component
+    // min; centers label themselves
+    val members = edges.select(greatest(col("u"), col("v")).as("doc_id"),
+      least(col("u"), col("v")).as("label"))
+    val centers = edges.select(least(col("u"), col("v")).as("doc_id"))
+      .distinct().withColumn("label", col("doc_id"))
+    members.union(centers).distinct()
   }
 
   /** Incremental duplicate clusters — fold a BATCH of new near-dup

@@ -107,6 +107,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC equals propagation CC on random graphs and a long chain") {
+    import graft.pipeline.Clustering
+    for (seed <- 1L to 5L) {
+      val edges = sample(Gen.listOfN(30,
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))), seed)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val prop = Clustering.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Clustering.connectedComponentsStar(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"seed=$seed")
+    }
+    // a 60-node path: diameter 59 — propagation's worst case (its
+    // doubled passes need ~15 checkpointed rounds); star contraction
+    // must converge inside its default 30-round budget with room to
+    // spare, and still produce the same labeling
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val prop = Clustering.connectedComponents(
+      chain.toDF("doc_a", "doc_b"), maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Clustering.connectedComponentsStar(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star.values.toSet === Set(0L))
+  }
+
   test("incremental clusters are bit-identical to the full run on random graphs and random splits") {
     import graft.pipeline.Clustering
     for (seed <- 1L to 5L) {
