@@ -107,6 +107,9 @@ ORDER BY event_id"""
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(docs(s, d))),
     "winnow_overlap" -> ((s, d) => TextAnalysis.winnowOverlap(docs(s, d))),
+    "winnow_overlap_incr" -> ((s, d) => TextAnalysis.winnowOverlapIncremental(
+      docs(s, d).filter(col("doc_id") < 400),
+      docs(s, d).filter(col("doc_id") >= 400))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
@@ -397,6 +400,7 @@ ORDER BY event_id"""
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracle,
     "winnow_overlap" -> TextAnalysis.winnowOverlapOracle,
+    "winnow_overlap_incr" -> TextAnalysis.winnowOverlapIncrementalOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,

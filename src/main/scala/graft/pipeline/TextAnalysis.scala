@@ -580,6 +580,50 @@ SELECT doc_a, doc_b, shared_fps
 FROM p WHERE shared_fps >= 2
 ORDER BY doc_a, doc_b"""
 
+  /** Incremental winnowed passage-overlap (SEVENTH incremental family
+   *  member — the span-overlap twin of the pair detectors): a batch of
+   *  new docs is fingerprinted ([[winnowFingerprints]], batch-only
+   *  pass) and paired against the corpus FINGERPRINT frame — corpus
+   *  text is never re-read (fingerprints are per-document state, the
+   *  [[graft.pipeline.Dedup.dedupSimhashIncremental]] story at ~2/(w+1)
+   *  rows per gram). The df boilerplate cap is corpus+batch-wide (one
+   *  partial agg over the fp frames, no text), so the output is
+   *  BIT-IDENTICAL to the full [[winnowOverlap]] run restricted to
+   *  pairs with a batch endpoint; old-old pairs are never enumerated
+   *  (batch side of the join is batch fps only). `corpusFps` accepts a
+   *  persisted fingerprint store ([[winnowFingerprints]] output read
+   *  back); the canonicalize+distinct collapses the two orientations a
+   *  batch-batch pair generates. */
+  def winnowOverlapIncremental(corpus: DataFrame, batch: DataFrame,
+                               maxDf: Long = 5L, minShared: Long = 2L,
+                               corpusFps: Option[DataFrame] = None): DataFrame = {
+    val cf = corpusFps.getOrElse(winnowFingerprints(corpus))
+      .select("doc_id", "fp_hash").distinct()
+    val bf = winnowFingerprints(batch)
+      .select("doc_id", "fp_hash").distinct()
+    val all = cf.union(bf)
+    val rareHashes = all.groupBy("fp_hash").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf).select("fp_hash")
+    val rareAll = all.join(rareHashes, "fp_hash")
+    val rareBatch = bf.join(rareHashes, "fp_hash")
+    rareBatch.select(col("fp_hash"), col("doc_id").as("da"))
+      .join(rareAll.select(col("fp_hash"), col("doc_id").as("db")), "fp_hash")
+      .filter(col("da") =!= col("db"))
+      .select(col("fp_hash"), least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The [[winnowOverlapOracle]] chain verbatim, restricted to pairs
+   *  with a batch endpoint (harness split: batch = doc_id >= 400). */
+  val winnowOverlapIncrementalOracle: String =
+    winnowOverlapOracle.replace(
+      "FROM p WHERE shared_fps >= 2",
+      "FROM p WHERE shared_fps >= 2 AND (doc_a >= 400 OR doc_b >= 400)")
+
   /** Top-k distinctive terms per doc, ranked tf/df descending (the
    *  classic tf-idf shape with a rational idf — no logs, so the score
    *  is an exact ratio of integers and the ordering is engine-exact;
