@@ -312,6 +312,7 @@ ORDER BY event_id"""
     "emb_principal" -> ((s, d) => Embeddings.principalDirection(emb(s, d))),
     "diversity_sample" -> ((s, d) => Embeddings.diversitySample(emb(s, d))),
     "pq_recall" -> ((s, d) => Embeddings.pqRecall(emb(s, d), annQueries(s, d))),
+    "topic_purity" -> ((s, d) => Embeddings.topicPurity(docs(s, d), emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
     "lexical_vs_embedding" -> ((s, d) =>
       Embeddings.lexicalVsEmbedding(docs(s, d), emb(s, d))),
@@ -475,6 +476,7 @@ ORDER BY event_id"""
     "emb_principal" -> Embeddings.principalDirectionOracle,
     "diversity_sample" -> Embeddings.diversitySampleOracle,
     "pq_recall" -> Embeddings.pqRecallOracle,
+    "topic_purity" -> Embeddings.topicPurityOracle,
     "topic_clusters" -> Embeddings.topicClustersOracle,
     "lexical_vs_embedding" -> Embeddings.lexicalVsEmbeddingOracle,
     "split_leakage" -> Sampling.splitLeakageOracle,

@@ -1207,6 +1207,50 @@ FROM ranked r JOIN cell_n c ON r.cent_id = c.cent_id
 WHERE r.rk <= GREATEST(1, (c.cell_n * 25) // 100)
 ORDER BY r.vec_id"""
 
+  /** Semantic-cell × language composition — is the embedding space
+   *  language-STRATIFIED? If IVF cells are language-pure, "semantic"
+   *  clustering is mostly re-discovering language identity and every
+   *  cross-lingual near-dup ([[dedupSemantic]] on translated
+   *  boilerplate) is invisible to it; mixed cells mean the space
+   *  actually encodes topic across languages. The readout that
+   *  decides whether embedding dedup complements or merely duplicates
+   *  `lang_id`-conditioned lexical dedup. Per (cell, lang): docs,
+   *  within-cell share; cells with no covered doc don't appear (see
+   *  [[embeddingCoverage]] for the blind-spot accounting). Shape: the
+   *  shared broadcast-K assignment, one doc_id-keyed join to labels,
+   *  one map-side agg to |cells|×|langs|, share window over that
+   *  bounded frame only. */
+  def topicPurity(docs: DataFrame, emb: DataFrame,
+                  numCentroids: Int = 32): DataFrame = {
+    val qv = quantized(emb)
+    val assigned = nearestCentroids(qv, hashCentroids(qv, numCentroids), 1)
+    val cells = assigned
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      .groupBy("cent_id", "lang").agg(count(lit(1)).as("n_docs"))
+    val cellW = Window.partitionBy("cent_id")
+    cells
+      .withColumn("cell_docs", sum("n_docs").over(cellW))
+      .select(col("cent_id"), col("lang"), col("n_docs"), col("cell_docs"),
+        r4(col("n_docs") * lit(1.0) / col("cell_docs")).as("lang_share"))
+      .orderBy("cent_id", "lang")
+  }
+
+  /** Shares [[ivfAssignCte]]; the share window runs over the
+   *  cell-frame aggregate only. */
+  val topicPurityOracle: String = "WITH " + ivfAssignCte + """,
+cells AS (
+  SELECT a.cent_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+  GROUP BY a.cent_id, d.lang),
+w AS (
+  SELECT cent_id, lang, n_docs,
+         CAST(SUM(n_docs) OVER (PARTITION BY cent_id) AS BIGINT) AS cell_docs
+  FROM cells)
+SELECT cent_id, lang, n_docs, cell_docs,
+       FLOOR((n_docs * 1.0 / cell_docs) * 10000.0 + 0.5) / 10000.0 AS lang_share
+FROM w
+ORDER BY cent_id, lang"""
+
   /** Corpus-wide dominant embedding direction by fixed-point POWER
    *  ITERATION over the integer Gram matrix — the anisotropy readout
    *  (Ethayarajh 2019; Mu & Viswanath 2018 "all-but-the-top") that
