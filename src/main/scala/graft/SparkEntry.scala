@@ -182,6 +182,7 @@ ORDER BY event_id"""
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(docs(s, d))),
     "dup_source_matrix" -> ((s, d) => Dedup.dupSourceMatrix(docs(s, d))),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(docs(s, d))),
+    "dedup_pair_venn" -> ((s, d) => Dedup.dedupPairVenn(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -446,6 +447,7 @@ ORDER BY event_id"""
     "dedup_containment" -> Dedup.dedupContainmentOracle,
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "source_overlap" -> Dedup.sourceOverlapSketchOracle,
+    "dedup_pair_venn" -> Dedup.dedupPairVennOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle,

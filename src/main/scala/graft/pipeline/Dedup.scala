@@ -521,6 +521,143 @@ JOIN per_source pa ON p.source_a = pa.source
 JOIN per_source pb ON p.source_b = pb.source
 ORDER BY p.source_a, p.source_b"""
 
+  /** Detector-agreement matrix: pairwise Jaccard between the PAIR SETS
+   *  the three near-dup families emit (n-gram rarity blocking, MinHash
+   *  LSH, SimHash bands) — the evidence behind "which detector(s) do
+   *  we run at 100 TB": high agreement means one family suffices
+   *  (run the cheapest), low agreement means the families see
+   *  different duplication (union them and cluster). Per detector
+   *  pair: each side's pair count, the common pairs, and
+   *  common/(a+b−common). Shape: the three detectors share ONE
+   *  shingle frame (the [[writeShingleStore]] reuse story), the venn
+   *  rollup runs at PAIR cardinality (orders of magnitude below the
+   *  corpus), and the 3-row detector frame joins broadcast. */
+  def dedupPairVenn(docs: DataFrame,
+                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    def tag(det: String, df: DataFrame) =
+      df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
+    val tagged = tag("ngram", dedupNgram(docs, precomputedShingles = Some(sh)))
+      .union(tag("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
+      .union(tag("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+      .cache()
+    val sizes = tagged.groupBy("det").agg(count(lit(1)).as("n"))
+    val common = tagged.select(col("det").as("det_a"), col("doc_a"), col("doc_b"))
+      .join(tagged.select(col("det").as("det_b"), col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"))
+      .filter(col("det_a") < col("det_b"))
+      .groupBy("det_a", "det_b").agg(count(lit(1)).as("common"))
+    val detPairs = Seq(("minhash", "ngram"), ("minhash", "simhash"),
+      ("ngram", "simhash")).toDF("det_a", "det_b")
+    detPairs
+      .join(broadcast(sizes.select(col("det").as("det_a"), col("n").as("pairs_a"))),
+        Seq("det_a"), "left")
+      .join(broadcast(sizes.select(col("det").as("det_b"), col("n").as("pairs_b"))),
+        Seq("det_b"), "left")
+      .join(common, Seq("det_a", "det_b"), "left")
+      .select(col("det_a"), col("det_b"),
+        coalesce(col("pairs_a"), lit(0L)).as("pairs_a"),
+        coalesce(col("pairs_b"), lit(0L)).as("pairs_b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .withColumn("agreement",
+        r4(col("common") * lit(1.0) /
+          greatest(col("pairs_a") + col("pairs_b") - col("common"), lit(1L))))
+      .orderBy("det_a", "det_b")
+  }
+
+  /** The three family chains composed in ONE statement over the shared
+   *  `shingle`/`shid` prefix, internals prefixed `ng_`/`mh_`/`sh_` to
+   *  avoid CTE collisions; each pair set is the family oracle's
+   *  arithmetic verbatim. */
+  val dedupPairVennOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
+ng_dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+ng_rare AS (SELECT gram FROM ng_dfreq WHERE df_cnt <= 5),
+ng_raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN ng_rare r ON s.gram = r.gram),
+ng_cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ng_raresh a JOIN ng_raresh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+ng_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+ng_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+ng_pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM ng_cands c
+  JOIN ng_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN ng_sizes sa ON c.doc_a = sa.doc_id
+  JOIN ng_sizes sb ON c.doc_b = sb.doc_id
+  WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2),
+mh_hashes AS (
+  SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
+  FROM (SELECT unnest(range(0, 16)) AS j)),
+mh_sig AS (
+  SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
+  FROM shid s CROSS JOIN mh_hashes h
+  GROUP BY s.doc_id, h.j),
+mh_bandsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS bsig
+  FROM mh_sig GROUP BY doc_id, j // 4),
+mh_cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh_bandsig a JOIN mh_bandsig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+mh_pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM mh_cands c
+  JOIN ng_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN ng_sizes sa ON c.doc_a = sa.doc_id
+  JOIN ng_sizes sb ON c.doc_b = sb.doc_id
+  WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2),
+sh_bits AS (
+  SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
+  FROM (SELECT unnest(range(0, 32)) AS b)),
+sh_persum AS (
+  SELECT s.doc_id, bt.b,
+         SUM(CASE WHEN ((bt.a * s.gid + bt.c) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS sm
+  FROM shid s CROSS JOIN sh_bits bt
+  GROUP BY s.doc_id, bt.b),
+sh_fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+  FROM sh_persum GROUP BY doc_id),
+sh_nib AS (
+  SELECT doc_id, fp, bd.band, (fp >> (8 * bd.band)) & 255 AS nib
+  FROM sh_fp, (SELECT unnest(range(0, 4)) AS band) bd),
+sh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh_nib a JOIN sh_nib b
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+tagged AS (
+  SELECT 'ngram' AS det, doc_a, doc_b FROM ng_pairs
+  UNION ALL SELECT 'minhash', doc_a, doc_b FROM mh_pairs
+  UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh_pairs),
+det_sizes AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS n FROM tagged GROUP BY det),
+det_common AS (
+  SELECT a.det AS det_a, b.det AS det_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM tagged a JOIN tagged b
+    ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.det < b.det
+  GROUP BY a.det, b.det),
+det_pairs(det_a, det_b) AS (
+  VALUES ('minhash', 'ngram'), ('minhash', 'simhash'), ('ngram', 'simhash'))
+SELECT p.det_a, p.det_b,
+       COALESCE(na.n, 0) AS pairs_a,
+       COALESCE(nb.n, 0) AS pairs_b,
+       COALESCE(c.common, 0) AS common,
+       FLOOR((COALESCE(c.common, 0) * 1.0 /
+              GREATEST(COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(c.common, 0), 1))
+             * 10000.0 + 0.5) / 10000.0 AS agreement
+FROM det_pairs p
+LEFT JOIN det_sizes na ON p.det_a = na.det
+LEFT JOIN det_sizes nb ON p.det_b = nb.det
+LEFT JOIN det_common c ON p.det_a = c.det_a AND p.det_b = c.det_b
+ORDER BY p.det_a, p.det_b"""
+
   /** Containment near-dup: pairs where the SMALLER document's shingle
    *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —
    *  which catches excerpts, quotes, and template-plus-payload pages
