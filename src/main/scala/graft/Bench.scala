@@ -176,6 +176,43 @@ object Bench {
         -1.0
       }
     }
+    /** Same measurement for the streaming CLUSTER fold: seed a label
+      * store of `seedN` docs (paired into 2-clusters), then time ONE
+      * processPairs of a fixed 1k-pair batch (each pair bridges one
+      * old cluster to one new doc). The fold is touched-only, so the
+      * quarter-vs-full gap can only come from the delta store's
+      * columnar scan. */
+    def streamingClusterTriggerOnce(seedN: Long): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        import org.apache.spark.sql.functions.{col, expr}
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-cstream-$seedN").toString
+        val labels = s"$base/labels"
+        spark.range(seedN)
+          .select(col("id").as("doc_id"),
+            expr("id - id % 2").as("label"),
+            expr("CAST(0 AS BIGINT)").as("batch_id"))
+          .write.mode("overwrite").parquet(labels)
+        val pairs = spark.range(1000)
+          .select(expr("id * 2").as("doc_a"),
+            (col("id") + seedN).as("doc_b"))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingClusters.processPairs(pairs, 1L, labels)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_cluster_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val runCStream = only.forall(s => s.exists(_.startsWith("stream_cluster_trigger")))
+    val cstreamRuns = if (runCStream) {
+      streamingClusterTriggerOnce(10000L) // absorb codegen/JIT
+      (0 until 3).map(_ =>
+        (streamingClusterTriggerOnce(100000L), streamingClusterTriggerOnce(400000L)))
+    } else Seq.empty
+
     val runStream = only.forall(s => s.exists(_.startsWith("stream_trigger")))
     val streamRuns = if (runStream) {
       streamingTriggerOnce(warmDir, 1.0) // absorb codegen/JIT
@@ -207,7 +244,10 @@ object Bench {
         "stream_trigger_full_corpus" -> medianOf(streamRuns.map(_._2))) else Seq.empty) ++
       (if (runXStream) Seq(
         "stream_exact_trigger_quarter_corpus" -> medianOf(xstreamRuns.map(_._1)),
-        "stream_exact_trigger_full_corpus" -> medianOf(xstreamRuns.map(_._2))) else Seq.empty)
+        "stream_exact_trigger_full_corpus" -> medianOf(xstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runCStream) Seq(
+        "stream_cluster_trigger_quarter_corpus" -> medianOf(cstreamRuns.map(_._1)),
+        "stream_cluster_trigger_full_corpus" -> medianOf(cstreamRuns.map(_._2))) else Seq.empty)
     def r3(x: Double): String =
       if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).filter(_ >= 0).sum
