@@ -88,6 +88,7 @@ ORDER BY event_id"""
     "cpu_util" -> ((s, d) => Trends.cpuUtil(canon(s, d))),
     "mem_usage" -> ((s, d) => Trends.memUsage(canon(s, d))),
     "capacity_trends" -> ((s, d) => Trends.capacityTrends(canon(s, d))),
+    "usage_heatmap" -> ((s, d) => Trends.usageHeatmap(canon(s, d))),
     "cross_app_summary" -> ((s, d) => CrossApp.crossAppSummary(canon(s, d))),
     "task_distribution" -> ((s, d) => CrossApp.taskDistribution(canon(s, d))),
     "executor_utilization" -> ((s, d) => CrossApp.executorUtilization(canon(s, d))),
@@ -383,6 +384,7 @@ ORDER BY event_id"""
     "cpu_util" -> Trends.cpuUtilOracle,
     "mem_usage" -> Trends.memUsageOracle,
     "capacity_trends" -> Trends.capacityTrendsOracle,
+    "usage_heatmap" -> Trends.usageHeatmapOracle,
     "cross_app_summary" -> CrossApp.crossAppSummaryOracle,
     "task_distribution" -> CrossApp.taskDistributionOracle,
     "executor_utilization" -> CrossApp.executorUtilizationOracle,

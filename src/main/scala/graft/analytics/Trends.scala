@@ -254,6 +254,40 @@ LIMIT 2000"""
       .orderBy(col("date").desc)
       .limit(limit)
 
+  /** Weekly usage heatmap: event volume, distinct apps, and task-time
+   *  mass per (day-of-week, hour-of-day) cell — the when-do-we-run
+   *  view capacity planning reads next to `capacity_trends`' daily
+   *  series (a flat daily total can hide a 9am Monday spike that sets
+   *  the real provisioning floor). Day-of-week is pure integer
+   *  arithmetic over epoch-micros — `(days_since_epoch + 4) % 7`,
+   *  0 = Sunday — because engine dow() functions disagree on week
+   *  origin (Spark 1=Sunday, DuckDB 0=Sunday) and the integer form is
+   *  identical everywhere. One map-side-combining aggregate to a
+   *  fixed 7×24 cell frame. */
+  def usageHeatmap(canon: DataFrame): DataFrame =
+    canon.select(
+        expr("(event_time_us div 86400000000 + 4) % 7").as("dow"),
+        expr("(event_time_us div 3600000000) % 24").as("hour"),
+        col("app_id"), col("duration_ms"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("app_id").as("n_apps"),
+        sum(coalesce(col("duration_ms"), lit(0L))).as("task_ms"))
+      .orderBy("dow", "hour")
+
+  val usageHeatmapOracle: String = canonCte + """
+, g AS (
+  SELECT (event_time_us // 86400000000 + 4) % 7 AS dow,
+         (event_time_us // 3600000000) % 24 AS hour,
+         app_id, duration_ms
+  FROM canon)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_apps,
+       CAST(SUM(COALESCE(duration_ms, 0)) AS BIGINT) AS task_ms
+FROM g GROUP BY dow, hour
+ORDER BY dow, hour"""
+
   val capacityTrendsOracle: String = canonCte + """
 , g AS (
   SELECT event_date AS date,
