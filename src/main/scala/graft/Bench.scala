@@ -262,8 +262,15 @@ object Bench {
     val spread = results.map { case (k, (_, lo, hi)) =>
       "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
+    // A SPARK_GRAFT_ONLY-filtered dev run must not clobber the last
+    // FULL-suite artifact: survey_numbers.py falls back to
+    // bench_local_last.json when the harness wrapper is unparsed, and
+    // a 2-query targeted run overwriting it silently breaks the
+    // regenerated SURVEY numbers (observed round 8).
+    val outName =
+      if (only.isDefined) "bench_local_only.json" else "bench_local_last.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_local_last.json"),
+      java.nio.file.Paths.get(outName),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + r3(med) }

@@ -102,6 +102,8 @@ ORDER BY event_id"""
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(docs(s, d))),
+    "context_truncation_sweep" -> ((s, d) =>
+      TextAnalysis.contextTruncationSweep(docs(s, d))),
     "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
@@ -184,6 +186,7 @@ ORDER BY event_id"""
     "dup_source_matrix" -> ((s, d) => Dedup.dupSourceMatrix(docs(s, d))),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(docs(s, d))),
     "dedup_pair_venn" -> ((s, d) => Dedup.dedupPairVenn(docs(s, d))),
+    "dedup_token_savings" -> ((s, d) => Dedup.dedupTokenSavings(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -307,6 +310,7 @@ ORDER BY event_id"""
     "semantic_survivors" -> ((s, d) =>
       Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
     "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
+    "emb_outliers" -> ((s, d) => Embeddings.embOutliers(emb(s, d))),
     "knn_pagerank" -> ((s, d) => Embeddings.knnPagerank(emb(s, d))),
     "ivf_probe_sweep" -> ((s, d) =>
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
@@ -398,6 +402,7 @@ ORDER BY event_id"""
     "lang_id" -> TextAnalysis.langIdOracle,
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "token_fertility" -> TextAnalysis.tokenFertilityOracle,
+    "context_truncation_sweep" -> TextAnalysis.contextTruncationSweepOracle,
     "quality_drift" -> TextAnalysis.qualityDriftOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
@@ -450,6 +455,7 @@ ORDER BY event_id"""
     "dup_source_matrix" -> Dedup.dupSourceMatrixOracle,
     "source_overlap" -> Dedup.sourceOverlapSketchOracle,
     "dedup_pair_venn" -> Dedup.dedupPairVennOracle,
+    "dedup_token_savings" -> Dedup.dedupTokenSavingsOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle,
@@ -471,6 +477,7 @@ ORDER BY event_id"""
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
+    "emb_outliers" -> Embeddings.embOutliersOracle,
     "knn_pagerank" -> Embeddings.knnPagerankOracle,
     "ivf_probe_sweep" -> Embeddings.ivfProbeSweepOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,

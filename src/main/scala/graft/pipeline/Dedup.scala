@@ -567,11 +567,13 @@ ORDER BY p.source_a, p.source_b"""
       .orderBy("det_a", "det_b")
   }
 
-  /** The three family chains composed in ONE statement over the shared
-   *  `shingle`/`shid` prefix, internals prefixed `ng_`/`mh_`/`sh_` to
-   *  avoid CTE collisions; each pair set is the family oracle's
-   *  arithmetic verbatim. */
-  val dedupPairVennOracle: String = "WITH " + shinglesCte + """,
+  /** The three family pair chains over the shared `shingle`/`shid`
+   *  prefix, internals prefixed `ng_`/`mh_`/`sh_` to avoid CTE
+   *  collisions; each pair set is the family oracle's arithmetic
+   *  verbatim. Shared by [[dedupPairVennOracle]] and
+   *  [[dedupTokenSavingsOracle]] so the detector semantics cannot
+   *  drift between the two readouts. */
+  private val detChainsCte: String = shinglesCte + """,
 shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
 ng_dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
 ng_rare AS (SELECT gram FROM ng_dfreq WHERE df_cnt <= 5),
@@ -632,7 +634,9 @@ sh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh_nib a JOIN sh_nib b
     ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3)"""
+
+  val dedupPairVennOracle: String = "WITH " + detChainsCte + """,
 tagged AS (
   SELECT 'ngram' AS det, doc_a, doc_b FROM ng_pairs
   UNION ALL SELECT 'minhash', doc_a, doc_b FROM mh_pairs
@@ -657,6 +661,94 @@ LEFT JOIN det_sizes na ON p.det_a = na.det
 LEFT JOIN det_sizes nb ON p.det_b = nb.det
 LEFT JOIN det_common c ON p.det_a = c.det_a AND p.det_b = c.det_b
 ORDER BY p.det_a, p.det_b"""
+
+  /** Token-savings ledger per dedup detector — the budget column next
+   *  to [[dedupPairVenn]]'s agreement matrix: what each family (and
+   *  their union) actually RECLAIMS, in the BPE-estimate token unit
+   *  every shard/quota decision is denominated in. A document counts
+   *  as dropped under the greedy keep-first rule the streaming family
+   *  ships (later copy of an exact hash; `doc_b` — the later id — of
+   *  any near-dup pair); `any` is the union drop set, the savings a
+   *  pipeline running all four gates gets. Per detector: docs dropped,
+   *  tokens dropped, corpus totals, dropped token fraction.
+   *
+   *  Shape: the three near-dup families share ONE shingle frame; the
+   *  drop sets are pair-cardinality frames distinct-ed per detector,
+   *  token mass joins against a narrow (doc_id, tok) projection, the
+   *  rollup is one partial agg to 5 rows, totals join broadcast. */
+  def dedupTokenSavings(docs: DataFrame,
+                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
+    val totals = tok.agg(count(lit(1)).as("n_docs_total"),
+      sum("tok").as("tokens_total"))
+    val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+    val exactDrops = h.join(firsts, "content_hash")
+      .filter(col("doc_id") > col("first_id"))
+      .select(lit("exact").as("det"), col("doc_id"))
+    def laterSide(det: String, pairs: DataFrame) =
+      pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
+    val base = exactDrops
+      .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
+      .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
+      .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+      .cache()
+    val flagged = base.union(
+      base.select(col("doc_id")).distinct().select(lit("any").as("det"), col("doc_id")))
+    val dets = Seq("any", "exact", "minhash", "ngram", "simhash").toDF("det")
+    val per = flagged.join(tok, "doc_id")
+      .groupBy("det").agg(count(lit(1)).as("n_docs_dropped"),
+        sum("tok").as("tokens_dropped"))
+    dets.join(per, Seq("det"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("det"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+        col("n_docs_total"), col("tokens_total"),
+        r4(coalesce(col("tokens_dropped"), lit(0L)) * lit(1.0)
+          / col("tokens_total")).as("dropped_frac"))
+      .orderBy("det")
+  }
+
+  /** [[detChainsCte]]'s pair sets verbatim + the exact-hash
+   *  first-occurrence rule [[dedupExact]] uses; drop-set, token-mass,
+   *  and fraction arithmetic mirror the Spark expressions. */
+  val dedupTokenSavingsOracle: String = "WITH " + detChainsCte + """,
+toks AS (SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+         CAST(SUM(tok) AS BIGINT) AS tokens_total
+  FROM toks),
+eh AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+efirsts AS (SELECT content_hash, MIN(doc_id) AS first_id FROM eh GROUP BY content_hash),
+base AS (
+  SELECT 'exact' AS det, eh.doc_id
+  FROM eh JOIN efirsts f ON eh.content_hash = f.content_hash
+  WHERE eh.doc_id > f.first_id
+  UNION SELECT 'ngram', doc_b FROM ng_pairs
+  UNION SELECT 'minhash', doc_b FROM mh_pairs
+  UNION SELECT 'simhash', doc_b FROM sh_pairs),
+flagged AS (
+  SELECT det, doc_id FROM base
+  UNION ALL SELECT DISTINCT 'any' AS det, doc_id FROM base),
+dets(det) AS (VALUES ('any'), ('exact'), ('minhash'), ('ngram'), ('simhash')),
+per AS (
+  SELECT f.det, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+         CAST(SUM(t.tok) AS BIGINT) AS tokens_dropped
+  FROM flagged f JOIN toks t ON f.doc_id = t.doc_id
+  GROUP BY f.det)
+SELECT d.det,
+       COALESCE(p.n_docs_dropped, 0) AS n_docs_dropped,
+       COALESCE(p.tokens_dropped, 0) AS tokens_dropped,
+       t.n_docs_total, t.tokens_total,
+       FLOOR((COALESCE(p.tokens_dropped, 0) * 1.0 / t.tokens_total)
+             * 10000.0 + 0.5) / 10000.0 AS dropped_frac
+FROM dets d CROSS JOIN totals t
+LEFT JOIN per p ON d.det = p.det
+ORDER BY d.det"""
 
   /** Containment near-dup: pairs where the SMALLER document's shingle
    *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —

@@ -816,6 +816,85 @@ SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM deg GROUP BY in_degree
 ORDER BY in_degree"""
 
+  /** Per-cell embedding outliers — the prototypicality readout behind
+   *  SemDeDup-style pruning's complement: a vector far (by cosine)
+   *  from its own IVF centroid sits on the fringe of every mode the
+   *  codebook captured — mislabeled, noisy, or genuinely novel — and
+   *  is the first candidate for manual audit or fringe-pruning.
+   *  Output: for every cell, its population, its mean member-to-
+   *  centroid cosine (cell cohesion), and the `perCell` most-outlying
+   *  members ranked most-fringe-first.
+   *
+   *  Scale shape: assignment is the family's one broadcast-K pass
+   *  (never a |corpus|² anything); cell stats are one map-side-
+   *  combining groupBy to K rows; the only per-row sort is the
+   *  top-`perCell` window partitioned BY CELL — the same
+   *  top-k-per-group exchange [[knnGraph]] pays, hash-partitioned on
+   *  cent_id, no global order. Exactness discipline: the mean cosine
+   *  quantizes per row to integer milli units then SUMs
+   *  ([[graft.pipeline.TextAnalysis.qualityDrift]] precedent);
+   *  ranking compares the byte-identical IEEE cosine expression in
+   *  both engines. */
+  def embOutliers(emb: DataFrame, numCentroids: Int = 32, perCell: Int = 3,
+                  precomputedQuantized: Option[DataFrame] = None,
+                  trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb))
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(hashCentroids(qv, numCentroids))
+    val assigned = qv
+      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine", expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cosine"),
+        floor(col("cosine") * lit(1000) + lit(0.5)).cast("long").as("qmilli"))
+    val cells = assigned.groupBy("cent_id").agg(
+      count(lit(1)).as("n_vecs"), sum("qmilli").as("qsum"))
+    assigned
+      .withColumn("outlier_rank", row_number().over(Window.partitionBy("cent_id")
+        .orderBy(col("cosine").asc, col("vec_id"))))
+      .filter(col("outlier_rank") <= perCell)
+      .join(broadcast(cells), "cent_id")
+      .select(col("cent_id"), col("n_vecs"),
+        r4(col("qsum") * lit(1.0) / (col("n_vecs") * lit(1000.0)))
+          .as("cell_mean_cosine"),
+        col("outlier_rank").cast("long").as("outlier_rank"),
+        col("vec_id"), r4(col("cosine")).as("cosine"))
+      .orderBy("cent_id", "outlier_rank")
+  }
+
+  /** [[ivfAssignCte]]'s chain, keeping the winning cosine at rk=1;
+   *  cell stats and the fringe ranking mirror the Spark expressions
+   *  byte-for-byte. */
+  val embOutliersOracle: String = "WITH " + ivfAssignCte + """,
+acos AS (
+  SELECT vec_id, cent_id, cosine FROM (
+    SELECT vec_id, cent_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+    FROM vc_cos) t WHERE rk = 1),
+aq AS (
+  SELECT vec_id, cent_id, cosine,
+         CAST(FLOOR(cosine * 1000 + 0.5) AS BIGINT) AS qmilli
+  FROM acos),
+cells AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(qmilli) AS BIGINT) AS qsum
+  FROM aq GROUP BY cent_id),
+oranked AS (
+  SELECT cent_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY cosine ASC, vec_id) AS orank
+  FROM aq)
+SELECT r.cent_id, c.n_vecs,
+       FLOOR((c.qsum * 1.0 / (c.n_vecs * 1000.0)) * 10000.0 + 0.5) / 10000.0 AS cell_mean_cosine,
+       CAST(r.orank AS BIGINT) AS outlier_rank, r.vec_id,
+       FLOOR(r.cosine * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM oranked r JOIN cells c ON r.cent_id = c.cent_id
+WHERE r.orank <= 3
+ORDER BY r.cent_id, r.orank"""
+
   /** Fixed-point PageRank centrality over the directed kNN graph —
    *  the representativeness score behind graph-based coreset
    *  selection (a vector many other vectors list among their nearest

@@ -161,6 +161,76 @@ SELECT lang, n_docs, words, bpe_tokens, chars, bytes,
 FROM per_lang
 ORDER BY lang"""
 
+  /** Default context lengths for [[contextTruncationSweep]] — one per
+   *  common training max-seq-len. Shared with the oracle builder so
+   *  the two sides cannot drift. */
+  val defaultCtxLens: Seq[Int] = Seq(512, 1024, 2048, 4096, 8192)
+
+  /** Context-length truncation sweep — the "what does a max-seq-len
+   *  cost us" table every pretraining-data decision consults: for each
+   *  candidate context length L, per source: how many documents
+   *  exceed L (and would be truncated under a truncate-don't-split
+   *  policy) and what fraction of the source's token mass survives
+   *  (`sum(min(tok, L)) / sum(tok)`). Token unit is the corpus-wide
+   *  BPE estimate (`(n_chars+3) div 4`, shared with [[textStats]] /
+   *  [[tokenFertility]] so budgets are denominated identically).
+   *
+   *  Scale: ONE map-side-combining pass over the corpus computes all
+   *  |L| conditional sums as columns of a |sources|-row aggregate
+   *  (no per-L corpus re-scan, no explode of the corpus by |L|); the
+   *  `stack` unpivot runs on that bounded cell frame only. Exactness:
+   *  every cell is an integer SUM/COUNT; the kept fraction is a final
+   *  r4 division. */
+  def contextTruncationSweep(docs: DataFrame,
+                             ctxLens: Seq[Int] = defaultCtxLens): DataFrame = {
+    val perDoc = docs.select(col("source"), expr("(n_chars + 3) div 4").as("tok"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"), sum("tok").as("tokens_total")) ++
+      ctxLens.flatMap { l => Seq(
+        sum(least(col("tok"), lit(l.toLong))).as(s"kept_$l"),
+        sum(when(col("tok") > l, lit(1L)).otherwise(lit(0L))).as(s"trunc_$l")) }
+    val cells = perDoc.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ctxLens
+      .map(l => s"CAST($l AS BIGINT), kept_$l, trunc_$l").mkString(", ")
+    cells
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        expr(s"stack(${ctxLens.size}, $stackArgs)" +
+          " AS (ctx_len, tokens_kept, docs_truncated)"))
+      .select(col("source"), col("ctx_len"), col("n_docs"),
+        col("docs_truncated"), col("tokens_total"), col("tokens_kept"),
+        r4(col("tokens_kept") * lit(1.0) / col("tokens_total")).as("kept_frac"))
+      .orderBy("source", "ctx_len")
+  }
+
+  /** Same one-pass conditional-sum + bounded unpivot, built from the
+   *  same [[defaultCtxLens]] list. */
+  val contextTruncationSweepOracle: String = {
+    val lens = defaultCtxLens
+    val cellCols = lens.map { l =>
+      s"""         CAST(SUM(LEAST(tok, $l)) AS BIGINT) AS kept_$l,
+         CAST(SUM(CASE WHEN tok > $l THEN 1 ELSE 0 END) AS BIGINT) AS trunc_$l"""
+    }.mkString(",\n")
+    val arms = lens.map { l =>
+      s"""  SELECT source, n_docs, tokens_total, CAST($l AS BIGINT) AS ctx_len,
+         kept_$l AS tokens_kept, trunc_$l AS docs_truncated FROM cells"""
+    }.mkString("\n  UNION ALL\n")
+    s"""
+WITH per_doc AS (
+  SELECT source, (n_chars + 3) // 4 AS tok FROM documents),
+cells AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS tokens_total,
+$cellCols
+  FROM per_doc GROUP BY source),
+sweep AS (
+$arms)
+SELECT source, ctx_len, n_docs, docs_truncated, tokens_total, tokens_kept,
+       ${graft.util.Round.r4Sql("tokens_kept * 1.0 / tokens_total")} AS kept_frac
+FROM sweep
+ORDER BY source, ctx_len"""
+  }
+
   /** Marker-word language heuristic: weighted stopword hits per
    *  candidate language, argmax with alphabetical tie-break, 'und' when
    *  no marker matches. (A real corpus would use a larger n-gram

@@ -548,6 +548,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("context truncation sweep: one corpus pass, unpivot above the partial agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.contextTruncationSweep(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    // all |L| conditional sums are columns of ONE aggregation; the
+    // stack unpivot (Generate) must sit ABOVE the map-side partial agg
+    // (plan prints root-first, so Generate's line comes earlier) — a
+    // Generate below the agg would mean the corpus exploded |L|-fold.
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdxs = lines.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(genIdx >= 0 && aggIdxs.size >= 2, p)
+    assert(aggIdxs.forall(_ > genIdx), p)
+  }
+
+  test("dedup token savings: drop sets at pair cardinality, broadcast totals, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.dedupTokenSavings(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row corpus-totals broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("emb outliers: broadcast-K assignment and broadcast cell stats, no corpus self-join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.embOutliers(emb))
+    // the only nested-loop is the deliberate broadcast-K centroid pass;
+    // per-cell stats join back broadcast at |cells| rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("PQ ANN: codebook and LUT join broadcast; no corpus self-join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
