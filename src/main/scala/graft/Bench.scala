@@ -98,6 +98,37 @@ object Bench {
         (-1.0, -1.0)
       }
     }
+    /** Shared-quantized-store scenario, the embedding-family twin of
+      * `dedup_family_shared`: materialize the (vec_id, qarr, nq) ANN
+      * index ONCE (`quantized_store_write`), then run three consumers
+      * (sign-bit near-dup, kNN graph, per-cell outliers) from it
+      * (`emb_family_shared`) — vs each cold query re-quantizing the
+      * corpus itself. */
+    val qStore =
+      java.nio.file.Files.createTempDirectory("graft-qstore").toString
+    def embFamilyOnce(dir: String): (Double, Double) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      try {
+        val t0 = System.nanoTime()
+        graft.pipeline.Embeddings.writeQuantizedStore(emb, qStore)
+        val tWrite = (System.nanoTime() - t0) / 1e9
+        val qv = Some(spark.read.parquet(qStore))
+        val t1 = System.nanoTime()
+        graft.pipeline.Embeddings.dedupEmbedding(emb, precomputedQuantized = qv)
+          .write.format("noop").mode("overwrite").save()
+        graft.pipeline.Embeddings.knnGraph(emb, precomputedQuantized = qv)
+          .write.format("noop").mode("overwrite").save()
+        graft.pipeline.Embeddings.embOutliers(emb, precomputedQuantized = qv)
+          .write.format("noop").mode("overwrite").save()
+        (tWrite, (System.nanoTime() - t1) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] emb_family_shared failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+    }
+
     /** Streaming near-dup trigger cost vs corpus size: seed the state
       * stores (corpus + shingles + gram-df) from a PREFIX of the
       * documents table, then time ONE processBatch of the same fixed
@@ -232,6 +263,12 @@ object Bench {
       sharedFamilyOnce(warmDir) // absorb codegen/JIT like every other query
       (0 until 3).map(_ => sharedFamilyOnce(sfDir))
     } else Seq.empty
+    val runEmbShared = only.forall(s =>
+      s.contains("emb_family_shared") || s.contains("quantized_store_write"))
+    val embSharedRuns = if (runEmbShared) {
+      embFamilyOnce(warmDir)
+      (0 until 3).map(_ => embFamilyOnce(sfDir))
+    } else Seq.empty
     def medianOf(xs: Seq[Double]): (Double, Double, Double) =
       if (xs.exists(_ < 0)) (-1.0, -1.0, -1.0)
       else (xs.sorted.apply(1), xs.min, xs.max)
@@ -239,6 +276,9 @@ object Bench {
     val results = names.map(n => n -> runMedian(n)) ++ (if (runShared) Seq(
       "shingle_store_write" -> medianOf(sharedRuns.map(_._1)),
       "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty) ++
+      (if (runEmbShared) Seq(
+        "quantized_store_write" -> medianOf(embSharedRuns.map(_._1)),
+        "emb_family_shared" -> medianOf(embSharedRuns.map(_._2))) else Seq.empty) ++
       (if (runStream) Seq(
         "stream_trigger_quarter_corpus" -> medianOf(streamRuns.map(_._1)),
         "stream_trigger_full_corpus" -> medianOf(streamRuns.map(_._2))) else Seq.empty) ++

@@ -104,6 +104,9 @@ ORDER BY event_id"""
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(docs(s, d))),
     "context_truncation_sweep" -> ((s, d) =>
       TextAnalysis.contextTruncationSweep(docs(s, d))),
+    "vocab_coverage_curve" -> ((s, d) =>
+      TextAnalysis.vocabCoverageCurve(docs(s, d))),
+    "encoding_quality" -> ((s, d) => TextAnalysis.encodingQuality(docs(s, d))),
     "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
@@ -403,6 +406,8 @@ ORDER BY event_id"""
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "context_truncation_sweep" -> TextAnalysis.contextTruncationSweepOracle,
+    "vocab_coverage_curve" -> TextAnalysis.vocabCoverageCurveOracle,
+    "encoding_quality" -> TextAnalysis.encodingQualityOracle,
     "quality_drift" -> TextAnalysis.qualityDriftOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,

@@ -575,7 +575,12 @@ ORDER BY a.vec_id"""
   def knnGraph(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
                precomputedQuantized: Option[DataFrame] = None,
                trainedCentroids: Option[DataFrame] = None): DataFrame = {
-    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    // EAGER cache (Dedup.materializedShingles precedent): centroid
+    // head, assignment, and the two verify sides scan qv independently
+    // and would race a lazy cache into re-quantizing per subtree.
+    val qv = precomputedQuantized.getOrElse {
+      val q = quantized(emb).cache(); q.count(); q
+    }
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, numCentroids))

@@ -871,6 +871,49 @@ SELECT doc_id,
 FROM s2
 ORDER BY doc_id"""
 
+  /** Encoding-quality audit — the mojibake/binary-junk gate a crawl
+   *  corpus runs before any text operator trusts `text`: per doc,
+   *  counts of C0 control characters (except tab/newline/CR — the
+   *  signature of binary data decoded as text) and U+FFFD replacement
+   *  characters (the signature of a WRONG charset decode), a 0/1
+   *  clean flag, and the bad-character rate. Pure per-row projection
+   *  (two codegen'd regexp passes, counted as the length drop when
+   *  each single-char class is stripped — no explode, no shuffle, no
+   *  UDF). Patterns live TWICE (Scala + oracle) inside the Java-regex
+   *  ∩ RE2 subset, the [[piiScrub]] discipline; the synthetic corpus
+   *  is clean, so at any SF this key proves cross-engine parity on
+   *  the no-op path while PipelineSpec pins the detection behavior on
+   *  a corrupted fixture. */
+  def encodingQuality(docs: DataFrame): DataFrame = {
+    val ctrl = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val repl = "\\x{FFFD}"
+    val nCtrl = (length(col("text"))
+      - length(regexp_replace(col("text"), ctrl, ""))).cast("long")
+    val nRepl = (length(col("text"))
+      - length(regexp_replace(col("text"), repl, ""))).cast("long")
+    docs.select(
+      col("doc_id"), col("n_chars"),
+      nCtrl.as("n_ctrl"), nRepl.as("n_replacement"),
+      when(nCtrl + nRepl === 0, lit(1L)).otherwise(lit(0L)).as("is_clean"),
+      r4((nCtrl + nRepl) * lit(1.0)
+        / greatest(length(col("text")).cast("long"), lit(1L)))
+        .as("bad_char_rate"))
+      .orderBy("doc_id")
+  }
+
+  val encodingQualityOracle: String = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_ctrl,
+         CAST(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')) AS BIGINT) AS n_replacement,
+         CAST(length(text) AS BIGINT) AS n_len
+  FROM documents)
+SELECT doc_id, n_chars, n_ctrl, n_replacement,
+       CASE WHEN n_ctrl + n_replacement = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_clean,
+       FLOOR(((n_ctrl + n_replacement) * 1.0 / GREATEST(n_len, 1)) * 10000.0 + 0.5) / 10000.0 AS bad_char_rate
+FROM s
+ORDER BY doc_id"""
+
   /** Fixed-token-window passage chunking with overlap — the layout
    *  step that turns documents into training/retrieval passages:
    *  chunk i covers tokens [i*stride, i*stride + window), the last
@@ -1269,6 +1312,80 @@ SELECT CAST(p.rank AS BIGINT) AS rank, p.term,
        FLOOR((p.term_count * 1.0 / q.term_count) * 10000.0 + 0.5) / 10000.0 AS doubling_ratio
 FROM p JOIN r q ON q.rank = 2 * p.rank
 ORDER BY p.rank"""
+
+  /** Default cutoffs for [[vocabCoverageCurve]] — shared with the
+   *  oracle builder so the two sides cannot drift. */
+  val defaultCoverageKs: Seq[Int] = Seq(100, 1000, 10000)
+
+  /** Vocabulary coverage curve — the tokenizer-budget sizing table
+   *  between [[oovRate]]'s per-doc drilldown (fixed k) and
+   *  [[zipfPoints]]' shape diagnostic: for each candidate vocab size
+   *  k, what fraction of ALL token occurrences the top-k vocabulary
+   *  covers (and the residual OOV mass a k-entry tokenizer pays in
+   *  fallback bytes). Vocab ranking reuses [[vocabTopk]]'s
+   *  deterministic (count desc, term) tie-break.
+   *
+   *  Scale shape: the term-keyed partial agg is the only corpus-scale
+   *  shuffle (vocab cardinality); the head is a driver-bounded
+   *  TakeOrdered(max k); the k-sweep is a broadcast theta-join of the
+   *  |ks|-row cutoff frame against that bounded head (k > |vocab|
+   *  degrades gracefully to full coverage rather than dropping the
+   *  row). All cells integer; fractions are final r4 divisions. */
+  def vocabCoverageCurve(docs: DataFrame,
+                         ks: Seq[Int] = defaultCoverageKs): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+    val totals = counts.agg(sum("term_count").as("tokens_total"),
+      count(lit(1)).as("vocab_total"))
+    val head = counts.orderBy(col("term_count").desc, col("term"))
+      .limit(ks.max)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("term_count").desc, col("term"))).cast("long"))
+    val kdf = ks.map(_.toLong).toDF("k")
+    head.join(broadcast(kdf), col("rank") <= col("k"))
+      .groupBy("k").agg(sum("term_count").as("tokens_covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("tokens_covered"), col("tokens_total"),
+        col("vocab_total"),
+        r4(col("tokens_covered") * lit(1.0) / col("tokens_total"))
+          .as("coverage_frac"),
+        r4(lit(1.0) - col("tokens_covered") * lit(1.0) / col("tokens_total"))
+          .as("oov_frac"))
+      .orderBy("k")
+  }
+
+  /** [[vocabTopkOracle]]'s ranking chain + the same bounded theta-join
+   *  sweep, cutoffs generated from the same [[defaultCoverageKs]]. */
+  val vocabCoverageCurveOracle: String = {
+    val kvals = defaultCoverageKs.map(k => s"($k)").mkString(", ")
+    s"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+s AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+  FROM toks GROUP BY term),
+totals AS (
+  SELECT CAST(SUM(term_count) AS BIGINT) AS tokens_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab_total
+  FROM s),
+r AS (
+  SELECT term, term_count,
+         ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS rank
+  FROM s),
+head AS (SELECT * FROM r WHERE rank <= ${defaultCoverageKs.max}),
+ks(k) AS (VALUES $kvals),
+cov AS (
+  SELECT ks.k, CAST(SUM(h.term_count) AS BIGINT) AS tokens_covered
+  FROM ks JOIN head h ON h.rank <= ks.k
+  GROUP BY ks.k)
+SELECT CAST(c.k AS BIGINT) AS k, c.tokens_covered, t.tokens_total, t.vocab_total,
+       ${graft.util.Round.r4Sql("c.tokens_covered * 1.0 / t.tokens_total")} AS coverage_frac,
+       ${graft.util.Round.r4Sql("1.0 - c.tokens_covered * 1.0 / t.tokens_total")} AS oov_frac
+FROM cov c CROSS JOIN totals t
+ORDER BY k"""
+  }
 
   /** Per-doc out-of-vocabulary rate against the global top-k
    *  vocabulary — the tokenizer-readiness signal (how much of each

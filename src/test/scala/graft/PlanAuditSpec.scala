@@ -563,6 +563,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdxs.forall(_ > genIdx), p)
   }
 
+  test("vocab coverage curve: driver-bounded head, broadcast cutoffs, no shuffled join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.vocabCoverageCurve(docs))
+    // the head is TakeOrdered(max k), not a global sort of the vocab
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("encoding quality is a pure per-row projection — no shuffle, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.encodingQuality(docs))
+    // only the presentation sort exchanges; no aggregation, no join
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("dedup token savings: drop sets at pair cardinality, broadcast totals, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.Dedup.dedupTokenSavings(docs))

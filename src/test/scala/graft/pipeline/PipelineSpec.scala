@@ -643,6 +643,42 @@ class PipelineSpec extends SparkSpec {
     assert(fp === md)
   }
 
+  test("encoding quality flags control chars and replacement chars, skips tab/newline/CR") {
+    val d = Seq(
+      (0L, "perfectly clean text", "en", "s0", 20L),
+      // tab, newline, CR are LEGITIMATE whitespace — not control junk
+      (1L, "tabs\tand\nnewlines\rok", "en", "s0", 20L),
+      // C0 controls + DEL: binary-decoded-as-text signature
+      (2L, "bin\u0001ary\u0002junk\u007f", "en", "s0", 13L),
+      // U+FFFD: wrong-charset decode signature
+      (3L, "mojibake \uFFFD here \uFFFD", "en", "s0", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.encodingQuality(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows(0L) === ((0L, 0L, 1L)))
+    assert(rows(1L) === ((0L, 0L, 1L)))
+    assert(rows(2L) === ((3L, 0L, 0L)))
+    assert(rows(3L) === ((0L, 2L, 0L)))
+  }
+
+  test("vocab coverage curve: cutoffs beyond the vocab degrade to full coverage") {
+    // 6-term corpus: "a" x4, "b" x3, "c" x2, d/e/f x1 -> 12 occurrences
+    val d = Seq(
+      (0L, "a a a a b", "en", "s0", 9L),
+      (1L, "b b c c d", "en", "s0", 9L),
+      (2L, "e f", "en", "s0", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.vocabCoverageCurve(d, ks = Seq(2, 4, 100))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // top-2 = {a:4, b:3} -> 7 of 12; top-4 adds {c:2, d:1} -> 10
+    assert(rows(2L) === ((7L, 12L, 6L)))
+    assert(rows(4L) === ((10L, 12L, 6L)))
+    // k=100 > |vocab|=6: full coverage, row present
+    assert(rows(100L) === ((12L, 12L, 6L)))
+  }
+
   test("cluster sizes histogram: hand graph with one triangle and one pair") {
     // edges: 0-1, 1-3 (triangle-ish chain -> one component {0,1,3}),
     // plus 10-11 -> component sizes 3 and 2

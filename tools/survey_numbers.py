@@ -100,6 +100,17 @@ def render(bench_path, tests):
             line += (f"; the one-time store write is {write:.2f} s,"
                      f" amortized across every consumer of the store")
         parts.append(line + ".")
+    eshared = ok.get("emb_family_shared")
+    ewrite = ok.get("quantized_store_write")
+    ecold = [ok.get(k) for k in ("dedup_embedding", "knn_graph", "emb_outliers")]
+    if eshared is not None and all(c is not None for c in ecold):
+        line = (f"- Shared quantized (ANN-index) store: embedding-dedup +"
+                f" kNN-graph + cell-outliers from one materialized index run"
+                f" in {eshared:.2f} s vs {sum(ecold):.2f} s as three cold"
+                f" queries ({sum(ecold) / eshared:.2f}x)")
+        if ewrite is not None:
+            line += f"; the one-time index write is {ewrite:.2f} s"
+        parts.append(line + ".")
     parts.append(END)
     return "\n".join(parts)
 
