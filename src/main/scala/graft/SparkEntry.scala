@@ -106,6 +106,8 @@ ORDER BY event_id"""
       TextAnalysis.contextTruncationSweep(docs(s, d))),
     "vocab_coverage_curve" -> ((s, d) =>
       TextAnalysis.vocabCoverageCurve(docs(s, d))),
+    "length_quality_matrix" -> ((s, d) =>
+      TextAnalysis.lengthQualityMatrix(docs(s, d))),
     "encoding_quality" -> ((s, d) => TextAnalysis.encodingQuality(docs(s, d))),
     "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
@@ -314,6 +316,7 @@ ORDER BY event_id"""
       Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
     "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
     "emb_outliers" -> ((s, d) => Embeddings.embOutliers(emb(s, d))),
+    "knn_mutuality" -> ((s, d) => Embeddings.knnMutuality(emb(s, d))),
     "knn_pagerank" -> ((s, d) => Embeddings.knnPagerank(emb(s, d))),
     "ivf_probe_sweep" -> ((s, d) =>
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
@@ -407,6 +410,7 @@ ORDER BY event_id"""
     "token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "context_truncation_sweep" -> TextAnalysis.contextTruncationSweepOracle,
     "vocab_coverage_curve" -> TextAnalysis.vocabCoverageCurveOracle,
+    "length_quality_matrix" -> TextAnalysis.lengthQualityMatrixOracle,
     "encoding_quality" -> TextAnalysis.encodingQualityOracle,
     "quality_drift" -> TextAnalysis.qualityDriftOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
@@ -483,6 +487,7 @@ ORDER BY event_id"""
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
     "emb_outliers" -> Embeddings.embOutliersOracle,
+    "knn_mutuality" -> Embeddings.knnMutualityOracle,
     "knn_pagerank" -> Embeddings.knnPagerankOracle,
     "ivf_probe_sweep" -> Embeddings.ivfProbeSweepOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,

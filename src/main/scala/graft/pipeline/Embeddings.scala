@@ -900,6 +900,69 @@ FROM oranked r JOIN cells c ON r.cent_id = c.cent_id
 WHERE r.orank <= 3
 ORDER BY r.cent_id, r.orank"""
 
+  /** kNN-edge mutuality profile per rank — the calibration gauge for
+   *  [[semanticClusters]]' mutual-edge filter (and the companion to
+   *  [[knnHubness]]'s in-degree view): what fraction of rank-r edges
+   *  are reciprocated at ANY rank. A mutual fraction collapsing with r
+   *  says the chosen k reaches past the local neighborhood into hub
+   *  attraction (raise the filter, or drop k); a flat-high profile
+   *  says the space is symmetric and the mutuality filter is nearly
+   *  free. Shape: the edge frame is k-bounded (|E| <= k|V|), eagerly
+   *  cached ([[knnGraph]] precedent) and consumed by a left-semi
+   *  self-join on the reversed key + two rank-cardinality rollups —
+   *  nothing corpus-quadratic anywhere. */
+  def knnMutuality(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
+                   precomputedQuantized: Option[DataFrame] = None,
+                   trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val g = knnGraph(emb, k, numCentroids, precomputedQuantized,
+        trainedCentroids)
+      .select(col("vec_id"), col("rank"), col("neighbor_id")).cache()
+    g.count() // eager: 3 scans below (totals + both semi-join sides)
+    val rev = g.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"))
+    val mut = g.join(rev, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("rank").agg(count(lit(1)).as("n_mutual"))
+    g.groupBy("rank").agg(count(lit(1)).as("n_edges"))
+      .join(mut, Seq("rank"), "left")
+      .select(col("rank"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        r4(coalesce(col("n_mutual"), lit(0L)) * lit(1.0) / col("n_edges"))
+          .as("mutual_frac"))
+      .orderBy("rank")
+  }
+
+  /** Same kranked chain as [[knnGraphOracle]]; mutuality is the edge
+   *  self-join on the reversed key. */
+  val knnMutualityOracle: String = "WITH " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+edges AS (SELECT vec_a, vec_b, rk FROM kranked WHERE rk <= 5),
+mut AS (
+  SELECT e.rk, CAST(COUNT(*) AS BIGINT) AS n_mutual
+  FROM edges e JOIN edges r ON e.vec_a = r.vec_b AND e.vec_b = r.vec_a
+  GROUP BY e.rk),
+tot AS (SELECT rk, CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges GROUP BY rk)
+SELECT CAST(t.rk AS BIGINT) AS rank, t.n_edges,
+       COALESCE(m.n_mutual, 0) AS n_mutual,
+       FLOOR((COALESCE(m.n_mutual, 0) * 1.0 / t.n_edges) * 10000.0 + 0.5) / 10000.0 AS mutual_frac
+FROM tot t LEFT JOIN mut m ON t.rk = m.rk
+ORDER BY rank"""
+
   /** Fixed-point PageRank centrality over the directed kNN graph —
    *  the representativeness score behind graph-based coreset
    *  selection (a vector many other vectors list among their nearest

@@ -417,6 +417,56 @@ SELECT doc_id, n_tok AS n_tokens, n_distinct AS n_distinct_tokens,
 FROM q
 ORDER BY doc_id"""
 
+  /** Length × quality joint distribution — the "are we dropping long
+   *  documents disproportionately?" audit a quality cutoff needs
+   *  before [[qualitySweep]]'s 1-D survival curve is trusted: a
+   *  threshold that looks cheap overall can silently gut one length
+   *  band (long-form docs score low on diversity, short ones on
+   *  length). Cells are (floor(log2(n_chars)), floor(quality*10));
+   *  per cell: docs, token mass, and the cell's share of its length
+   *  band. Exactness: log2 via the integer `length(bin(x)) - 1` trick
+   *  ([[lmSurprisal]] precedent), the quality decile floors the
+   *  ALREADY-r4-rounded shared [[qualityCol]] (bit-identical doubles
+   *  both engines, the [[qualitySweep]] bucket-edge discipline).
+   *  Shape: ONE map-side-combining agg to |len|×|q| cells; the
+   *  length-band share window runs over that bounded frame only. */
+  def lengthQualityMatrix(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      (length(expr("bin(greatest(n_chars, 1))")) - 1).cast("long")
+        .as("len_bucket"),
+      floor(qualityCol * lit(10)).cast("long").as("q_bucket"),
+      expr("(n_chars + 3) div 4").as("tok"))
+    val cells = perDoc.groupBy("len_bucket", "q_bucket").agg(
+      count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+    val bandW = Window.partitionBy("len_bucket")
+    cells
+      .withColumn("band_docs", sum("n_docs").over(bandW))
+      .select(col("len_bucket"), col("q_bucket"), col("n_docs"), col("tokens"),
+        r4(col("n_docs") * lit(1.0) / col("band_docs")).as("band_share"))
+      .orderBy("len_bucket", "q_bucket")
+  }
+
+  // lazy: interpolates qualitySqlExpr, declared below (object-init order)
+  lazy val lengthQualityMatrixOracle: String = s"""
+WITH pd AS (
+  SELECT CAST(len(bin(GREATEST(n_chars, 1))) - 1 AS BIGINT) AS len_bucket,
+         CAST(FLOOR(($qualitySqlExpr) * 10) AS BIGINT) AS q_bucket,
+         (n_chars + 3) // 4 AS tok
+  FROM documents),
+cells AS (
+  SELECT len_bucket, q_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS tokens
+  FROM pd GROUP BY len_bucket, q_bucket),
+w AS (
+  SELECT len_bucket, q_bucket, n_docs, tokens,
+         CAST(SUM(n_docs) OVER (PARTITION BY len_bucket) AS BIGINT) AS band_docs
+  FROM cells)
+SELECT len_bucket, q_bucket, n_docs, tokens,
+       ${graft.util.Round.r4Sql("n_docs * 1.0 / band_docs")} AS band_share
+FROM w
+ORDER BY len_bucket, q_bucket"""
+
   /** Quality-filter survival sweep: what a threshold choice would keep.
    *  Docs land in 0.05-wide quality buckets; each row reports the
    *  bucket's own mass plus the CUMULATIVE docs/tokens surviving a

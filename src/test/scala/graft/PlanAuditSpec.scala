@@ -563,6 +563,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdxs.forall(_ > genIdx), p)
   }
 
+  test("length-quality matrix: one corpus agg to cell cardinality, window over cells only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.lengthQualityMatrix(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    // partial + final agg pair; the band-share window sorts the
+    // bounded cell frame, never the corpus (Window above Aggregate in
+    // the root-first printout)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdxs = lines.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(winIdx >= 0 && aggIdxs.size >= 2, p)
+    assert(aggIdxs.forall(_ > winIdx), p)
+  }
+
+  test("knn mutuality: k-bounded edge rollups, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.knnMutuality(emb))
+    // the printed lineage repeats the deliberate broadcast-K NLJ once
+    // per cached-scan block, so only the cartesian absence is asserted
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab coverage curve: driver-bounded head, broadcast cutoffs, no shuffled join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.vocabCoverageCurve(docs))
