@@ -192,6 +192,8 @@ ORDER BY event_id"""
     "source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(docs(s, d))),
     "dedup_pair_venn" -> ((s, d) => Dedup.dedupPairVenn(docs(s, d))),
     "dedup_token_savings" -> ((s, d) => Dedup.dedupTokenSavings(docs(s, d))),
+    "gram_df_spectrum" -> ((s, d) => Dedup.gramDfSpectrum(docs(s, d))),
+    "source_gram_overlap" -> ((s, d) => Dedup.sourceGramOverlap(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -465,6 +467,8 @@ ORDER BY event_id"""
     "source_overlap" -> Dedup.sourceOverlapSketchOracle,
     "dedup_pair_venn" -> Dedup.dedupPairVennOracle,
     "dedup_token_savings" -> Dedup.dedupTokenSavingsOracle,
+    "gram_df_spectrum" -> Dedup.gramDfSpectrumOracle,
+    "source_gram_overlap" -> Dedup.sourceGramOverlapOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle,

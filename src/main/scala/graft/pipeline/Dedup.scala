@@ -168,6 +168,93 @@ shingle AS (
   FROM toked, nums
   WHERE i + 2 <= len(toks))"""
 
+  /** Gram document-frequency spectrum — the tuning evidence behind
+   *  every df-threshold constant in the family ([[dedupNgram]]'s
+   *  rare-gram `maxDf`, [[graft.pipeline.TextAnalysis.noveltyScore]]'s
+   *  `boilerplateDf`): per floor(log2(df)) bucket, how many distinct
+   *  grams live there and how much occurrence mass they carry, with
+   *  shares of both totals. The head buckets say what an inverted
+   *  index must survive (hot boilerplate grams), the df=1 bucket says
+   *  what rarity blocking can key on. Integer log2 via
+   *  `length(bin(x)) - 1`; ONE gram-keyed partial agg (the family's
+   *  standard shuffle) collapses to ~log2(corpus) rows before the
+   *  broadcast totals join. */
+  def gramDfSpectrum(docs: DataFrame,
+                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs))
+    val dfc = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val buckets = dfc
+      .select((length(expr("bin(df_cnt)")) - 1).cast("long").as("df_bucket"),
+        col("df_cnt"))
+      .groupBy("df_bucket").agg(
+        count(lit(1)).as("n_grams"), sum("df_cnt").as("occurrences"))
+    val totals = buckets.agg(sum("n_grams").as("grams_total"),
+      sum("occurrences").as("occ_total"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("df_bucket"), col("n_grams"), col("occurrences"),
+        r4(col("n_grams") * lit(1.0) / col("grams_total")).as("gram_share"),
+        r4(col("occurrences") * lit(1.0) / col("occ_total")).as("occ_share"))
+      .orderBy("df_bucket")
+  }
+
+  val gramDfSpectrumOracle: String = "WITH " + shinglesCte.trim + """,
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+buckets AS (
+  SELECT CAST(len(bin(df_cnt)) - 1 AS BIGINT) AS df_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(df_cnt) AS BIGINT) AS occurrences
+  FROM dfreq GROUP BY len(bin(df_cnt)) - 1),
+totals AS (
+  SELECT CAST(SUM(n_grams) AS BIGINT) AS grams_total,
+         CAST(SUM(occurrences) AS BIGINT) AS occ_total
+  FROM buckets)
+SELECT b.df_bucket, b.n_grams, b.occurrences,
+       FLOOR((b.n_grams * 1.0 / t.grams_total) * 10000.0 + 0.5) / 10000.0 AS gram_share,
+       FLOOR((b.occurrences * 1.0 / t.occ_total) * 10000.0 + 0.5) / 10000.0 AS occ_share
+FROM buckets b CROSS JOIN totals t
+ORDER BY b.df_bucket"""
+
+  /** Exact per-source gram overlap — the precise marginal next to
+   *  [[dupSourceMatrix]]'s 16-hash MinHash ESTIMATE of pairwise
+   *  source Jaccard: for each source, the fraction of its distinct
+   *  grams that appear in at least one OTHER source (cross-source
+   *  boilerplate + syndication share). One distinct over
+   *  (source, gram) — strictly smaller than the shingle frame — one
+   *  gram-keyed source-spread agg, one keyed join back, rollup to
+   *  |sources| rows. All counts integer; share a final r4
+   *  division. */
+  def sourceGramOverlap(docs: DataFrame,
+                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs))
+    val sg = sh.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select("source", "gram").distinct()
+    val spread = sg.groupBy("gram").agg(count(lit(1)).as("n_sources"))
+    sg.join(spread, "gram")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("shared_grams"))
+      .select(col("source"), col("n_grams"), col("shared_grams"),
+        r4(col("shared_grams") * lit(1.0) / col("n_grams")).as("shared_frac"))
+      .orderBy("source")
+  }
+
+  val sourceGramOverlapOracle: String = "WITH " + shinglesCte.trim + """,
+sg AS (
+  SELECT DISTINCT d.source, s.gram
+  FROM shingle s JOIN documents d ON s.doc_id = d.doc_id),
+spread AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_sources FROM sg GROUP BY gram),
+per AS (
+  SELECT g.source,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN sp.n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+  FROM sg g JOIN spread sp ON g.gram = sp.gram
+  GROUP BY g.source)
+SELECT source, n_grams, shared_grams,
+       FLOOR((shared_grams * 1.0 / n_grams) * 10000.0 + 0.5) / 10000.0 AS shared_frac
+FROM per
+ORDER BY source"""
+
   /** (doc_id, gid) for a shingle frame — a pure per-row PROJECTION in
    *  every family; there is no vocabulary, no global sort, and no join
    *  anywhere in gram-id assignment. Families:

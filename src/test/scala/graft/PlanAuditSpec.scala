@@ -563,6 +563,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdxs.forall(_ > genIdx), p)
   }
 
+  test("gram df spectrum and source overlap: partial-agg shuffles only, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = plan(graft.pipeline.Dedup.gramDfSpectrum(docs))
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert("HashAggregate".r.findAllIn(p1).size >= 2, p1) // map-side combine
+    val p2 = plan(graft.pipeline.Dedup.sourceGramOverlap(docs))
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("length-quality matrix: one corpus agg to cell cardinality, window over cells only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.TextAnalysis.lengthQualityMatrix(docs))
