@@ -267,6 +267,10 @@ ORDER BY event_id"""
     // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
     "dedup_simhash_fast" -> ((s, d) =>
       Dedup.dedupSimhash(docs(s, d), idFamily = "poly")),
+    // Scale mode C (native whole-fingerprint expression): the
+    // signature pass is a pure projection; same oracle as mode B
+    // because the fingerprints are bit-identical.
+    "dedup_simhash_expr" -> ((s, d) => Dedup.dedupSimhashExpr(docs(s, d))),
     "dedup_simhash_incr" -> ((s, d) => Dedup.dedupSimhashIncremental(
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
@@ -482,6 +486,7 @@ ORDER BY event_id"""
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
+    "dedup_simhash_expr" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
     "dedup_clusters_incr" -> Clustering.dedupClustersOracle,
     "cluster_sizes" -> Clustering.clusterSizesOracle,

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, QDot, WordNGrams, WordNGramsAll}
+import graft.functions.{PolyHash, QDot, SimhashFp, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -22,6 +22,9 @@ import graft.functions.{PolyHash, QDot, WordNGrams, WordNGramsAll}
  *  - `poly_hash(string) -> bigint` — codegen'd polynomial rolling
  *    hash mod 1000003, the SQL-reproducible scale-mode gram-id family
  *    ([[graft.functions.PolyHash]]).
+ *  - `simhash_fp(array<string>) -> bigint` — codegen'd whole
+ *    32-bit SimHash fingerprint of a gram array under the poly
+ *    family ([[graft.functions.SimhashFp]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -53,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "poly_hash expects exactly 1 argument")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_fp expects exactly 1 argument")
+        SimhashFp(children.head)
       }))
   }
 }

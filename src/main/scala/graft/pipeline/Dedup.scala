@@ -1253,6 +1253,35 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     simhashVerify(cands, fp, maxHamming)
   }
 
+  /** SimHash via the native WHOLE-FINGERPRINT expression
+   *  ([[graft.functions.SimhashFp]], `poly` family): the signature
+   *  pass is a pure projection — `word_ngrams` → `simhash_fp` inside
+   *  one whole-stage-codegen'd Project, NO gram explode, NO
+   *  per-(doc, bit) vote aggregation, NO exchange before banding —
+   *  where [[dedupSimhash]] pays explode + a 32-column partial agg +
+   *  a doc-keyed shuffle for the same bits. Gram-less docs (< 3
+   *  tokens) are filtered exactly as the aggregation path drops them
+   *  (no vote rows). Output is bit-identical to
+   *  `dedupSimhash(idFamily = "poly")` — `dedup_simhash_expr` shares
+   *  [[dedupSimhashFastOracle]] verbatim, and SimhashFpSpec asserts
+   *  per-document fingerprint equality of the two paths. */
+  /** The aggregation-path `poly`-family fingerprint frame
+   *  (doc_id, fp) — exposed so SimhashFpSpec can assert per-document
+   *  parity between the two fingerprint paths. */
+  def simhashPolyFingerprints(docs: DataFrame): DataFrame =
+    simhashFpWide(shingleIds(shingles(docs), "poly"))
+
+  def dedupSimhashExpr(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"),
+        call_function("word_ngrams", col("text"), lit(3)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), call_function("simhash_fp", col("grams")).as("fp"))
+      .cache() // banding AND the per-side fp lookup
+    val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id")
+    simhashVerify(cands, fp, maxHamming)
+  }
+
   /** doc_id + the 32-bit majority fingerprint — ONE partial-
    *  aggregating pass with 32 signed bit-vote sums as columns (not a
    *  32x row blowup); the fingerprint is then a pure projection. */
