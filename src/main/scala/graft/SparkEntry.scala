@@ -262,6 +262,9 @@ ORDER BY event_id"""
     // sf0.1 on one borderline pair — spec-covered instead.)
     "dedup_minhash_fast" -> ((s, d) =>
       Dedup.dedupMinhash(docs(s, d), idFamily = "poly")),
+    // Scale mode C (native whole-signature expression): signatures as
+    // a pure projection; same oracle as mode B (identical buckets).
+    "dedup_minhash_expr" -> ((s, d) => Dedup.dedupMinhashExpr(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
     // Scale mode B (codegen'd poly_hash gram ids — digest-free like
     // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
@@ -484,6 +487,7 @@ ORDER BY event_id"""
     "dedup_ngram_incr_store" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
+    "dedup_minhash_expr" -> Dedup.dedupMinhashFastOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_simhash_expr" -> Dedup.dedupSimhashFastOracle,

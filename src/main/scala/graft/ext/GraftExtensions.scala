@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, QDot, SimhashFp, WordNGrams, WordNGramsAll}
+import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -25,6 +25,9 @@ import graft.functions.{PolyHash, QDot, SimhashFp, WordNGrams, WordNGramsAll}
  *  - `simhash_fp(array<string>) -> bigint` — codegen'd whole
  *    32-bit SimHash fingerprint of a gram array under the poly
  *    family ([[graft.functions.SimhashFp]]).
+ *  - `minhash_sig(array<string>) -> array<bigint>` — codegen'd whole
+ *    16-hash MinHash signature under the poly family
+ *    ([[graft.functions.MinhashSig]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -63,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash_fp expects exactly 1 argument")
         SimhashFp(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash_sig expects exactly 1 argument")
+        MinhashSig(children.head)
       }))
   }
 }

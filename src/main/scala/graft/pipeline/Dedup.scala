@@ -1091,6 +1091,46 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash via the native WHOLE-SIGNATURE expression
+   *  ([[graft.functions.MinhashSig]], `poly` family): signatures are
+   *  a pure projection (`word_ngrams` → `minhash_sig` in one
+   *  whole-stage-codegen'd Project — no gram explode, no 16-min
+   *  partial agg, no exchange), band signatures derive in-row from
+   *  the array, and ONLY the exact-Jaccard verify (which was never
+   *  signature-dependent) still reads the shingle frame,
+   *  candidate-driven. Buckets are bit-identical to
+   *  `dedupMinhash(idFamily = "poly")` — `dedup_minhash_expr` shares
+   *  [[dedupMinhashFastOracle]] verbatim, and MinhashSigSpec asserts
+   *  per-document signature equality of the two paths. */
+  def dedupMinhashExpr(docs: DataFrame, minJaccard: Double = 0.2,
+                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sig = docs
+      .select(col("doc_id"),
+        call_function("minhash_sig",
+          call_function("word_ngrams", col("text"), lit(3))).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => col("sig").getItem(j).cast("string"))
+      struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("nb"))
+      .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
+    val cands = saltedBucketPairs(bands, Seq("band", "bsig"), "doc_id")
+    withJaccard(cands, sh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The aggregation-path `poly`-family wide signature frame
+   *  (doc_id, mh0..mh15) — exposed so MinhashSigSpec can assert
+   *  per-document parity between the two signature paths. */
+  def minhashPolySignatures(docs: DataFrame): DataFrame =
+    minhashSigWide(shingleIds(shingles(docs), "poly"))
+
   /** doc_id + the 16 min-hash columns `mh0..mh15` — ONE partial-
    *  aggregating groupBy pass (|docs| rows shuffled, not 16x|shingles|). */
   private def minhashSigWide(shId: DataFrame): DataFrame = {
