@@ -1312,11 +1312,7 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     simhashFpWide(shingleIds(shingles(docs), "poly"))
 
   def dedupSimhashExpr(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs
-      .select(col("doc_id"),
-        call_function("word_ngrams", col("text"), lit(3)).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), call_function("simhash_fp", col("grams")).as("fp"))
+    val fp = simhashFingerprints(docs, "expr")
       .cache() // banding AND the per-side fp lookup
     val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id")
     simhashVerify(cands, fp, maxHamming)
@@ -1366,8 +1362,22 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  keeps 16 longs + the shingle store for verify; simhash verifies
    *  from the fingerprints themselves, so this frame is the WHOLE
    *  state). */
+  /** `idFamily = "expr"` is the [[graft.functions.SimhashFp]]
+   *  projection path — fingerprints BIT-IDENTICAL to `"poly"`
+   *  (SimhashFpSpec), so a store written under either family serves
+   *  triggers run under the other; the expr family just skips the
+   *  explode + vote agg + exchange per batch. */
   def simhashFingerprints(docs: DataFrame, idFamily: String = "md5"): DataFrame =
-    simhashFpWide(shingleIds(shingles(docs.select("doc_id", "text")), idFamily))
+    idFamily match {
+      case "expr" => docs
+        .select(col("doc_id"),
+          call_function("word_ngrams", col("text"), lit(3)).as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"),
+          call_function("simhash_fp", col("grams")).as("fp"))
+      case _ =>
+        simhashFpWide(shingleIds(shingles(docs.select("doc_id", "text")), idFamily))
+    }
 
   /** Materialize [[simhashFingerprints]] as a parquet store. */
   def writeSimhashStore(docs: DataFrame, path: String,

@@ -57,6 +57,19 @@ class SimhashFpSpec extends SparkSpec {
     }
   }
 
+  test("incremental simhash under the expr family equals the poly family run") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val poly = graft.pipeline.Dedup
+      .dedupSimhashIncremental(corpus, batch, idFamily = "poly").collect().toSeq
+    val exprd = graft.pipeline.Dedup
+      .dedupSimhashIncremental(corpus, batch, idFamily = "expr").collect().toSeq
+    assert(poly === exprd)
+    assert(poly.nonEmpty) // the split must actually exercise pairs
+  }
+
   test("whole-stage codegen covers the fingerprint projection (no explode, no aggregate)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
