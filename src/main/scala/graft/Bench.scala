@@ -207,6 +207,41 @@ object Bench {
         -1.0
       }
     }
+    /** Same measurement for the cheapest-state streaming member,
+      * SIMHASH (state = ONE long per corpus doc): seed the fp store
+      * from a prefix under the `expr` family (the projection
+      * fingerprint path), time ONE processBatch of the fixed tail
+      * batch at two seed sizes. The trigger's only file scan is the
+      * fp store, so the quarter-vs-full gap can only come from its
+      * columnar scan. */
+    def streamingSimhashTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-shstream-$seedFrac").toString
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        graft.pipeline.Dedup.writeSimhashStore(seed, s"$base/fp", idFamily = "expr")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingSimhashDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/fp",
+          maxHamming = 3, idFamily = "expr")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_simhash_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     /** Same measurement for the streaming CLUSTER fold: seed a label
       * store of `seedN` docs (paired into 2-clusters), then time ONE
       * processPairs of a fixed 1k-pair batch (each pair bridges one
@@ -250,6 +285,12 @@ object Bench {
       (0 until 3).map(_ =>
         (streamingTriggerOnce(sfDir, 0.25), streamingTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
+    val runSHStream = only.forall(s => s.exists(_.startsWith("stream_simhash_trigger")))
+    val shstreamRuns = if (runSHStream) {
+      streamingSimhashTriggerOnce(warmDir, 1.0)
+      (0 until 3).map(_ =>
+        (streamingSimhashTriggerOnce(sfDir, 0.25), streamingSimhashTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
     val runXStream = only.forall(s => s.exists(_.startsWith("stream_exact_trigger")))
     val xstreamRuns = if (runXStream) {
       streamingExactTriggerOnce(warmDir, 1.0)
@@ -285,6 +326,9 @@ object Bench {
       (if (runXStream) Seq(
         "stream_exact_trigger_quarter_corpus" -> medianOf(xstreamRuns.map(_._1)),
         "stream_exact_trigger_full_corpus" -> medianOf(xstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runSHStream) Seq(
+        "stream_simhash_trigger_quarter_corpus" -> medianOf(shstreamRuns.map(_._1)),
+        "stream_simhash_trigger_full_corpus" -> medianOf(shstreamRuns.map(_._2))) else Seq.empty) ++
       (if (runCStream) Seq(
         "stream_cluster_trigger_quarter_corpus" -> medianOf(cstreamRuns.map(_._1)),
         "stream_cluster_trigger_full_corpus" -> medianOf(cstreamRuns.map(_._2))) else Seq.empty)
