@@ -114,6 +114,10 @@ ORDER BY event_id"""
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(docs(s, d))),
+    // native whole-selection expression path; same oracle (identical
+    // selection by construction)
+    "winnow_fingerprints_expr" -> ((s, d) =>
+      TextAnalysis.winnowFingerprintsExpr(docs(s, d))),
     "winnow_overlap" -> ((s, d) => TextAnalysis.winnowOverlap(docs(s, d))),
     "winnow_overlap_incr" -> ((s, d) => TextAnalysis.winnowOverlapIncremental(
       docs(s, d).filter(col("doc_id") < 400),
@@ -426,6 +430,7 @@ ORDER BY event_id"""
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracle,
+    "winnow_fingerprints_expr" -> TextAnalysis.winnowFingerprintsOracle,
     "winnow_overlap" -> TextAnalysis.winnowOverlapOracle,
     "winnow_overlap_incr" -> TextAnalysis.winnowOverlapIncrementalOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,

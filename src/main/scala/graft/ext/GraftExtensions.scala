@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WordNGrams, WordNGramsAll}
+import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -28,6 +28,9 @@ import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WordNGrams, WordN
  *  - `minhash_sig(array<string>) -> array<bigint>` — codegen'd whole
  *    16-hash MinHash signature under the poly family
  *    ([[graft.functions.MinhashSig]]).
+ *  - `winnow_fps(string, int, int) -> array<bigint>` — codegen'd
+ *    complete winnowing fingerprint selection (packed hash*2^20+pos)
+ *    ([[graft.functions.WinnowFps]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -73,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "minhash_sig expects exactly 1 argument")
         MinhashSig(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fps expects exactly 3 arguments")
+        WinnowFps(children.head, children(1), children(2))
       }))
   }
 }

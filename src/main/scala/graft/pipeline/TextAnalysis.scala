@@ -584,6 +584,25 @@ ORDER BY doc_id"""
       .orderBy("doc_id", "fp_pos")
   }
 
+  /** Winnowing via the native WHOLE-SELECTION expression
+   *  ([[graft.functions.WinnowFps]]): the gram hash, sliding-window
+   *  min, and distinct all run in ONE in-row loop, so the plan is
+   *  scan → project → explode of the SELECTED set (~2/(w+1) of the
+   *  grams) — where [[winnowFingerprints]] posexplodes EVERY gram and
+   *  pays a doc-partitioned exchange + sort for the window. Selection
+   *  is bit-identical (same packing, same leftmost tie rule) —
+   *  `winnow_fingerprints_expr` shares [[winnowFingerprintsOracle]]
+   *  verbatim, and WinnowFpsSpec asserts per-doc equality. */
+  def winnowFingerprintsExpr(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(call_function("winnow_fps", col("text"), lit(n), lit(w)))
+          .as("wmin"))
+      .select(col("doc_id"),
+        (col("wmin") % lit(1048576L)).as("fp_pos"),
+        expr("wmin div 1048576").as("fp_hash"))
+      .orderBy("doc_id", "fp_pos")
+
   /** Mirrors the packed-min winnowing selection; the recursive `pw`
    *  power table reproduces [[graft.functions.PolyHash]] exactly
    *  (code-point granular — the documented ASCII-corpus assumption
