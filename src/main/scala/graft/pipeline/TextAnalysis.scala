@@ -660,7 +660,9 @@ ORDER BY doc_id, fp_pos"""
    *  not per overlap query. */
   def winnowOverlap(docs: DataFrame, maxDf: Long = 5L, minShared: Long = 2L,
                     precomputedFps: Option[DataFrame] = None): DataFrame = {
-    val fps = precomputedFps.getOrElse(winnowFingerprints(docs))
+    // expression-path fingerprints: bit-identical selection
+    // (WinnowFpsSpec), no per-gram explode or doc-partitioned window
+    val fps = precomputedFps.getOrElse(winnowFingerprintsExpr(docs))
       .select("doc_id", "fp_hash").distinct()
     val df = fps.groupBy("fp_hash").agg(count(lit(1)).as("df_cnt"))
     val rare = fps.join(df.filter(col("df_cnt") <= maxDf), "fp_hash")
@@ -736,9 +738,9 @@ ORDER BY doc_a, doc_b"""
   def winnowOverlapIncremental(corpus: DataFrame, batch: DataFrame,
                                maxDf: Long = 5L, minShared: Long = 2L,
                                corpusFps: Option[DataFrame] = None): DataFrame = {
-    val cf = corpusFps.getOrElse(winnowFingerprints(corpus))
+    val cf = corpusFps.getOrElse(winnowFingerprintsExpr(corpus))
       .select("doc_id", "fp_hash").distinct()
-    val bf = winnowFingerprints(batch)
+    val bf = winnowFingerprintsExpr(batch) // expr path: batch never explodes per-gram
       .select("doc_id", "fp_hash").distinct()
     val all = cf.union(bf)
     val rareHashes = all.groupBy("fp_hash").agg(count(lit(1)).as("df_cnt"))
