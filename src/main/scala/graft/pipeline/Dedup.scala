@@ -147,15 +147,26 @@ FROM c ORDER BY bucket"""
   def writeShingleStore(docs: DataFrame, path: String, n: Int = 3): Unit =
     shingles(docs, n).write.mode("overwrite").parquet(path)
 
-  /** The shared shingle frame EAGERLY cached (one count() forces every
-   *  partition into the cache before the caller's plan runs) — for
-   *  multi-detector composites whose independent subtrees would
-   *  otherwise race the lazy cache and tokenize the corpus once per
-   *  detector. Callers passing `precomputedShingles` (a store read)
+  /** The shared shingle frame materialized ONCE as a session-temp
+   *  parquet store — for multi-detector composites whose independent
+   *  subtrees would otherwise race a lazy cache and tokenize the
+   *  corpus once per detector. A STORE (not an in-memory cache) on
+   *  purpose: columnar scans need no storage memory, so the composite
+   *  stays fast in a long-lived, heap-pressured JVM where a big
+   *  cached explode frame degrades (measured: the from-store detector
+   *  family held ~5 s in the same full-suite JVM where the
+   *  from-cache composite hit 18 s) — and it IS the
+   *  [[writeShingleStore]] shape a 100 TB pipeline runs anyway.
+   *  Callers passing `precomputedShingles` (their own store read)
    *  skip the materialization. */
   private[graft] def materializedShingles(
       docs: DataFrame, pre: Option[DataFrame], n: Int = 3): DataFrame =
-    pre.getOrElse { val s = shingles(docs, n).cache(); s.count(); s }
+    pre.getOrElse {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-shingle-shared").toString
+      writeShingleStore(docs, dir, n)
+      docs.sparkSession.read.parquet(dir)
+    }
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
    *  static 1..4000 index table — docs are < 4000 tokens). */
@@ -633,10 +644,11 @@ ORDER BY p.source_a, p.source_b"""
                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // EAGER cache: the three detector subtrees are independent, so
-    // their stages race inside one job — a lazily-cached shingle frame
-    // gets tokenized up to 3x before any partition lands in the cache
-    // (measured 9.4s vs ~4s for the sequential from-store family run).
+    // Shared shingle STORE: the three detector subtrees are
+    // independent, so their stages race a lazy cache into tokenizing
+    // the corpus once per detector; the store materializes once and
+    // every subtree scans parquet (see materializedShingles for why a
+    // store beats an in-memory cache here).
     val sh = materializedShingles(docs, precomputedShingles)
     def tag(det: String, df: DataFrame) =
       df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
