@@ -197,6 +197,7 @@ ORDER BY event_id"""
     "dedup_pair_venn" -> ((s, d) => Dedup.dedupPairVenn(docs(s, d))),
     "dedup_token_savings" -> ((s, d) => Dedup.dedupTokenSavings(docs(s, d))),
     "gram_df_spectrum" -> ((s, d) => Dedup.gramDfSpectrum(docs(s, d))),
+    "dup_degree_hist" -> ((s, d) => Dedup.dupDegreeHist(docs(s, d))),
     "source_gram_overlap" -> ((s, d) => Dedup.sourceGramOverlap(docs(s, d))),
     "dedup_ngram_incr" -> ((s, d) => Dedup.dedupNgramIncremental(
       docs(s, d).filter(col("doc_id") < 400),
@@ -480,6 +481,7 @@ ORDER BY event_id"""
     "dedup_pair_venn" -> Dedup.dedupPairVennOracle,
     "dedup_token_savings" -> Dedup.dedupTokenSavingsOracle,
     "gram_df_spectrum" -> Dedup.gramDfSpectrumOracle,
+    "dup_degree_hist" -> Dedup.dupDegreeHistOracle,
     "source_gram_overlap" -> Dedup.sourceGramOverlapOracle,
     "dedup_ngram_incr" -> Dedup.dedupNgramIncrementalOracle,
     "dedup_exact_incr" -> Dedup.dedupExactIncrementalOracle,

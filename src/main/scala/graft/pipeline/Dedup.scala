@@ -427,6 +427,46 @@ SELECT doc_a, doc_b, inter_n, n_a, n_b,
 FROM verified
 ORDER BY doc_a, doc_b"""
 
+  /** Duplicate-partner degree histogram over the verified n-gram pair
+   *  graph — the template/hub-document detector for LEXICAL dedup
+   *  ([[graft.pipeline.Embeddings.knnHubness]]'s counterpart): a
+   *  document with hundreds of partners is a boilerplate template
+   *  (navigation shell, license block, form letter) whose CLUSTER
+   *  should be reviewed as a unit, and the histogram's tail mass is
+   *  the first thing to read before trusting per-pair survivor rules
+   *  at 100 TB (drop-doc_b on a 500-partner hub deletes 500 docs for
+   *  one template). Degree-0 mass included via the left join. Shape:
+   *  pair frame is candidate-bounded; the rollups run at pair then
+   *  degree cardinality. */
+  def dupDegreeHist(docs: DataFrame, maxDf: Long = 5L,
+                    minJaccard: Double = 0.2,
+                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val pairs = dedupNgram(docs, maxDf, minJaccard, precomputedShingles)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    docs.select("doc_id").join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** [[ngramVerifiedCte]]'s pair set + the same endpoint rollup and
+   *  degree-0 left join. */
+  val dupDegreeHistOracle: String =
+    "WITH " + shinglesCte + "," + ngramVerifiedCte + """,
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS doc_id FROM verified
+    UNION ALL SELECT doc_b AS doc_id FROM verified) u
+  GROUP BY doc_id),
+alld AS (
+  SELECT d.doc_id, COALESCE(g.degree, CAST(0 AS BIGINT)) AS degree
+  FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM alld GROUP BY degree
+ORDER BY degree"""
+
   /** 100 TB mode of [[dedupNgram]]: candidate BLOCKING keys on the
    *  8-byte integer gram id (`idFamily`, default the SQL-reproducible
    *  `"poly"`) instead of the gram string — document frequency,
