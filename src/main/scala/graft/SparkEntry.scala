@@ -331,6 +331,8 @@ ORDER BY event_id"""
     "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
     "emb_outliers" -> ((s, d) => Embeddings.embOutliers(emb(s, d))),
     "knn_mutuality" -> ((s, d) => Embeddings.knnMutuality(emb(s, d))),
+    "embedding_threshold_sweep" -> ((s, d) =>
+      Embeddings.embeddingThresholdSweep(emb(s, d))),
     "knn_pagerank" -> ((s, d) => Embeddings.knnPagerank(emb(s, d))),
     "ivf_probe_sweep" -> ((s, d) =>
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
@@ -508,6 +510,7 @@ ORDER BY event_id"""
     "knn_hubness" -> Embeddings.knnHubnessOracle,
     "emb_outliers" -> Embeddings.embOutliersOracle,
     "knn_mutuality" -> Embeddings.knnMutualityOracle,
+    "embedding_threshold_sweep" -> Embeddings.embeddingThresholdSweepOracle,
     "knn_pagerank" -> Embeddings.knnPagerankOracle,
     "ivf_probe_sweep" -> Embeddings.ivfProbeSweepOracle,
     "dedup_embedding" -> Embeddings.dedupEmbeddingOracle,

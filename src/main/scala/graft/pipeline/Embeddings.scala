@@ -444,6 +444,76 @@ ORDER BY d.vec_a, d.vec_b"""
   val dedupEmbeddingOracle: String =
     "WITH " + planeFpCte + dedupEmbeddingTailSql("")
 
+  /** Cosine-threshold sweep over the sign-LSH candidate set — the
+   *  embedding twin of [[graft.pipeline.Dedup.dedupThresholdSweep]]:
+   *  pair count and distinct docs flagged at every candidate cutoff
+   *  in {0.0, 0.1, ..., 0.9}, read before committing `minCosine` (the
+   *  "how much does 0.4 vs 0.6 cost" curve) without running the
+   *  detector N times. ONE candidate-driven verify pass (no
+   *  threshold), then a ≤10x grid explode of the candidate-bounded
+   *  verified frame; both rollups at pair/grid cardinality. The
+   *  bucket rule compares the IDENTICAL IEEE expression in both
+   *  engines (r4'd cosine × 10 vs the integer step — the
+   *  [[graft.pipeline.TextAnalysis.qualitySweep]] bucket-edge
+   *  discipline). */
+  def embeddingThresholdSweep(emb: DataFrame,
+                              precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
+    val nib = nibbles(qv).cache()
+    val cands = Dedup.saltedBucketPairs(nib, Seq("band", "nibv"), "vec_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val graded = verifyCosine(cands, qv, qv, "vec_a", "vec_b", minCosine = -1.0)
+      .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("rc"))
+      .select(col("vec_a"), col("vec_b"), col("rc"),
+        explode(sequence(lit(0L), lit(9L))).as("step"))
+      .filter(col("rc") * lit(10.0) >= col("step").cast("double"))
+      .cache()
+    val pairsPerT = graded.groupBy("step").agg(count(lit(1)).as("n_pairs"))
+    val docsPerT = graded
+      .select(col("step"), explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .groupBy("step").agg(countDistinct("vec_id").as("n_docs_flagged"))
+    pairsPerT.join(docsPerT, Seq("step"))
+      .select(r4(col("step") * lit(1.0) / lit(10.0)).as("threshold"),
+        col("n_pairs"), col("n_docs_flagged"))
+      .orderBy("threshold")
+  }
+
+  /** [[dedupEmbeddingOracle]]'s chain without its baked-in 0.4 WHERE;
+   *  the grid comparison mirrors the r4-then-×10 expression
+   *  byte-for-byte. */
+  val embeddingThresholdSweepOracle: String = "WITH " + planeFpCte + """,
+ecands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id < b.vec_id),
+edots AS (
+  SELECT c.vec_a, c.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM ecands c
+  JOIN qv qa ON qa.vec_id = c.vec_a
+  JOIN qv qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  GROUP BY c.vec_a, c.vec_b),
+ecos AS (
+  SELECT d.vec_a, d.vec_b,
+         FLOOR((d.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS rc
+  FROM edots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+egraded AS (
+  SELECT e.vec_a, e.vec_b, t.step
+  FROM ecos e JOIN (SELECT unnest(range(0, 10)) AS step) t
+    ON e.rc * 10.0 >= CAST(t.step AS DOUBLE)),
+epairs AS (
+  SELECT step, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM egraded GROUP BY step),
+edocs AS (
+  SELECT step, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_docs_flagged FROM (
+    SELECT step, vec_a AS vec_id FROM egraded
+    UNION ALL SELECT step, vec_b FROM egraded) u
+  GROUP BY step)
+SELECT FLOOR((p.step * 1.0 / 10.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       p.n_pairs, d.n_docs_flagged
+FROM epairs p JOIN edocs d ON p.step = d.step
+ORDER BY threshold"""
+
   /** Incremental embedding-cosine near-dup — the FOURTH incremental
    *  blocking family ([[graft.pipeline.Dedup.dedupNgramIncremental]]
    *  n-gram rarity, `dedupMinhashIncremental` signature LSH,
