@@ -242,6 +242,70 @@ object Bench {
       }
     }
 
+    /** Same measurement for the streaming MINHASH member (state =
+      * shingle store + per-doc signature store): seed both from a
+      * prefix under the poly family, time ONE processBatch of the
+      * fixed tail batch at two seed sizes. */
+    def streamingMinhashTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-mhstream-$seedFrac").toString
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        graft.pipeline.Dedup.writeShingleStore(seed, s"$base/shingles")
+        graft.pipeline.Dedup.minhashSignatures(seed, "poly")
+          .write.mode("overwrite").parquet(s"$base/sig")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingMinhashDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/shingles", s"$base/sig",
+          minJaccard = 0.2, idFamily = "poly")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_minhash_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    /** Same measurement for the streaming EMBEDDING member (state =
+      * the shared ANN quantized index): seed the index from a vector
+      * prefix, time ONE processBatch of the fixed tail batch. */
+    def streamingEmbTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft-embstream-$seedFrac").toString
+        val seed = emb.filter(org.apache.spark.sql.functions.col("vec_id") < seedN)
+          .select("vec_id", "embedding")
+        graft.pipeline.Embeddings.writeQuantizedStore(seed, s"$base/qv")
+        val batch = emb
+          .filter(org.apache.spark.sql.functions.col("vec_id") >= batchStart)
+          .select("vec_id", "embedding")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingEmbeddingDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/qv", minCosine = 0.4)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_emb_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     /** Same measurement for the streaming CLUSTER fold: seed a label
       * store of `seedN` docs (paired into 2-clusters), then time ONE
       * processPairs of a fixed 1k-pair batch (each pair bridges one
@@ -284,6 +348,18 @@ object Bench {
       streamingTriggerOnce(warmDir, 1.0) // absorb codegen/JIT
       (0 until 3).map(_ =>
         (streamingTriggerOnce(sfDir, 0.25), streamingTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
+    val runMHStream = only.forall(s => s.exists(_.startsWith("stream_minhash_trigger")))
+    val mhstreamRuns = if (runMHStream) {
+      streamingMinhashTriggerOnce(warmDir, 1.0)
+      (0 until 3).map(_ =>
+        (streamingMinhashTriggerOnce(sfDir, 0.25), streamingMinhashTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
+    val runEStream = only.forall(s => s.exists(_.startsWith("stream_emb_trigger")))
+    val estreamRuns = if (runEStream) {
+      streamingEmbTriggerOnce(warmDir, 1.0)
+      (0 until 3).map(_ =>
+        (streamingEmbTriggerOnce(sfDir, 0.25), streamingEmbTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runSHStream = only.forall(s => s.exists(_.startsWith("stream_simhash_trigger")))
     val shstreamRuns = if (runSHStream) {
@@ -329,6 +405,12 @@ object Bench {
       (if (runSHStream) Seq(
         "stream_simhash_trigger_quarter_corpus" -> medianOf(shstreamRuns.map(_._1)),
         "stream_simhash_trigger_full_corpus" -> medianOf(shstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runMHStream) Seq(
+        "stream_minhash_trigger_quarter_corpus" -> medianOf(mhstreamRuns.map(_._1)),
+        "stream_minhash_trigger_full_corpus" -> medianOf(mhstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runEStream) Seq(
+        "stream_emb_trigger_quarter_corpus" -> medianOf(estreamRuns.map(_._1)),
+        "stream_emb_trigger_full_corpus" -> medianOf(estreamRuns.map(_._2))) else Seq.empty) ++
       (if (runCStream) Seq(
         "stream_cluster_trigger_quarter_corpus" -> medianOf(cstreamRuns.map(_._1)),
         "stream_cluster_trigger_full_corpus" -> medianOf(cstreamRuns.map(_._2))) else Seq.empty)

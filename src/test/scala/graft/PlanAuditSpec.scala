@@ -563,6 +563,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdxs.forall(_ > genIdx), p)
   }
 
+  test("degree hist and embedding sweep: candidate-bounded rollups, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = plan(graft.pipeline.Dedup.dupDegreeHist(docs))
+    assert(!p1.contains("CartesianProduct"), p1)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p2 = plan(graft.pipeline.Embeddings.embeddingThresholdSweep(emb))
+    assert(!p2.contains("CartesianProduct"), p2)
+    // the grid explode fans out the VERIFIED pair frame (its Generate
+    // consumes the rc projection, which only exists after the cosine
+    // verify) — assert the explode is present and feeds from rc, i.e.
+    // the 10x fan-out never touches corpus rows
+    val genLine = p2.linesIterator.find(_.contains("Generate explode"))
+    assert(genLine.exists(_.contains("rc#")), p2)
+  }
+
   test("gram df spectrum and source overlap: partial-agg shuffles only, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p1 = plan(graft.pipeline.Dedup.gramDfSpectrum(docs))
