@@ -30,6 +30,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("whole-signature expressions match the aggregation-path arithmetic on random token strings") {
+    // random space-tokenized texts (incl. empty tokens from repeated
+    // separators — the split(' ', -1) contract) pushed through BOTH
+    // the native expressions and an independent reference of the
+    // aggregation-path formulas
+    val tokGen = Gen.oneOf(Gen.alphaLowerStr.map(_.take(4)),
+      Gen.const(""), Gen.oneOf("ünï", "✓", "क्ष"))
+    val textGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    def polyOf(g: String): Long = graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g))
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(20, textGen), seed)
+      val rows = texts.toDF("text").select(
+        expr("simhash_fp(word_ngrams(text, 3))").as("fp"),
+        expr("minhash_sig(word_ngrams(text, 3))").as("sig"),
+        expr("winnow_fps(text, 3, 4)").as("wf"),
+        col("text")).collect()
+      for (r <- rows) {
+        val text = r.getString(3)
+        val toks = text.split(" ", -1)
+        val gramsAll = if (toks.length < 3) Seq.empty
+          else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+        val grams = gramsAll.distinct
+        // simhash reference
+        val votes = new Array[Long](32)
+        for (g <- grams; b <- 0 until 32) {
+          val v = ((polyOf(g) * (37L + 101L * b) + (17L + 257L * b)) % 1000003L) % 2L
+          votes(b) += (if (v == 1L) 1L else -1L)
+        }
+        val fpRef = (0 until 32).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+        assert(r.getLong(0) === fpRef, s"simhash '$text'")
+        // minhash reference (null when gram-less)
+        if (grams.isEmpty) assert(r.isNullAt(1), s"minhash '$text'")
+        else {
+          val sigRef = (0 until 16).map(j => grams.map(g =>
+            (polyOf(g) * (37L + 101L * j) + (17L + 257L * j)) % 1000003L).min)
+          assert(r.getSeq[Long](1) === sigRef, s"minhash '$text'")
+        }
+        // winnow reference: set-distinct window minima, pos order
+        val g = gramsAll.length
+        val wfRef = if (g < 4) Seq.empty else {
+          val pk = gramsAll.zipWithIndex.map { case (s, i) => polyOf(s) * 1048576L + i }
+          (0 to g - 4).map(p => pk.slice(p, p + 4).min).distinct.sortBy(_ % 1048576L)
+        }
+        assert(r.getSeq[Long](2) === wfRef, s"winnow '$text'")
+      }
+    }
+  }
+
   test("salted bucket pairs equal plain pairs for random bucket shapes") {
     for (seed <- 1L to 5L) {
       val members = sample(Gen.listOfN(40,
