@@ -109,6 +109,7 @@ ORDER BY event_id"""
     "length_quality_matrix" -> ((s, d) =>
       TextAnalysis.lengthQualityMatrix(docs(s, d))),
     "encoding_quality" -> ((s, d) => TextAnalysis.encodingQuality(docs(s, d))),
+    "blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(docs(s, d))),
     "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(docs(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
@@ -428,6 +429,7 @@ ORDER BY event_id"""
     "vocab_coverage_curve" -> TextAnalysis.vocabCoverageCurveOracle,
     "length_quality_matrix" -> TextAnalysis.lengthQualityMatrixOracle,
     "encoding_quality" -> TextAnalysis.encodingQualityOracle,
+    "blocklist_filter" -> TextAnalysis.blocklistFilterOracle,
     "quality_drift" -> TextAnalysis.qualityDriftOracle,
     "quality_score" -> TextAnalysis.qualityScoreOracle,
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,

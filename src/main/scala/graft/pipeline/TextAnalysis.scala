@@ -942,6 +942,61 @@ SELECT doc_id,
 FROM s2
 ORDER BY doc_id"""
 
+  /** Default blocklist for [[blocklistFilter]] — stand-ins for a
+   *  policy list (C4's "bad words" file, a compliance deny-list);
+   *  chosen from tokens the synthetic corpus actually contains so the
+   *  mechanism is exercised with nonzero hits at every SF. Shared with
+   *  the oracle builder. */
+  val defaultBlocklist: Seq[String] = Seq("dup", "deadlock")
+
+  /** Blocklist (bad-words) gate — the C4-style policy filter every
+   *  crawl pipeline runs (Raffel et al. 2020 arXiv:1910.10683 drop
+   *  pages containing any listed term): per doc, total blocklisted
+   *  token occurrences, distinct listed terms present, and the keep
+   *  flag (no hits). The list is a parameter; scale shape is the
+   *  [[langId]] marker mechanism — token explode, BROADCAST list
+   *  join (the list is policy-sized, never corpus-sized), one
+   *  map-side-combining agg back to doc cardinality, left join for
+   *  the zero-hit majority. All counts integer. */
+  def blocklistFilter(docs: DataFrame,
+                      blocklist: Seq[String] = defaultBlocklist): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("term")
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(bl), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"),
+        countDistinct("term").as("n_terms"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        when(col("n_hits").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Same explode + list join + zero-hit left join, list generated
+   *  from the same [[defaultBlocklist]]. */
+  val blocklistFilterOracle: String = {
+    val terms = defaultBlocklist.map(t => s"('$t')").mkString(", ")
+    s"""
+WITH bl(term) AS (VALUES $terms),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COUNT(DISTINCT t.term) AS BIGINT) AS n_terms
+  FROM toks t JOIN bl ON t.term = bl.term
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       COALESCE(h.n_terms, CAST(0 AS BIGINT)) AS n_terms,
+       CASE WHEN h.n_hits IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id"""
+  }
+
   /** Encoding-quality audit — the mojibake/binary-junk gate a crawl
    *  corpus runs before any text operator trusts `text`: per doc,
    *  counts of C0 control characters (except tab/newline/CR — the
