@@ -63,18 +63,83 @@ object StreamingClusters {
    *  trigger's output: (doc_a, doc_b), batch-touching) into the label
    *  store. Appends ONLY changed/new labels, stamped `batchId`.
    *
-   *  The fold is TOUCHED-ONLY: the full-store `max_by` fold
-   *  ([[readLabels]]) is a corpus-sized shuffle, so a trigger never
-   *  runs it — it folds (a) the batch pairs' endpoints (one semi-join
-   *  against the store, shuffle bounded by endpoint rows) and (b) the
-   *  members of the clusters those endpoints belong to (one
-   *  label-keyed semi-join; stale delta rows over-select harmlessly —
-   *  their docs fold to their true current label and filter out as
-   *  unchanged). Untouched clusters enter no join and no shuffle; the
-   *  only O(state) term is the delta store's columnar scan, the same
-   *  bound every family member documents. */
+   *  The fold is TOUCHED-ONLY and runs in exactly TWO passes over the
+   *  delta store (the only O(state) terms — no full-store `max_by`
+   *  fold ever runs in a trigger):
+   *
+   *  1. endpoint probe — one broadcast-semi-join scan folds the batch
+   *     endpoints' current labels; the result is batch-bounded, so it
+   *     collects, the batch pairs CONTRACT to those labels locally,
+   *     and components run as a driver union-find
+   *     ([[graft.pipeline.Clustering.connectedComponentsBounded]] —
+   *     everything collected is bounded by the ARRIVING batch, never
+   *     the corpus; batches past its guard fall back to the
+   *     distributed incremental fold).
+   *  2. member probe — one broadcast-semi-join scan keyed on the
+   *     labels the union-find CHANGED folds those clusters' members
+   *     straight to their current label. Probing by label is exact,
+   *     not heuristic: a store label that is current for ONE member
+   *     is current for the WHOLE component (labels are component
+   *     minima; components never split, so a superseded label never
+   *     recurs), so the fold over label-matched rows always sees each
+   *     member's latest row.
+   *
+   *  Untouched clusters match neither probe and contribute no rows;
+   *  per-trigger shuffle volume is bounded by |batch endpoints| +
+   *  |members of changed clusters|. */
   def processPairs(batchPairs: DataFrame, batchId: Long,
-                   labelDir: String): Unit = {
+                   labelDir: String, localMax: Int = 4000000): Unit = {
+    val spark = batchPairs.sparkSession
+    import spark.implicits._
+    val pairs = batchPairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].take(localMax + 1)
+    if (pairs.length > localMax) {
+      processPairsDistributed(batchPairs, batchId, labelDir); return
+    }
+    val store = readOrEmpty(spark, labelDir)
+    val endIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val endLabels = store
+      .join(broadcast(endIds.toSeq.toDF("doc_id")), "doc_id")
+      .groupBy("doc_id").agg(expr("max_by(label, batch_id)").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find over the contracted edges; min-id root = new label
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ca = endLabels.getOrElse(a, a); val cb = endLabels.getOrElse(b, b)
+      val ra = find(ca); val rb = find(cb)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val changed = endLabels.valuesIterator.toSet.iterator
+      .map((l: Long) => l -> find(l)).filter { case (o, n) => o != n }.toSeq
+    val deltaNew = endIds.filterNot(endLabels.contains)
+      .map(d => (d, find(d), batchId)).toSeq
+      .toDF("doc_id", "label", "batch_id")
+    val delta = if (changed.isEmpty) deltaNew else {
+      val changedMap = changed.toDF("label", "new_label")
+      val deltaPrior = store.join(broadcast(changedMap.select("label")), "label")
+        .groupBy("doc_id").agg(expr("max_by(label, batch_id)").as("label"))
+        .join(broadcast(changedMap), "label")
+        .select(col("doc_id"), col("new_label").as("label"),
+          lit(batchId).as("batch_id"))
+      deltaPrior.unionByName(deltaNew)
+    }
+    delta.write.mode("append").parquet(labelDir)
+  }
+
+  /** Distributed fallback for a batch past [[processPairs]]'s
+   *  `localMax` guard: the three-probe shape (endpoint fold →
+   *  touched-cluster members → touched fold) feeding the distributed
+   *  incremental component fold. Same delta, same store contract. */
+  private def processPairsDistributed(batchPairs: DataFrame, batchId: Long,
+                                      labelDir: String): Unit = {
     val spark = batchPairs.sparkSession
     val store = readOrEmpty(spark, labelDir)
     val pairs = batchPairs.select("doc_a", "doc_b").cache()
