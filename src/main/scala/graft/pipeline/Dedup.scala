@@ -147,25 +147,60 @@ FROM c ORDER BY bucket"""
   def writeShingleStore(docs: DataFrame, path: String, n: Int = 3): Unit =
     shingles(docs, n).write.mode("overwrite").parquet(path)
 
-  /** The shared shingle frame materialized ONCE as a session-temp
-   *  parquet store — for multi-detector composites whose independent
-   *  subtrees would otherwise race a lazy cache and tokenize the
-   *  corpus once per detector. A STORE (not an in-memory cache) on
-   *  purpose: columnar scans need no storage memory, so the composite
-   *  stays fast in a long-lived, heap-pressured JVM where a big
-   *  cached explode frame degrades (measured: the from-store detector
-   *  family held ~5 s in the same full-suite JVM where the
-   *  from-cache composite hit 18 s) — and it IS the
-   *  [[writeShingleStore]] shape a 100 TB pipeline runs anyway.
-   *  Callers passing `precomputedShingles` (their own store read)
-   *  skip the materialization. */
-  private[graft] def materializedShingles(
-      docs: DataFrame, pre: Option[DataFrame], n: Int = 3): DataFrame =
-    pre.getOrElse {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-shingle-shared").toString
-      writeShingleStore(docs, dir, n)
-      docs.sparkSession.read.parquet(dir)
+  /** The multi-consumer shingle frame: a locally-built fallback is
+   *  `.cache()`d (consumed by both the sketch path and the Jaccard
+   *  verify), but a caller-supplied `precomputedShingles` — a
+   *  store-backed parquet read in every composed pipeline — is passed
+   *  through UNCACHED: re-caching a corpus-scale explode frame
+   *  re-introduces exactly the heap-pressure degradation the
+   *  store-over-cache design ([[withSharedShingles]]) exists to
+   *  avoid, and a columnar scan per consumer is the cheaper second
+   *  read. */
+  private def cachedOrStore(docs: DataFrame,
+                            pre: Option[DataFrame]): DataFrame =
+    pre.getOrElse(shingles(docs).cache())
+
+  /** A fresh scratch directory for session-temp stores, resolved
+   *  through the session Hadoop conf so a cluster points it at
+   *  HDFS/S3 scratch via `graft.scratch.dir` (default: the driver's
+   *  local tmp — correct for local[] where driver and executors share
+   *  a filesystem). */
+  private[graft] def newScratchDir(spark: org.apache.spark.sql.SparkSession,
+                                   prefix: String): String = {
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("graft.scratch.dir",
+        "file:" + System.getProperty("java.io.tmpdir")))
+    val dir = new org.apache.hadoop.fs.Path(
+      base, s"$prefix-${java.util.UUID.randomUUID}")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+    dir.toString
+  }
+
+  /** Bracket for composites that need the shared shingle STORE only
+   *  DURING their computation: materialize it (unless the caller
+   *  supplied one), run `body`, eagerly `localCheckpoint` the result
+   *  (every consumer returns a small rollup — checkpointing pins
+   *  those few rows and truncates the lineage back to the store), and
+   *  DELETE the store. Fixes the round-8 leak where every
+   *  venn/token-savings call left a corpus-scale temp parquet behind
+   *  for the life of the host. A caller-supplied store is the
+   *  caller's to manage — passed through, never deleted. */
+  private[graft] def withSharedShingles(
+      docs: DataFrame, pre: Option[DataFrame], n: Int = 3)(
+      body: DataFrame => DataFrame): DataFrame =
+    pre match {
+      case Some(sh) => body(sh)
+      case None =>
+        val spark = docs.sparkSession
+        val dir = newScratchDir(spark, "graft-shingle-shared")
+        try {
+          writeShingleStore(docs, dir, n)
+          body(spark.read.parquet(dir)).localCheckpoint()
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
     }
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
@@ -381,7 +416,7 @@ shid AS (
   def dedupNgram(docs: DataFrame, maxDf: Long = 5L,
                  minJaccard: Double = 0.2,
                  precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
     val rareSh = sh.join(rare, "gram")
@@ -485,7 +520,7 @@ ORDER BY degree"""
                      minJaccard: Double = 0.2,
                      idFamily: String = "poly",
                      precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val shId = shingleIds(sh, idFamily)
     val df = shId.groupBy("gid").agg(count(lit(1)).as("df_cnt"))
     val rare = df.filter(col("df_cnt") <= maxDf).select("gid")
@@ -684,41 +719,47 @@ ORDER BY p.source_a, p.source_b"""
                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Shared shingle STORE: the three detector subtrees are
-    // independent, so their stages race a lazy cache into tokenizing
-    // the corpus once per detector; the store materializes once and
-    // every subtree scans parquet (see materializedShingles for why a
-    // store beats an in-memory cache here).
-    val sh = materializedShingles(docs, precomputedShingles)
-    def tag(det: String, df: DataFrame) =
-      df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
-    val tagged = tag("ngram", dedupNgram(docs, precomputedShingles = Some(sh)))
-      .union(tag("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
-      .union(tag("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
-      .cache()
-    tagged.count() // eager: consumed by 3 scans below (sizes + self-join)
-    val sizes = tagged.groupBy("det").agg(count(lit(1)).as("n"))
-    val common = tagged.select(col("det").as("det_a"), col("doc_a"), col("doc_b"))
-      .join(tagged.select(col("det").as("det_b"), col("doc_a"), col("doc_b")),
-        Seq("doc_a", "doc_b"))
-      .filter(col("det_a") < col("det_b"))
-      .groupBy("det_a", "det_b").agg(count(lit(1)).as("common"))
-    val detPairs = Seq(("minhash", "ngram"), ("minhash", "simhash"),
-      ("ngram", "simhash")).toDF("det_a", "det_b")
-    detPairs
-      .join(broadcast(sizes.select(col("det").as("det_a"), col("n").as("pairs_a"))),
-        Seq("det_a"), "left")
-      .join(broadcast(sizes.select(col("det").as("det_b"), col("n").as("pairs_b"))),
-        Seq("det_b"), "left")
-      .join(common, Seq("det_a", "det_b"), "left")
-      .select(col("det_a"), col("det_b"),
-        coalesce(col("pairs_a"), lit(0L)).as("pairs_a"),
-        coalesce(col("pairs_b"), lit(0L)).as("pairs_b"),
-        coalesce(col("common"), lit(0L)).as("common"))
-      .withColumn("agreement",
-        r4(col("common") * lit(1.0) /
-          greatest(col("pairs_a") + col("pairs_b") - col("common"), lit(1L))))
-      .orderBy("det_a", "det_b")
+    // Shared shingle STORE, bracket-scoped: the three detector
+    // subtrees are independent, so their stages race a lazy cache
+    // into tokenizing the corpus once per detector; the store
+    // materializes once, every subtree scans parquet (see
+    // materializedShingles for why a store beats an in-memory cache
+    // here), and withSharedShingles deletes it once the 3-row result
+    // is checkpointed.
+    withSharedShingles(docs, precomputedShingles) { sh =>
+      def tag(det: String, df: DataFrame) =
+        df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
+      val tagged = tag("ngram", dedupNgram(docs, precomputedShingles = Some(sh)))
+        .union(tag("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
+        .union(tag("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+        .cache()
+      tagged.count() // eager: consumed by 3 scans below (sizes + self-join)
+      val sizes = tagged.groupBy("det").agg(count(lit(1)).as("n"))
+      val common = tagged.select(col("det").as("det_a"), col("doc_a"), col("doc_b"))
+        .join(tagged.select(col("det").as("det_b"), col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"))
+        .filter(col("det_a") < col("det_b"))
+        .groupBy("det_a", "det_b").agg(count(lit(1)).as("common"))
+      val detPairs = Seq(("minhash", "ngram"), ("minhash", "simhash"),
+        ("ngram", "simhash")).toDF("det_a", "det_b")
+      val out = detPairs
+        .join(broadcast(sizes.select(col("det").as("det_a"), col("n").as("pairs_a"))),
+          Seq("det_a"), "left")
+        .join(broadcast(sizes.select(col("det").as("det_b"), col("n").as("pairs_b"))),
+          Seq("det_b"), "left")
+        .join(common, Seq("det_a", "det_b"), "left")
+        .select(col("det_a"), col("det_b"),
+          coalesce(col("pairs_a"), lit(0L)).as("pairs_a"),
+          coalesce(col("pairs_b"), lit(0L)).as("pairs_b"),
+          coalesce(col("common"), lit(0L)).as("common"))
+        .withColumn("agreement",
+          r4(col("common") * lit(1.0) /
+            greatest(col("pairs_a") + col("pairs_b") - col("common"), lit(1L))))
+        .orderBy("det_a", "det_b")
+        .localCheckpoint() // pin the 3 rows, then drop the pair cache
+      tagged.unpersist()
+      out
+    }
   }
 
   /** The three family pair chains over the shared `shingle`/`shid`
@@ -834,38 +875,42 @@ ORDER BY p.det_a, p.det_b"""
                         precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = materializedShingles(docs, precomputedShingles)
-    val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
-    val totals = tok.agg(count(lit(1)).as("n_docs_total"),
-      sum("tok").as("tokens_total"))
-    val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-    val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
-    val exactDrops = h.join(firsts, "content_hash")
-      .filter(col("doc_id") > col("first_id"))
-      .select(lit("exact").as("det"), col("doc_id"))
-    def laterSide(det: String, pairs: DataFrame) =
-      pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
-    val base = exactDrops
-      .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
-      .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
-      .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
-      .cache()
-    base.count() // eager: consumed twice below (per-det + union rollup)
-    val flagged = base.union(
-      base.select(col("doc_id")).distinct().select(lit("any").as("det"), col("doc_id")))
-    val dets = Seq("any", "exact", "minhash", "ngram", "simhash").toDF("det")
-    val per = flagged.join(tok, "doc_id")
-      .groupBy("det").agg(count(lit(1)).as("n_docs_dropped"),
-        sum("tok").as("tokens_dropped"))
-    dets.join(per, Seq("det"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("det"),
-        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
-        coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
-        col("n_docs_total"), col("tokens_total"),
-        r4(coalesce(col("tokens_dropped"), lit(0L)) * lit(1.0)
-          / col("tokens_total")).as("dropped_frac"))
-      .orderBy("det")
+    withSharedShingles(docs, precomputedShingles) { sh =>
+      val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
+      val totals = tok.agg(count(lit(1)).as("n_docs_total"),
+        sum("tok").as("tokens_total"))
+      val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+      val exactDrops = h.join(firsts, "content_hash")
+        .filter(col("doc_id") > col("first_id"))
+        .select(lit("exact").as("det"), col("doc_id"))
+      def laterSide(det: String, pairs: DataFrame) =
+        pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
+      val base = exactDrops
+        .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+        .cache()
+      base.count() // eager: consumed twice below (per-det + union rollup)
+      val flagged = base.union(
+        base.select(col("doc_id")).distinct().select(lit("any").as("det"), col("doc_id")))
+      val dets = Seq("any", "exact", "minhash", "ngram", "simhash").toDF("det")
+      val per = flagged.join(tok, "doc_id")
+        .groupBy("det").agg(count(lit(1)).as("n_docs_dropped"),
+          sum("tok").as("tokens_dropped"))
+      val out = dets.join(per, Seq("det"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("det"),
+          coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+          coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+          col("n_docs_total"), col("tokens_total"),
+          r4(coalesce(col("tokens_dropped"), lit(0L)) * lit(1.0)
+            / col("tokens_total")).as("dropped_frac"))
+        .orderBy("det")
+        .localCheckpoint() // pin the 5 rows, then drop the drop-set cache
+      base.unpersist()
+      out
+    }
   }
 
   /** [[detChainsCte]]'s pair sets verbatim + the exact-hash
@@ -914,7 +959,7 @@ ORDER BY d.det"""
   def dedupContainment(docs: DataFrame, maxDf: Long = 5L,
                        minContainment: Double = 0.6,
                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val df = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
     val rareSh = sh.join(rare, "gram")
@@ -1132,7 +1177,7 @@ ORDER BY c.doc_a, c.doc_b"""
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
                    idFamily: String = "md5",
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val shId = shingleIds(sh, idFamily)
     val cands =
       saltedBucketPairs(minhashBandSig(minhashSigWide(shId)),
@@ -1156,7 +1201,7 @@ ORDER BY c.doc_a, c.doc_b"""
    *  per-document signature equality of the two paths. */
   def dedupMinhashExpr(docs: DataFrame, minJaccard: Double = 0.2,
                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val sig = docs
       .select(col("doc_id"),
         call_function("minhash_sig",
@@ -1220,7 +1265,7 @@ ORDER BY c.doc_a, c.doc_b"""
    *  expressions over exact integer counts. */
   def minhashCalibration(docs: DataFrame, idFamily: String = "md5",
                          precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val sigWide = minhashSigWide(shingleIds(sh, idFamily)).cache()
     val cands = saltedBucketPairs(minhashBandSig(sigWide),
       Seq("band", "bsig"), "doc_id")
@@ -1338,7 +1383,7 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
                    idFamily: String = "md5",
                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputedShingles.getOrElse(shingles(docs)).cache()
+    val sh = cachedOrStore(docs, precomputedShingles)
     val fp = simhashFpWide(shingleIds(sh, idFamily))
       .cache() // used for banding AND the per-side fp lookup below
     val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id")
@@ -1684,9 +1729,14 @@ ORDER BY b.doc_id"""
     val docsPerT = graded
       .select(col("step"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("step").agg(countDistinct("doc_id").as("n_docs_flagged"))
-    pairsPerT.join(docsPerT, Seq("step"))
+    // full 2..10 grid with explicit 0 rows for thresholds no pair
+    // survives (the embeddingThresholdSweep discipline)
+    val grid = docs.sparkSession.range(2, 11).select(col("id").as("step"))
+    grid.join(pairsPerT, Seq("step"), "left")
+      .join(docsPerT, Seq("step"), "left")
       .select(r4(col("step") * lit(1.0) / lit(20.0)).as("threshold"),
-        col("n_pairs"), col("n_docs_flagged"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
       .orderBy("threshold")
   }
 
@@ -1721,9 +1771,13 @@ dpt AS (
   SELECT step, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged
   FROM (SELECT step, doc_a AS doc_id FROM graded
         UNION ALL SELECT step, doc_b FROM graded) u
-  GROUP BY step)
-SELECT FLOOR((p.step * 1.0 / 20.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
-       p.n_pairs, d.n_docs_flagged
-FROM ppt p JOIN dpt d ON p.step = d.step
+  GROUP BY step),
+tsteps AS (SELECT unnest(range(2, 11)) AS step)
+SELECT FLOOR((s.step * 1.0 / 20.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+FROM tsteps s
+LEFT JOIN ppt p ON s.step = p.step
+LEFT JOIN dpt d ON s.step = d.step
 ORDER BY threshold"""
 }

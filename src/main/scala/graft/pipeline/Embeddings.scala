@@ -472,9 +472,16 @@ ORDER BY d.vec_a, d.vec_b"""
     val docsPerT = graded
       .select(col("step"), explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .groupBy("step").agg(countDistinct("vec_id").as("n_docs_flagged"))
-    pairsPerT.join(docsPerT, Seq("step"))
+    // left-join against the full 0..9 grid: a threshold no candidate
+    // pair survives must read as an explicit 0-cost row — the whole
+    // point of the curve is "what does 0.9 cost", and an absent row
+    // is indistinguishable from a not-swept one
+    val grid = emb.sparkSession.range(10).select(col("id").as("step"))
+    grid.join(pairsPerT, Seq("step"), "left")
+      .join(docsPerT, Seq("step"), "left")
       .select(r4(col("step") * lit(1.0) / lit(10.0)).as("threshold"),
-        col("n_pairs"), col("n_docs_flagged"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
       .orderBy("threshold")
   }
 
@@ -508,10 +515,14 @@ edocs AS (
   SELECT step, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_docs_flagged FROM (
     SELECT step, vec_a AS vec_id FROM egraded
     UNION ALL SELECT step, vec_b FROM egraded) u
-  GROUP BY step)
-SELECT FLOOR((p.step * 1.0 / 10.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
-       p.n_pairs, d.n_docs_flagged
-FROM epairs p JOIN edocs d ON p.step = d.step
+  GROUP BY step),
+esteps AS (SELECT unnest(range(0, 10)) AS step)
+SELECT FLOOR((s.step * 1.0 / 10.0) * 10000.0 + 0.5) / 10000.0 AS threshold,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+FROM esteps s
+LEFT JOIN epairs p ON s.step = p.step
+LEFT JOIN edocs d ON s.step = d.step
 ORDER BY threshold"""
 
   /** Incremental embedding-cosine near-dup — the FOURTH incremental

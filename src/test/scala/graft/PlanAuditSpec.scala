@@ -630,7 +630,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup token savings: drop sets at pair cardinality, broadcast totals, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(graft.pipeline.Dedup.dedupTokenSavings(docs))
+    // precomputed shingles: the store-less path eagerly checkpoints
+    // (withSharedShingles deletes its scratch store), which would
+    // collapse the audited plan to a checkpoint scan
+    val p = plan(graft.pipeline.Dedup.dedupTokenSavings(docs,
+      precomputedShingles = Some(graft.pipeline.Dedup.shingles(docs))))
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loop is the 1-row corpus-totals broadcast
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)

@@ -117,6 +117,28 @@ class PipelineSpec extends SparkSpec {
     assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
   }
 
+  test("shared-shingle composites delete their scratch store after completing") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-scratch-spec").toString
+    spark.conf.set("graft.scratch.dir", "file:" + scratch)
+    try {
+      def children() = new java.io.File(scratch).listFiles()
+        .map(_.getName).toSeq
+      val venn = Dedup.dedupPairVenn(docs)
+      assert(children().isEmpty, children()) // store deleted before return
+      assert(venn.count() === 3L) // the checkpointed rows survive deletion
+      val savings = Dedup.dedupTokenSavings(docs)
+      assert(children().isEmpty, children())
+      assert(savings.count() === 5L)
+      // caller-supplied stores are the caller's to manage: NOT deleted
+      val own = scratch + "/own-store"
+      Dedup.writeShingleStore(docs, own)
+      Dedup.dedupPairVenn(docs,
+        precomputedShingles = Some(spark.read.parquet(own))).count()
+      assert(children() === Seq("own-store"))
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
   test("no cartesian product in any near-dup plan") {
     for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
         Dedup.dedupNgram(docs))) {
