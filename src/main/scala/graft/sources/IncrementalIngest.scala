@@ -71,13 +71,25 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     }
   }
 
-  private def saveState(state: Map[String, FileState]): Unit = {
+  /** Stream the new checkpoint: carried-over entries from the prior
+   *  state, then the scan's committed rows from `fresh` — which is a
+   *  `toLocalIterator` over the metadata job's output, so per-file
+   *  commit points and attempt ids flow executor → checkpoint file
+   *  one partition at a time and never stage as a driver-side map. */
+  private def saveStateStreaming(carryOver: Iterator[(String, FileState)],
+                                 fresh: Iterator[(String, FileState)]): Unit = {
     val p = new Path(checkpointPath)
     val out = fs(p).create(p, true)
-    try out.write(state.map { case (k, s) =>
-      s"$k\t${s.modTime}\t${s.offset}\t${s.seenLen}\t${s.attemptId.getOrElse("")}" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try {
+      var first = true
+      (carryOver ++ fresh).foreach { case (k, s) =>
+        val line =
+          s"$k\t${s.modTime}\t${s.offset}\t${s.seenLen}\t${s.attemptId.getOrElse("")}"
+        if (!first) out.write('\n')
+        out.write(line.getBytes("UTF-8"))
+        first = false
+      }
+    } finally out.close()
   }
 
   /** Paths changed since the last committed scan (new, grown, or
@@ -133,65 +145,71 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
           len - st.offset <= maxTailBytes)
     }
 
-    // ONE distributed metadata pass over every pending file: each
-    // file's commit point (end of last complete line) and attempt id
-    // come back as tiny rows. Grown files reuse the checkpointed
-    // attempt (pre-attempt 4-field checkpoints recover it from the
-    // head once); whole/rewritten files always re-read the head — a
-    // rewrite may carry a NEW attempt id.
+    // ONE distributed metadata pass over every pending file computes
+    // the file's ENTIRE committed row in the executor: commit point
+    // (end of last complete line), attempt id, new offset, and — for
+    // grown files — the tail byte range. Grown files reuse the
+    // checkpointed attempt (pre-attempt 4-field checkpoints recover it
+    // from the head once); whole/rewritten files always re-read the
+    // head — a rewrite may carry a NEW attempt id. The rows stay an
+    // RDD end to end: the tail read CHAINS off it (no driver
+    // round-trip of offsets) and the checkpoint write streams it via
+    // toLocalIterator — the per-file metadata never stages as a
+    // driver map.
     val wholeSet = whole.map(_._1.toString).toSet
-    val metaIn = pending.map { case (p, len, _) =>
-      val known =
-        if (wholeSet(p.toString)) None
-        else seen.get(p.toString).flatMap(_.attemptId)
-      (p.toString, len, known)
+    val metaIn = pending.map { case (p, len, mt) =>
+      val st = if (wholeSet(p.toString)) None else seen.get(p.toString)
+      (p.toString, len, mt, st.map(_.offset).getOrElse(-1L),
+        st.flatMap(_.attemptId))
     }
-    val meta = scanMeta(spark, hadoopProps(spark), metaIn)
+    val meta = scanRows(spark, hadoopProps(spark), metaIn).cache()
+    val pendingSet = pending.map(_._1.toString).toSet
 
-    var committed = Map.empty[String, FileState]
-
-    for ((p, len, mt) <- whole) {
-      val (lineEnd, att) = meta(p.toString)
-      committed += p.toString -> FileState(mt, lineEnd, len, att)
-    }
-
-    val tailTasks: Seq[(String, Long, Long, String)] =
-      grown.flatMap { case (p, len, mt) =>
-        val st = seen(p.toString)
-        val (lineEnd, att) = meta(p.toString)
-        committed += p.toString -> FileState(mt, math.max(lineEnd, st.offset), len, att)
-        if (lineEnd <= st.offset) None // grew, but no complete new line yet
-        else Some((p.toString, st.offset, lineEnd, att.orNull))
+    val tailCount = meta.filter(r => r.tailEnd > r.tailStart).count()
+    try {
+      if (whole.isEmpty && tailCount == 0L) {
+        // only dangling partial lines moved: remember the new lengths
+        // so unchanged files are skipped next scan, but there is
+        // nothing to hand to `process` (offsets did not advance —
+        // nothing is lost)
+        commitCheckpoint(meta, pendingSet)
+        return Nil
       }
 
-    if (whole.isEmpty && tailTasks.isEmpty) {
-      // only dangling partial lines moved: remember the new lengths so
-      // unchanged files are skipped next scan, but there is nothing to
-      // hand to `process` (offsets did not advance — nothing is lost)
-      saveState(seen ++ committed)
-      return Nil
-    }
-
-    val wholeDf: Option[DataFrame] =
-      if (whole.isEmpty) None
-      else Some(EventLogParser.read(spark, whole.map(_._1.toString): _*))
-    val tailDf: Option[DataFrame] =
-      if (tailTasks.isEmpty) None
-      else {
-        import spark.implicits._
-        Some(EventLogParser.parseLines(
-          tailRows(spark, hadoopProps(spark), tailTasks)
-            .toDF("value", "log_file", "attempt_hint")))
+      val wholeDf: Option[DataFrame] =
+        if (whole.isEmpty) None
+        else Some(EventLogParser.read(spark, whole.map(_._1.toString): _*))
+      val tailDf: Option[DataFrame] =
+        if (tailCount == 0L) None
+        else {
+          import spark.implicits._
+          Some(EventLogParser.parseLines(
+            tailRows(meta, hadoopProps(spark))
+              .toDF("value", "log_file", "attempt_hint")))
+        }
+      val delta = (wholeDf, tailDf) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), _) => a
+        case (_, Some(b)) => b
+        case _ => throw new IllegalStateException("unreachable: empty delta")
       }
-    val delta = (wholeDf, tailDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), _) => a
-      case (_, Some(b)) => b
-      case _ => throw new IllegalStateException("unreachable: empty delta")
-    }
-    process(delta)
-    saveState(loadState() ++ committed)
-    pending.map(_._1.toString)
+      process(delta)
+      commitCheckpoint(meta, pendingSet)
+      pending.map(_._1.toString)
+    } finally meta.unpersist()
+  }
+
+  /** Write the post-scan checkpoint: prior entries whose path this
+   *  scan did not touch carry over; the scan's rows stream in from
+   *  the cached metadata RDD partition by partition. The state is
+   *  re-loaded here (not reused from scan start) so a `process` that
+   *  itself advanced the same checkpoint is not silently rolled
+   *  back. */
+  private def commitCheckpoint(meta: RDD[ScanRow],
+                               touched: Set[String]): Unit = {
+    val carry = loadState().iterator.filterNot(kv => touched(kv._1))
+    saveStateStreaming(carry, meta.toLocalIterator.map(r =>
+      r.path -> FileState(r.modTime, r.offset, r.seenLen, r.attemptId)))
   }
 }
 
@@ -259,38 +277,50 @@ object IncrementalIngest {
     } finally in.close()
   }
 
-  /** Distributed metadata pass: (path, commit point, attempt id) for
-   *  every pending file in ONE job of tiny rows — the per-file seeks
-   *  run in executors, in parallel. `known` attempt ids (from the
-   *  checkpoint) skip the head read. */
-  private def scanMeta(spark: SparkSession, props: Array[(String, String)],
-                       files: Seq[(String, Long, Option[String])])
-      : Map[String, (Long, Option[String])] = {
-    if (files.isEmpty) return Map.empty
+  /** One scanned file's full committed row, computed IN THE EXECUTOR:
+   *  the new checkpoint fields plus the tail byte range a grown file
+   *  owes the parser (tailStart == tailEnd for whole/rewritten files
+   *  and for growth with no complete new line yet). */
+  private[sources] case class ScanRow(path: String, modTime: Long,
+      offset: Long, seenLen: Long, attemptId: Option[String],
+      tailStart: Long, tailEnd: Long)
+
+  /** Distributed metadata pass: ONE job of tiny rows — the per-file
+   *  seeks (commit point, head attempt sniff) run in executors, in
+   *  parallel. Input per file: (path, len, mtime, prevOffset — -1 for
+   *  whole/rewritten reads — and the checkpointed attempt id, whose
+   *  presence skips the head read). The result is consumed as an RDD
+   *  by both the tail read and the checkpoint write — per-file
+   *  metadata never collects into a driver map. */
+  private def scanRows(spark: SparkSession, props: Array[(String, String)],
+                       files: Seq[(String, Long, Long, Long, Option[String])])
+      : RDD[ScanRow] =
     spark.sparkContext
       .parallelize(files, math.min(files.size, 64).max(1))
-      .map { case (pathStr, len, known) =>
+      .map { case (pathStr, len, mt, prevOffset, known) =>
         val (f, p) = openFs(pathStr, props)
-        (pathStr, (lastLineEnd(f, p, len), known.orElse(headAttemptId(f, p, len))))
+        val lineEnd = lastLineEnd(f, p, len)
+        val att = known.orElse(headAttemptId(f, p, len))
+        if (prevOffset < 0L) // whole/rewritten: parsed by the file reader
+          ScanRow(pathStr, mt, lineEnd, len, att, 0L, 0L)
+        else // grown: tail range [prevOffset, lineEnd) when it advanced
+          ScanRow(pathStr, mt, math.max(lineEnd, prevOffset), len, att,
+            prevOffset, math.max(lineEnd, prevOffset))
       }
-      .collect().toMap
-  }
 
-  /** Distributed tail read: each (path, offset, lineEnd, attempt) task
-   *  seeks and reads its byte range in an executor and emits the lines
-   *  directly into the parser's input — tail bytes never stage on the
-   *  driver. */
-  private def tailRows(spark: SparkSession, props: Array[(String, String)],
-                       tasks: Seq[(String, Long, Long, String)])
+  /** Distributed tail read, CHAINED off the metadata rows: each grown
+   *  file's task seeks and reads its byte range in an executor and
+   *  emits the lines directly into the parser's input — neither the
+   *  offsets nor the tail bytes ever stage on the driver. */
+  private def tailRows(meta: RDD[ScanRow], props: Array[(String, String)])
       : RDD[(String, String, String)] =
-    spark.sparkContext
-      .parallelize(tasks, math.min(tasks.size, 64).max(1))
-      .flatMap { case (pathStr, off, end, att) =>
-        val (f, p) = openFs(pathStr, props)
-        val buf = new Array[Byte]((end - off).toInt)
+    meta.filter(r => r.tailEnd > r.tailStart)
+      .flatMap { r =>
+        val (f, p) = openFs(r.path, props)
+        val buf = new Array[Byte]((r.tailEnd - r.tailStart).toInt)
         val in = f.open(p)
-        try { in.seek(off); in.readFully(buf) } finally in.close()
+        try { in.seek(r.tailStart); in.readFully(buf) } finally in.close()
         new String(buf, "UTF-8").linesIterator
-          .filter(_.nonEmpty).map(l => (l, pathStr, att)).toList
+          .filter(_.nonEmpty).map(l => (l, r.path, r.attemptId.orNull)).toList
       }
 }
