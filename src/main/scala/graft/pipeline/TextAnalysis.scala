@@ -1574,6 +1574,127 @@ ORDER BY k"""
       .orderBy("rank")
   }
 
+  /** ITERATED BPE merge training — [[bpePairStats]] computes the
+   *  count the FIRST merge argmaxes over; this runs the actual
+   *  trainer loop for `rounds` merges and emits the merge table a
+   *  tokenizer would ship: (round, lhs, rhs, merged, pair_count).
+   *
+   *  Shape (the `knn_pagerank` driver-bounded unroll discipline):
+   *  the corpus collapses ONCE to the distinct-word table with
+   *  occurrence counts — the only corpus-scale pass; every round
+   *  then runs over that vocabulary-sized frame (exactly how
+   *  production BPE trainers iterate: merge stats over word TYPES
+   *  weighted by frequency, Sennrich et al. 2016). Per round: one
+   *  map-side-combining pair aggregation, a 1-row argmax collect
+   *  (count desc, lhs, rhs — deterministic), one merge projection,
+   *  `localCheckpoint` to keep the plan flat across rounds.
+   *
+   *  Merge application is exact and engine-mirrorable: a word's
+   *  symbol sequence is kept as a DOUBLE-separator string (with S
+   *  = U+0001: `SS a SS b SS`), so replacing `S lhs SS rhs S` with
+   *  `S lhs+rhs S` performs the textbook greedy left-to-right
+   *  non-overlapping
+   *  merge — each match keeps one outer separator on each side, so
+   *  back-to-back occurrences both merge, overlapping ones don't,
+   *  and a pair spanning a symbol boundary can never match. Both
+   *  engines' `replace` scan identically, so the DuckDB oracle is a
+   *  verbatim chain of the same expressions. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep2 = BpeSep + BpeSep
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(sep2),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            sep2),
+          lit(sep2)).as("sym_str"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = words
+        .select(col("cnt"),
+          expr(s"filter(split(sym_str, '$sep2'), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, l + rr, c))
+        words = words
+          .select(replace(col("sym_str"),
+              lit(BpeSep + l + sep2 + rr + BpeSep),
+              lit(BpeSep + l + rr + BpeSep)).as("sym_str"),
+            col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  private val BpeSep = "\u0001"
+
+  /** The identical trainer loop as an unrolled CTE chain: round r's
+   *  `w{r}` word table feeds `p{r}` pair counts, `b{r}` is the 1-row
+   *  argmax under the same (count DESC, lhs, rhs) order, and
+   *  `w{r+1}` applies the same double-separator `replace`. Built
+   *  programmatically so the Spark `rounds` and the oracle depth can
+   *  never drift. */
+  lazy val bpeMergesOracle: String = {
+    val rounds = 8
+    val sep = "chr(1)"
+    val sep2 = s"($sep || $sep)"
+    val cte = new StringBuilder
+    cte.append(s"""WITH w1 AS (
+  SELECT $sep2 || array_to_string(
+           list_transform(generate_series(1, len(word)),
+                          i -> substring(word, CAST(i AS INTEGER), 1)),
+           $sep2) || $sep2 AS sym_str,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) >= 1
+  GROUP BY word)""")
+    for (r <- 1 to rounds) {
+      cte.append(s""",
+p$r AS (
+  SELECT syms[CAST(i AS INTEGER)] AS lhs, syms[CAST(i AS INTEGER) + 1] AS rhs,
+         CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(sym_str, $sep2), x -> x <> '') AS syms,
+               cnt
+        FROM w$r) t,
+       unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2),
+b$r AS (
+  SELECT CAST($r AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, pair_count
+  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
+      if (r < rounds) cte.append(s""",
+w${r + 1} AS (
+  SELECT replace(w.sym_str, $sep || b.lhs || $sep2 || b.rhs || $sep,
+                 $sep || b.merged || $sep) AS sym_str,
+         w.cnt
+  FROM w$r w, b$r b)""")
+    }
+    cte.append("\n" + (1 to rounds)
+      .map(r => s"SELECT round, lhs, rhs, merged, pair_count FROM b$r")
+      .mkString("", "\nUNION ALL ", "") + "\nORDER BY round")
+    cte.toString
+  }
+
   /** Verbatim mirror: same explode chain via unnest(generate_series),
    *  same (count DESC, pair) tie-break. */
   val bpePairStatsOracle: String = """

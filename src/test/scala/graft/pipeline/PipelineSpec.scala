@@ -117,6 +117,33 @@ class PipelineSpec extends SparkSpec {
     assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
   }
 
+  test("bpe merges: the textbook low/lower/lowest training trace, stopping when pairs run dry") {
+    val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeMerges(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1 ties (l,o)=(o,w)=5 -> lhs tie-break picks (l,o)
+    assert(out.toSeq === Seq(
+      (1L, "l", "o", "lo", 5L),
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L),
+      (5L, "lowe", "s", "lowes", 1L),
+      (6L, "lowes", "t", "lowest", 1L))) // round 7 has no pairs left
+  }
+
+  test("bpe merges: back-to-back occurrences of the merged pair both collapse in one round") {
+    val d = Seq((0L, "abab", "en", "s0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeMerges(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "a", "b", "ab", 2L), // greedy left-to-right: both (a,b) merge
+      (2L, "ab", "ab", "abab", 1L)))
+  }
+
   test("shared-shingle composites delete their scratch store after completing") {
     val scratch = java.nio.file.Files
       .createTempDirectory("graft-scratch-spec").toString
