@@ -363,7 +363,9 @@ ORDER BY event_id"""
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2)),
     "frame_dedup" -> ((s, d) =>
-      Multimodal.frameDedup(docs(s, d), frameBytes = 64, stride = 2))
+      Multimodal.frameDedup(docs(s, d), frameBytes = 64, stride = 2)),
+    "frame_dedup_near" -> ((s, d) =>
+      Multimodal.frameDedupNear(docs(s, d), frameBytes = 64, stride = 2))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -540,6 +542,7 @@ ORDER BY event_id"""
     "ann_recall" -> Embeddings.annRecallOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,
-    "frame_dedup" -> Multimodal.frameDedupOracle
+    "frame_dedup" -> Multimodal.frameDedupOracle,
+    "frame_dedup_near" -> Multimodal.frameDedupNearOracle
   )
 }

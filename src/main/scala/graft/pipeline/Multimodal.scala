@@ -170,6 +170,169 @@ GROUP BY frame_crc, frame_len
 HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY frame_crc, frame_len"""
 
+  /** One sampled frame's perceptual fingerprint: the aHash bands.
+   *  `fid` packs (doc_id, frame_idx) into one join key for the
+   *  generic bucket-pair machinery. */
+  case class FrameAhash(doc_id: Long, frame_idx: Long, fid: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long,
+      b4: Long, b5: Long, b6: Long, b7: Long)
+
+  private val FidShift = 1048576L // frame_idx < 2^20 at any sane payload size
+
+  /** aHash-style 64-bit perceptual fingerprints per sampled frame,
+   *  emitted as 8 one-byte bands. The classic aHash recipe (resize
+   *  to 8x8 grayscale, threshold each pixel against the mean) maps
+   *  onto the decode stub's deterministic bytes: 64 pixels sampled
+   *  at `start + i*len/64` across the frame window (the "resize"),
+   *  thresholded by the integer-exact cross-multiplication
+   *  `px*64 > sum(px)` (no division, no floats — the oracle mirrors
+   *  it verbatim). ??? the pixel read is where a real decoder's
+   *  luma plane plugs in; everything downstream of the byte access
+   *  is the real pipeline. Computed inside the SAME partition-local
+   *  pass that holds the payload ([[frameSample]] discipline):
+   *  payload bytes never reach an exchange — only the 8 band bytes
+   *  per frame do. */
+  def frameFingerprints(docs: DataFrame, frameBytes: Int = 1024,
+                        stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, r.payload.length)
+          val flen = end - start
+          val px = new Array[Long](64)
+          var i = 0
+          var sum = 0L
+          while (i < 64) {
+            px(i) = r.payload(start + (i * flen) / 64) & 0xff
+            sum += px(i)
+            i += 1
+          }
+          val bands = new Array[Long](8)
+          i = 0
+          while (i < 64) {
+            if (px(i) * 64 > sum) bands(i / 8) |= 1L << (i % 8)
+            i += 1
+          }
+          FrameAhash(r.doc_id, f.toLong, r.doc_id * FidShift + f,
+            bands(0), bands(1), bands(2), bands(3),
+            bands(4), bands(5), bands(6), bands(7))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Cross-video PERCEPTUAL frame near-dup — the re-encoded-intro
+   *  detector [[frameDedup]]'s exact CRC grouping cannot be: frames
+   *  whose aHash fingerprints are within `maxHamming` bits count as
+   *  the same visual content even when their bytes differ. Blocking
+   *  is the SimHash byte-band discipline reused verbatim: hamming
+   *  <= 3 over 64 bits forces at least one of the 8 bands equal
+   *  (pigeonhole), so candidates come from the salted band-bucket
+   *  join ([[Dedup.saltedBucketPairs]] — hot bands spread over
+   *  salts), and the exact hamming verify is an 8-term
+   *  xor/bit_count projection over the candidate pairs only. Output
+   *  is cross-document pairs (same-video frames are the temporal-
+   *  redundancy problem, not the dedup one). */
+  def frameDedupNear(docs: DataFrame, frameBytes: Int = 1024,
+                     stride: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val fps = frameFingerprints(docs, frameBytes, stride).cache()
+    val bandCols = (0 to 7).map(j => col(s"b$j"))
+    val bands = fps.select(col("fid"),
+        explode(expr("array(" +
+          (0 to 7).map(j => s"struct(${j}L AS band, b$j AS bsig)")
+            .mkString(",") + ")")).as("nb"))
+      .select(col("fid"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
+    val cands = Dedup.saltedBucketPairs(bands, Seq("band", "bsig"), "fid")
+      .select(col("doc_a").as("fid_a"), col("doc_b").as("fid_b"))
+    def side(suffix: String) = fps.select(
+      col("fid").as(s"fid_$suffix") +: bandCols.map(c =>
+        c.as(s"${c.toString}_$suffix")): _*)
+    val ham = (0 to 7).map(j =>
+      bit_count(col(s"b${j}_a").bitwiseXOR(col(s"b${j}_b"))).cast("long"))
+      .reduce(_ + _)
+    cands.join(side("a"), "fid_a").join(side("b"), "fid_b")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(expr(s"fid_a div $FidShift").as("doc_a"),
+        pmod(col("fid_a"), lit(FidShift)).as("frame_a"),
+        expr(s"fid_b div $FidShift").as("doc_b"),
+        pmod(col("fid_b"), lit(FidShift)).as("frame_b"),
+        col("hamming"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
+  }
+
+  /** The same chain over the 64-byte harness frames: pixel sampling
+   *  by the identical `i*len/64` index, the identical cross-
+   *  multiplied threshold, band packing, a band-equality self-join
+   *  for candidates, and the 8-term xor/bit_count hamming. */
+  val frameDedupNearOracle: String = """
+WITH v AS (
+  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST((byte_len + 63) // 64 AS INTEGER), 2)) AS frame_idx
+  FROM v),
+s AS (
+  SELECT f.doc_id, f.frame_idx,
+         substr(v.text, CAST(f.frame_idx * 64 + 1 AS INTEGER), 64) AS chunk
+  FROM f JOIN v ON f.doc_id = v.doc_id),
+px AS (
+  SELECT doc_id, frame_idx, i,
+         CAST(ascii(substr(chunk,
+           CAST((i * length(chunk)) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS px
+  FROM s, unnest(range(0, 64)) AS g(i)
+  WHERE length(chunk) > 0),
+tot AS (
+  SELECT doc_id, frame_idx, CAST(SUM(px) AS BIGINT) AS psum
+  FROM px GROUP BY doc_id, frame_idx),
+bits AS (
+  SELECT p.doc_id, p.frame_idx, p.i,
+         CASE WHEN p.px * 64 > t.psum THEN 1 ELSE 0 END AS bit
+  FROM px p JOIN tot t ON p.doc_id = t.doc_id AND p.frame_idx = t.frame_idx),
+bands AS (
+  SELECT doc_id, frame_idx, CAST(i // 8 AS BIGINT) AS band,
+         CAST(SUM(bit * (1 << (CAST(i AS INTEGER) % 8))) AS BIGINT) AS bval
+  FROM bits GROUP BY doc_id, frame_idx, i // 8),
+wide AS (
+  SELECT doc_id, frame_idx,
+         MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+         MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+         MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+         MAX(CASE WHEN band = 3 THEN bval END) AS b3,
+         MAX(CASE WHEN band = 4 THEN bval END) AS b4,
+         MAX(CASE WHEN band = 5 THEN bval END) AS b5,
+         MAX(CASE WHEN band = 6 THEN bval END) AS b6,
+         MAX(CASE WHEN band = 7 THEN bval END) AS b7
+  FROM bands GROUP BY doc_id, frame_idx),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+                  b.doc_id AS doc_b, b.frame_idx AS frame_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval
+   AND a.doc_id * 1048576 + a.frame_idx < b.doc_id * 1048576 + b.frame_idx
+  WHERE a.doc_id <> b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.frame_a, c.doc_b, c.frame_b,
+         CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+            + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+            + bit_count(xor(wa.b4, wb.b4)) + bit_count(xor(wa.b5, wb.b5))
+            + bit_count(xor(wa.b6, wb.b6)) + bit_count(xor(wa.b7, wb.b7))
+           AS BIGINT) AS hamming
+  FROM cand c
+  JOIN wide wa ON wa.doc_id = c.doc_a AND wa.frame_idx = c.frame_a
+  JOIN wide wb ON wb.doc_id = c.doc_b AND wb.frame_idx = c.frame_b)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(frame_a AS BIGINT) AS frame_a,
+       CAST(doc_b AS BIGINT) AS doc_b, CAST(frame_b AS BIGINT) AS frame_b,
+       hamming
+FROM ham WHERE hamming <= 3
+ORDER BY doc_a, frame_a, doc_b, frame_b"""
+
   /** The stub features are pure integer functions of the UTF-8 bytes,
    *  so DuckDB reproduces them: mean_byte is the mean code unit (docs
    *  are ASCII, so code units == bytes) and feature_crc is the rolling

@@ -117,6 +117,49 @@ class PipelineSpec extends SparkSpec {
     assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
   }
 
+  test("perceptual frame near-dup catches the one-byte re-encode the exact CRC misses") {
+    // video docs are doc_id % 3 == 2; 70-byte payloads = one sampled
+    // 64-byte frame (stride 2). doc 2: uniform 'a' -> fp 0. doc 5:
+    // one 'z' at byte 10 -> exactly that pixel exceeds the mean ->
+    // hamming 1. doc 8: alternating a/z -> 32 bits -> no pair.
+    val d = Seq(
+      (2L, "a" * 70),
+      (5L, "a" * 10 + "z" + "a" * 59),
+      (8L, "az" * 35)
+    ).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val near = Multimodal.frameDedupNear(d, frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(near.toSeq === Seq((2L, 0L, 5L, 0L, 1L)))
+    // the exact-CRC detector cannot see this pair (bytes differ)
+    assert(Multimodal.frameDedup(d, frameBytes = 64, stride = 2)
+      .collect().isEmpty)
+  }
+
+  test("perceptual frame near-dup plan: payload bytes never enter an exchange") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Multimodal.frameDedupNear(d, frameBytes = 64, stride = 2)
+    df.count() // AQE materializes the final plan only after an action
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    // every row crossing an exchange is band/id longs — no binary
+    // column and nothing payload-shaped survives past mapPartitions
+    for (e <- exchanges; a <- e.output) {
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType],
+        s"binary column ${a.name} in exchange")
+      assert(!a.name.contains("payload"), s"payload column in exchange")
+    }
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("bpe merges: the textbook low/lower/lowest training trace, stopping when pairs run dry") {
     val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
