@@ -1524,13 +1524,24 @@ ORDER BY k"""
    *  scale. The membership lambda runs interpreted (Spark 4 HOF),
    *  an accepted constant factor; the alternative explode +
    *  broadcast-join + re-group shape shuffles every token row. */
-  def oovRate(docs: DataFrame, k: Int = 100): DataFrame = {
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("term_count"))
-      .orderBy(col("term_count").desc, col("term"))
-      .limit(k)
-      .agg(collect_list("term").as("vocab"))
+  def oovRate(docs: DataFrame, k: Int = 100): DataFrame =
+    oovRateAgainst(docs,
+      docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("term_count"))
+        .orderBy(col("term_count").desc, col("term"))
+        .limit(k)
+        .select("term"))
+
+  /** [[oovRate]] against an EXPLICIT vocabulary frame (one `term`
+   *  column) instead of the corpus top-k — the wiring that lets a
+   *  TRAINED vocabulary drive coverage: pass [[bpeMerges]]' `merged`
+   *  symbols (plus whatever base alphabet/word list the tokenizer
+   *  ships) and the rate reports how much of the corpus the merge
+   *  table already covers as whole words. Same in-row membership
+   *  shape: the vocab collapses to one broadcast array row, the
+   *  corpus side stays a single scan. */
+  def oovRateAgainst(docs: DataFrame, vocabTerms: DataFrame): DataFrame = {
+    val vocab = vocabTerms.agg(collect_list("term").as("vocab"))
     docs.crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),

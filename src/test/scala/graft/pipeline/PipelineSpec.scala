@@ -117,6 +117,23 @@ class PipelineSpec extends SparkSpec {
     assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
   }
 
+  test("oov rate against the BPE-trained merge vocabulary") {
+    val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the 6-round trace merges up to {lower, lowest} and "low" itself
+    // (round 2) -> every word is covered by some trained symbol
+    val vocab = TextAnalysis.bpeMerges(d)
+      .select(col("merged").as("term"))
+    val out = TextAnalysis.oovRateAgainst(d, vocab).collect()(0)
+    assert(out.getAs[Long]("n_tok") === 5L)
+    assert(out.getAs[Long]("n_oov") === 0L)
+    // a vocab cut after 2 merge rounds covers only the three "low"s
+    val vocab2 = TextAnalysis.bpeMerges(d, rounds = 2)
+      .select(col("merged").as("term"))
+    assert(TextAnalysis.oovRateAgainst(d, vocab2)
+      .collect()(0).getAs[Long]("n_oov") === 2L)
+  }
+
   test("perceptual frame near-dup catches the one-byte re-encode the exact CRC misses") {
     // video docs are doc_id % 3 == 2; 70-byte payloads = one sampled
     // 64-byte frame (stride 2). doc 2: uniform 'a' -> fp 0. doc 5:

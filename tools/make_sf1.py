@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Synthesize the sf1 stress tables (10x sf0.1) for the scale-cliff
+bench — documents + embeddings only, which is what the dedup / ANN /
+streaming-trigger families read.
+
+Writes to /tmp/graft_sf1 (NEVER into /root/testdata, which is
+driver-owned and read-only). Construction: 10 id-shifted replicas of
+sf0.1. Replica r > 0 suffixes every word with `_r`, so each replica
+keeps sf0.1's internal near-dup structure EXACTLY (shingle sets are
+isomorphic) while no shingle ever matches across replicas — a 10x
+corpus with 10x the true duplicate mass instead of an artificial
+everything-matches-everything blowup. Embeddings likewise: replica r
+rotates the vector by r positions (norms and within-replica cosine
+geometry preserved, cross-replica cosines uncorrelated).
+
+Usage: python3 tools/make_sf1.py [reps] [outdir]
+"""
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    n_docs = len(docs)
+    parts = []
+    for r in range(REPS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * n_docs  # dense ids 0..REPS*n-1
+        if r > 0:
+            suf = f"_{r}"
+            d["text"] = d["text"].map(
+                lambda t: " ".join(w + suf for w in t.split(" ")))
+            d["n_chars"] = d["text"].str.len().astype("int64")
+        parts.append(d)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                   f"{OUT}/documents.parquet")
+    print(f"documents: {len(out)} rows")
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    n_emb = len(emb)
+    parts = []
+    for r in range(REPS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * n_emb
+        if r > 0:
+            e["embedding"] = e["embedding"].map(
+                lambda v: np.roll(np.asarray(v, dtype=np.float32), r))
+        parts.append(e)
+    out = pd.concat(parts, ignore_index=True)
+    schema = pq.read_table(f"{SRC}/embeddings.parquet").schema
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False).cast(schema),
+        f"{OUT}/embeddings.parquet")
+    print(f"embeddings: {len(out)} rows")
+
+
+if __name__ == "__main__":
+    main()
