@@ -145,6 +145,7 @@ ORDER BY event_id"""
     "oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(docs(s, d))),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d))),
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(docs(s, d))),
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(docs(s, d))),
     "zipf_points" -> ((s, d) => TextAnalysis.zipfPoints(docs(s, d))),
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
@@ -459,6 +460,7 @@ ORDER BY event_id"""
     "oov_rate" -> TextAnalysis.oovRateOracle,
     "bpe_pair_stats" -> TextAnalysis.bpePairStatsOracle,
     "bpe_merges" -> TextAnalysis.bpeMergesOracle,
+    "bpe_encode" -> TextAnalysis.bpeEncodeOracle,
     "vocab_growth" -> TextAnalysis.vocabGrowthOracle,
     "zipf_points" -> TextAnalysis.zipfPointsOracle,
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,

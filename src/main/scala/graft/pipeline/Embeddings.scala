@@ -652,7 +652,17 @@ ORDER BY a.vec_id"""
    *  Output (vec_id, rank, neighbor_id, cosine) — both directions of
    *  every candidate pair rank independently, so the graph is directed
    *  (a's top-k may contain b while b's omits a; mutuality is the
-   *  downstream [[semanticClusters]] filter). */
+   *  downstream [[semanticClusters]] filter).
+   *
+   *  SIZE `numCentroids` ~ sqrt(N) when the corpus grows: Σ|cell|² ≈
+   *  N²/K, so the harness default K=32 turns 10x data into ~100x/K
+   *  candidate work. Measured on the 10x stress corpus
+   *  (tools/make_sf1.py, 20k vectors): K=32 -> 24.2 s, K=sqrt(N)=141
+   *  -> 8.8 s for this graph; 129.9 s -> 27.6 s for the
+   *  [[semanticClusters]] composite on top of it
+   *  (graft.tools.ScaleProbe). The default stays 32 because every
+   *  oracle mirrors it; a scale deployment passes K explicitly (or a
+   *  [[trainCentroids]] codebook). */
   def knnGraph(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
                precomputedQuantized: Option[DataFrame] = None,
                trainedCentroids: Option[DataFrame] = None): DataFrame = {

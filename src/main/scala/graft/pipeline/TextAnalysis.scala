@@ -1613,12 +1613,24 @@ ORDER BY k"""
   def bpeMerges(docs: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, rounds)._2
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The trainer core behind [[bpeMerges]]/[[bpeEncode]]: returns the
+   *  final word-symbol table (word, sym_str, cnt — sym_str in the
+   *  double-separator representation after every merge applied) and
+   *  the merge trace. */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     val sep2 = BpeSep + BpeSep
     var words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(sep2),
+      .select(col("word"),
+        concat(lit(sep2),
           array_join(expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
             sep2),
@@ -1645,16 +1657,41 @@ ORDER BY k"""
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rr, l + rr, c))
         words = words
-          .select(replace(col("sym_str"),
+          .select(col("word"),
+            replace(col("sym_str"),
               lit(BpeSep + l + sep2 + rr + BpeSep),
               lit(BpeSep + l + rr + BpeSep)).as("sym_str"),
             col("cnt"))
           .localCheckpoint()
       }
     }
-    merges.result()
-      .toDF("round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("round")
+    (words, merges.result())
+  }
+
+  /** APPLY the trained merge table — the tokenizer-family closer
+   *  (train with [[bpeMerges]], measure with this): per-doc BPE
+   *  token count and chars-per-token compression under the
+   *  `rounds`-merge vocabulary. The trainer's final word-symbol
+   *  table is already the encoder (one row per distinct word with
+   *  its merged symbol sequence), so encoding is a vocab-sized
+   *  broadcast join against the exploded corpus + one per-doc
+   *  partial agg — the corpus is never re-segmented. Compression is
+   *  the only double, r4'd in the final projection. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val sep2 = BpeSep + BpeSep
+    val words = bpeTrain(docs, rounds)._1
+    val syms = words.select(col("word"),
+      size(expr(s"filter(split(sym_str, '$sep2'), x -> x != '')"))
+        .cast("long").as("n_syms"))
+    docs.select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(syms), "word")
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        r4(col("n_chars") * lit(1.0) / col("n_bpe_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
   }
 
   private val BpeSep = "\u0001"
@@ -1665,13 +1702,24 @@ ORDER BY k"""
    *  `w{r+1}` applies the same double-separator `replace`. Built
    *  programmatically so the Spark `rounds` and the oracle depth can
    *  never drift. */
-  lazy val bpeMergesOracle: String = {
-    val rounds = 8
+  lazy val bpeMergesOracle: String =
+    bpeChainCte + "\n" + (1 to BpeRounds)
+      .map(r => s"SELECT round, lhs, rhs, merged, pair_count FROM b$r")
+      .mkString("", "\nUNION ALL ", "") + "\nORDER BY round"
+
+  private val BpeRounds = 8
+
+  /** The shared trainer chain: w1..w{N+1} word-symbol tables (word
+   *  identity carried through so the encode oracle can join back),
+   *  p{r} pair counts, b{r} argmaxes. A missing b{r} (pairs ran dry)
+   *  makes the LEFT JOIN in w{r+1} pass sym_str through unchanged. */
+  private lazy val bpeChainCte: String = {
     val sep = "chr(1)"
     val sep2 = s"($sep || $sep)"
     val cte = new StringBuilder
     cte.append(s"""WITH w1 AS (
-  SELECT $sep2 || array_to_string(
+  SELECT word,
+         $sep2 || array_to_string(
            list_transform(generate_series(1, len(word)),
                           i -> substring(word, CAST(i AS INTEGER), 1)),
            $sep2) || $sep2 AS sym_str,
@@ -1679,7 +1727,7 @@ ORDER BY k"""
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE len(word) >= 1
   GROUP BY word)""")
-    for (r <- 1 to rounds) {
+    for (r <- 1 to BpeRounds) {
       cte.append(s""",
 p$r AS (
   SELECT syms[CAST(i AS INTEGER)] AS lhs, syms[CAST(i AS INTEGER) + 1] AS rhs,
@@ -1692,18 +1740,45 @@ p$r AS (
   GROUP BY 1, 2),
 b$r AS (
   SELECT CAST($r AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, pair_count
-  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
-      if (r < rounds) cte.append(s""",
+  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
 w${r + 1} AS (
-  SELECT replace(w.sym_str, $sep || b.lhs || $sep2 || b.rhs || $sep,
-                 $sep || b.merged || $sep) AS sym_str,
+  SELECT w.word,
+         CASE WHEN b.lhs IS NULL THEN w.sym_str
+              ELSE replace(w.sym_str, $sep || b.lhs || $sep2 || b.rhs || $sep,
+                           $sep || b.merged || $sep) END AS sym_str,
          w.cnt
-  FROM w$r w, b$r b)""")
+  FROM w$r w LEFT JOIN b$r b ON TRUE)""")
     }
-    cte.append("\n" + (1 to rounds)
-      .map(r => s"SELECT round, lhs, rhs, merged, pair_count FROM b$r")
-      .mkString("", "\nUNION ALL ", "") + "\nORDER BY round")
     cte.toString
+  }
+
+  /** [[bpeEncode]]'s mirror: the same chain to w{N+1}, then the
+   *  distinct-word symbol counts join back to the exploded corpus
+   *  and roll up per doc. */
+  lazy val bpeEncodeOracle: String = {
+    val sep = "chr(1)"
+    val sep2 = s"($sep || $sep)"
+    bpeChainCte + s""",
+wsyms AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(sym_str, $sep2), x -> x <> ''))
+           AS BIGINT) AS n_syms
+  FROM w${BpeRounds + 1}),
+toks AS (
+  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (
+  SELECT t.doc_id, t.n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM toks t JOIN wsyms w ON t.word = w.word
+  WHERE len(t.word) >= 1
+  GROUP BY t.doc_id, t.n_chars)
+SELECT doc_id, n_words, n_bpe_tokens,
+       FLOOR((n_chars * 1.0 / n_bpe_tokens) * 10000.0 + 0.5) / 10000.0
+         AS chars_per_token
+FROM enc
+ORDER BY doc_id"""
   }
 
   /** Verbatim mirror: same explode chain via unnest(generate_series),

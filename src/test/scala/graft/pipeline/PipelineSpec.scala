@@ -117,6 +117,19 @@ class PipelineSpec extends SparkSpec {
     assert(salted.size === 6 + 1) // C(4,2) + C(2,2)
   }
 
+  test("bpe encode: token counts and compression under full and truncated merge tables") {
+    val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 6 merges collapse every word to one symbol: 5 words -> 5 tokens
+    val full = TextAnalysis.bpeEncode(d).collect()(0)
+    assert(full.getAs[Long]("n_words") === 5L)
+    assert(full.getAs[Long]("n_bpe_tokens") === 5L)
+    assert(full.getAs[Double]("chars_per_token") === 4.8)
+    // after 2 merges: low=[low], lower=[low,e,r], lowest=[low,e,s,t]
+    assert(TextAnalysis.bpeEncode(d, rounds = 2)
+      .collect()(0).getAs[Long]("n_bpe_tokens") === 10L)
+  }
+
   test("oov rate against the BPE-trained merge vocabulary") {
     val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -27,6 +27,28 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 
 
+def write_parts(df, path, schema=None, n_parts=32):
+    """Write as a DIRECTORY of part files. Spark's scan parallelism is
+    file/byte-split-bounded, and the projection-only operator paths
+    (e.g. the simhash_fp expr mode) inherit it directly — a
+    single-file sf1 serialized them (measured: dedup_simhash_expr
+    31.8s single-file vs parallel over parts). A 100 TB corpus is
+    thousands of files; mirror that shape."""
+    import os
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    step = (len(df) + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        chunk = df.iloc[i * step:(i + 1) * step]
+        if chunk.empty:
+            continue
+        t = pa.Table.from_pandas(chunk, preserve_index=False)
+        if schema is not None:
+            t = t.cast(schema)
+        pq.write_table(t, f"{path}/part-{i:04d}.parquet")
+
+
 def main():
     import os
     os.makedirs(OUT, exist_ok=True)
@@ -44,8 +66,7 @@ def main():
             d["n_chars"] = d["text"].str.len().astype("int64")
         parts.append(d)
     out = pd.concat(parts, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                   f"{OUT}/documents.parquet")
+    write_parts(out, f"{OUT}/documents.parquet")
     print(f"documents: {len(out)} rows")
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
@@ -60,9 +81,7 @@ def main():
         parts.append(e)
     out = pd.concat(parts, ignore_index=True)
     schema = pq.read_table(f"{SRC}/embeddings.parquet").schema
-    pq.write_table(
-        pa.Table.from_pandas(out, preserve_index=False).cast(schema),
-        f"{OUT}/embeddings.parquet")
+    write_parts(out, f"{OUT}/embeddings.parquet", schema)
     print(f"embeddings: {len(out)} rows")
 
 
