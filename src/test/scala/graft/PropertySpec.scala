@@ -290,6 +290,87 @@ class PropertySpec extends SparkSpec {
     assert(got.map(_._1) === Seq("ab", "ba", "cd"))
   }
 
+  test("streaming cluster folds over random batch sequences equal full CC, any arrival order") {
+    import graft.streaming.StreamingClusters
+    import graft.pipeline.Clustering
+    for (seed <- 1L to 5L) {
+      val labels = tmpDir(s"cluster-prop-$seed") + "/labels"
+      // random edges over a small id space (ids arrive in ARBITRARY
+      // order across batches, so a later batch can carry a smaller id
+      // than any stored label — the label-decrease path)
+      val edges = sample(Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L))), seed)
+        .filter { case (a, b) => a != b }
+      val batches = edges.grouped(math.max(1, edges.size / 4)).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingClusters.processPairs(b.toDF("doc_a", "doc_b"), i.toLong, labels)
+      }
+      val folded = StreamingClusters.readLabels(spark, labels)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Clustering.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded === full, s"seed=$seed batches=${batches.size}")
+    }
+  }
+
+  test("perceptual frame banding finds exactly the brute-force hamming<=3 cross-doc pairs") {
+    import graft.pipeline.Multimodal
+    for (seed <- 1L to 3L) {
+      // video docs only (doc_id % 3 == 2); random ASCII payloads
+      val texts = sample(Gen.listOfN(12,
+        Gen.listOfN(200, Gen.chooseNum(32, 126)).map(_.map(_.toChar).mkString)),
+        seed) // 200 bytes -> 4 frame windows -> sampled idx {0, 2}
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong * 3 + 2, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = Multimodal.frameDedupNear(docs, frameBytes = 64, stride = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // independent reference: per-frame aHash brute force + all pairs
+      def frames(id: Long, t: String): Seq[(Long, Long, Long)] = {
+        val bytes = t.getBytes("UTF-8")
+        val n = (bytes.length + 63) / 64
+        (0 until n by 2).map { f =>
+          val s = f * 64; val e = math.min(s + 64, bytes.length)
+          val flen = e - s
+          val px = (0 until 64).map(i => (bytes(s + i * flen / 64) & 0xff).toLong)
+          val sum = px.sum
+          val fp = px.zipWithIndex
+            .collect { case (p, i) if p * 64 > sum => 1L << i }.sum
+          (id, f.toLong, fp)
+        }
+      }
+      val all = texts.zipWithIndex.flatMap { case (t, i) => frames(i.toLong * 3 + 2, t) }
+      val want = (for {
+        a <- all; b <- all
+        if a._1 < b._1
+        h = java.lang.Long.bitCount(a._3 ^ b._3).toLong
+        if h <= 3
+      } yield (a._1, a._2, b._1, b._2, h)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("bpe encode token counts are monotone non-increasing in merge rounds; zero rounds = character count") {
+    import graft.pipeline.TextAnalysis
+    for (seed <- 1L to 3L) {
+      val words = sample(Gen.listOfN(30,
+        Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)), seed)
+      val docs = words.grouped(10).zipWithIndex
+        .map { case (ws, i) =>
+          val t = ws.mkString(" ")
+          (i.toLong, t, "en", "s0", t.length.toLong)
+        }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      def total(rounds: Int): Long =
+        TextAnalysis.bpeEncode(docs, rounds).agg(sum("n_bpe_tokens"))
+          .collect()(0).getLong(0)
+      val series = Seq(0, 1, 2, 4, 8).map(total)
+      assert(series === series.sorted.reverse, s"seed=$seed $series")
+      // zero merges: every word stays fully character-split
+      assert(series.head === words.map(_.length).sum, s"seed=$seed")
+    }
+  }
+
   test("threshold sweep is monotone and agrees with dedupNgram at the 0.2 grid point") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sweep = graft.pipeline.Dedup.dedupThresholdSweep(docs).collect()
