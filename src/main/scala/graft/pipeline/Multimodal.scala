@@ -39,13 +39,17 @@ object Multimodal {
   def asBinary(docs: DataFrame): Dataset[MultimodalRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null text -> empty payload: a corpus-scale table WILL contain
+    // null rows, and a null byte_len violates the record's
+    // non-nullable Long (crashes the whole pipeline stage)
     docs.select(
         col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("modality"),
-        encode(col("text"), "UTF-8").as("payload"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
+        octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("long").as("byte_len"),
         (lit(64L) + (col("doc_id") % 16) * 32L).as("declared_width"),
         (lit(64L) + (col("doc_id") % 8) * 32L).as("declared_height"))
       .as[MultimodalRecord]
