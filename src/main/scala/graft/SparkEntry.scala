@@ -190,6 +190,7 @@ ORDER BY event_id"""
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
+    "minhash_scurve" -> ((s, _) => Dedup.minhashScurve(s)),
     "dedup_ngram_fast" -> ((s, d) => Dedup.dedupNgramFast(docs(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(docs(s, d))),
     // Incremental shape: docs >= 400 are "today's batch" against the
@@ -483,6 +484,7 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
+    "minhash_scurve" -> Dedup.minhashScurveOracle,
     "dedup_ngram_fast" -> Dedup.dedupNgramFastOracle,
     "dedup_ngram" -> Dedup.dedupNgramOracle,
     "dedup_containment" -> Dedup.dedupContainmentOracle,

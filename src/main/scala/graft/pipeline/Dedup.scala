@@ -1296,6 +1296,63 @@ ORDER BY c.doc_a, c.doc_b"""
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shared multiplication-chain SQL for x^n, n a power of two —
+   *  `pow()` is not correctly rounded and differs across libm builds,
+   *  but an IDENTICAL explicit multiplication tree evaluates
+   *  bit-identically in Spark and DuckDB, which is what lets the
+   *  analytic S-curve carry a hash-exact oracle. */
+  private def powChain(x: String, n: Int): String =
+    if (n == 1) x else s"(${powChain(x, n / 2)} * ${powChain(x, n / 2)})"
+
+  /** The P(candidate | jaccard) projection for a (bands=16/r, rows=r)
+   *  split of the 16-hash signature: 1 - (1 - s^r)^b. One CASE on
+   *  rows_per_band; the SAME string is compiled by both engines. */
+  private lazy val scurveCaseSql: String =
+    "CASE rows_per_band " + Seq(16, 8, 4, 2, 1).map { r =>
+      val b = NumHashes / r
+      s"WHEN $r THEN 1.0 - ${powChain(s"(1.0 - ${powChain("s", r)})", b)}"
+    }.mkString(" ", " ", " END")
+
+  /** The ANALYTIC companion to [[minhashCalibration]]: the banding
+   *  S-curve P(candidate | jaccard) = 1-(1-s^r)^b for every
+   *  (bands, rows) factorization of the family's 16 hashes over a
+   *  0.05-step jaccard grid — the table an engineer reads BEFORE
+   *  committing bands x rows at 100 TB (calibration measures what
+   *  the sketch did on this corpus; this says what any corpus gets:
+   *  e.g. the default 4x4 split crosses P=0.5 only near j≈0.62, so
+   *  banding is a high-similarity candidate filter and the 0.2-
+   *  threshold operators owe their recall to the verify step's
+   *  candidate set, not to banding alone — now visible in a query).
+   *  Pure closed form: no corpus scan, 95 rows, and every double
+   *  comes from the shared multiplication-chain SQL so the oracle is
+   *  hash-exact. */
+  def minhashScurve(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val facs = Seq(1, 2, 4, 8, 16)
+      .map(b => (b.toLong, (NumHashes / b).toLong))
+      .toDF("bands", "rows_per_band")
+    facs.crossJoin(spark.range(1, 20).select(col("id").as("i")))
+      .selectExpr("bands", "rows_per_band", "i * 1.0 / 20.0 AS s")
+      .selectExpr("bands", "rows_per_band", "s", s"$scurveCaseSql AS p")
+      .select(col("bands"), col("rows_per_band"),
+        r4(col("s")).as("jaccard"), r4(col("p")).as("p_candidate"),
+        when(col("p") >= 0.5, 1L).otherwise(0L).as("above_half"))
+      .orderBy("bands", "jaccard")
+  }
+
+  lazy val minhashScurveOracle: String = s"""
+WITH f(bands, rows_per_band) AS (
+  VALUES (CAST(1 AS BIGINT), CAST(16 AS BIGINT)), (2, 8), (4, 4), (8, 2), (16, 1)),
+g AS (SELECT unnest(range(1, 20)) AS i),
+c AS (SELECT f.bands, f.rows_per_band, g.i * 1.0 / 20.0 AS s FROM f, g),
+p AS (SELECT bands, rows_per_band, s, $scurveCaseSql AS p FROM c)
+SELECT bands, rows_per_band,
+       FLOOR(s * 10000.0 + 0.5) / 10000.0 AS jaccard,
+       FLOOR(p * 10000.0 + 0.5) / 10000.0 AS p_candidate,
+       CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS above_half
+FROM p
+ORDER BY bands, jaccard"""
+
   val minhashCalibrationOracle: String = "WITH " + shinglesCte + """,
 shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     minhashCandsSql + """,

@@ -190,6 +190,24 @@ class PipelineSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("minhash S-curve: monotone in jaccard, band count trades low-s recall for selectivity") {
+    val rows = Dedup.minhashScurve(spark).collect()
+      .map(r => ((r.getLong(0), math.round(r.getDouble(2) * 100).toInt),
+        r.getDouble(3))).toMap
+    assert(rows.size === 5 * 19)
+    // per factorization, P is nondecreasing in s
+    for (b <- Seq(1L, 2L, 4L, 8L, 16L)) {
+      val curve = (1 to 19).map(i => rows((b, i * 5)))
+      assert(curve === curve.sorted, s"bands=$b")
+    }
+    // closed-form spot checks at s=0.5: r=16,b=1 -> 0.5^16 (r4 -> 0);
+    // r=1,b=16 -> 1-0.5^16 (r4 -> 1)
+    assert(rows((1L, 50)) === 0.0)
+    assert(rows((16L, 50)) === 1.0)
+    // the family default 4x4 crosses P=0.5 between 0.60 and 0.65
+    assert(rows((4L, 60)) < 0.5 && rows((4L, 65)) > 0.5)
+  }
+
   test("bpe merges: the textbook low/lower/lowest training trace, stopping when pairs run dry") {
     val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
