@@ -328,21 +328,32 @@ ORDER BY event_id"""
         corpus.limit(0), emb(s, d).filter(col("vec_id") >= 400),
         corpusQuantized = Some(Embeddings.quantizedIndex(corpus)))
     }),
-    "knn_graph" -> ((s, d) => Embeddings.knnGraph(emb(s, d))),
-    "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(emb(s, d))),
+    // The kNN/SemDeDup family defaults to AutoCentroids (sqrt-N cell
+    // sizing); the harness pins 32 so the oracle's 32-cell codebook
+    // CTE stays byte-stable at every scale factor.
+    "knn_graph" -> ((s, d) =>
+      Embeddings.knnGraph(emb(s, d), numCentroids = 32)),
+    "semantic_clusters" -> ((s, d) =>
+      Embeddings.semanticClusters(emb(s, d), numCentroids = 32)),
     "semantic_survivors" -> ((s, d) =>
-      Embeddings.semanticSurvivors(docs(s, d), emb(s, d))),
-    "knn_hubness" -> ((s, d) => Embeddings.knnHubness(emb(s, d))),
+      Embeddings.semanticSurvivors(docs(s, d), emb(s, d), numCentroids = 32)),
+    "semantic_prune" -> ((s, d) =>
+      Embeddings.dedupSemantic(emb(s, d), numCentroids = 32)),
+    "knn_hubness" -> ((s, d) =>
+      Embeddings.knnHubness(emb(s, d), numCentroids = 32)),
     "emb_outliers" -> ((s, d) => Embeddings.embOutliers(emb(s, d))),
-    "knn_mutuality" -> ((s, d) => Embeddings.knnMutuality(emb(s, d))),
+    "knn_mutuality" -> ((s, d) =>
+      Embeddings.knnMutuality(emb(s, d), numCentroids = 32)),
     "embedding_threshold_sweep" -> ((s, d) =>
       Embeddings.embeddingThresholdSweep(emb(s, d))),
-    "knn_pagerank" -> ((s, d) => Embeddings.knnPagerank(emb(s, d))),
+    "knn_pagerank" -> ((s, d) =>
+      Embeddings.knnPagerank(emb(s, d), numCentroids = 32)),
     "ivf_probe_sweep" -> ((s, d) =>
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "emb_principal" -> ((s, d) => Embeddings.principalDirection(emb(s, d))),
-    "diversity_sample" -> ((s, d) => Embeddings.diversitySample(emb(s, d))),
+    "diversity_sample" -> ((s, d) =>
+      Embeddings.diversitySample(emb(s, d), numCentroids = 32)),
     "pq_recall" -> ((s, d) => Embeddings.pqRecall(emb(s, d), annQueries(s, d))),
     "topic_purity" -> ((s, d) => Embeddings.topicPurity(docs(s, d), emb(s, d))),
     "topic_clusters" -> ((s, d) => Embeddings.topicClusters(emb(s, d))),
@@ -517,6 +528,7 @@ ORDER BY event_id"""
     "knn_graph" -> Embeddings.knnGraphOracle,
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
+    "semantic_prune" -> Embeddings.dedupSemanticOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
     "emb_outliers" -> Embeddings.embOutliersOracle,
     "knn_mutuality" -> Embeddings.knnMutualityOracle,

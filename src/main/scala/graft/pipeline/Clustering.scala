@@ -214,13 +214,29 @@ object Clustering {
    *  same contract every Structured Streaming sink's
    *  `foreachBatch` works under. Edges beyond `localMax` (an
    *  adversarial, not-batch-like input) fall back to the distributed
-   *  [[connectedComponents]] fixpoint, same output. */
+   *  [[connectedComponents]] fixpoint, same output; so do
+   *  non-integral id columns (the union-find runs over primitive
+   *  longs). Null endpoints are dropped — a null edge cannot join
+   *  components in either engine. */
   def connectedComponentsBounded(pairs: DataFrame,
                                  localMax: Int = 4000000,
                                  reliable: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // The union-find runs over primitive longs; non-integral id
+    // columns (string doc ids, decimals) route to the type-agnostic
+    // distributed fixpoint instead of failing the long decode.
+    val integral = Seq("doc_a", "doc_b")
+      .map(n => pairs.schema(n)).forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (!integral) return connectedComponents(pairs, reliable = reliable)
     val edges = pairs
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].take(localMax + 1)
     if (edges.length > localMax)

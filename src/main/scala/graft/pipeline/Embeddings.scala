@@ -75,6 +75,28 @@ object Embeddings {
       .select(col("vec_id").as("cent_id"), col("qarr").as("qarr_a"),
         col("nq").as("nq_a"))
 
+  /** Sentinel `numCentroids` value meaning "size the IVF cell count
+   *  from the corpus": K = max(32, floor(sqrt(N))). Within-cell
+   *  pair enumeration costs Σ|cell|² ≈ N²/K, so ANY fixed K turns a
+   *  10× corpus into ~100×/K candidate work — measured on the 10×
+   *  stress corpus: K=32 → 72.7 s for the `semantic_clusters`
+   *  composite vs 27.6 s at K=sqrt(N)=141 (STRESS_SF1.md §2,
+   *  graft.tools.ScaleProbe). sqrt(N) keeps both the expected cell
+   *  size and the cell count at sqrt(N), bounding pair work at
+   *  N^1.5 — the default that survives a scale-up, so the
+   *  pair-enumerating kNN/SemDeDup family defaults to it. The
+   *  harness call sites pin an explicit 32 to keep the DuckDB
+   *  oracles (which mirror the 32-cell codebook CTE) byte-stable. */
+  val AutoCentroids: Int = 0
+
+  /** Resolve a requested cell count: positive = caller-pinned;
+   *  [[AutoCentroids]] = sqrt(N) from ONE count over the (cached)
+   *  quantized frame — the count is free where the family already
+   *  eager-caches `qv`, and a single columnar scan otherwise. */
+  private def resolveCentroids(qv: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(32, math.sqrt(qv.count().toDouble).toInt)
+
   /** The `n` nearest centroids per vector by exact quantized cosine
    *  (ties -> lowest cent_id): one broadcast-K pass over `qv`, the
    *  K-bounded assignment every IVF-shaped operator shares. Returns
@@ -594,13 +616,13 @@ ORDER BY threshold"""
    *  practice bounded by the cluster-size cap a curation run picks K
    *  for. */
   def dedupSemantic(emb: DataFrame, minCosine: Double = 0.4,
-                    numCentroids: Int = 32,
+                    numCentroids: Int = AutoCentroids,
                     precomputedQuantized: Option[DataFrame] = None,
                     trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
-      .getOrElse(hashCentroids(qv, numCentroids))
+      .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
     val assigned = nearestCentroids(qv, centroids, 1).cache()
     val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
@@ -660,13 +682,17 @@ ORDER BY a.vec_id"""
    *  (tools/make_sf1.py, 20k vectors): K=32 -> 24.2 s, K=sqrt(N)=141
    *  -> 8.8 s for this graph; 129.9 s -> 27.6 s for the
    *  [[semanticClusters]] composite on top of it
-   *  (graft.tools.ScaleProbe). The default stays 32 because every
-   *  oracle mirrors it; a scale deployment passes K explicitly (or a
-   *  [[trainCentroids]] codebook). */
-  def knnGraph(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
+   *  (graft.tools.ScaleProbe). The default is therefore
+   *  [[AutoCentroids]] — K = max(32, sqrt(N)) derived from the
+   *  corpus — so the operator survives a scale-up out of the box; a
+   *  caller pins K explicitly (the harness pins 32 to match its
+   *  oracle's codebook CTE) or supplies a [[trainCentroids]]
+   *  codebook. */
+  def knnGraph(emb: DataFrame, k: Int = 5,
+               numCentroids: Int = AutoCentroids,
                precomputedQuantized: Option[DataFrame] = None,
                trainedCentroids: Option[DataFrame] = None): DataFrame = {
-    // EAGER cache (Dedup.materializedShingles precedent): centroid
+    // EAGER cache ([[Dedup.withSharedShingles]] precedent): centroid
     // head, assignment, and the two verify sides scan qv independently
     // and would race a lazy cache into re-quantizing per subtree.
     val qv = precomputedQuantized.getOrElse {
@@ -674,7 +700,7 @@ ORDER BY a.vec_id"""
     }
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
-      .getOrElse(hashCentroids(qv, numCentroids))
+      .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
     val assigned = nearestCentroids(qv, centroids, 1)
     val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
@@ -733,7 +759,7 @@ ORDER BY vec_id, rank"""
    *  (vec, neighbor), nothing quadratic; propagation cost is rounds ×
    *  one keyed shuffle of the node set. */
   def semanticClusters(emb: DataFrame, k: Int = 5, minCosine: Double = 0.4,
-                       numCentroids: Int = 32,
+                       numCentroids: Int = AutoCentroids,
                        precomputedQuantized: Option[DataFrame] = None,
                        trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val e = knnGraph(emb, k, numCentroids, precomputedQuantized, trainedCentroids)
@@ -811,7 +837,7 @@ ORDER BY c.vec_id"""
    *  over the corpus. */
   def semanticSurvivors(docs: DataFrame, emb: DataFrame, k: Int = 5,
                         minCosine: Double = 0.4,
-                        numCentroids: Int = 32): DataFrame = {
+                        numCentroids: Int = AutoCentroids): DataFrame = {
     val comp = semanticClusters(emb, k, minCosine, numCentroids)
       .select(col("vec_id").as("doc_id"), col("cluster_id"))
     val cred = docs.select(col("doc_id"),
@@ -871,7 +897,7 @@ ORDER BY t.cluster_id"""
    *  join against the vector ids, and the final histogram groups at
    *  degree cardinality. */
   def knnHubness(emb: DataFrame, k: Int = 5,
-                 numCentroids: Int = 32): DataFrame = {
+                 numCentroids: Int = AutoCentroids): DataFrame = {
     val indeg = knnGraph(emb, k, numCentroids)
       .groupBy(col("neighbor_id").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
@@ -1002,7 +1028,8 @@ ORDER BY r.cent_id, r.orank"""
    *  cached ([[knnGraph]] precedent) and consumed by a left-semi
    *  self-join on the reversed key + two rank-cardinality rollups —
    *  nothing corpus-quadratic anywhere. */
-  def knnMutuality(emb: DataFrame, k: Int = 5, numCentroids: Int = 32,
+  def knnMutuality(emb: DataFrame, k: Int = 5,
+                   numCentroids: Int = AutoCentroids,
                    precomputedQuantized: Option[DataFrame] = None,
                    trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val g = knnGraph(emb, k, numCentroids, precomputedQuantized,
@@ -1078,7 +1105,7 @@ ORDER BY rank"""
    *  driver-side state, plan depth linear in the (small, fixed)
    *  iteration count. */
   def knnPagerank(emb: DataFrame, k: Int = 5, iters: Int = 5,
-                  numCentroids: Int = 32): DataFrame = {
+                  numCentroids: Int = AutoCentroids): DataFrame = {
     val nodes = emb.select("vec_id")
     val nFrame = nodes.agg(count(lit(1)).as("n"))
     val edges = knnGraph(emb, k, numCentroids)
@@ -1411,10 +1438,11 @@ ORDER BY label"""
    *  bounded by the largest cell — raise `numCentroids` when cells
    *  outgrow a partition). */
   def diversitySample(emb: DataFrame, keepPct: Int = 25,
-                      numCentroids: Int = 32,
+                      numCentroids: Int = AutoCentroids,
                       precomputedQuantized: Option[DataFrame] = None): DataFrame = {
     val qv = precomputedQuantized.getOrElse(quantized(emb)).cache()
-    val assigned = nearestCentroids(qv, hashCentroids(qv, numCentroids), 1)
+    val assigned =
+      nearestCentroids(qv, hashCentroids(qv, resolveCentroids(qv, numCentroids)), 1)
     val cellN = assigned.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
     assigned
       .withColumn("rk", row_number().over(Window.partitionBy("cent_id")

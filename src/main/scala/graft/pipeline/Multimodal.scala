@@ -190,9 +190,10 @@ ORDER BY frame_crc, frame_len"""
    *  at `start + i*len/64` across the frame window (the "resize"),
    *  thresholded by the integer-exact cross-multiplication
    *  `px*64 > sum(px)` (no division, no floats — the oracle mirrors
-   *  it verbatim). ??? the pixel read is where a real decoder's
-   *  luma plane plugs in; everything downstream of the byte access
-   *  is the real pipeline. Computed inside the SAME partition-local
+   *  it verbatim). The pixel read is the `???`-marked stub-decode
+   *  boundary (see the file header): a real decoder's luma plane
+   *  plugs in there; everything downstream of the byte access is the
+   *  real pipeline. Computed inside the SAME partition-local
    *  pass that holds the payload ([[frameSample]] discipline):
    *  payload bytes never reach an exchange — only the 8 band bytes
    *  per frame do. */

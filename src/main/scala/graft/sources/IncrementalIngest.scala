@@ -62,11 +62,23 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     else {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val lines = txt.linesIterator.filter(_.nonEmpty).toVector
+      lines.zipWithIndex.flatMap { case (line, i) =>
         // 5-field TSV; 4-field lines (pre-attempt checkpoints) still load
         val parts = line.split("\t", -1)
-        parts(0) -> FileState(parts(1).toLong, parts(2).toLong, parts(3).toLong,
-          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None)
+        try Some(parts(0) -> FileState(parts(1).toLong, parts(2).toLong,
+          parts(3).toLong,
+          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None))
+        catch {
+          // A torn FINAL line (a writer killed mid-commit before the
+          // tmp-swap discipline existed, or a torn copy) is dropped —
+          // its file simply re-scans as new, which at-least-once
+          // allows. A malformed INTERIOR line is real corruption and
+          // still throws.
+          case e @ (_: NumberFormatException
+                    | _: ArrayIndexOutOfBoundsException) =>
+            if (i == lines.size - 1) None else throw e
+        }
       }.toMap
     }
   }
@@ -78,8 +90,17 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
    *  one partition at a time and never stage as a driver-side map. */
   private def saveStateStreaming(carryOver: Iterator[(String, FileState)],
                                  fresh: Iterator[(String, FileState)]): Unit = {
+    // tmp-write + rename-swap (StreamingClusters.compactState
+    // discipline): `fresh` is a toLocalIterator that runs Spark jobs
+    // BETWEEN writes, so writing the live path directly would leave a
+    // truncated checkpoint if any of those jobs dies mid-commit. The
+    // live file is replaced only after the tmp is complete and
+    // closed; a crash inside the delete→rename window loses the whole
+    // checkpoint (not a torn half), which at-least-once re-ingests.
     val p = new Path(checkpointPath)
-    val out = fs(p).create(p, true)
+    val tmp = new Path(checkpointPath + ".tmp")
+    val f = fs(p)
+    val out = f.create(tmp, true)
     try {
       var first = true
       (carryOver ++ fresh).foreach { case (k, s) =>
@@ -90,6 +111,10 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
         first = false
       }
     } finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(
+        s"checkpoint swap failed: rename($tmp, $p)")
   }
 
   /** Paths changed since the last committed scan (new, grown, or
@@ -162,7 +187,13 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
       (p.toString, len, mt, st.map(_.offset).getOrElse(-1L),
         st.flatMap(_.attemptId))
     }
-    val meta = scanRows(spark, hadoopProps(spark), metaIn).cache()
+    // MEMORY_AND_DISK, not the cache() default: if a partition were
+    // evicted between process(delta) and commitCheckpoint, the
+    // recompute would re-read files that may have changed since
+    // listing, committing offsets over different bytes than process
+    // saw. The rows are tiny; disk spill keeps "capture once" true.
+    val meta = scanRows(spark, hadoopProps(spark), metaIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pendingSet = pending.map(_._1.toString).toSet
 
     val tailCount = meta.filter(r => r.tailEnd > r.tailStart).count()

@@ -121,15 +121,21 @@ object StreamingClusters {
       .map((l: Long) => l -> find(l)).filter { case (o, n) => o != n }.toSeq
     val deltaNew = endIds.filterNot(endLabels.contains)
       .map(d => (d, find(d), batchId)).toSeq
-      .toDF("doc_id", "label", "batch_id")
-    val delta = if (changed.isEmpty) deltaNew else {
+    // A no-op trigger (every endpoint already co-clustered: no new
+    // ids, no label change) writes NOTHING — both emptiness checks
+    // are driver-side values, so the skip is free, and it stops
+    // empty part files from growing the store's file count (and the
+    // two O(state) probe scans above) until compactState runs.
+    if (deltaNew.isEmpty && changed.isEmpty) return
+    val deltaNewDf = deltaNew.toDF("doc_id", "label", "batch_id")
+    val delta = if (changed.isEmpty) deltaNewDf else {
       val changedMap = changed.toDF("label", "new_label")
       val deltaPrior = store.join(broadcast(changedMap.select("label")), "label")
         .groupBy("doc_id").agg(expr("max_by(label, batch_id)").as("label"))
         .join(broadcast(changedMap), "label")
         .select(col("doc_id"), col("new_label").as("label"),
           lit(batchId).as("batch_id"))
-      deltaPrior.unionByName(deltaNew)
+      deltaPrior.unionByName(deltaNewDf)
     }
     delta.write.mode("append").parquet(labelDir)
   }

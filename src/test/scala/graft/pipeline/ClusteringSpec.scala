@@ -98,4 +98,26 @@ class ClusteringSpec extends SparkSpec {
     assert(rel === local)
     assert(rel === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("bounded CC matches distributed CC; non-integral ids take the fallback") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val bounded = Clustering.connectedComponentsBounded(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded === expect)
+    // a null endpoint joins nothing in either engine; the bounded path
+    // must not throw decoding it
+    val withNull = pairs.unionByName(
+      Seq((Some(7L), Option.empty[Long])).toDF("doc_a", "doc_b"))
+    val boundedNull = Clustering.connectedComponentsBounded(withNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(boundedNull === expect)
+    // string ids: the driver union-find is primitive-long, so the call
+    // must route to the type-agnostic distributed fixpoint, same labels
+    val strPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val strOut = Clustering.connectedComponentsBounded(strPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strOut === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
 }

@@ -226,4 +226,40 @@ class SourcesSpec extends SparkSpec {
     ing.ingest(s"file://$d")(df => n = df.count())
     assert(n === 12) // whole-file re-read, not skipped, not a tail
   }
+
+  test("checkpoint commits via tmp-swap; a torn FINAL line re-scans its file only") {
+    val d = tmpDir("incr-torn")
+    val ckpt = tmpDir("incr-torn-ckpt") + "/state.tsv"
+    EventLogFixture.writeLogs(d, Seq("app-t1", "app-t2"))
+    val ing = new IncrementalIngest(spark, ckpt)
+    ing.ingest(s"file://$d")(df => df.count())
+    val ckptPath = java.nio.file.Paths.get(ckpt)
+    // a successful commit leaves no .tmp behind (write-then-rename)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt + ".tmp")))
+    val lines = java.nio.file.Files.readString(ckptPath).split("\n")
+    assert(lines.length === 2)
+    // tampering out-of-band invalidates the Hadoop local-FS checksum
+    // sidecar — drop it (a real torn write would have a torn crc too)
+    def dropCrc(): Unit = java.nio.file.Files.deleteIfExists(
+      ckptPath.getParent.resolve("." + ckptPath.getFileName + ".crc"))
+    // simulate the pre-swap failure mode: the final line cut mid-entry
+    // (before its first tab, so no field parses)
+    java.nio.file.Files.writeString(ckptPath,
+      lines(0) + "\n" + lines(1).takeWhile(_ != '\t'))
+    dropCrc()
+    // the torn entry is dropped -> exactly that file re-ingests; the
+    // intact entry stays committed
+    var apps: Seq[String] = Nil
+    ing.ingest(s"file://$d")(df => apps =
+      df.select("app_id").distinct().collect().map(_.getString(0)).toSeq)
+    val intactApp = lines(0).split("\t")(0).split("/").last.stripSuffix(".json")
+    assert(apps.size === 1)
+    assert(apps.head != intactApp)
+    // a torn INTERIOR line is real corruption and still fails loudly
+    java.nio.file.Files.writeString(ckptPath,
+      lines(0).takeWhile(_ != '\t') + "\n" + lines(1))
+    dropCrc()
+    intercept[Exception] { ing.ingest(s"file://$d")(_ => ()) }
+  }
 }

@@ -760,10 +760,16 @@ class StreamingIngestSpec extends SparkSpec {
       .filter(col("batch_id") === 3L).collect().map(_.getLong(0)).toSet
     assert(delta3 === Set(10L, 11L, 20L), delta3)
     // replay tolerance: re-running trigger 3 recomputes an EMPTY delta
-    // (labels already folded) — state unchanged
+    // (labels already folded) — state unchanged, and the no-op skips
+    // the store append entirely (no empty part files accumulating
+    // scan cost trigger-over-trigger)
     val rowsBefore = spark.read.parquet(labels).count()
+    def partFiles: Int = new java.io.File(labels)
+      .listFiles().count(_.getName.startsWith("part-"))
+    val filesBefore = partFiles
     StreamingClusters.processPairs(b3.toDF("doc_a", "doc_b"), 3L, labels)
     assert(spark.read.parquet(labels).count() === rowsBefore)
+    assert(partFiles === filesBefore)
     assert(currentLabels === after3)
     // compaction folds to one row per doc, same labeling
     StreamingClusters.compactState(spark, labels)
