@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the parent's stdout/stderr instead of sbt's LoggedOutput:
+// the harness that collects BENCH_r*.json tail-parses stdout for the
+// bench's one-line JSON, and sbt's default logger prefixes every
+// forked line with "[info] ", which breaks a per-line JSON parse
+// (three rounds of "parsed": null). Raw inheritance emits the line
+// verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

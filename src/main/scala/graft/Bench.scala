@@ -19,7 +19,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bounded-frame global windows in a few
+    // operators emit a benign WindowExec WARN per plan, and dozens of
+    // them flood the ~2000-char stdout tail the harness keeps,
+    // crowding out the one JSON line this main exists to print.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // ONE bench-scoped temp root: every helper's scratch (seeded
     // streaming state, shared stores, synthetic ingest logs) nests
@@ -53,6 +57,9 @@ object Bench {
       if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
       else (ts.sorted.apply(1), ts.min, ts.max)
     }
+    def medianSpread(ts: Seq[Double]): (Double, Double, Double) =
+      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      else (ts.sorted.apply(ts.size / 2), ts.min, ts.max)
 
     // Warmup: run every query once at the smallest scale factor so
     // Janino compilation + JIT of the generated code is NOT billed to
@@ -410,7 +417,31 @@ object Bench {
       if (xs.exists(_ < 0)) (-1.0, -1.0, -1.0)
       else (xs.sorted.apply(1), xs.min, xs.max)
 
-    val results = names.map(n => n -> runMedian(n)) ++ (if (runShared) Seq(
+    /** Three full passes over the suite, each in a DIFFERENT
+      * deterministic shuffled order, median per query ACROSS passes
+      * (not back-to-back samples): round 8/9 showed untouched-file
+      * queries moving 2-3x round-over-round while the canary
+      * improved — back-to-back sampling bills whatever JVM phase
+      * (heap shape, C2 recompile, host noise) a query's fixed slot
+      * lands in to that query in EVERY sample, so the median can't
+      * average it away. Randomizing the slot per pass decorrelates
+      * query identity from JVM phase; the cross-pass median is then
+      * comparable round-over-round. Canary timings interleave
+      * between passes (see canaryMid). Seeds are fixed constants so
+      * two runs of the same build time the identical schedule. */
+    val canaryMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passTimes: Seq[Map[String, Double]] = (0 until 3).map { rep =>
+      val order = new scala.util.Random(7919L * (rep + 1)).shuffle(names)
+      val t = order.map(n => n -> runNoop(n)).toMap
+      // one-sample canary sum after each pass: a monotone rise across
+      // entries = the JVM degraded DURING the suite and cross-round
+      // deltas on late-pass medians are suspect
+      if (only.isEmpty) canaryMid +=
+        canaryKeys.map(k => runNoop(k)).filter(_ >= 0).sum
+      t
+    }
+    val suiteResults = names.map(n => n -> medianSpread(passTimes.map(_(n))))
+    val results = suiteResults ++ (if (runShared) Seq(
       "shingle_store_write" -> medianOf(sharedRuns.map(_._1)),
       "dedup_family_shared" -> medianOf(sharedRuns.map(_._2))) else Seq.empty) ++
       (if (runEmbShared) Seq(
@@ -467,7 +498,7 @@ object Bench {
       if (only.isDefined) "bench_local_only.json" else "bench_local_last.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outName),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_drift":$canaryDrift,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val headlineKeys = Seq("events_parse", "app_list", "task_quantiles",
       "critical_path", "dedup_exact", "dedup_ngram", "dedup_minhash",

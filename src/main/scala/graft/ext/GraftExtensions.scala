@@ -25,9 +25,9 @@ import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNG
  *  - `simhash_fp(array<string>) -> bigint` — codegen'd whole
  *    32-bit SimHash fingerprint of a gram array under the poly
  *    family ([[graft.functions.SimhashFp]]).
- *  - `minhash_sig(array<string>) -> array<bigint>` — codegen'd whole
- *    16-hash MinHash signature under the poly family
- *    ([[graft.functions.MinhashSig]]).
+ *  - `minhash_sig(array<string>[, width]) -> array<bigint>` —
+ *    codegen'd whole MinHash signature under the poly family, width
+ *    literal defaulting to 16 ([[graft.functions.MinhashSig]]).
  *  - `winnow_fps(string, int, int) -> array<bigint>` — codegen'd
  *    complete winnowing fingerprint selection (packed hash*2^20+pos)
  *    ([[graft.functions.WinnowFps]]).
@@ -74,8 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "minhash_sig expects exactly 1 argument")
-        MinhashSig(children.head)
+        require(children.length == 1 || children.length == 2,
+          "minhash_sig expects 1 or 2 arguments")
+        if (children.length == 1) MinhashSig(children.head)
+        else {
+          val w = children(1)
+          require(w.foldable,
+            "minhash_sig width must be a literal integer")
+          MinhashSig(children.head,
+            w.eval().asInstanceOf[Number].intValue())
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fps"),

@@ -32,6 +32,14 @@ import graft.util.Round.r4
 object Dedup {
 
   val Prime = 1000003L
+  /** MinHash family defaults: 16 hashes split 4 bands × 4 rows. These
+   *  are DEFAULTS, not constants — every minhash entry point takes
+   *  `numHashes`/`bands` arguments (the affine hash family extends to
+   *  any width; [[minhashScurve]] renders the banding S-curve for the
+   *  configured split, and MinhashSigSpec pins width-32 parity between
+   *  the aggregation path and the [[graft.functions.MinhashSig]]
+   *  expression), so a deployment at a 0.8-similarity bar buys more
+   *  recall with 8×2 or a wider signature without forking. */
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
@@ -723,9 +731,9 @@ ORDER BY p.source_a, p.source_b"""
     // subtrees are independent, so their stages race a lazy cache
     // into tokenizing the corpus once per detector; the store
     // materializes once, every subtree scans parquet (see
-    // materializedShingles for why a store beats an in-memory cache
-    // here), and withSharedShingles deletes it once the 3-row result
-    // is checkpointed.
+    // withSharedShingles's scaladoc for why a store beats an
+    // in-memory cache here), and the bracket deletes it once the
+    // 3-row result is checkpointed.
     withSharedShingles(docs, precomputedShingles) { sh =>
       def tag(det: String, df: DataFrame) =
         df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
@@ -1176,11 +1184,14 @@ ORDER BY c.doc_a, c.doc_b"""
    *  corpus) spreads over `salts` reducers instead of melting one. */
   def dedupMinhash(docs: DataFrame, minJaccard: Double = 0.2,
                    idFamily: String = "md5",
-                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+                   precomputedShingles: Option[DataFrame] = None,
+                   numHashes: Int = NumHashes,
+                   bands: Int = Bands): DataFrame = {
     val sh = cachedOrStore(docs, precomputedShingles)
     val shId = shingleIds(sh, idFamily)
     val cands =
-      saltedBucketPairs(minhashBandSig(minhashSigWide(shId)),
+      saltedBucketPairs(
+        minhashBandSig(minhashSigWide(shId, numHashes), numHashes, bands),
         Seq("band", "bsig"), "doc_id")
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
@@ -1200,22 +1211,28 @@ ORDER BY c.doc_a, c.doc_b"""
    *  [[dedupMinhashFastOracle]] verbatim, and MinhashSigSpec asserts
    *  per-document signature equality of the two paths. */
   def dedupMinhashExpr(docs: DataFrame, minJaccard: Double = 0.2,
-                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+                       precomputedShingles: Option[DataFrame] = None,
+                       numHashes: Int = NumHashes,
+                       bands: Int = Bands): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
     val sh = cachedOrStore(docs, precomputedShingles)
     val sig = docs
       .select(col("doc_id"),
         call_function("minhash_sig",
-          call_function("word_ngrams", col("text"), lit(3))).as("sig"))
+          call_function("word_ngrams", col("text"), lit(3)),
+          lit(numHashes)).as("sig"))
       .filter(col("sig").isNotNull)
-    val bandStructs = (0 until Bands).map { b =>
-      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col("sig").getItem(j).cast("string"))
       struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
     }
-    val bands = sig
+    val bandFrame = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("nb"))
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
-    val cands = saltedBucketPairs(bands, Seq("band", "bsig"), "doc_id")
+    val cands = saltedBucketPairs(bandFrame, Seq("band", "bsig"), "doc_id")
     withJaccard(cands, sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
@@ -1223,15 +1240,19 @@ ORDER BY c.doc_a, c.doc_b"""
   }
 
   /** The aggregation-path `poly`-family wide signature frame
-   *  (doc_id, mh0..mh15) — exposed so MinhashSigSpec can assert
-   *  per-document parity between the two signature paths. */
-  def minhashPolySignatures(docs: DataFrame): DataFrame =
-    minhashSigWide(shingleIds(shingles(docs), "poly"))
+   *  (doc_id, mh0..mh{numHashes-1}) — exposed so MinhashSigSpec can
+   *  assert per-document parity between the two signature paths at
+   *  the default AND non-default widths. */
+  def minhashPolySignatures(docs: DataFrame,
+                            numHashes: Int = NumHashes): DataFrame =
+    minhashSigWide(shingleIds(shingles(docs), "poly"), numHashes)
 
-  /** doc_id + the 16 min-hash columns `mh0..mh15` — ONE partial-
-   *  aggregating groupBy pass (|docs| rows shuffled, not 16x|shingles|). */
-  private def minhashSigWide(shId: DataFrame): DataFrame = {
-    val minCols = (0 until NumHashes).map { j =>
+  /** doc_id + the min-hash columns `mh0..mh{numHashes-1}` — ONE
+   *  partial-aggregating groupBy pass (|docs| rows shuffled, not
+   *  numHashes x |shingles|). */
+  private def minhashSigWide(shId: DataFrame,
+                             numHashes: Int = NumHashes): DataFrame = {
+    val minCols = (0 until numHashes).map { j =>
       min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
         .as(s"mh$j")
     }
@@ -1240,9 +1261,14 @@ ORDER BY c.doc_a, c.doc_b"""
 
   /** (doc_id, band, bsig) — a pure projection+explode over the wide
    *  signature frame. */
-  private def minhashBandSig(sigWide: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val rows = (b * RowsPerBand until (b + 1) * RowsPerBand)
+  private def minhashBandSig(sigWide: DataFrame,
+                             numHashes: Int = NumHashes,
+                             bands: Int = Bands): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col(s"mh$j").cast("string"))
       struct(lit(b.toLong).as("band"), concat_ws("-", rows: _*).as("bsig"))
     }
@@ -1304,14 +1330,23 @@ ORDER BY c.doc_a, c.doc_b"""
   private def powChain(x: String, n: Int): String =
     if (n == 1) x else s"(${powChain(x, n / 2)} * ${powChain(x, n / 2)})"
 
-  /** The P(candidate | jaccard) projection for a (bands=16/r, rows=r)
-   *  split of the 16-hash signature: 1 - (1 - s^r)^b. One CASE on
-   *  rows_per_band; the SAME string is compiled by both engines. */
-  private lazy val scurveCaseSql: String =
-    "CASE rows_per_band " + Seq(16, 8, 4, 2, 1).map { r =>
-      val b = NumHashes / r
+  /** The P(candidate | jaccard) projection for a (bands=w/r, rows=r)
+   *  split of a `w`-hash signature: 1 - (1 - s^r)^b. One CASE on
+   *  rows_per_band; the SAME string is compiled by both engines.
+   *  `w` must be a power of two (the multiplication chain squares). */
+  private def scurveCaseSql(numHashes: Int): String = {
+    require(numHashes > 0 && (numHashes & (numHashes - 1)) == 0,
+      s"scurve width must be a power of two, got $numHashes")
+    "CASE rows_per_band " + scurveRows(numHashes).map { r =>
+      val b = numHashes / r
       s"WHEN $r THEN 1.0 - ${powChain(s"(1.0 - ${powChain("s", r)})", b)}"
     }.mkString(" ", " ", " END")
+  }
+
+  /** Power-of-two rows-per-band values for a `w`-hash signature,
+   *  widest rows first (matches the historical 16/8/4/2/1 order). */
+  private def scurveRows(numHashes: Int): Seq[Int] =
+    Iterator.iterate(numHashes)(_ / 2).takeWhile(_ >= 1).toSeq
 
   /** The ANALYTIC companion to [[minhashCalibration]]: the banding
    *  S-curve P(candidate | jaccard) = 1-(1-s^r)^b for every
@@ -1326,14 +1361,16 @@ ORDER BY c.doc_a, c.doc_b"""
    *  Pure closed form: no corpus scan, 95 rows, and every double
    *  comes from the shared multiplication-chain SQL so the oracle is
    *  hash-exact. */
-  def minhashScurve(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  def minhashScurve(spark: org.apache.spark.sql.SparkSession,
+                    numHashes: Int = NumHashes): DataFrame = {
     import spark.implicits._
-    val facs = Seq(1, 2, 4, 8, 16)
-      .map(b => (b.toLong, (NumHashes / b).toLong))
+    val facs = scurveRows(numHashes).reverse
+      .map(b => (b.toLong, (numHashes / b).toLong))
       .toDF("bands", "rows_per_band")
     facs.crossJoin(spark.range(1, 20).select(col("id").as("i")))
       .selectExpr("bands", "rows_per_band", "i * 1.0 / 20.0 AS s")
-      .selectExpr("bands", "rows_per_band", "s", s"$scurveCaseSql AS p")
+      .selectExpr("bands", "rows_per_band", "s",
+        s"${scurveCaseSql(numHashes)} AS p")
       .select(col("bands"), col("rows_per_band"),
         r4(col("s")).as("jaccard"), r4(col("p")).as("p_candidate"),
         when(col("p") >= 0.5, 1L).otherwise(0L).as("above_half"))
@@ -1345,7 +1382,7 @@ WITH f(bands, rows_per_band) AS (
   VALUES (CAST(1 AS BIGINT), CAST(16 AS BIGINT)), (2, 8), (4, 4), (8, 2), (16, 1)),
 g AS (SELECT unnest(range(1, 20)) AS i),
 c AS (SELECT f.bands, f.rows_per_band, g.i * 1.0 / 20.0 AS s FROM f, g),
-p AS (SELECT bands, rows_per_band, s, $scurveCaseSql AS p FROM c)
+p AS (SELECT bands, rows_per_band, s, ${scurveCaseSql(NumHashes)} AS p FROM c)
 SELECT bands, rows_per_band,
        FLOOR(s * 10000.0 + 0.5) / 10000.0 AS jaccard,
        FLOOR(p * 10000.0 + 0.5) / 10000.0 AS p_candidate,

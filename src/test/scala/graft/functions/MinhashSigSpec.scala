@@ -56,6 +56,58 @@ class MinhashSigSpec extends SparkSpec {
     }
   }
 
+  test("width-32 signature: expression and aggregation paths agree; pairs match at 32/8") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // per-doc parity of the widened signature
+    val exprSig = docs
+      .select(col("doc_id"),
+        call_function("minhash_sig",
+          call_function("word_ngrams", col("text"), lit(3)),
+          lit(32)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val aggSig = graft.pipeline.Dedup.minhashPolySignatures(docs, numHashes = 32)
+      .select(col("doc_id"),
+        array((0 until 32).map(j => col(s"mh$j")): _*).as("sig_agg"))
+    val joined = exprSig.join(aggSig, Seq("doc_id"), "full_outer").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"doc ${r.getLong(0)} present in only one path")
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](1).size === 32)
+    }
+    // whole-pipeline parity at the non-default split: same candidate
+    // buckets -> same verified pair set in both paths
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = pairs(graft.pipeline.Dedup.dedupMinhash(docs,
+      idFamily = "poly", numHashes = 32, bands = 8))
+    val ex = pairs(graft.pipeline.Dedup.dedupMinhashExpr(docs,
+      numHashes = 32, bands = 8))
+    assert(agg === ex)
+    assert(agg.nonEmpty)
+  }
+
+  test("scurve renders the configured width's factorizations") {
+    val s32 = graft.pipeline.Dedup.minhashScurve(spark, numHashes = 32)
+    val bands = s32.select("bands").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bands === Set(1L, 2L, 4L, 8L, 16L, 32L))
+    // wider signature, same split geometry: 4 rows/band at width 32
+    // means 8 bands -> strictly higher P(candidate) at every s than
+    // width 16's 4 bands of 4 (more independent chances)
+    val p32 = s32.filter(col("rows_per_band") === 4)
+      .select("jaccard", "p_candidate").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val p16 = graft.pipeline.Dedup.minhashScurve(spark)
+      .filter(col("rows_per_band") === 4)
+      .select("jaccard", "p_candidate").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(p16.keySet === p32.keySet)
+    assert(p16.keySet.forall(s => p32(s) >= p16(s)))
+  }
+
   test("signature projection stays in one codegen span — no explode, agg, or exchange") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
