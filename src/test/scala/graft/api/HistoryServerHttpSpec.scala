@@ -1,0 +1,82 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.events.{EventLogFixture, EventLogParser}
+
+class HistoryServerHttpSpec extends SparkSpec {
+
+  private lazy val canon = {
+    val d = tmpDir("http-logs")
+    EventLogFixture.writeLogs(d, Seq("app-http-1", "app-http-2"))
+    EventLogParser.read(spark, d).cache()
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val status = conn.getResponseCode
+    val stream =
+      if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (status, body)
+  }
+
+  private def fnJson(df: org.apache.spark.sql.DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  test("every route returns the same rows as its DataFrame function") {
+    val http = new HistoryServerHttp(spark, canon)
+    val port = http.start()
+    try {
+      val routes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "/health" -> HistoryServerApi.health(canon),
+        "/api/v1/version" -> HistoryServerApi.version(spark),
+        "/api/v1/applications" -> HistoryServerApi.applications(canon),
+        "/api/v1/applications/app-http-1" ->
+          HistoryServerApi.application(canon, "app-http-1"),
+        "/api/v1/applications/app-http-1/jobs" ->
+          HistoryServerApi.jobs(canon, "app-http-1"),
+        "/api/v1/applications/app-http-1/stages" ->
+          HistoryServerApi.stages(canon, "app-http-1"),
+        "/api/v1/applications/app-http-2/executors" ->
+          HistoryServerApi.executors(canon, "app-http-2"),
+        "/api/v1/applications/app-http-1/storage/rdd" ->
+          HistoryServerApi.storage(canon, "app-http-1"),
+        "/api/v1/applications/app-http-1/environment" ->
+          HistoryServerApi.environment(canon, "app-http-1"),
+        "/api/v1/applications/app-http-1/sql" ->
+          HistoryServerApi.sqlExecutions(canon, "app-http-1"),
+        "/api/v1/optimization/resource-hogs" ->
+          HistoryServerApi.topResourceConsumers(canon),
+        "/api/v1/optimization/efficiency-analysis" ->
+          HistoryServerApi.efficiencyAnalysis(canon),
+        "/api/v1/capacity/usage-trends" ->
+          HistoryServerApi.capacityTrends(canon),
+        "/api/v1/capacity/cost-optimization" ->
+          HistoryServerApi.costOptimization(canon))
+      for ((path, df) <- routes) {
+        val (status, body) = get(port, path)
+        assert(status === 200, path)
+        assert(body === fnJson(df), path)
+      }
+    } finally http.stop()
+  }
+
+  test("query params map to function arguments; unknown routes 404") {
+    val http = new HistoryServerHttp(spark, canon)
+    val port = http.start()
+    try {
+      val (s1, limited) = get(port, "/api/v1/applications?limit=1")
+      assert(s1 === 200)
+      assert(limited ===
+        fnJson(HistoryServerApi.applications(canon, limit = 1)))
+      val (s2, _) = get(port, "/api/v1/nope")
+      assert(s2 === 404)
+      val (s3, _) = get(port, "/api/v1/applications/app-http-1/unknown")
+      assert(s3 === 404)
+    } finally http.stop()
+  }
+}
