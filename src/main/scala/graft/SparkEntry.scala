@@ -142,6 +142,11 @@ ORDER BY event_id"""
     "lexical_rarity" -> ((s, d) => TextAnalysis.lexicalRarity(docs(s, d))),
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopk(docs(s, d))),
+    "source_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.sourceNgramDiversity(docs(s, d))),
+    "lang_purity" -> ((s, d) => TextAnalysis.langPurity(docs(s, d))),
+    "source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(docs(s, d))),
     "oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(docs(s, d))),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d))),
@@ -299,6 +304,8 @@ ORDER BY event_id"""
     // Duplicate GROUPS: connected components over the verified
     // near-dup pair graph (survivor = min doc_id per component).
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(docs(s, d))),
+    "cluster_weights" -> ((s, d) => Clustering.clusterWeights(docs(s, d))),
+    "kmv_cardinality" -> ((s, d) => Dedup.kmvCardinality(docs(s, d))),
     // Incremental-cluster harness: the verified pair set splits into
     // OLD pairs (neither endpoint in the arriving residue class) whose
     // clusters are pre-built, and BATCH pairs (at least one arriving
@@ -339,6 +346,11 @@ ORDER BY event_id"""
       Embeddings.semanticSurvivors(docs(s, d), emb(s, d), numCentroids = 32)),
     "semantic_prune" -> ((s, d) =>
       Embeddings.dedupSemantic(emb(s, d), numCentroids = 32)),
+    "rp_distortion" -> ((s, d) => Embeddings.rpDistortion(emb(s, d))),
+    "knn_label_prop" -> ((s, d) =>
+      Embeddings.knnLabelProp(emb(s, d), numCentroids = 32)),
+    "source_centroid_drift" -> ((s, d) =>
+      Embeddings.sourceCentroidDrift(docs(s, d), emb(s, d))),
     "knn_hubness" -> ((s, d) =>
       Embeddings.knnHubness(emb(s, d), numCentroids = 32)),
     "emb_outliers" -> ((s, d) => Embeddings.embOutliers(emb(s, d))),
@@ -469,6 +481,9 @@ ORDER BY event_id"""
     "lexical_rarity" -> TextAnalysis.lexicalRarityOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle,
     "vocab_topk" -> TextAnalysis.vocabTopkOracle,
+    "source_ngram_diversity" -> TextAnalysis.sourceNgramDiversityOracle,
+    "lang_purity" -> TextAnalysis.langPurityOracle,
+    "source_divergence" -> TextAnalysis.sourceDivergenceOracle,
     "oov_rate" -> TextAnalysis.oovRateOracle,
     "bpe_pair_stats" -> TextAnalysis.bpePairStatsOracle,
     "bpe_merges" -> TextAnalysis.bpeMergesOracle,
@@ -522,6 +537,8 @@ ORDER BY event_id"""
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_simhash_expr" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
+    "cluster_weights" -> Clustering.clusterWeightsOracle,
+    "kmv_cardinality" -> Dedup.kmvCardinalityOracle,
     "dedup_clusters_incr" -> Clustering.dedupClustersOracle,
     "cluster_sizes" -> Clustering.clusterSizesOracle,
     "cluster_canonical" -> Clustering.clusterCanonicalOracle,
@@ -529,6 +546,9 @@ ORDER BY event_id"""
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "semantic_prune" -> Embeddings.dedupSemanticOracle,
+    "rp_distortion" -> Embeddings.rpDistortionOracle,
+    "knn_label_prop" -> Embeddings.knnLabelPropOracle,
+    "source_centroid_drift" -> Embeddings.sourceCentroidDriftOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,
     "emb_outliers" -> Embeddings.embOutliersOracle,
     "knn_mutuality" -> Embeddings.knnMutualityOracle,

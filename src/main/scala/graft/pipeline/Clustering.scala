@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /**
  * Duplicate-cluster construction: the step a real training-data
@@ -470,4 +471,61 @@ SELECT t.cluster_id, t.cluster_size,
        CAST(CASE WHEN b.doc_id = t.cluster_id THEN 0 ELSE 1 END AS BIGINT) AS differs_from_minid
 FROM tot t JOIN best b ON b.cluster_id = t.cluster_id AND b.rn = 1
 ORDER BY t.cluster_id"""
+
+  /** Duplicate-aware SAMPLING WEIGHTS — the soft alternative to
+   *  dropping duplicates: every doc gets weight 1/|its near-dup
+   *  cluster| (singletons weight 1), so a training run that samples
+   *  by weight sees each CONTENT once in expectation while keeping
+   *  every copy available (the standard counting-duplicates-once
+   *  correction, cf. Penedo et al. 2023 §4 discussion of dedup vs
+   *  reweighting). Weights are exact per-mille integers
+   *  (`1000 div size` — floor div, identical cross-engine) plus an
+   *  r4 double for direct use; `weighted_tokens_pm` is the doc's
+   *  token mass under the weight, so `sum(weighted_tokens_pm)/1000`
+   *  is the deduplicated token budget without running a single
+   *  drop. Shape: the shared cluster chain (composable via
+   *  `precomputedPairs` like the whole cluster family) + one
+   *  doc-keyed left join; nothing beyond the CC fixpoint touches
+   *  more than |docs| rows. */
+  def clusterWeights(docs: DataFrame,
+                     precomputedPairs: Option[DataFrame] = None,
+                     precomputedShingles: Option[DataFrame] = None,
+                     reliable: Boolean = false): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+        Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, reliable = reliable)
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("csize"))
+    val mem = comp.join(sizes, "label")
+      .select(col("doc_id"), col("label"), col("csize"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(mem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"),
+        col("n_tok"),
+        expr("CAST(1000 AS BIGINT) div coalesce(csize, CAST(1 AS BIGINT))")
+          .as("weight_pm"),
+        r4(lit(1.0) / coalesce(col("csize"), lit(1L))).as("weight"),
+        expr("n_tok * CAST(1000 AS BIGINT) div coalesce(csize, CAST(1 AS BIGINT))")
+          .as("weighted_tokens_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared closure chain + one left join per doc; the per-mille
+   *  floor divisions are spelled identically. */
+  val clusterWeightsOracle: String = clustersCteChain + """
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       CAST(1000 // COALESCE(s.cluster_size, 1) AS BIGINT) AS weight_pm,
+       FLOOR((1.0 / COALESCE(s.cluster_size, 1)) * 10000.0 + 0.5) / 10000.0 AS weight,
+       CAST(CAST(len(string_split(d.text, ' ')) AS BIGINT) * 1000
+            // COALESCE(s.cluster_size, 1) AS BIGINT) AS weighted_tokens_pm
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN csize s ON c.cluster_id = s.cluster_id
+ORDER BY d.doc_id"""
 }

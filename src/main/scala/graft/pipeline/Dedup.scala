@@ -1874,4 +1874,84 @@ FROM tsteps s
 LEFT JOIN ppt p ON s.step = p.step
 LEFT JOIN dpt d ON s.step = d.step
 ORDER BY threshold"""
+
+  /** K-minimum-values DISTINCT-GRAM cardinality sketch per source
+   *  (Bar-Yossef et al. 2002), with its own error readout: at 100 TB
+   *  "how many distinct shingles does this feed contribute" is the
+   *  capacity question behind every df threshold and dedup budget,
+   *  and an exact per-source COUNT(DISTINCT gram) is a full
+   *  gram-keyed shuffle — the sketch answers it from bounded state
+   *  while THIS operator also computes the exact count so the
+   *  estimate ships with its measured relative error (the
+   *  [[minhashCalibration]] "measure, don't guess" discipline).
+   *  Two-stage scale shape: stage 1 folds the distinct (source,
+   *  gram) frame to ≤ `buckets` per-bucket hash minima per source
+   *  (ONE partial-aggregating groupBy — the scan state any engine
+   *  keeps in a bounded array); stage 2 ranks those ≤256 rows per
+   *  source (bounded window, never a corpus sort) and reads the
+   *  k-th minimum: est = (k−1)·2³² div h_k — integer-exact, the
+   *  classic KMV estimator over the md5-prefix hash the `"md5"`
+   *  gram-id family already uses. Sources whose gram sets are
+   *  smaller than the sketch degrade to the observed bucket count
+   *  (standard KMV |S|<k convention). */
+  def kmvCardinality(docs: DataFrame, k: Int = 64, buckets: Int = 256,
+                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(shingles(docs))
+    val hashed = sh.join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "gram").distinct()
+      .select(col("source"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val st1 = hashed
+      .groupBy(col("source"), (col("h") % buckets).as("bucket"))
+      .agg(min("h").as("mh"), count(lit(1)).as("cnt"))
+    val ranked = st1.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy("mh", "bucket")))
+    ranked.groupBy("source").agg(
+        sum("cnt").as("exact_distinct"),
+        count(lit(1)).as("n_minima"),
+        max(when(col("rk") === k, col("mh"))).as("hk"))
+      .select(col("source"), col("exact_distinct"),
+        when(col("n_minima") >= k,
+          expr(s"CAST(${(k - 1) * 4294967296L} AS BIGINT) div greatest(hk, CAST(1 AS BIGINT))"))
+          .otherwise(col("n_minima")).as("kmv_est"))
+      .select(col("source"), col("exact_distinct"), col("kmv_est"),
+        expr("CASE WHEN exact_distinct > 0 THEN abs(kmv_est - exact_distinct) * CAST(1000 AS BIGINT) div exact_distinct ELSE CAST(0 AS BIGINT) END")
+          .as("rel_err_pm"))
+      .orderBy("source")
+  }
+
+  /** Identical two-stage fold; the estimator division is the same
+   *  integer floor div in both engines. */
+  val kmvCardinalityOracle: String = "WITH " + shinglesCte + """,
+sg AS (
+  SELECT DISTINCT d.source, s.gram
+  FROM shingle s JOIN documents d ON s.doc_id = d.doc_id),
+hashed AS (
+  SELECT source,
+         CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+  FROM sg),
+st1 AS (
+  SELECT source, h % 256 AS bucket, MIN(h) AS mh,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY source, h % 256),
+ranked AS (
+  SELECT source, bucket, mh, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY mh, bucket) AS rk
+  FROM st1),
+agg AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(*) AS BIGINT) AS n_minima,
+         MAX(CASE WHEN rk = 64 THEN mh END) AS hk
+  FROM ranked GROUP BY source),
+est AS (
+  SELECT source, exact_distinct,
+         CASE WHEN n_minima >= 64
+              THEN CAST(63 * 4294967296 AS BIGINT) // GREATEST(hk, 1)
+              ELSE n_minima END AS kmv_est
+  FROM agg)
+SELECT source, exact_distinct, CAST(kmv_est AS BIGINT) AS kmv_est,
+       CAST(CASE WHEN exact_distinct > 0
+                 THEN ABS(kmv_est - exact_distinct) * 1000 // exact_distinct
+                 ELSE 0 END AS BIGINT) AS rel_err_pm
+FROM est ORDER BY source"""
 }

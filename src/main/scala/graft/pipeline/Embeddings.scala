@@ -2300,4 +2300,274 @@ JOIN nr na ON r.query_id = na.vec_id
 JOIN nr nb ON r.vec_id = nb.vec_id
 WHERE r.rk <= 10
 ORDER BY r.query_id, rank"""
+
+  /** Semi-supervised LABEL PROPAGATION over the kNN graph — one
+   *  majority-vote hop from a seeded label subset (here every
+   *  `seedMod`-th vector plays "labeled", the rest are scored
+   *  against their held-out gold label): the cheap label-spreading
+   *  primitive a curation run uses to extend a small hand-labeled
+   *  set (topic, quality tier, license class) across the corpus,
+   *  plus the built-in accuracy readout that says whether the
+   *  embedding space supports it. Prediction = the label most
+   *  common among a vector's labeled kNN neighbors, ties to the
+   *  SMALLEST label via the same struct-argmax the survivorship
+   *  family uses (map-side partial, no per-vector sort); vectors
+   *  with no labeled neighbor stay unpredicted and are reported.
+   *  Shape at scale: the k-bounded edge list joins the 1/seedMod
+   *  seed frame on neighbor_id (keyed equi-join, ≤ k·N rows), votes
+   *  aggregate at (vector, label) cardinality, the readout at label
+   *  cardinality — nothing quadratic beyond [[knnGraph]] itself. */
+  def knnLabelProp(emb: DataFrame, k: Int = 5, seedMod: Int = 5,
+                   numCentroids: Int = AutoCentroids,
+                   precomputedQuantized: Option[DataFrame] = None,
+                   trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val g = knnGraph(emb, k, numCentroids, precomputedQuantized,
+      trainedCentroids)
+    val gold = emb.select(col("vec_id"), col("label").cast("long").as("gold"))
+    val seeds = gold.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id").as("neighbor_id"), col("gold").as("nbr_label"))
+    val votes = g.filter(col("vec_id") % seedMod =!= 0)
+      .select("vec_id", "neighbor_id")
+      .join(seeds, "neighbor_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("n_votes"))
+    val pred = votes.groupBy("vec_id")
+      .agg(max(struct(col("n_votes"), (-col("nbr_label")).as("neg"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg")).as("predicted"))
+    gold.filter(col("vec_id") % seedMod =!= 0)
+      .join(pred, Seq("vec_id"), "left")
+      .groupBy(col("gold").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("predicted").isNotNull, 1L).otherwise(0L))
+          .as("n_predicted"),
+        sum(when(col("predicted") === col("gold"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_predicted"),
+        col("n_correct"),
+        r4(col("n_correct") * lit(1.0) / col("n_eval")).as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** [[knnGraphOracle]]'s kranked chain + seeded majority vote as a
+   *  per-vector ROW_NUMBER over (votes DESC, label ASC) — the SQL
+   *  mirror of the struct-argmax tie-break. */
+  val knnLabelPropOracle: String = "WITH " + ivfAssignCte + """,
+kpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+kpair_dots AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM kpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+kranked AS (
+  SELECT d.vec_a, d.vec_b,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM kpair_dots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id),
+edges AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id
+          FROM kranked WHERE rk <= 5),
+gold AS (SELECT vec_id, CAST(label AS BIGINT) AS gold FROM embeddings),
+seeds AS (SELECT vec_id AS neighbor_id, gold AS nbr_label
+          FROM gold WHERE vec_id % 5 = 0),
+votes AS (
+  SELECT e.vec_id, s.nbr_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM edges e JOIN seeds s ON e.neighbor_id = s.neighbor_id
+  WHERE e.vec_id % 5 <> 0
+  GROUP BY e.vec_id, s.nbr_label),
+pred AS (
+  SELECT vec_id, nbr_label AS predicted FROM (
+    SELECT vec_id, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY n_votes DESC, nbr_label) AS rn
+    FROM votes) t WHERE rn = 1),
+ev AS (
+  SELECT g.gold AS label, p.predicted
+  FROM gold g LEFT JOIN pred p ON g.vec_id = p.vec_id
+  WHERE g.vec_id % 5 <> 0)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       FLOOR((SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS accuracy
+FROM ev GROUP BY label ORDER BY label"""
+
+  /** Per-SOURCE embedding centroid drift: the cosine between each
+   *  source's SUM vector and the corpus SUM vector (the sum IS the
+   *  unnormalized mean — cosine is scale-invariant, so no division
+   *  enters the aggregation). The distribution-shift triage at feed
+   *  cardinality: a feed whose centroid swings away from the corpus
+   *  is the first place to look when a mixture re-balance moves eval
+   *  loss ([[TextAnalysis.sourceDivergence]] is the lexical twin;
+   *  this sees drift even when word stats hold steady). All sums are
+   *  exact integers over the shared milli-quantized frame
+   *  (per-dim |sum| stays < 2^63 up to ~10^15 vectors); the cosine
+   *  is ONE final-projection double per source, identical IEEE
+   *  expression in the oracle. Shape: one (source, dim)-keyed
+   *  partial agg (64 rows per source out), one dim-keyed global agg,
+   *  dim-bounded joins — the corpus is scanned once and nothing
+   *  wider than 64·|sources| rows ever shuffles. */
+  def sourceCentroidDrift(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val comps = quantized(emb)
+      .select(col("vec_id"), posexplode(col("qarr")).as(Seq("i", "q")))
+    val withSrc = comps
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val bySrc = withSrc.groupBy("source", "i").agg(sum("q").as("sq"))
+    val global = comps.groupBy("i").agg(sum("q").as("gq"))
+    val gn = global.agg(sum(expr("gq * gq")).as("gnn"))
+    val nv = withSrc.filter(col("i") === 0)
+      .groupBy("source").agg(count(lit(1)).as("n_vecs"))
+    bySrc.join(global, "i")
+      .groupBy("source").agg(
+        sum(expr("sq * gq")).as("dot"),
+        sum(expr("sq * sq")).as("nn"))
+      .join(nv, "source")
+      .crossJoin(gn)
+      .select(col("source"), col("n_vecs"),
+        r4(col("dot") / (sqrt(col("nn")) * sqrt(col("gnn"))))
+          .as("cosine_to_global"))
+      .orderBy("source")
+  }
+
+  /** Shares the oracle family's milli-quantized `qv` spelling; the
+   *  per-source and global SUM vectors join on the dim index. */
+  val sourceCentroidDriftOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+j AS (
+  SELECT d.source, q.i, q.q
+  FROM qv q JOIN documents d ON q.vec_id = d.doc_id),
+bysrc AS (
+  SELECT source, i, CAST(SUM(q) AS BIGINT) AS sq FROM j GROUP BY source, i),
+gsum AS (SELECT i, CAST(SUM(q) AS BIGINT) AS gq FROM qv GROUP BY i),
+gn AS (SELECT CAST(SUM(gq * gq) AS BIGINT) AS gnn FROM gsum),
+nv AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  GROUP BY d.source),
+dots AS (
+  SELECT b.source, CAST(SUM(b.sq * g.gq) AS BIGINT) AS dot,
+         CAST(SUM(b.sq * b.sq) AS BIGINT) AS nn
+  FROM bysrc b JOIN gsum g ON b.i = g.i GROUP BY b.source)
+SELECT d.source, nv.n_vecs,
+       FLOOR((d.dot / (sqrt(d.nn) * sqrt(gn.gnn))) * 10000.0 + 0.5) / 10000.0 AS cosine_to_global
+FROM dots d JOIN nv ON d.source = nv.source CROSS JOIN gn
+ORDER BY d.source"""
+
+  /** Johnson-Lindenstrauss RANDOM-PROJECTION audit: project the
+   *  64-dim quantized vectors to `projDims`=16 via a deterministic
+   *  ±1 sign matrix (sign(i,j) = parity of the md5 of "i_j" — the
+   *  oracle-reproducible stand-in for a seeded Rademacher draw,
+   *  Achlioptas 2003's database-friendly JL construction), then
+   *  measure what the projection does to COSINES on a deterministic
+   *  pair sample (every 25th vector against its successor):
+   *  cosine_full vs cosine_proj and the absolute gap. This is the
+   *  "can I afford to store/serve 4× fewer dims" decision table —
+   *  measured, not guessed, the same discipline as [[annRecall]] /
+   *  [[pqDistortion]] for the other two compression axes (PQ
+   *  compresses codes, IVF bounds candidates, JL shrinks the vector
+   *  itself). Shape at scale: the sign matrix is 64×16 literal rows
+   *  broadcast everywhere; projection is one (vec, j)-keyed partial
+   *  agg over the exploded frame (16 rows out per vector); the
+   *  sampled pair frame is 1/25th of the corpus joined twice —
+   *  nothing quadratic, no corpus-wide sort. All dots/norms integer. */
+  def rpDistortion(emb: DataFrame, projDims: Int = 16,
+                   sampleMod: Int = 25): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = quantized(emb).cache()
+    // 1-based dim index matches the oracle's range(1,65) spelling
+    val comps = qv.select(col("vec_id"),
+        posexplode(col("qarr")).as(Seq("i0", "q")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("q"))
+    val signs = spark.range(1, Dims + 1).select(col("id").as("i"))
+      .crossJoin(spark.range(1, projDims + 1).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat(col("i").cast("string"), lit("_"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val proj = comps.join(broadcast(signs), "i")
+      .groupBy("vec_id", "j").agg(sum(expr("q * sgn")).as("p"))
+    val pn = proj.groupBy("vec_id").agg(sum(expr("p * p")).as("np"))
+    val pairs = qv.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("vec_a"), col("qarr").as("qarr_a"),
+        col("nq").as("nq_a"))
+      .join(qv.select((col("vec_id") - 1).as("vec_a"),
+        col("vec_id").as("vec_b"), col("qarr").as("qarr_b"),
+        col("nq").as("nq_b")), "vec_a")
+    val full = pairs.select(col("vec_a"), col("vec_b"),
+      (expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+        .as("cosine_full"))
+    val pdots = full
+      .join(proj.select(col("vec_id").as("vec_a"), col("j"),
+        col("p").as("pa")), "vec_a")
+      .join(proj.select(col("vec_id").as("vec_b"), col("j"),
+        col("p").as("pb")), Seq("vec_b", "j"))
+      .groupBy("vec_a", "vec_b", "cosine_full")
+      .agg(sum(expr("pa * pb")).as("pdot"))
+    pdots
+      .join(pn.select(col("vec_id").as("vec_a"), col("np").as("np_a")), "vec_a")
+      .join(pn.select(col("vec_id").as("vec_b"), col("np").as("np_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        r4(col("cosine_full")).as("cosine_full"),
+        r4(col("pdot") / (sqrt(col("np_a")) * sqrt(col("np_b"))))
+          .as("cosine_proj"),
+        r4(abs(col("cosine_full")
+          - col("pdot") / (sqrt(col("np_a")) * sqrt(col("np_b")))))
+          .as("abs_err"))
+      .orderBy("vec_a")
+  }
+
+  /** Same md5-parity sign matrix, same two dot/norm chains; the
+   *  unrounded cosine difference is the identical IEEE expression
+   *  before ONE final r4. */
+  val rpDistortionOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+jdims AS (SELECT unnest(range(1, 17)) AS j),
+signs AS (
+  SELECT d.i, jd.j,
+         CASE WHEN CAST(('0x' || substr(md5(d.i || '_' || jd.j), 1, 8)) AS UBIGINT) % 2 = 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+  FROM dims d CROSS JOIN jdims jd),
+proj AS (
+  SELECT v.vec_id, s.j, CAST(SUM(v.q * s.sgn) AS BIGINT) AS p
+  FROM qv v JOIN signs s ON v.i = s.i
+  GROUP BY v.vec_id, s.j),
+pn AS (SELECT vec_id, CAST(SUM(p * p) AS BIGINT) AS np FROM proj GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nr a JOIN nr b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 25 = 0),
+fdot AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b),
+pdot AS (
+  SELECT p.vec_a, p.vec_b, CAST(SUM(pa.p * pb.p) AS BIGINT) AS pd
+  FROM pairs p
+  JOIN proj pa ON pa.vec_id = p.vec_a
+  JOIN proj pb ON pb.vec_id = p.vec_b AND pb.j = pa.j
+  GROUP BY p.vec_a, p.vec_b)
+SELECT f.vec_a, f.vec_b,
+       FLOOR((f.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine_full,
+       FLOOR((pd.pd / (sqrt(pna.np) * sqrt(pnb.np))) * 10000.0 + 0.5) / 10000.0 AS cosine_proj,
+       FLOOR(ABS(f.dot / (sqrt(na.nq) * sqrt(nb.nq))
+                 - pd.pd / (sqrt(pna.np) * sqrt(pnb.np))) * 10000.0 + 0.5) / 10000.0 AS abs_err
+FROM fdot f
+JOIN pdot pd ON f.vec_a = pd.vec_a AND f.vec_b = pd.vec_b
+JOIN nr na ON f.vec_a = na.vec_id
+JOIN nr nb ON f.vec_b = nb.vec_id
+JOIN pn pna ON f.vec_a = pna.vec_id
+JOIN pn pnb ON f.vec_b = pnb.vec_id
+ORDER BY f.vec_a"""
 }

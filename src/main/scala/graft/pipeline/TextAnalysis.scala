@@ -2694,4 +2694,261 @@ SELECT lang,
 FROM keyd CROSS JOIN cutoff
 GROUP BY lang
 ORDER BY lang"""
+
+  /** Per-doc LANGUAGE PURITY — the mixed-language/code-switch
+   *  detector [[langId]]'s argmax throws away: top-2 marker
+   *  languages with the winner's share of ALL marker mass as an
+   *  exact per-mille integer, plus an `ambiguous` flag when the
+   *  runner-up holds ≥ half the winner's score. A doc that is 55%
+   *  one language's markers and 45% another's is a translation
+   *  artifact / concatenation bug that a clean argmax label hides,
+   *  and language-filtered training mixes want it QUARANTINED, not
+   *  mislabeled. Same marker mechanism as [[langId]] (token explode
+   *  → broadcast marker join → per-doc rollup); the rank window
+   *  partitions per doc over ≤|languages| rows. No markers → 'und',
+   *  purity 0, not ambiguous. */
+  def langPurity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = Seq(
+      ("the", "en", 3L), ("a", "en", 1L),
+      ("spark", "tech", 2L), ("data", "tech", 1L),
+      ("le", "fr", 3L), ("la", "fr", 1L)).toDF("word", "cand_lang", "weight")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val scores = toks.join(broadcast(markers), "word")
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum("weight").as("score"))
+    val ranked = scores.withColumn("rk", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang"))))
+    val tot = scores.groupBy("doc_id").agg(sum("score").as("total_score"))
+    val s1 = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("lang_guess"),
+        col("score").as("score1"))
+    val s2 = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("cand_lang").as("lang2"),
+        col("score").as("score2"))
+    docs.select("doc_id")
+      .join(s1, Seq("doc_id"), "left")
+      .join(s2, Seq("doc_id"), "left")
+      .join(tot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_guess"), lit("und")).as("lang_guess"),
+        coalesce(col("score1"), lit(0L)).as("score1"),
+        coalesce(col("lang2"), lit("none")).as("lang2"),
+        coalesce(col("score2"), lit(0L)).as("score2"),
+        coalesce(col("total_score"), lit(0L)).as("total_score"),
+        expr("CASE WHEN coalesce(total_score, CAST(0 AS BIGINT)) > 0 THEN coalesce(score1, CAST(0 AS BIGINT)) * CAST(1000 AS BIGINT) div total_score ELSE CAST(0 AS BIGINT) END")
+          .as("purity_pm"),
+        when(coalesce(col("score2"), lit(0L)) * 2 >= coalesce(col("score1"), lit(0L))
+          && coalesce(col("score1"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("ambiguous"))
+      .orderBy("doc_id")
+  }
+
+  /** [[langIdOracle]]'s marker chain with rk ≤ 2 kept and the same
+   *  per-mille floor division. */
+  val langPurityOracle: String = """
+WITH markers(word, cand_lang, weight) AS (
+  VALUES ('the', 'en', 3), ('a', 'en', 1),
+         ('spark', 'tech', 2), ('data', 'tech', 1),
+         ('le', 'fr', 3), ('la', 'fr', 1)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+scores AS (
+  SELECT t.doc_id, m.cand_lang, CAST(SUM(m.weight) AS BIGINT) AS score
+  FROM toks t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.cand_lang),
+ranked AS (
+  SELECT doc_id, cand_lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+  FROM scores),
+tot AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS total_score
+        FROM scores GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s1.cand_lang, 'und') AS lang_guess,
+       CAST(COALESCE(s1.score, 0) AS BIGINT) AS score1,
+       COALESCE(s2.cand_lang, 'none') AS lang2,
+       CAST(COALESCE(s2.score, 0) AS BIGINT) AS score2,
+       CAST(COALESCE(t.total_score, 0) AS BIGINT) AS total_score,
+       CAST(CASE WHEN COALESCE(t.total_score, 0) > 0
+                 THEN COALESCE(s1.score, 0) * 1000 // t.total_score
+                 ELSE 0 END AS BIGINT) AS purity_pm,
+       CAST(CASE WHEN COALESCE(s2.score, 0) * 2 >= COALESCE(s1.score, 0)
+                  AND COALESCE(s1.score, 0) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS ambiguous
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) s1 ON d.doc_id = s1.doc_id
+LEFT JOIN (SELECT * FROM ranked WHERE rk = 2) s2 ON d.doc_id = s2.doc_id
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id"""
+
+  /** Per-SOURCE n-gram diversity (self-repetition at feed
+   *  granularity): type/token ratios for words AND 3-grams — the
+   *  distinct-n diversity readout that catches a templated or
+   *  bot-generated feed ([[repetitionScore]] is the per-DOC twin;
+   *  a source can look clean per-doc while every doc reuses the
+   *  same 50 templates, which only the source-level gram TTR sees).
+   *  Multiplicity grams come from the codegen'd `word_ngrams_all`
+   *  ([[pmiTerms]] precedent). Shape at scale: two explode →
+   *  (source, term/gram)-keyed partial aggs (map-side combine; the
+   *  only shuffles, at within-source vocab cardinality), then a
+   *  source-cardinality rollup; a 100 TB run swaps gram TEXT for
+   *  8-byte poly ids in the exchange (the `_fast` family
+   *  discipline) at the cost of the bit-exact oracle. All counts
+   *  integer; ratios are final-projection r4 divisions. */
+  def sourceNgramDiversity(docs: DataFrame, n: Int = 3): DataFrame = {
+    val terms = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("source").agg(
+        count(lit(1)).as("distinct_terms"),
+        sum("cnt").as("total_tokens"))
+    val grams = docs
+      .select(col("source"),
+        explode(call_function("word_ngrams_all", col("text"), lit(n)))
+          .as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("source").agg(
+        count(lit(1)).as("distinct_grams"),
+        sum("cnt").as("total_grams"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(terms, Seq("source"), "left")
+      .join(grams, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("distinct_terms"), lit(0L)).as("distinct_terms"),
+        r4(when(coalesce(col("total_tokens"), lit(0L)) > 0,
+          col("distinct_terms") * lit(1.0) / col("total_tokens"))
+          .otherwise(lit(0.0))).as("word_ttr"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        r4(when(coalesce(col("total_grams"), lit(0L)) > 0,
+          col("distinct_grams") * lit(1.0) / col("total_grams"))
+          .otherwise(lit(0.0))).as("gram_ttr"))
+      .orderBy("source")
+  }
+
+  /** Words via string_split, multiplicity 3-grams via the indexed
+   *  [[pmiTermsOracle]] spelling — both per source. */
+  val sourceNgramDiversityOracle: String = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+tstat AS (
+  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+         CAST(COUNT(*) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source),
+nums AS (SELECT unnest(range(1, 4001)) AS i),
+toked AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT source, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+  FROM toked, nums WHERE i + 2 <= len(tk)),
+gstat AS (
+  SELECT source, CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+         CAST(COUNT(*) AS BIGINT) AS total_grams
+  FROM grams GROUP BY source),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source)
+SELECT nd.source, nd.n_docs,
+       COALESCE(t.total_tokens, 0) AS total_tokens,
+       COALESCE(t.distinct_terms, 0) AS distinct_terms,
+       CASE WHEN COALESCE(t.total_tokens, 0) > 0
+            THEN FLOOR((t.distinct_terms * 1.0 / t.total_tokens) * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS word_ttr,
+       COALESCE(g.total_grams, 0) AS total_grams,
+       COALESCE(g.distinct_grams, 0) AS distinct_grams,
+       CASE WHEN COALESCE(g.total_grams, 0) > 0
+            THEN FLOOR((g.distinct_grams * 1.0 / g.total_grams) * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS gram_ttr
+FROM nd
+LEFT JOIN tstat t ON nd.source = t.source
+LEFT JOIN gstat g ON nd.source = g.source
+ORDER BY nd.source"""
+
+  /** Per-source divergence from the corpus word distribution —
+   *  total-variation distance in exact PER-MILLE integers over the
+   *  top-`k` global vocabulary plus an OTHER bucket for the tail:
+   *  tv_pm = Σ_w |p_src(w)·1000 - p_corpus(w)·1000| + |other gap|,
+   *  each rate quantized by integer division BEFORE the difference
+   *  (floor div is identical cross-engine for non-negative operands,
+   *  so the whole statistic is integer-exact under any aggregation
+   *  order — a float KL/chi² would put libm and float-sum ordering
+   *  inside an agg). The DSIR/CCNet-style "which feed looks least
+   *  like the corpus I want" triage at feed cardinality.
+   *  Shape at scale: one term-keyed partial agg for the global
+   *  vocab (vocab cardinality, [[vocabTopk]] precedent), a
+   *  broadcast top-k join against the per-source term agg, then a
+   *  source-cardinality rollup. */
+  def sourceDivergence(docs: DataFrame, k: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val corpus = toks.groupBy("term").agg(count(lit(1)).as("cw"))
+    val corpusTotal = corpus.agg(sum("cw").as("t"))
+    val top = corpus.orderBy(col("cw").desc, col("term")).limit(k)
+      .crossJoin(corpusTotal)
+      .select(col("term"), expr("cw * 1000 div t").as("corpus_pm"))
+    val srcTotals = toks.groupBy("source").agg(count(lit(1)).as("s"))
+    val srcTop = toks.join(broadcast(top.select("term")), "term")
+      .groupBy("source", "term").agg(count(lit(1)).as("obs"))
+    // per (source, top-term): |obs_pm - corpus_pm|; missing terms
+    // contribute the full corpus_pm, which the right-side sum below
+    // accounts for without materializing zero rows
+    val perTerm = srcTop
+      .join(srcTotals, "source")
+      .join(broadcast(top), "term")
+      .select(col("source"),
+        expr("obs * 1000 div s").as("obs_pm"), col("corpus_pm"))
+    val present = perTerm.groupBy("source").agg(
+      sum(expr("abs(obs_pm - corpus_pm)")).as("tv_present"),
+      sum("obs_pm").as("top_obs_pm"),
+      sum("corpus_pm").as("top_corpus_pm_present"))
+    val topCorpusAll = top.agg(sum("corpus_pm").as("top_corpus_pm_all"))
+    srcTotals
+      .join(present, Seq("source"), "left")
+      .crossJoin(topCorpusAll)
+      .select(col("source"), col("s").as("n_tokens"),
+        (coalesce(col("tv_present"), lit(0L))
+          // top terms absent from the source: |0 - corpus_pm|
+          + (col("top_corpus_pm_all")
+            - coalesce(col("top_corpus_pm_present"), lit(0L)))
+          // OTHER bucket: |(1000 - Σobs_pm) - (1000 - Σcorpus_pm_all)|
+          + abs((lit(1000L) - coalesce(col("top_obs_pm"), lit(0L)))
+            - (lit(1000L) - col("top_corpus_pm_all")))).as("tv_pm"))
+      .orderBy("source")
+  }
+
+  lazy val sourceDivergenceOracle: String = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+corpus AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY term),
+ctot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM corpus),
+top AS (
+  SELECT term, cw * 1000 // t AS corpus_pm
+  FROM corpus CROSS JOIN ctot
+  ORDER BY cw DESC, term LIMIT 64),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS s FROM toks GROUP BY source),
+sobs AS (
+  SELECT k.source, k.term, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM toks k JOIN top ON k.term = top.term
+  GROUP BY k.source, k.term),
+perterm AS (
+  SELECT o.source, o.obs * 1000 // st.s AS obs_pm, top.corpus_pm
+  FROM sobs o JOIN stot st ON o.source = st.source
+  JOIN top ON o.term = top.term),
+present AS (
+  SELECT source,
+         CAST(SUM(ABS(obs_pm - corpus_pm)) AS BIGINT) AS tv_present,
+         CAST(SUM(obs_pm) AS BIGINT) AS top_obs_pm,
+         CAST(SUM(corpus_pm) AS BIGINT) AS top_corpus_pm_present
+  FROM perterm GROUP BY source),
+tall AS (SELECT CAST(SUM(corpus_pm) AS BIGINT) AS top_corpus_pm_all FROM top)
+SELECT st.source, st.s AS n_tokens,
+       CAST(COALESCE(p.tv_present, 0)
+            + (tall.top_corpus_pm_all - COALESCE(p.top_corpus_pm_present, 0))
+            + ABS((1000 - COALESCE(p.top_obs_pm, 0))
+                  - (1000 - tall.top_corpus_pm_all)) AS BIGINT) AS tv_pm
+FROM stot st
+LEFT JOIN present p ON st.source = p.source
+CROSS JOIN tall
+ORDER BY st.source"""
 }

@@ -41,6 +41,15 @@ object ScaleProbe {
       time(s"semantic_clusters K=$sqrtK")(
         graft.pipeline.Embeddings.semanticClusters(emb, numCentroids = sqrtK)
           .write.format("noop").mode("overwrite").save())
+      // the round-10 LIBRARY DEFAULT (AutoCentroids = sqrt-N sizing,
+      // resolved from one count over the quantized frame) — the
+      // number that answers "does the default survive a scale-up"
+      time("knn_graph K=auto-default")(
+        graft.pipeline.Embeddings.knnGraph(emb)
+          .write.format("noop").mode("overwrite").save())
+      time("semantic_clusters K=auto-default")(
+        graft.pipeline.Embeddings.semanticClusters(emb)
+          .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

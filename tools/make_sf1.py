@@ -84,6 +84,28 @@ def main():
     write_parts(out, f"{OUT}/embeddings.parquet", schema)
     print(f"embeddings: {len(out)} rows")
 
+    # Events for the analytics family: replica r shifts user_id (so
+    # app_id = "app-"+user_id becomes 10x distinct apps at sf0.1's
+    # per-app volume — the realistic scale-up axis) and event_id by
+    # r*n (id-derived event-type/attempt mod patterns stay within each
+    # replica; across replicas they just re-sample the same
+    # distribution). Timestamps are kept as-is: 10x the apps active in
+    # the same calendar window stresses the concurrency/range-join
+    # analytics harder, which is the point.
+    ev_tbl = pq.read_table(f"{SRC}/events.parquet")
+    ev = ev_tbl.to_pandas()
+    n_ev = len(ev)
+    max_user = int(ev["user_id"].max()) + 1
+    parts = []
+    for r in range(REPS):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + r * n_ev
+        e["user_id"] = e["user_id"] + r * max_user
+        parts.append(e)
+    out = pd.concat(parts, ignore_index=True)
+    write_parts(out, f"{OUT}/events.parquet", ev_tbl.schema)
+    print(f"events: {len(out)} rows")
+
 
 if __name__ == "__main__":
     main()
