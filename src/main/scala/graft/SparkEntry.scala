@@ -93,6 +93,8 @@ ORDER BY event_id"""
     "task_distribution" -> ((s, d) => CrossApp.taskDistribution(canon(s, d))),
     "executor_utilization" -> ((s, d) => CrossApp.executorUtilization(canon(s, d))),
     "app_daily_active" -> ((s, d) => CrossApp.appDailyActive(canon(s, d))),
+    "app_funnel" -> ((s, d) => CrossApp.appFunnel(canon(s, d))),
+    "app_retention" -> ((s, d) => CrossApp.appRetention(canon(s, d))),
     "resource_util_metrics" -> ((s, d) => CrossApp.resourceUtilMetrics(canon(s, d))),
     "resource_hogs" -> ((s, d) => Optimization.resourceHogs(canon(s, d))),
     "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
@@ -124,6 +126,7 @@ ORDER BY event_id"""
       docs(s, d).filter(col("doc_id") < 400),
       docs(s, d).filter(col("doc_id") >= 400))),
     "tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(docs(s, d))),
+    "template_prefixes" -> ((s, d) => TextAnalysis.templatePrefixes(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
     "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
@@ -279,6 +282,10 @@ ORDER BY event_id"""
     // Scale mode C (native whole-signature expression): signatures as
     // a pure projection; same oracle as mode B (identical buckets).
     "dedup_minhash_expr" -> ((s, d) => Dedup.dedupMinhashExpr(docs(s, d))),
+    // Wide-signature run (32 hashes / 8 bands): the r10 width
+    // parameterization exercised end-to-end at a non-default split.
+    "dedup_minhash_wide" -> ((s, d) =>
+      Dedup.dedupMinhashExpr(docs(s, d), numHashes = 32, bands = 8)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
     // Scale mode B (codegen'd poly_hash gram ids — digest-free like
     // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
@@ -444,6 +451,8 @@ ORDER BY event_id"""
     "task_distribution" -> CrossApp.taskDistributionOracle,
     "executor_utilization" -> CrossApp.executorUtilizationOracle,
     "app_daily_active" -> CrossApp.appDailyActiveOracle,
+    "app_funnel" -> CrossApp.appFunnelOracle,
+    "app_retention" -> CrossApp.appRetentionOracle,
     "resource_util_metrics" -> CrossApp.resourceUtilMetricsOracle,
     "resource_hogs" -> Optimization.resourceHogsOracle,
     "efficiency_analysis" -> Optimization.efficiencyAnalysisOracle,
@@ -467,6 +476,7 @@ ORDER BY event_id"""
     "winnow_overlap" -> TextAnalysis.winnowOverlapOracle,
     "winnow_overlap_incr" -> TextAnalysis.winnowOverlapIncrementalOracle,
     "tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
+    "template_prefixes" -> TextAnalysis.templatePrefixesOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
     "pack_stats" -> Sampling.packStatsOracle,
@@ -533,6 +543,7 @@ ORDER BY event_id"""
     "dedup_minhash" -> Dedup.dedupMinhashOracle,
     "dedup_minhash_fast" -> Dedup.dedupMinhashFastOracle,
     "dedup_minhash_expr" -> Dedup.dedupMinhashFastOracle,
+    "dedup_minhash_wide" -> Dedup.dedupMinhashWideOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
     "dedup_simhash_expr" -> Dedup.dedupSimhashFastOracle,

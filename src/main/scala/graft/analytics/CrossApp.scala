@@ -295,4 +295,110 @@ FROM days d JOIN apps a
   ON d.day_us BETWEEN a.life_start_us AND a.life_end_us
 GROUP BY d.event_date
 ORDER BY d.event_date"""
+
+  /** App lifecycle funnel: of the apps that emitted an
+   *  ApplicationStart, how many reached a first JobStart at-or-after
+   *  it, and of those how many reached a first successful TaskEnd
+   *  at-or-after that job — plus the mean start→job latency of the
+   *  converting apps. The one-row readout a platform team watches for
+   *  "submitted but never scheduled work" regressions.
+   *
+   *  Scale shape: ONE partial-aggregating `groupBy(app_id)` pass
+   *  (three conditional `min`s — |apps| rows shuffled, not |events|),
+   *  then a one-row rollup. All comparisons are integer epoch-micros;
+   *  the single double (mean latency) is a final projection. */
+  def appFunnel(canon: DataFrame): DataFrame = {
+    val perApp = canon
+      .filter(col("event_time_us").isNotNull)
+      .groupBy("app_id").agg(
+        min(when(col("event_type") === AppStart, col("event_time_us")))
+          .as("t_start"),
+        min(when(col("event_type") === JobStart, col("event_time_us")))
+          .as("t_job"),
+        min(when(taskEnd && col("end_reason") === "Success",
+          col("event_time_us"))).as("t_task"))
+    val started = col("t_start").isNotNull
+    val job     = started && col("t_job") >= col("t_start")
+    val task    = job && col("t_task") >= col("t_job")
+    perApp.agg(
+      count(when(started, 1)).as("apps_started"),
+      count(when(job, 1)).as("apps_with_job"),
+      count(when(task, 1)).as("apps_with_task"),
+      sum(when(job, col("t_job") - col("t_start"))).as("sum_start_to_job_us"))
+      .select(
+        col("apps_started"), col("apps_with_job"), col("apps_with_task"),
+        expr("(apps_with_job * 1000) div apps_started").as("job_conv_pm"),
+        expr("(apps_with_task * 1000) div apps_started").as("task_conv_pm"),
+        r4(col("sum_start_to_job_us") * 1.0 / col("apps_with_job") / 1000.0)
+          .as("avg_start_to_job_ms"))
+  }
+
+  val appFunnelOracle: String = canonCte + """,
+per_app AS (
+  SELECT app_id,
+         MIN(CASE WHEN event_type = 'SparkListenerApplicationStart' THEN event_time_us END) AS t_start,
+         MIN(CASE WHEN event_type = 'SparkListenerJobStart' THEN event_time_us END) AS t_job,
+         MIN(CASE WHEN event_type = 'SparkListenerTaskEnd' AND end_reason = 'Success' THEN event_time_us END) AS t_task
+  FROM canon WHERE event_time_us IS NOT NULL
+  GROUP BY app_id),
+f AS (
+  SELECT CAST(COUNT(CASE WHEN t_start IS NOT NULL THEN 1 END) AS BIGINT) AS apps_started,
+         CAST(COUNT(CASE WHEN t_job >= t_start THEN 1 END) AS BIGINT) AS apps_with_job,
+         CAST(COUNT(CASE WHEN t_job >= t_start AND t_task >= t_job THEN 1 END) AS BIGINT) AS apps_with_task,
+         CAST(SUM(CASE WHEN t_job >= t_start THEN t_job - t_start END) AS BIGINT) AS sum_start_to_job_us
+  FROM per_app)
+SELECT apps_started, apps_with_job, apps_with_task,
+       apps_with_job * 1000 // apps_started AS job_conv_pm,
+       apps_with_task * 1000 // apps_started AS task_conv_pm,
+       FLOOR((sum_start_to_job_us * 1.0 / apps_with_job / 1000.0) * 10000.0 + 0.5) / 10000.0 AS avg_start_to_job_ms
+FROM f"""
+
+  /** Weekly cohort retention over app ids: apps first seen in epoch
+   *  week W that were still emitting events k weeks later — the
+   *  recurring-workload survival matrix (a nightly job shows up in
+   *  every offset column; one-shot backfills die at offset 0). Weeks
+   *  are integer epoch-day div 7 (no calendar functions, identical
+   *  floor arithmetic in both engines).
+   *
+   *  Scale shape: distinct (app_id, week) first (the only
+   *  event-cardinality shuffle), one `groupBy(app_id)` for the
+   *  cohort, a co-partitioned app-keyed join, and a weeks²-bounded
+   *  rollup; cohort sizes broadcast back onto the matrix. */
+  def appRetention(canon: DataFrame): DataFrame = {
+    val weeks = canon
+      .filter(col("event_time_us").isNotNull)
+      .select(col("app_id"),
+        expr("(event_time_us div 86400000000) div 7").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy("app_id").agg(min("week").as("cohort_week"))
+    val cells = weeks.join(cohort, "app_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_apps"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_apps"),
+        col("cohort_size"),
+        expr("(active_apps * 1000) div cohort_size").as("retained_pm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val appRetentionOracle: String = canonCte + """,
+weeks AS (
+  SELECT DISTINCT app_id, (event_time_us // 86400000000) // 7 AS week
+  FROM canon WHERE event_time_us IS NOT NULL),
+cohort AS (
+  SELECT app_id, MIN(week) AS cohort_week FROM weeks GROUP BY app_id),
+cells AS (
+  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS active_apps
+  FROM weeks w JOIN cohort c ON w.app_id = c.app_id
+  GROUP BY c.cohort_week, w.week - c.cohort_week),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_week)
+SELECT ce.cohort_week, ce.week_offset, ce.active_apps, s.cohort_size,
+       ce.active_apps * 1000 // s.cohort_size AS retained_pm
+FROM cells ce JOIN sizes s ON ce.cohort_week = s.cohort_week
+ORDER BY ce.cohort_week, ce.week_offset"""
 }

@@ -404,6 +404,24 @@ shid AS (
    *  joined to grams-of-b) — cost scales with |candidates|, not with
    *  the quadratic co-occurrence of common grams. Columns added:
    *  inter_n, n_a, n_b, jaccard (unrounded). */
+  /** Restrict a per-doc state frame to docs appearing as either
+   *  endpoint of `cands`. Verification is candidate-driven end to
+   *  end, so handing a verify the FULL state frame makes it shuffle
+   *  O(state) rows (size aggregates, doc-keyed joins) for docs no
+   *  candidate touches; after this left-semi the state store is only
+   *  SCANNED, never exchanged at state cardinality — the endpoint
+   *  list is candidate-bounded and AQE broadcasts it. Identical
+   *  results by construction: every downstream use keys on
+   *  `cands`' endpoints. */
+  private[pipeline] def endpointRestrict(state: DataFrame, cands: DataFrame,
+                                         idCol: String = "doc_id",
+                                         aCol: String = "doc_a",
+                                         bCol: String = "doc_b"): DataFrame =
+    state.join(
+      cands.select(col(aCol).as(idCol))
+        .union(cands.select(col(bCol).as(idCol))).distinct(),
+      Seq(idCol), "left_semi")
+
   private def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
@@ -1039,34 +1057,42 @@ ORDER BY c.doc_a, c.doc_b"""
       case None => shingles(
         corpus.select("doc_id", "text").unionByName(batchDocs)).cache()
     }
-    // corpus-wide df: either counted from the shingle frame, or — when
-    // a maintained df store is supplied — folded as store-deltas +
-    // batch counts (O(|vocab|), not O(|shingle rows|), per call)
+    // Every candidate pair shares a BATCH gram, so df is only ever
+    // consulted at the batch's grams: restrict the fold (store-delta
+    // or counted) to them up front — the df term drops from
+    // O(|vocab|) to O(|batch vocab|) per call, identical results.
+    val batchGrams = shingles(batchDocs).select("gram").distinct()
     val df = corpusGramDf match {
       case Some(cdf) => cdf.select(col("gram"), col("df_cnt"))
+        .join(broadcast(batchGrams), Seq("gram"), "left_semi")
         .unionByName(shingles(batchDocs)
           .groupBy("gram").agg(count(lit(1)).as("df_cnt")))
         .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
-      case None => sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+      case None => sh.join(broadcast(batchGrams), Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     }
-    val rare = df.filter(col("df_cnt") <= maxDf).select("gram")
-    val rareSh = sh.join(rare, "gram")
+    // rare-AND-in-batch grams: batch-bounded, so the state shingle
+    // frame is scanned + broadcast-filtered, never exchanged at state
+    // cardinality on the gram key.
+    val rareBatchGrams = df.filter(col("df_cnt") <= maxDf).select("gram")
+    val shTouch = sh.join(broadcast(rareBatchGrams), Seq("gram"), "left_semi")
     val newIds = batch.select(col("doc_id")).distinct()
     // Every batch-touching pair has >=1 batch member, so the pair join
-    // is (all rare shingles) x (BATCH rare shingles only) — the batch
-    // restriction sits BELOW the pair join and the O(old²) bulk never
-    // materializes. least/greatest restores the doc_a < doc_b
+    // is (rare batch-gram shingles) x (BATCH rare shingles only) — the
+    // batch restriction sits BELOW the pair join and the O(old²) bulk
+    // never materializes. least/greatest restores the doc_a < doc_b
     // orientation regardless of which side the batch member landed on
     // (batch-batch pairs appear from both orientations; distinct folds
     // them).
-    val rareShBatch = rareSh.join(newIds, "doc_id")
-    val cands = rareSh.select(col("gram"), col("doc_id").as("id_any"))
-      .join(rareShBatch.select(col("gram"), col("doc_id").as("id_new")), "gram")
+    val rareShBatch = shTouch.join(broadcast(newIds), Seq("doc_id"), "left_semi")
+    val cands = shTouch.select(col("gram"), col("doc_id").as("id_any"))
+      .join(broadcast(rareShBatch
+        .select(col("gram"), col("doc_id").as("id_new"))), "gram")
       .filter(col("id_any") =!= col("id_new"))
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    withJaccard(cands, sh)
+    withJaccard(cands, endpointRestrict(sh, cands))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -1107,15 +1133,20 @@ ORDER BY c.doc_a, c.doc_b"""
       .getOrElse(minhashSigWide(shingleIds(corpusSh, idFamily)))
     val allBands = minhashBandSig(corpusSig.unionByName(batchSig))
     val batchBands = minhashBandSig(batchSig)
+    // The batch side is the DELTA — bounded by the incremental
+    // contract — so it broadcasts and the signature store side is
+    // scanned without any state-cardinality exchange.
     val cands = allBands
       .select(col("band"), col("bsig"), col("doc_id").as("id_any"))
-      .join(batchBands.select(col("band"), col("bsig"), col("doc_id").as("id_new")),
+      .join(broadcast(batchBands
+        .select(col("band"), col("bsig"), col("doc_id").as("id_new"))),
         Seq("band", "bsig"))
       .filter(col("id_any") =!= col("id_new"))
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    withJaccard(cands, corpusSh.unionByName(batchSh))
+    withJaccard(cands,
+      endpointRestrict(corpusSh.unionByName(batchSh), cands))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -1435,18 +1466,20 @@ ORDER BY m.doc_a, m.doc_b"""
   /** CTE chain from `shid` to the LSH candidate pair set + the
    *  sizes/inter verify inputs — shared by the minhash pair oracles
    *  and [[minhashCalibrationOracle]] so the two can never drift. */
-  private lazy val minhashCandsSql: String = """
+  private def minhashCandsSqlFor(numHashes: Int, bands: Int): String = {
+    val rowsPerBand = numHashes / bands
+    s"""
 hashes AS (
   SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
-  FROM (SELECT unnest(range(0, 16)) AS j)),
+  FROM (SELECT unnest(range(0, $numHashes)) AS j)),
 sig AS (
   SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
   FROM shid s CROSS JOIN hashes h
   GROUP BY s.doc_id, h.j),
 bandsig AS (
-  SELECT doc_id, j // 4 AS band,
+  SELECT doc_id, j // $rowsPerBand AS band,
          string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS bsig
-  FROM sig GROUP BY doc_id, j // 4),
+  FROM sig GROUP BY doc_id, j // $rowsPerBand),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandsig a JOIN bandsig b
@@ -1456,8 +1489,17 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
   FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)"""
+  }
 
-  private lazy val minhashTailSql: String = minhashCandsSql + """
+  private lazy val minhashCandsSql: String = minhashCandsSqlFor(NumHashes, Bands)
+
+  /** Pair-verify tail over [[minhashCandsSqlFor]]'s CTE chain for any
+   *  (numHashes, bands) split — the verify itself is width-independent
+   *  (exact shingle Jaccard); only the candidate recall changes. */
+  private def minhashTailSqlFor(numHashes: Int, bands: Int): String =
+    minhashCandsSqlFor(numHashes, bands) + minhashVerifyTail
+
+  private val minhashVerifyTail: String = """
 SELECT c.doc_a, c.doc_b,
        FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cands c
@@ -1466,6 +1508,20 @@ JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
 ORDER BY c.doc_a, c.doc_b"""
+
+  private lazy val minhashTailSql: String = minhashTailSqlFor(NumHashes, Bands)
+
+  /** Oracle for the WIDE (32-hash / 8-band x 4-row) MinHash run — the
+   *  round-10 width parameterization proved end-to-end through the
+   *  DuckDB gate, not just by the MinhashSigSpec parity test: the
+   *  affine family, banding split, and verified pair set are all
+   *  re-derived in SQL at numHashes=32 and must match the codegen'd
+   *  [[graft.functions.MinhashSig]] expression path bit-for-bit. A
+   *  user buying more recall with a wider signature (the
+   *  `minhash_scurve` table's whole point) runs exactly this shape. */
+  lazy val dedupMinhashWideOracle: String =
+    "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
+      minhashTailSqlFor(32, 8)
 
   val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
 shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
@@ -1598,16 +1654,19 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
       .getOrElse(simhashFingerprints(corpus, idFamily))
     val allFp = corpusFp.unionByName(batchFp).cache()
+    // Batch nibbles broadcast (delta-bounded); the fingerprint store
+    // side is scanned map-side, never exchanged at state cardinality
+    // — and the verify reads only candidate endpoints' fingerprints.
     val cands = simhashNibbles(allFp)
       .select(col("band"), col("nib"), col("doc_id").as("id_any"))
-      .join(simhashNibbles(batchFp)
-        .select(col("band"), col("nib"), col("doc_id").as("id_new")),
+      .join(broadcast(simhashNibbles(batchFp)
+        .select(col("band"), col("nib"), col("doc_id").as("id_new"))),
         Seq("band", "nib"))
       .filter(col("id_any") =!= col("id_new"))
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    simhashVerify(cands, allFp, maxHamming)
+    simhashVerify(cands, endpointRestrict(allFp, cands), maxHamming)
   }
 
   /** Everything downstream of `shid` is family-independent: the bit

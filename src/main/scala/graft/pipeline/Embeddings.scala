@@ -569,16 +569,21 @@ ORDER BY threshold"""
       .getOrElse(quantized(emb))
     val batchQv = quantized(batch)
     val allQv = corpusQv.unionByName(batchQv).cache()
+    // Batch nibbles broadcast (delta-bounded); the quantized store
+    // side is scanned map-side, never exchanged at state cardinality
+    // — and the verify reads only candidate endpoints' vectors.
     val cands = nibbles(allQv)
       .select(col("band"), col("nibv"), col("vec_id").as("id_any"))
-      .join(nibbles(batchQv)
-        .select(col("band"), col("nibv"), col("vec_id").as("id_new")),
+      .join(broadcast(nibbles(batchQv)
+        .select(col("band"), col("nibv"), col("vec_id").as("id_new"))),
         Seq("band", "nibv"))
       .filter(col("id_any") =!= col("id_new"))
       .select(least(col("id_any"), col("id_new")).as("vec_a"),
               greatest(col("id_any"), col("id_new")).as("vec_b"))
       .distinct()
-    verifyCosine(cands, allQv, allQv, "vec_a", "vec_b", minCosine)
+    val touched = Dedup.endpointRestrict(allQv, cands,
+      idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
+    verifyCosine(cands, touched, touched, "vec_a", "vec_b", minCosine)
       .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }

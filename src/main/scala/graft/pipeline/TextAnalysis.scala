@@ -2951,4 +2951,51 @@ FROM stot st
 LEFT JOIN present p ON st.source = p.source
 CROSS JOIN tall
 ORDER BY st.source"""
+
+  /** Template/boilerplate detection at FEED granularity: the top-k
+   *  most repeated leading-`prefixTokens`-token prefixes per source,
+   *  with doc counts and removable token mass. A scraped feed that
+   *  stamps every page with the same header shows up as one dominant
+   *  prefix here long before any pairwise near-dup pass runs — and
+   *  prefix grouping is O(|docs|) where near-dup is O(candidates).
+   *
+   *  Scale shape: one `groupBy(source, prefix)` over a pure
+   *  projection (the prefix string is ≤ prefixTokens words — the
+   *  shuffle carries a bounded key, never document text), then a
+   *  per-source top-k window over the (sources × distinct prefixes)
+   *  aggregate, partitioned by source (no global sort). */
+  def templatePrefixes(docs: DataFrame, prefixTokens: Int = 3,
+                       topK: Int = 5): DataFrame = {
+    val agg = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        array_join(slice(split(col("text"), " "), 1, prefixTokens), " ")
+          .as("prefix"),
+        expr("(n_chars + 3) div 4").as("bpe"))
+      .groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"), sum("bpe").as("tokens"))
+    val bySource = Window.partitionBy("source")
+      .orderBy(col("n_docs").desc, col("prefix"))
+    agg.withColumn("rank", row_number().over(bySource).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("source", "rank", "prefix", "n_docs", "tokens")
+      .orderBy("source", "rank")
+  }
+
+  val templatePrefixesOracle: String = """
+WITH agg AS (
+  SELECT source,
+         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS prefix,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source, prefix),
+r AS (
+  SELECT source, prefix, n_docs, tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_docs DESC, prefix) AS BIGINT) AS rank
+  FROM agg)
+SELECT source, rank, prefix, n_docs, tokens
+FROM r WHERE rank <= 5
+ORDER BY source, rank"""
 }

@@ -1271,4 +1271,25 @@ class PipelineSpec extends SparkSpec {
     // dangling mass is dropped, never created: total <= SCALE
     assert(out.map(_.getAs[Long]("rank_fp")).sum <= scale)
   }
+
+  test("template prefixes: dominant feed header ranks first; ties break on prefix text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "breaking news today x y z", "en", "feed", 25L),
+      (2L, "breaking news today a b c", "en", "feed", 25L),
+      (3L, "breaking news today d e", "en", "feed", 23L),
+      (4L, "alpha beta gamma", "en", "feed", 16L),
+      (5L, "alpha beta gamma", "en", "feed", 16L),
+      (6L, "solo doc here", "en", "other", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.templatePrefixes(docs).collect()
+    val feed = out.filter(_.getAs[String]("source") == "feed")
+    assert(feed.head.getAs[String]("prefix") === "breaking news today")
+    assert(feed.head.getAs[Long]("n_docs") === 3L)
+    // token mass = ceil-div-4 of n_chars summed over the group
+    assert(feed.head.getAs[Long]("tokens") === (25L + 3) / 4 * 2 + (23L + 3) / 4)
+    assert(feed(1).getAs[String]("prefix") === "alpha beta gamma")
+    assert(out.filter(_.getAs[String]("source") == "other").head
+      .getAs[Long]("rank") === 1L)
+  }
 }

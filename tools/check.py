@@ -8,6 +8,9 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional comma-separated key subset (re-run one heavy oracle on a
+# quiet machine without repeating the other ~175)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +42,8 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if ONLY is not None and name not in ONLY:
+            continue
         rd = f"{OUT}/{name}"
         files = glob.glob(f"{rd}/*.parquet")
         if not files:
