@@ -422,6 +422,42 @@ shid AS (
         .union(cands.select(col(bCol).as(idCol))).distinct(),
       Seq(idCol), "left_semi")
 
+  /** Pin bracket for the incremental/streaming near-dup verifies: the
+   *  candidate frame and the endpoint-restricted state frame are each
+   *  consumed several times by the exact verify (endpoint union 2x,
+   *  sizes, two inter sides, final join) — left uncached, Spark
+   *  re-executes the whole candidate-generation subtree (including
+   *  the full band scan over the state store) once per reference,
+   *  ~8x per call. Measured round 10: the streaming minhash trigger
+   *  went 3.8 s -> 43.6 s at sf0.1 and its per-trigger cost turned
+   *  O(corpus), exactly this. Both frames are small by the
+   *  incremental contract (candidate- and endpoint-bounded), so:
+   *  cache both, pin the small verified-pair result with an eager
+   *  `localCheckpoint` (block-manager blocks are GC-cleaned, unlike
+   *  CacheManager entries), then DROP the caches — per-call cost is
+   *  O(batch + one state-store scan) again and nothing cached
+   *  outlives the call.
+   *
+   *  Test seam: `graft.pin.results=false` returns the LAZY composed
+   *  frame instead (no caching, no checkpoint) so plan audits can
+   *  assert the structural shape (batch-below-pair-join, store-only
+   *  scans) that pinning would otherwise collapse to an RDD scan. */
+  private[pipeline] def pinnedVerify(
+      cands: DataFrame, state: DataFrame,
+      idCol: String = "doc_id", aCol: String = "doc_a",
+      bCol: String = "doc_b")(
+      verify: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    if (cands.sparkSession.conf.get("graft.pin.results", "true") == "false")
+      verify(cands, endpointRestrict(state, cands, idCol, aCol, bCol))
+    else {
+      val c = cands.cache()
+      val touched = endpointRestrict(state, c, idCol, aCol, bCol).cache()
+      val out = verify(c, touched).localCheckpoint()
+      touched.unpersist()
+      c.unpersist()
+      out
+    }
+
   private def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
@@ -1092,10 +1128,14 @@ ORDER BY c.doc_a, c.doc_b"""
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    withJaccard(cands, endpointRestrict(sh, cands))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    val out = pinnedVerify(cands, sh) { (c, touched) =>
+      withJaccard(c, touched)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    sh.unpersist()
+    out
   }
 
   /** Oracle: the FULL pair set restricted to pairs touching the
@@ -1145,11 +1185,15 @@ ORDER BY c.doc_a, c.doc_b"""
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    withJaccard(cands,
-      endpointRestrict(corpusSh.unionByName(batchSh), cands))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    val out = pinnedVerify(cands, corpusSh.unionByName(batchSh)) { (c, touched) =>
+      withJaccard(c, touched)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    corpusSh.unpersist()
+    batchSh.unpersist()
+    out
   }
 
   /** The per-doc wide signature frame (`doc_id, mh0..mh15`) — the
@@ -1459,7 +1503,7 @@ ORDER BY m.doc_a, m.doc_b"""
    *  ground-truth is the wrong invariant to gate on; family parity is
    *  exact. The xxhash family remains available (cheapest, oracle-
    *  opaque) and spec-covered (PipelineSpec scale-mode test). */
-  val dedupMinhashFastOracle: String =
+  lazy val dedupMinhashFastOracle: String =
     "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
       minhashTailSql
 
@@ -1523,7 +1567,7 @@ ORDER BY c.doc_a, c.doc_b"""
     "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
       minhashTailSqlFor(32, 8)
 
-  val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
+  lazy val dedupMinhashOracle: String = "WITH " + shinglesCte + """,
 shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     minhashTailSql
 
@@ -1666,7 +1710,11 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
       .select(least(col("id_any"), col("id_new")).as("doc_a"),
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
-    simhashVerify(cands, endpointRestrict(allFp, cands), maxHamming)
+    val out = pinnedVerify(cands, allFp) { (c, touched) =>
+      simhashVerify(c, touched, maxHamming)
+    }
+    allFp.unpersist()
+    out
   }
 
   /** Everything downstream of `shid` is family-independent: the bit

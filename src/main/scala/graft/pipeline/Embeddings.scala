@@ -581,11 +581,14 @@ ORDER BY threshold"""
       .select(least(col("id_any"), col("id_new")).as("vec_a"),
               greatest(col("id_any"), col("id_new")).as("vec_b"))
       .distinct()
-    val touched = Dedup.endpointRestrict(allQv, cands,
-      idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
-    verifyCosine(cands, touched, touched, "vec_a", "vec_b", minCosine)
-      .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
-      .orderBy("vec_a", "vec_b")
+    val out = Dedup.pinnedVerify(cands, allQv,
+      idCol = "vec_id", aCol = "vec_a", bCol = "vec_b") { (c, touched) =>
+      verifyCosine(c, touched, touched, "vec_a", "vec_b", minCosine)
+        .select(col("vec_a"), col("vec_b"), r4(col("cosine")).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }
+    allQv.unpersist()
+    out
   }
 
   /** The FULL-run chain with the batch restriction applied to

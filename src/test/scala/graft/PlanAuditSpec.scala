@@ -17,6 +17,17 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Run `body` with the incremental pin bracket disabled
+   *  (`graft.pin.results=false`): the audited frame is then the LAZY
+   *  composed verify — the shape production executes inside the
+   *  bracket — instead of the pinned RDD scan the bracket returns.
+   *  Structural properties (store-only scans, batch-below-pair-join)
+   *  are identical modulo the caching the bracket adds. */
+  private def withLazyPins[T](body: => T): T = {
+    spark.conf.set("graft.pin.results", "false")
+    try body finally spark.conf.unset("graft.pin.results")
+  }
+
   test("per-app filter pushes down to the parquet scan") {
     // app_id = 'app-7' <=> user_id = 7: the filter on the derived column
     // must still reach the scan as a pushed filter on the source column
@@ -141,7 +152,7 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("incremental near-dup: batch restriction sits BELOW the pair join (no old-old enumeration)") {
+  test("incremental near-dup: batch restriction sits BELOW the pair join (no old-old enumeration)") { withLazyPins {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(col("doc_id") < 400)
@@ -159,7 +170,7 @@ class PlanAuditSpec extends SparkSpec {
         c.references.nonEmpty && c.references.forall(_.name == "doc_id")) => j2
     }.nonEmpty))
     assert(pairJoinHasBatchInput, lp.toString)
-  }
+  } }
 
   test("stage quantiles reuse one exchange across both window sorts") {
     val p = plan(JobsStages.stageQuantiles(canon))
@@ -268,7 +279,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(lines.drop(genIdx + 1).exists(_.contains("n_copies")), p)
   }
 
-  test("streaming dedup trigger reads ONLY the shingle/gram-df stores — never corpus text") {
+  test("streaming dedup trigger reads ONLY the shingle/gram-df stores — never corpus text") { withLazyPins {
     import spark.implicits._
     val base = tmpDir("sdedup-audit")
     val corpusDir = base + "/corpusdocs"
@@ -302,9 +313,9 @@ class PlanAuditSpec extends SparkSpec {
     val got = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 10L)))
-  }
+  } }
 
-  test("streaming SIMHASH trigger reads ONLY the fingerprint store — never corpus text") {
+  test("streaming SIMHASH trigger reads ONLY the fingerprint store — never corpus text") { withLazyPins {
     import spark.implicits._
     val base = tmpDir("simdedup-audit")
     val corpusDir = base + "/corpusdocs"
@@ -332,9 +343,9 @@ class PlanAuditSpec extends SparkSpec {
     val got = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 10L)))
-  }
+  } }
 
-  test("streaming MINHASH trigger reads ONLY the signature/shingle stores — never corpus text") {
+  test("streaming MINHASH trigger reads ONLY the signature/shingle stores — never corpus text") { withLazyPins {
     import spark.implicits._
     val base = tmpDir("mhdedup-audit")
     val corpusDir = base + "/corpusdocs"
@@ -365,9 +376,9 @@ class PlanAuditSpec extends SparkSpec {
     val got = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 10L)))
-  }
+  } }
 
-  test("streaming EMBEDDING trigger reads ONLY the quantized index — never corpus embeddings") {
+  test("streaming EMBEDDING trigger reads ONLY the quantized index — never corpus embeddings") { withLazyPins {
     import spark.implicits._
     val base = tmpDir("embdedup-audit")
     val corpusDir = base + "/corpusvecs"
@@ -394,7 +405,7 @@ class PlanAuditSpec extends SparkSpec {
     val got = pairs.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 10L)))
-  }
+  } }
 
   test("span dedup and lm surprisal plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -874,5 +885,93 @@ class PlanAuditSpec extends SparkSpec {
     val winIdx = p.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pinned MINHASH trigger: each state-store scan EXECUTES a bounded number of times") {
+    // The round-10 regression left the candidate frame uncached, so
+    // the executed trigger plan contained ~8 copies of the signature-
+    // store scan subtree (one per verify reference) and per-trigger
+    // cost turned O(corpus). This audit counts scan INSTANCES in the
+    // plans the pinned bracket actually EXECUTES — a direct
+    // FileSourceScan runs once per plan occurrence; a cached
+    // relation's plan runs once no matter how many InMemoryTableScans
+    // reference it.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val base = tmpDir("mhdedup-pin-audit")
+    val corpusDir = base + "/corpusdocs"
+    val shDir = base + "/shinglestore"
+    val sigDir = base + "/sigstore"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Dedup.shingles(corpus).write.parquet(shDir)
+    graft.pipeline.Dedup.minhashSignatures(corpus).write.parquet(sigDir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+
+    // Executed scan instances: recurse through AQE wrappers and query
+    // stages (leaf nodes hiding the real subtrees), and through each
+    // cached relation's plan exactly ONCE (however many
+    // InMemoryTableScans reference it, the cache materializes once).
+    // ReusedExchange stays a leaf — it re-reads, never re-executes.
+    def fileScans(p: SparkPlan,
+                  seen: java.util.IdentityHashMap[SparkPlan, Unit]): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan, seen)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          fileScans(q.plan, seen)
+        case m: InMemoryTableScanExec =>
+          val cp = m.relation.cachedPlan
+          if (seen.containsKey(cp)) Seq.empty
+          else { seen.put(cp, ()); fileScans(cp, seen) }
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(fileScans(_, seen))
+      }
+    def scanPaths(p: SparkPlan): Seq[String] =
+      fileScans(p, new java.util.IdentityHashMap[SparkPlan, Unit]())
+        .map(_.relation.location.rootPaths.mkString(","))
+
+    val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SparkPlan]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = graft.streaming.StreamingMinhashDedup.triggerPairs(
+        spark, batch, shDir, sigDir, 0.2, "md5")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((0L, 10L)))
+      // listener delivery is async on the shared bus — wait for the
+      // pinned bracket's materialization (the plan that reads stores)
+      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      def relevant = captured.asScala.toList
+        .filter(p => scanPaths(p).exists(_.contains(base)))
+      while (System.nanoTime < deadline && relevant.isEmpty) Thread.sleep(50)
+      val rel = relevant
+      assert(rel.nonEmpty, "no captured execution read the state stores — " +
+        s"captured ${captured.size} plans")
+      for (p <- rel) {
+        val paths = scanPaths(p)
+        assert(!paths.exists(_.contains("corpusdocs")), paths.toString)
+        val sigScans = paths.count(_.contains("sigstore"))
+        val shScans = paths.count(_.contains("shinglestore"))
+        assert(sigScans <= 2, s"signature store executes $sigScans scans:\n$p")
+        assert(shScans <= 3, s"shingle store executes $shScans scans:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 }

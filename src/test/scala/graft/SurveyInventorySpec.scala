@@ -36,4 +36,20 @@ class SurveyInventorySpec extends AnyFunSuite {
   test("every queries key has an oracleSql twin (CLAUDE.md invariant)") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
+
+  test("no oracle embeds a Scala-interpolated null (object-init-order guard)") {
+    // A strict val that s-interpolates (or concatenates) another val
+    // declared LATER in the same object silently embeds the literal
+    // string "null" — this exact class of bug shipped twice
+    // (quality_drift round 6, the minhash family round 10) and each
+    // time turned the DuckDB gate red with a SQL parse error. Oracle
+    // SQL here writes keywords uppercase (DuckDB is case-insensitive),
+    // so a bare lowercase `null` token can only be interpolation rot.
+    val bareNull = "(?<![A-Za-z0-9_])null(?![A-Za-z0-9_])".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, sql) if bareNull.findFirstIn(sql).isDefined =>
+        s"$k: ...${sql.slice(math.max(0, sql.indexOf("null") - 60), sql.indexOf("null") + 10)}..."
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
