@@ -489,6 +489,41 @@ object Bench {
     val spread = results.map { case (k, (_, lo, hi)) =>
       "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
+    // Trigger-cost regression gate (round-10 lesson: the uncached-
+    // candidates regression shipped green through every correctness
+    // gate and only a cross-round bench diff could see it): before
+    // overwriting the previous full-suite artifact, compare this
+    // run's incremental/trigger keys against it and flag any key
+    // beyond 1.5x — the alert rides the stdout JSON AND stderr so a
+    // round summary cannot miss it. Canary-normalized: a host that
+    // merely got slower moves every key, so ratios divide out the
+    // canary drift when the previous artifact recorded one.
+    val prevArtifact = java.nio.file.Paths.get("bench_local_last.json")
+    val prevRoot: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (only.isDefined || !java.nio.file.Files.exists(prevArtifact)) None
+      else scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(prevArtifact))).toOption
+    val prevQueries: Map[String, Double] = prevRoot
+      .flatMap(r => Option(r.get("queries"))).map { q =>
+        val b = Map.newBuilder[String, Double]
+        val it = q.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+    def isTriggerKey(k: String) = k.contains("_incr") || k.contains("_trigger_")
+    val regressions = results.flatMap {
+      case (k, (med, _, _)) if isTriggerKey(k) && med > 0 =>
+        prevQueries.get(k).filter(_ > 0)
+          .map(p => k -> (med / p) / math.max(canaryDrift, 0.5))
+      case _ => None
+    }.filter(_._2 > 1.5)
+    if (regressions.nonEmpty)
+      System.err.println("[bench] TRIGGER-COST REGRESSION vs previous " +
+        "artifact: " + regressions.map { case (k, r) =>
+          k + " " + r3(r) + "x" }.mkString(", "))
+    val regJson = jmap(regressions, r3)
     // A SPARK_GRAFT_ONLY-filtered dev run must not clobber the last
     // FULL-suite artifact: survey_numbers.py falls back to
     // bench_local_last.json when the harness wrapper is unparsed, and
@@ -498,7 +533,7 @@ object Bench {
       if (only.isDefined) "bench_local_only.json" else "bench_local_last.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outName),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"ingest_events_per_sec":$eps,"trigger_regressions":$regJson,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val headlineKeys = Seq("events_parse", "app_list", "task_quantiles",
       "critical_path", "dedup_exact", "dedup_ngram", "dedup_minhash",
@@ -514,7 +549,7 @@ object Bench {
     val hl = if (only.isDefined) results
       else results.filter(kv => headlineKeys.contains(kv._1))
     val qs = jmap(hl.map { case (k, (med, _, _)) => k -> med }, r3)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"ingest_events_per_sec":$eps,"sf":"$sfDir","full":"$outName"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"ingest_events_per_sec":$eps,"trigger_regression_alert":${regressions.nonEmpty},"trigger_regressions":$regJson,"sf":"$sfDir","full":"$outName"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(benchRoot.toFile)
   }

@@ -77,12 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1 || children.length == 2,
           "minhash_sig expects 1 or 2 arguments")
         if (children.length == 1) MinhashSig(children.head)
-        else {
-          val w = children(1)
-          require(w.foldable,
-            "minhash_sig width must be a literal integer")
-          MinhashSig(children.head,
-            w.eval().asInstanceOf[Number].intValue())
+        else children(1) match {
+          // match on the literal's TYPE, not just foldability: a
+          // string or null literal would otherwise surface as a raw
+          // ClassCastException/NPE at plan time instead of an
+          // analysis error naming the function
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            MinhashSig(children.head, v)
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            MinhashSig(children.head, v.toInt)
+          case other => throw new IllegalArgumentException(
+            "minhash_sig width must be a non-null integer literal, got: " +
+              other.sql)
         }
       }))
     ext.injectFunction((

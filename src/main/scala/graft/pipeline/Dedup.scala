@@ -1996,11 +1996,20 @@ ORDER BY threshold"""
    *  (ONE partial-aggregating groupBy — the scan state any engine
    *  keeps in a bounded array); stage 2 ranks those ≤256 rows per
    *  source (bounded window, never a corpus sort) and reads the
-   *  k-th minimum: est = (k−1)·2³² div h_k — integer-exact, the
-   *  classic KMV estimator over the md5-prefix hash the `"md5"`
-   *  gram-id family already uses. Sources whose gram sets are
-   *  smaller than the sketch degrade to the observed bucket count
-   *  (standard KMV |S|<k convention). */
+   *  k-th minimum: est = (k−1)·2³² div h_k — integer-exact, over
+   *  the md5-prefix hash the `"md5"` gram-id family already uses.
+   *  NOTE this is a BUCKETED-MINIMA variant of Bar-Yossef KMV, not
+   *  the exact estimator: h_k is the k-th smallest of the per-bucket
+   *  minima, so when two of the true k smallest hashes share a
+   *  bucket only one survives, h_k inflates, and the estimate biases
+   *  LOW — by at most the k²/(2·buckets) expected collision mass
+   *  (k=64, buckets=256: ~8 of 64 minima displaced worst-case; the
+   *  shipped rel_err_pm column MEASURES the realized error per
+   *  source, which is the operator's whole point). The trade buys
+   *  stage-1 state that is a fixed 256-slot array per source —
+   *  mergeable by plain min, no priority queue in the partial agg.
+   *  Sources whose gram sets are smaller than the sketch degrade to
+   *  the observed bucket count (standard KMV |S|<k convention). */
   def kmvCardinality(docs: DataFrame, k: Int = 64, buckets: Int = 256,
                      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(shingles(docs))

@@ -38,9 +38,23 @@ import graft.events.EventLogParser
  * dedup on (app_id, event hash), same as any re-ingest.
  */
 class IncrementalIngest(spark: SparkSession, checkpointPath: String,
-                        maxTailBytes: Long = 512L << 20) {
+                        maxTailBytes: Long = 512L << 20,
+                        breaker: Option[CircuitBreaker] = None) {
 
   import IncrementalIngest._
+
+  /** Driver-side source listing, optionally behind the circuit
+   *  breaker (reference wires its breaker through the HDFS/S3
+   *  readers — src/file_reader.rs via circuit_breaker.rs): when the
+   *  endpoint is known-down the scan fails fast with
+   *  [[CircuitOpenException]] instead of hanging on a dead
+   *  connection; the checkpoint is untouched, so the round is simply
+   *  retried by the caller's next schedule (at-least-once holds). */
+  private def listSource(dirUri: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    breaker match {
+      case Some(b) => b.call(EventLogSource.listLogs(spark, dirUri))
+      case None => EventLogSource.listLogs(spark, dirUri)
+    }
 
   /** Committed scan state for one file: `offset` = end of the last
    *  complete line already handed to a successful `process`; `seenLen`
@@ -122,7 +136,7 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
    *  modification time, so length alone would miss it). */
   def pendingFiles(dirUri: String): Seq[String] = {
     val seen = loadState()
-    EventLogSource.listLogs(spark, dirUri)
+    listSource(dirUri)
       .filter { s =>
         seen.get(s.getPath.toString) match {
           case Some(st) =>
@@ -153,7 +167,7 @@ class IncrementalIngest(spark: SparkSession, checkpointPath: String,
     // capture (path, len, mtime) ONCE before parsing: bytes appended
     // while we read stay pending and land next round instead of being
     // silently marked consumed
-    val statuses = EventLogSource.listLogs(spark, dirUri)
+    val statuses = listSource(dirUri)
       .map(s => (s.getPath, s.getLen, s.getModificationTime))
     val pending = statuses.filter { case (p, len, mt) =>
       seen.get(p.toString).forall(st => st.seenLen != len || st.modTime != mt)

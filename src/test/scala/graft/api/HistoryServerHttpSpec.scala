@@ -24,8 +24,15 @@ class HistoryServerHttpSpec extends SparkSpec {
     (status, body)
   }
 
-  private def fnJson(df: org.apache.spark.sql.DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+  /** Mirror of the server's serialization: explicit nulls (the
+   *  reference serde writes Option::None as null), so the parity
+   *  assertion below also pins the null-field contract. */
+  private def fnJson(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
+  }
 
   test("every route returns the same rows as its DataFrame function") {
     val http = new HistoryServerHttp(spark, canon)
@@ -77,6 +84,49 @@ class HistoryServerHttpSpec extends SparkSpec {
       assert(s2 === 404)
       val (s3, _) = get(port, "/api/v1/applications/app-http-1/unknown")
       assert(s3 === 404)
+    } finally http.stop()
+  }
+
+  test("dashboard routes serve HTML with row-content parity to the analytics frames") {
+    val http = new HistoryServerHttp(spark, canon)
+    val port = http.start()
+    try {
+      // / and /optimize render the optimize view over the same frames
+      // the /api/v1 routes serve: every app id in the resource-hog and
+      // cost frames must appear in the page
+      for (path <- Seq("/", "/optimize")) {
+        val (status, html) = get(port, path)
+        assert(status === 200, path)
+        assert(html.contains("<html"), path)
+        val hogApps = HistoryServerApi.topResourceConsumers(canon, 20)
+          .select("app_id").collect().map(_.getString(0))
+        assert(hogApps.nonEmpty)
+        for (app <- hogApps) assert(html.contains(app), s"$path missing $app")
+        val costApps = HistoryServerApi.costOptimization(canon, 20)
+          .select("app_id").collect().map(_.getString(0))
+        for (app <- costApps) assert(html.contains(app), s"$path missing $app")
+        assert(html.contains("total_resource_hogs"), path)
+        assert(html.contains("potential_monthly_savings"), path)
+      }
+      val (rs, rhtml) = get(port, "/resources")
+      assert(rs === 200)
+      assert(rhtml.contains("url=/optimize"), rhtml)
+      val (ts, thtml) = get(port, "/teams")
+      assert(ts === 200)
+      assert(thtml.contains("Teams"), thtml)
+    } finally http.stop()
+  }
+
+  test("explicit nulls: route payloads carry every field even when null-valued") {
+    // the duration field is null for an app with no end event —
+    // Dataset.toJSON would DROP the key; the server must emit it
+    val http = new HistoryServerHttp(spark, canon)
+    val port = http.start()
+    try {
+      val (_, body) = get(port, "/api/v1/applications?limit=5")
+      val cols = HistoryServerApi.applications(canon, limit = 5).columns
+      for (c <- cols)
+        assert(body.contains("\"" + c + "\""), s"field $c absent from $body")
     } finally http.stop()
   }
 }

@@ -289,6 +289,44 @@ class PipelineSpec extends SparkSpec {
     assert(!fast.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("xxhash minhash family: pinned recall floor vs brute-force ground truth at sf0.001") {
+    // The xxhash gram-id family is the one member with no DuckDB
+    // oracle (64-bit xxhash has no SQL twin), so its correctness
+    // gate lives here: brute-force ground truth — every pair at
+    // exact shingle Jaccard >= 0.2, derived WITHOUT any LSH — must
+    // be recovered by the banded run at >= 90% recall, and every
+    // emitted pair must be IN the truth set (the exact verify makes
+    // precision 1.0 by construction; this asserts it stayed wired).
+    // Banded-LSH recall at the threshold is probabilistic BY DESIGN
+    // (a J≈0.2 pair hits a band with prob ~1-(1-J^4)^4), so equality
+    // is the wrong gate — the floor pins the corpus-level recall the
+    // planted near-dup mass actually achieves.
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val sh = Dedup.shingles(corpus).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("inter_n") * 1.0 / (col("n_a") + col("n_b") - col("inter_n")) >= 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.dedupMinhash(corpus, minJaccard = 0.2, idFamily = "xxhash")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    assert(truth.nonEmpty, "fixture has no near-dup pairs — floor is vacuous")
+    assert((got -- truth).isEmpty,
+      s"emitted pairs outside ground truth: ${(got -- truth).take(5)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"xxhash family recall $recall below 0.9 floor (${got.size}/${truth.size})")
+  }
+
   test("containment catches an excerpt that Jaccard misses") {
     val excerptDocs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", "en", "s0", 80L),
