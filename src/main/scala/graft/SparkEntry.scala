@@ -100,6 +100,7 @@ ORDER BY event_id"""
     "efficiency_analysis" -> ((s, d) => Optimization.efficiencyAnalysis(canon(s, d))),
     "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
+    "readability" -> ((s, d) => TextAnalysis.readability(docs(s, d))),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
@@ -354,6 +355,11 @@ ORDER BY event_id"""
     "semantic_prune" -> ((s, d) =>
       Embeddings.dedupSemantic(emb(s, d), numCentroids = 32)),
     "rp_distortion" -> ((s, d) => Embeddings.rpDistortion(emb(s, d))),
+    "int8_distortion" -> ((s, d) => Embeddings.int8Distortion(emb(s, d))),
+    "cluster_silhouette" -> ((s, d) =>
+      Embeddings.clusterSilhouette(emb(s, d), numCentroids = 32)),
+    "hard_negatives" -> ((s, d) =>
+      Embeddings.hardNegatives(emb(s, d), numCentroids = 32)),
     "knn_label_prop" -> ((s, d) =>
       Embeddings.knnLabelProp(emb(s, d), numCentroids = 32)),
     "source_centroid_drift" -> ((s, d) =>
@@ -558,6 +564,10 @@ ORDER BY event_id"""
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "semantic_prune" -> Embeddings.dedupSemanticOracle,
     "rp_distortion" -> Embeddings.rpDistortionOracle,
+    "int8_distortion" -> Embeddings.int8DistortionOracle,
+    "cluster_silhouette" -> Embeddings.clusterSilhouetteOracle,
+    "hard_negatives" -> Embeddings.hardNegativesOracle,
+    "readability" -> TextAnalysis.readabilityOracle,
     "knn_label_prop" -> Embeddings.knnLabelPropOracle,
     "source_centroid_drift" -> Embeddings.sourceCentroidDriftOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,

@@ -2578,4 +2578,229 @@ JOIN nr nb ON f.vec_b = nb.vec_id
 JOIN pn pna ON f.vec_a = pna.vec_id
 JOIN pn pnb ON f.vec_b = pnb.vec_id
 ORDER BY f.vec_a"""
+
+  /** Per-cell SILHOUETTE of the IVF assignment — the clustering-quality
+   *  gauge for every cell-blocked operator in this family (kNN graph,
+   *  SemDeDup, topic clusters all trust the assignment): the simplified
+   *  (centroid-based) silhouette of each vector, `s = (d_b - d_a) /
+   *  d_b` with `d = 1 - cosine`, `d_a` = distance to the ASSIGNED
+   *  centroid (the cosine argmax) and `d_b` = distance to the runner-up
+   *  — so `s` is in [0, 1] by construction here (the assigned centroid
+   *  is never farther than the runner-up) and a LOW mean or a high
+   *  near-zero share marks cells whose members sit on a boundary, i.e.
+   *  cells whose kNN/SemDeDup recall will be worst. Reference analytics
+   *  surface precedent: quality gauges per grouping
+   *  (duckdb_store_backup.rs's per-group efficiency scores).
+   *
+   *  Scale: ONE broadcast-K cosine pass over the corpus (the identical
+   *  shape [[nearestCentroids]] runs — O(N·K) work, no pairs), then a
+   *  K-row aggregate. Exactness discipline: the per-row silhouette is
+   *  quantized to an integer ten-thousandth (`FLOOR(s*10000+0.5)`, a
+   *  deterministic per-row projection), so the per-cell SUM is exact
+   *  under any aggregation order; means divide at the final projection
+   *  only. */
+  def clusterSilhouette(emb: DataFrame, numCentroids: Int = AutoCentroids,
+                        precomputedQuantized: Option[DataFrame] = None,
+                        trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse {
+      val q = quantized(emb).cache(); q.count(); q
+    }
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
+    val cos = qv
+      .select(col("vec_id"), col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cent_id"))))
+      .filter(col("rk") <= 2)
+    val best = cos.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cosine").as("cos_a"))
+    val runner = cos.filter(col("rk") === 2)
+      .select(col("vec_id"), col("cosine").as("cos_b"))
+    best.join(runner, "vec_id")
+      // s = ((1-cos_b) - (1-cos_a)) / (1-cos_b); cos_b < 1 because the
+      // runner-up differs from the vector's own direction after
+      // milli-quantization on this family's data; guard anyway.
+      .withColumn("sil_q",
+        when(col("cos_b") >= 1.0, lit(10000L)).otherwise(
+          floor((col("cos_a") - col("cos_b")) / (lit(1.0) - col("cos_b"))
+            * 10000.0 + 0.5).cast("long")))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sil_q")).as("sil_sum_q"),
+        sum(when(col("sil_q") < 1000L, 1L).otherwise(0L)).as("n_boundary"))
+      .select(col("cent_id"), col("n_members"),
+        r4(col("sil_sum_q") * lit(1.0) / (col("n_members") * lit(10000.0)))
+          .as("mean_silhouette"),
+        col("n_boundary"))
+      .orderBy("cent_id")
+  }
+
+  /** Shares [[ivfAssignCte]]'s `vc_cos`; best/runner-up are rk 1 and 2
+   *  of the same ROW_NUMBER. */
+  val clusterSilhouetteOracle: String = "WITH " + ivfAssignCte + """,
+ranked2 AS (
+  SELECT vec_id, cent_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
+  FROM vc_cos),
+best AS (SELECT vec_id, cent_id, cosine AS cos_a FROM ranked2 WHERE rk = 1),
+runner AS (SELECT vec_id, cosine AS cos_b FROM ranked2 WHERE rk = 2),
+sil AS (
+  SELECT b.vec_id, b.cent_id,
+         CASE WHEN r.cos_b >= 1.0 THEN CAST(10000 AS BIGINT)
+              ELSE CAST(FLOOR((b.cos_a - r.cos_b) / (1.0 - r.cos_b) * 10000.0 + 0.5) AS BIGINT)
+         END AS sil_q
+  FROM best b JOIN runner r ON b.vec_id = r.vec_id)
+SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       FLOOR((SUM(sil_q) * 1.0 / (COUNT(*) * 10000.0)) * 10000.0 + 0.5) / 10000.0 AS mean_silhouette,
+       CAST(SUM(CASE WHEN sil_q < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+FROM sil GROUP BY cent_id ORDER BY cent_id"""
+
+  /** HARD-NEGATIVE mining for contrastive training: for every anchor
+   *  vector, the `m` most-cosine-similar vectors carrying a DIFFERENT
+   *  label within the anchor's IVF cell — the near-the-boundary
+   *  impostors a contrastive or reranker objective learns most from
+   *  (random negatives are trivially separable; the informative ones
+   *  are exactly the high-similarity different-label pairs this
+   *  returns). Cell-restricted like [[knnGraph]] — candidate work is
+   *  Σ|cell|², never |corpus|², hot cells salted; the same sqrt-N
+   *  [[AutoCentroids]] default bounds pair work at N^1.5.
+   *
+   *  Output: (vec_id, label, rank, negative_id, negative_label,
+   *  cosine), up to `m` rows per anchor, both directions of every
+   *  candidate pair ranked independently (a's hardest negative may be
+   *  b while b's hardest is c). */
+  def hardNegatives(emb: DataFrame, m: Int = 3,
+                    numCentroids: Int = AutoCentroids,
+                    precomputedQuantized: Option[DataFrame] = None,
+                    trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val qv = precomputedQuantized.getOrElse {
+      val q = quantized(emb).cache(); q.count(); q
+    }
+    val centroids = trainedCentroids
+      .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
+      .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
+    val assigned = nearestCentroids(qv, centroids, 1)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val sym = cands.union(
+      cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val crossLabel = sym
+      .join(labels.select(col("vec_id").as("vec_a"), col("lbl").as("label_a")), "vec_a")
+      .join(labels.select(col("vec_id").as("vec_b"), col("lbl").as("label_b")), "vec_b")
+      .filter(col("label_a") =!= col("label_b"))
+      .select("vec_a", "vec_b", "label_a", "label_b")
+    // verifyCosine passes candidate columns through, so the labels ride
+    // along — no re-join of the verified pair frame.
+    verifyCosine(crossLabel, qv, qv, "vec_a", "vec_b", minCosine = -1.0)
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_a")
+        .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("rk") <= m)
+      .select(col("vec_a").as("vec_id"), col("label_a").as("label"),
+        col("rk").cast("long").as("rank"), col("vec_b").as("negative_id"),
+        col("label_b").as("negative_label"), r4(col("cosine")).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** [[knnGraphOracle]]'s kpairs chain with a cross-label filter before
+   *  the dot products (the verify set shrinks first, as in Spark). */
+  val hardNegativesOracle: String = "WITH " + ivfAssignCte + """,
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+hpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, la.lbl AS label_a, lb.lbl AS label_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+  JOIN lbl la ON la.vec_id = a.vec_id
+  JOIN lbl lb ON lb.vec_id = b.vec_id
+  WHERE la.lbl <> lb.lbl),
+hdots AS (
+  SELECT p.vec_a, p.vec_b, p.label_a, p.label_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM hpairs p
+  JOIN qv qa ON qa.vec_id = p.vec_a
+  JOIN qv qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.vec_a, p.vec_b, p.label_a, p.label_b),
+hranked AS (
+  SELECT d.vec_a, d.vec_b, d.label_a, d.label_b,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_a
+           ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_b) AS rk
+  FROM hdots d
+  JOIN nr na ON d.vec_a = na.vec_id
+  JOIN nr nb ON d.vec_b = nb.vec_id)
+SELECT vec_a AS vec_id, label_a AS label, CAST(rk AS BIGINT) AS rank,
+       vec_b AS negative_id, label_b AS negative_label,
+       FLOOR(cosine * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM hranked WHERE rk <= 3
+ORDER BY vec_id, rank"""
+
+  /** INT8 quantization-distortion audit — the cheapest production
+   *  compression every serving stack tries first (symmetric per-vector
+   *  int8, 4x smaller than float32): per label, how much cosine
+   *  geometry survives `q8_i = FLOOR(q_i * 127 / max|q| + 0.5)`. The
+   *  PQ/JL twins ([[pqDistortion]], [[rpDistortion]]) audit the fancier
+   *  codecs; this one answers "do we even need them". Per-vector
+   *  self-cosine between the milli-quantized vector and its int8 form,
+   *  quantized to integer ten-thousandths per row (exact SUM/MIN under
+   *  any order), aggregated per label. One projection pass + one
+   *  K-label aggregate — no pairs, no shuffle beyond the final
+   *  aggregation. */
+  def int8Distortion(emb: DataFrame): DataFrame = {
+    val qv = quantized(emb)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+    qv.withColumn("mabs",
+        expr("aggregate(qarr, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("q8",
+        expr("transform(qarr, x -> CASE WHEN mabs = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(FLOOR(x * 127.0 / mabs + 0.5) AS BIGINT) END)"))
+      .withColumn("dot8", expr("qdot(qarr, q8)"))
+      .withColumn("nq8", expr("qdot(q8, q8)"))
+      .withColumn("cos_q",
+        when(col("nq8") === 0L, lit(0L)).otherwise(
+          floor(col("dot8") / (sqrt(col("nq")) * sqrt(col("nq8")))
+            * 10000.0 + 0.5).cast("long")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("cos_q").as("cos_sum_q"),
+        min("cos_q").as("min_cos_q"))
+      .select(col("label"), col("n_vectors"),
+        r4(col("cos_sum_q") * lit(1.0) / (col("n_vectors") * lit(10000.0)))
+          .as("mean_cosine"),
+        r4(col("min_cos_q") / lit(10000.0)).as("min_cosine"))
+      .orderBy("label")
+  }
+
+  val int8DistortionOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+vm AS (SELECT vec_id, CAST(MAX(ABS(q)) AS BIGINT) AS mabs,
+              CAST(SUM(q * q) AS BIGINT) AS nq
+       FROM qv GROUP BY vec_id),
+q8 AS (
+  SELECT v.vec_id, v.i,
+         CASE WHEN m.mabs = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(v.q * 127.0 / m.mabs + 0.5) AS BIGINT) END AS q8
+  FROM qv v JOIN vm m ON v.vec_id = m.vec_id),
+agg8 AS (
+  SELECT v.vec_id, CAST(SUM(v.q * e.q8) AS BIGINT) AS dot8,
+         CAST(SUM(e.q8 * e.q8) AS BIGINT) AS nq8
+  FROM qv v JOIN q8 e ON v.vec_id = e.vec_id AND v.i = e.i
+  GROUP BY v.vec_id),
+perv AS (
+  SELECT a.vec_id,
+         CASE WHEN a.nq8 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(a.dot8 / (sqrt(m.nq) * sqrt(a.nq8)) * 10000.0 + 0.5) AS BIGINT)
+         END AS cos_q
+  FROM agg8 a JOIN vm m ON a.vec_id = m.vec_id)
+SELECT CAST(e.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       FLOOR((SUM(p.cos_q) * 1.0 / (COUNT(*) * 10000.0)) * 10000.0 + 0.5) / 10000.0 AS mean_cosine,
+       FLOOR((MIN(p.cos_q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS min_cosine
+FROM perv p JOIN embeddings e ON p.vec_id = e.vec_id
+GROUP BY e.label ORDER BY label"""
 }

@@ -2998,4 +2998,64 @@ r AS (
 SELECT source, rank, prefix, n_docs, tokens
 FROM r WHERE rank <= 5
 ORDER BY source, rank"""
+
+  /** Per-source READABILITY profile, Flesch reading-ease shaped — the
+   *  curation gauge for "is this feed textbook prose or keyword soup":
+   *  sentences approximated as terminal-punctuation runs (`[.!?]+`,
+   *  min 1 per doc), syllables as vowel GROUPS per lowercased doc
+   *  (`[aeiouy]+` — the standard cheap proxy), words as the corpus'
+   *  canonical whitespace tokens ([[textStats]]' definition, no
+   *  drift). The Flesch formula (206.835 − 1.015·W/S − 84.6·Syl/W) is
+   *  evaluated once per source from EXACT integer sums — not averaged
+   *  per doc — so the score is order-independent by construction;
+   *  both regexes sit inside the Java∩RE2 subset the pii_scrub
+   *  precedent pins for cross-engine parity. ONE map-side-combining
+   *  aggregation over a pure row projection: nothing here shuffles
+   *  more than (source)-keyed partials at any corpus size. */
+  def readability(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("syl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        sum("s").as("n_sentences"),
+        sum("syl").as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        r4(col("n_words") * lit(1.0) / col("n_sentences"))
+          .as("words_per_sentence"),
+        r4(col("n_syllables") * lit(1.0) / col("n_words"))
+          .as("syllables_per_word"),
+        r4(lit(206.835)
+          - lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")))
+          .as("flesch"))
+      .orderBy("source")
+
+  val readabilityOracle: String = """
+WITH perdoc AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS syl
+  FROM documents WHERE text IS NOT NULL),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(syl) AS BIGINT) AS n_syllables
+  FROM perdoc GROUP BY source)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       FLOOR((n_words * 1.0 / n_sentences) * 10000.0 + 0.5) / 10000.0 AS words_per_sentence,
+       FLOOR((n_syllables * 1.0 / n_words) * 10000.0 + 0.5) / 10000.0 AS syllables_per_word,
+       FLOOR((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+              - 84.6 * (n_syllables * 1.0 / n_words)) * 10000.0 + 0.5) / 10000.0 AS flesch
+FROM agg ORDER BY source"""
 }
