@@ -1,0 +1,43 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.GraftConfig
+import graft.sources.EventLogSource
+
+/**
+ * Standalone server entrypoint — the reference's `main.rs` shape
+ * (src/main.rs:20-200: parse CLI + settings file, build the store
+ * from the configured log directory, bind the HTTP API): `spark-submit
+ * --class graft.api.ServerMain <jar> [--config settings.toml] [--host
+ * H] [--port P] [--log-directory DIR] [--hdfs-namenode URL |
+ * --s3-bucket NAME]`.
+ *
+ * The SparkSession is taken from the environment (`spark-submit`
+ * decides master/resources — cluster-config concerns stay out of the
+ * library); storage credentials from the settings file land on the
+ * Hadoop configuration via [[GraftConfig.Settings.hadoopOverrides]]
+ * before the first read. Event logs parse ONCE into the canonical
+ * frame, which every route then queries — the parse-once discipline
+ * the whole analytics layer assumes.
+ */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val settings = GraftConfig.fromArgs(args)
+    val spark = SparkSession.builder()
+      .appName("graft-history-server")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+      .getOrCreate()
+    settings.hadoopOverrides.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    val canon = EventLogSource.readDirectory(spark, settings.eventLogUri)
+      .cache()
+    val server = new HistoryServerHttp(spark, canon, settings.server.port)
+    val port = server.start()
+    System.err.println(s"[graft] serving on ${settings.server.host}:$port " +
+      s"over ${settings.eventLogUri}")
+    Thread.currentThread().join() // serve until killed
+  }
+}
