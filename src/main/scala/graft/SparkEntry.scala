@@ -101,6 +101,10 @@ ORDER BY event_id"""
     "cost_optimization" -> ((s, d) => Optimization.costOptimization(canon(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
     "readability" -> ((s, d) => TextAnalysis.readability(docs(s, d))),
+    "langid_margin" -> ((s, d) => TextAnalysis.langidMargin(docs(s, d))),
+    "dedup_curve_by_source" -> ((s, d) => Dedup.dedupCurveBySource(docs(s, d))),
+    "scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(docs(s, d), frameBytes = 64, stride = 2)),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
@@ -568,6 +572,9 @@ ORDER BY event_id"""
     "cluster_silhouette" -> Embeddings.clusterSilhouetteOracle,
     "hard_negatives" -> Embeddings.hardNegativesOracle,
     "readability" -> TextAnalysis.readabilityOracle,
+    "langid_margin" -> TextAnalysis.langidMarginOracle,
+    "dedup_curve_by_source" -> Dedup.dedupCurveBySourceOracle,
+    "scene_cuts" -> Multimodal.sceneCutsOracle,
     "knn_label_prop" -> Embeddings.knnLabelPropOracle,
     "source_centroid_drift" -> Embeddings.sourceCentroidDriftOracle,
     "knn_hubness" -> Embeddings.knnHubnessOracle,

@@ -130,6 +130,61 @@ SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_dups,
        FLOOR((cum_dups * 1.0 / cum_docs) * 10000.0 + 0.5) / 10000.0 AS cum_dup_frac
 FROM c ORDER BY bucket"""
 
+  /** Per-SOURCE dedup-saturation curve — [[dedupCurve]] at feed
+   *  granularity, the triage view that decides WHICH crawl to stop
+   *  paying for: per (source, ingestion decile), the fraction of docs
+   *  exactly duplicating an EARLIER doc anywhere in the corpus, plus
+   *  the source's cumulative fraction. A healthy feed's curve stays
+   *  flat; a feed that started re-serving syndicated content bends up
+   *  in its later deciles while the global curve ([[dedupCurve]])
+   *  barely moves. Same shape and cost as the global curve — one
+   *  hash-groupBy for first ids, one join back, a (sources ×
+   *  buckets)-row aggregate; the cumulative window partitions BY
+   *  SOURCE over that bounded aggregate only. */
+  def dedupCurveBySource(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val h = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("content_hash"))
+    val first = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val cum = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.join(first, "content_hash")
+      .crossJoin(broadcast(maxId))
+      .select(col("source"),
+        expr(s"doc_id * $buckets div (max_id + 1)").as("bucket"),
+        (col("doc_id") > col("first_id")).cast("long").as("is_dup"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .withColumn("cum_docs", sum("n_docs").over(cum))
+      .withColumn("cum_dups", sum("n_dups").over(cum))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_dups"),
+        r4(col("n_dups") * lit(1.0) / col("n_docs")).as("dup_frac"),
+        r4(col("cum_dups") * lit(1.0) / col("cum_docs")).as("cum_dup_frac"))
+      .orderBy("source", "bucket")
+  }
+
+  val dedupCurveBySourceOracle: String = """
+WITH h AS (SELECT doc_id, source, md5(text) AS ch FROM documents),
+f AS (SELECT ch, MIN(doc_id) AS first_id FROM h GROUP BY ch),
+m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+b AS (
+  SELECT h.source, (h.doc_id * 10) // (m.max_id + 1) AS bucket,
+         CASE WHEN h.doc_id > f.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN f ON h.ch = f.ch CROSS JOIN m),
+agg AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dups
+  FROM b GROUP BY source, bucket),
+c AS (
+  SELECT source, bucket, n_docs, n_dups,
+         CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_dups) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum_dups
+  FROM agg)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs, n_dups,
+       FLOOR((n_dups * 1.0 / n_docs) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+       FLOOR((cum_dups * 1.0 / cum_docs) * 10000.0 + 0.5) / 10000.0 AS cum_dup_frac
+FROM c ORDER BY source, bucket"""
+
   // ---- shared shingle machinery -------------------------------------
 
   /** Distinct word-3-gram shingles per doc: (doc_id, gram).

@@ -348,6 +348,109 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(frame_a AS BIGINT) AS frame_a,
 FROM ham WHERE hamming <= 3
 ORDER BY doc_a, frame_a, doc_b, frame_b"""
 
+  /** SCENE-CUT detection per video — the shot-boundary pass a video
+   *  curation pipeline runs to pick representative frames and to
+   *  price per-shot embedding cost: adjacent SAMPLED frames' aHash
+   *  hamming distance, a "cut" where the distance clears
+   *  `cutHamming` bits (a hard scene change flips a large share of
+   *  the 64 threshold bits; temporal continuity keeps it low). Per
+   *  video: frames, transitions, cuts, mean/max adjacent distance —
+   *  the within-video TEMPORAL readout next to [[frameDedupNear]]'s
+   *  cross-video matcher (which deliberately cuts same-video pairs).
+   *
+   *  Shape: fingerprints come from the same partition-local pass
+   *  ([[frameFingerprints]] — payload bytes never shuffle); the
+   *  adjacent pairing is a lag window partitioned BY VIDEO (each
+   *  partition holds one video's ≤2^20 frame rows, nothing
+   *  corpus-wide); the rollup is one partial agg to |videos| rows.
+   *  The 8 byte-bands pack into two 32-bit halves so the lag carries
+   *  2 longs, not 8 (64-bit packing would overflow the sign bit at
+   *  b7 ≥ 128). Hamming sums/maxes are exact integers; the one
+   *  division is the final r4 mean. */
+  def sceneCuts(docs: DataFrame, frameBytes: Int = 1024, stride: Int = 2,
+                cutHamming: Int = 24): DataFrame = {
+    val fps = frameFingerprints(docs, frameBytes, stride)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("b0") + col("b1") * 256L + col("b2") * 65536L
+          + col("b3") * 16777216L).as("lo"),
+        (col("b4") + col("b5") * 256L + col("b6") * 65536L
+          + col("b7") * 16777216L).as("hi"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val adj = fps
+      .withColumn("plo", lag("lo", 1).over(w))
+      .withColumn("phi", lag("hi", 1).over(w))
+      .withColumn("hamming",
+        when(col("plo").isNull, lit(null)).otherwise(
+          bit_count(col("lo").bitwiseXOR(col("plo"))).cast("long")
+            + bit_count(col("hi").bitwiseXOR(col("phi"))).cast("long")))
+    adj.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(col("hamming")).as("n_transitions"),
+        sum(when(col("hamming") >= cutHamming, 1L).otherwise(0L)).as("n_cuts"),
+        sum("hamming").as("ham_sum"),
+        max("hamming").as("max_hamming"))
+      .select(col("doc_id"), col("n_frames"), col("n_transitions"),
+        col("n_cuts"),
+        when(col("n_transitions") === 0L, lit(0.0))
+          .otherwise(r4(col("ham_sum") * lit(1.0) / col("n_transitions")))
+          .as("mean_hamming"),
+        coalesce(col("max_hamming"), lit(0L)).as("max_hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** [[frameDedupNearOracle]]'s px/threshold chain to per-(frame, i)
+   *  bits, then adjacent frames join on `frame_idx + 2` (the harness
+   *  stride) and hamming = SUM(bit_a <> bit_b) — arithmetically the
+   *  same xor/bit_count the Spark side computes over packed halves. */
+  val sceneCutsOracle: String = """
+WITH v AS (
+  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST((byte_len + 63) // 64 AS INTEGER), 2)) AS frame_idx
+  FROM v),
+s AS (
+  SELECT f.doc_id, f.frame_idx,
+         substr(v.text, CAST(f.frame_idx * 64 + 1 AS INTEGER), 64) AS chunk
+  FROM f JOIN v ON f.doc_id = v.doc_id),
+px AS (
+  SELECT doc_id, frame_idx, i,
+         CAST(ascii(substr(chunk,
+           CAST((i * length(chunk)) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS px
+  FROM s, unnest(range(0, 64)) AS g(i)
+  WHERE length(chunk) > 0),
+tot AS (
+  SELECT doc_id, frame_idx, CAST(SUM(px) AS BIGINT) AS psum
+  FROM px GROUP BY doc_id, frame_idx),
+bits AS (
+  SELECT p.doc_id, p.frame_idx, p.i,
+         CASE WHEN p.px * 64 > t.psum THEN 1 ELSE 0 END AS bit
+  FROM px p JOIN tot t ON p.doc_id = t.doc_id AND p.frame_idx = t.frame_idx),
+adj AS (
+  SELECT a.doc_id, a.frame_idx,
+         CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b
+    ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 2 AND a.i = b.i
+  GROUP BY a.doc_id, a.frame_idx),
+nf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+  FROM s GROUP BY doc_id),
+roll AS (
+  SELECT n.doc_id, n.n_frames,
+         CAST(COUNT(a.hamming) AS BIGINT) AS n_transitions,
+         CAST(COALESCE(SUM(CASE WHEN a.hamming >= 24 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+         CAST(COALESCE(SUM(a.hamming), 0) AS BIGINT) AS ham_sum,
+         CAST(COALESCE(MAX(a.hamming), 0) AS BIGINT) AS max_hamming
+  FROM nf n LEFT JOIN adj a ON n.doc_id = a.doc_id
+  GROUP BY n.doc_id, n.n_frames)
+SELECT doc_id, n_frames, n_transitions, n_cuts,
+       CASE WHEN n_transitions = 0 THEN 0.0
+            ELSE FLOOR((ham_sum * 1.0 / n_transitions) * 10000.0 + 0.5) / 10000.0
+       END AS mean_hamming,
+       max_hamming
+FROM roll ORDER BY doc_id"""
+
   /** The stub features are pure integer functions of the UTF-8 bytes,
    *  so DuckDB reproduces them: mean_byte is the mean code unit (docs
    *  are ASCII, so code units == bytes) and feature_crc is the rolling

@@ -283,6 +283,96 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
   ON d.doc_id = b.doc_id
 ORDER BY d.doc_id"""
 
+  /** Language-ID decision-MARGIN profile — the classifier-confidence
+   *  readout that decides which [[langId]] verdicts are safe to act
+   *  on: per predicted language, how many docs were decided by a
+   *  clear margin (best − runner-up score ≥ `minMargin`), how many
+   *  were ambiguous (a runner-up within the margin), how many had a
+   *  single candidate or none. Production lang-ID gates on exactly
+   *  this margin — an "en" verdict that beat "fr" by one stopword is
+   *  a coin flip and should route to the `und` bucket, which the
+   *  per-language ambiguous share here prices. Shape: [[langId]]'s
+   *  broadcast-marker scoring verbatim, the SAME per-doc window
+   *  reading rk 1 and 2, one map-side-combining aggregate to
+   *  |languages| rows; margins are integer sums, the mean divides at
+   *  the final projection. */
+  def langidMargin(docs: DataFrame, minMargin: Long = 3L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = Seq(
+      ("the", "en", 3L), ("a", "en", 1L),
+      ("spark", "tech", 2L), ("data", "tech", 1L),
+      ("le", "fr", 3L), ("la", "fr", 1L)).toDF("word", "cand_lang", "weight")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val scores = toks.join(broadcast(markers), "word")
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum("weight").as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand_lang"))))
+      .filter(col("rk") <= 2)
+    val best = scores.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("lang_guess"),
+        col("score").as("best_score"))
+    val second = scores.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").as("second_score"))
+    val perDoc = docs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .join(second, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("lang_guess"), lit("und")).as("lang_guess"),
+        col("best_score"), col("second_score"),
+        when(col("best_score").isNull, lit(null))
+          .otherwise(col("best_score") - coalesce(col("second_score"), lit(0L)))
+          .as("margin"))
+    perDoc.groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") >= minMargin, 1L).otherwise(0L)).as("n_confident"),
+        sum(when(col("second_score").isNotNull
+            && col("margin") < minMargin, 1L).otherwise(0L)).as("n_ambiguous"),
+        sum(when(col("best_score").isNotNull
+            && col("second_score").isNull, 1L).otherwise(0L)).as("n_single"),
+        sum(coalesce(col("margin"), lit(0L))).as("margin_sum"))
+      .select(col("lang_guess"), col("n_docs"), col("n_confident"),
+        col("n_ambiguous"), col("n_single"),
+        r4(col("margin_sum") * lit(1.0) / col("n_docs")).as("mean_margin"))
+      .orderBy("lang_guess")
+  }
+
+  /** [[langIdOracle]]'s marker/score chain with rk <= 2 kept; margin,
+   *  confidence, and ambiguity rules mirror the Spark expressions. */
+  val langidMarginOracle: String = """
+WITH markers(word, cand_lang, weight) AS (
+  VALUES ('the', 'en', 3), ('a', 'en', 1),
+         ('spark', 'tech', 2), ('data', 'tech', 1),
+         ('le', 'fr', 3), ('la', 'fr', 1)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+scores AS (
+  SELECT t.doc_id, m.cand_lang, CAST(SUM(m.weight) AS BIGINT) AS score
+  FROM toks t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.cand_lang),
+ranked AS (
+  SELECT doc_id, cand_lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+  FROM scores),
+perdoc AS (
+  SELECT d.doc_id,
+         COALESCE(b.cand_lang, 'und') AS lang_guess,
+         b.score AS best_score,
+         s.score AS second_score,
+         CASE WHEN b.score IS NULL THEN NULL
+              ELSE b.score - COALESCE(s.score, 0) END AS margin
+  FROM documents d
+  LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) b ON d.doc_id = b.doc_id
+  LEFT JOIN (SELECT * FROM ranked WHERE rk = 2) s ON d.doc_id = s.doc_id)
+SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN margin >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_confident,
+       CAST(SUM(CASE WHEN second_score IS NOT NULL AND margin < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+       CAST(SUM(CASE WHEN best_score IS NOT NULL AND second_score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+       FLOOR((SUM(COALESCE(margin, 0)) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_margin
+FROM perdoc GROUP BY lang_guess ORDER BY lang_guess"""
+
   /** Language-ID confusion matrix against the corpus's gold `lang`
    *  labels — the validation pass that says whether [[langId]]'s
    *  marker heuristic can be TRUSTED to route language-conditional
