@@ -1,7 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Round.r4
 
 /** One multimodal record: opaque binary payload + typed metadata. */
 case class MultimodalRecord(
