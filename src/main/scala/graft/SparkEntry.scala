@@ -103,6 +103,10 @@ ORDER BY event_id"""
     "readability" -> ((s, d) => TextAnalysis.readability(docs(s, d))),
     "langid_margin" -> ((s, d) => TextAnalysis.langidMargin(docs(s, d))),
     "dedup_curve_by_source" -> ((s, d) => Dedup.dedupCurveBySource(docs(s, d))),
+    "dedup_normalized" -> ((s, d) => Dedup.dedupNormalized(docs(s, d))),
+    "snapshot_diff" -> ((s, d) =>
+      Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
+    "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
     "scene_cuts" -> ((s, d) =>
       Multimodal.sceneCuts(docs(s, d), frameBytes = 64, stride = 2)),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
@@ -574,6 +578,9 @@ ORDER BY event_id"""
     "readability" -> TextAnalysis.readabilityOracle,
     "langid_margin" -> TextAnalysis.langidMarginOracle,
     "dedup_curve_by_source" -> Dedup.dedupCurveBySourceOracle,
+    "dedup_normalized" -> Dedup.dedupNormalizedOracle,
+    "snapshot_diff" -> Dedup.snapshotDiffOracle,
+    "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,
     "knn_label_prop" -> Embeddings.knnLabelPropOracle,
     "source_centroid_drift" -> Embeddings.sourceCentroidDriftOracle,

@@ -185,6 +185,154 @@ SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs, n_dups,
        FLOOR((cum_dups * 1.0 / cum_docs) * 10000.0 + 0.5) / 10000.0 AS cum_dup_frac
 FROM c ORDER BY source, bucket"""
 
+  /** NORMALIZED exact dedup — the C4/RefinedWeb-style cheap win
+   *  between byte-exact hashing and the near-dup family: docs hashed
+   *  after lowercasing, stripping non-alphanumerics, and collapsing
+   *  whitespace, so copies differing only in case, punctuation, or
+   *  spacing collide. Per source: docs, raw exact dups, normalized
+   *  dups, and what normalization GAINED over the raw hash (docs +
+   *  BPE-estimate token mass) — the number that says whether the
+   *  cheap normalization pass is worth running before paying
+   *  candidate-generation cost on the fuzzier detectors. Shape: one
+   *  projection computes both hashes, two hash-keyed first-id
+   *  aggregates + joins back (the [[dedupExact]] plan twice), one
+   *  |sources|-row rollup; the normalization is three codegen'd
+   *  regex/case ops inside the Java∩RE2 parity subset. */
+  def dedupNormalized(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), col("source"),
+      expr("(n_chars + 3) div 4").as("tok"),
+      md5(col("text")).as("raw_hash"),
+      md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+    val rawFirst = h.groupBy("raw_hash").agg(min("doc_id").as("raw_first"))
+    val normFirst = h.groupBy("norm_hash").agg(min("doc_id").as("norm_first"))
+    h.join(rawFirst, "raw_hash").join(normFirst, "norm_hash")
+      .select(col("source"), col("tok"),
+        (col("doc_id") > col("raw_first")).cast("long").as("raw_dup"),
+        (col("doc_id") > col("norm_first")).cast("long").as("norm_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw_dup").as("n_raw_dups"),
+        sum("norm_dup").as("n_norm_dups"),
+        sum(when(col("norm_dup") === 1L && col("raw_dup") === 0L, 1L)
+          .otherwise(0L)).as("n_gained"),
+        sum(when(col("norm_dup") === 1L && col("raw_dup") === 0L, col("tok"))
+          .otherwise(0L)).as("tokens_gained"))
+      .select(col("source"), col("n_docs"), col("n_raw_dups"),
+        col("n_norm_dups"), col("n_gained"), col("tokens_gained"),
+        r4(col("n_norm_dups") * lit(1.0) / col("n_docs")).as("norm_dup_frac"))
+      .orderBy("source")
+  }
+
+  val dedupNormalizedOracle: String = """
+WITH h AS (
+  SELECT doc_id, source, (n_chars + 3) // 4 AS tok,
+         md5(text) AS raw_hash,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+  FROM documents),
+rf AS (SELECT raw_hash, MIN(doc_id) AS raw_first FROM h GROUP BY raw_hash),
+nf AS (SELECT norm_hash, MIN(doc_id) AS norm_first FROM h GROUP BY norm_hash),
+fl AS (
+  SELECT h.source, h.tok,
+         CASE WHEN h.doc_id > rf.raw_first THEN 1 ELSE 0 END AS raw_dup,
+         CASE WHEN h.doc_id > nf.norm_first THEN 1 ELSE 0 END AS norm_dup
+  FROM h JOIN rf ON h.raw_hash = rf.raw_hash
+         JOIN nf ON h.norm_hash = nf.norm_hash)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(raw_dup) AS BIGINT) AS n_raw_dups,
+       CAST(SUM(norm_dup) AS BIGINT) AS n_norm_dups,
+       CAST(SUM(CASE WHEN norm_dup = 1 AND raw_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+       CAST(SUM(CASE WHEN norm_dup = 1 AND raw_dup = 0 THEN tok ELSE 0 END) AS BIGINT) AS tokens_gained,
+       FLOOR((SUM(norm_dup) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS norm_dup_frac
+FROM fl GROUP BY source ORDER BY source"""
+
+  /** Corpus SNAPSHOT DIFF — the incremental-crawl audit run between
+   *  two corpus versions before paying full-pipeline cost on the new
+   *  one: per source, how much of the newly-added doc mass is FRESH
+   *  content vs re-served bytes the previous snapshot already had
+   *  (same exact content hash under a new doc id — feed replays,
+   *  sitemap re-crawls), plus removed-doc counts. A source whose
+   *  additions are mostly re-served is crawl-budget waste the dedup
+   *  gates will pay to re-discover pair-by-pair. Shape: ids diff by
+   *  one hash-keyed anti/semi join each; content classification is
+   *  one join of the added docs against the OLD snapshot's distinct
+   *  hash set (hash-keyed, broadcastable when the old snapshot's
+   *  distinct-hash frame is small); |sources|-row rollup. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val oldH = oldDocs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("content_hash"))
+    val newH = newDocs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("content_hash"),
+      expr("(n_chars + 3) div 4").as("tok"))
+    val oldHashes = oldH.select("content_hash").distinct()
+      .withColumn("seen_before", lit(1L))
+    val added = newH.join(oldH.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(oldHashes, Seq("content_hash"), "left")
+    val removed = oldH.join(newH.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_removed"))
+    val oldCounts = oldH.groupBy("source").agg(count(lit(1)).as("n_old"))
+    val addedAgg = added.groupBy("source")
+      .agg(count(lit(1)).as("n_added"),
+        sum(coalesce(col("seen_before"), lit(0L))).as("n_added_reserved"),
+        sum(when(col("seen_before").isNull, col("tok")).otherwise(0L))
+          .as("fresh_tokens"))
+    newH.groupBy("source").agg(count(lit(1)).as("n_new"))
+      .join(oldCounts, Seq("source"), "left")
+      .join(addedAgg, Seq("source"), "left")
+      .join(removed, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_added_reserved"), lit(0L)).as("n_added_reserved"),
+        (coalesce(col("n_added"), lit(0L))
+          - coalesce(col("n_added_reserved"), lit(0L))).as("n_added_fresh"),
+        coalesce(col("fresh_tokens"), lit(0L)).as("fresh_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        r4(coalesce(col("n_added_reserved"), lit(0L)) * lit(1.0)
+          / greatest(coalesce(col("n_added"), lit(0L)), lit(1L)))
+          .as("reserved_frac"))
+      .orderBy("source")
+  }
+
+  /** The harness drives the diff with old = even doc ids, new = the
+   *  whole corpus (a strictly-growing snapshot, so n_removed = 0 —
+   *  the operator handles removals generically). */
+  val snapshotDiffOracle: String = """
+WITH oldh AS (
+  SELECT doc_id, source, md5(text) AS content_hash
+  FROM documents WHERE doc_id % 2 = 0),
+newh AS (
+  SELECT doc_id, source, md5(text) AS content_hash, (n_chars + 3) // 4 AS tok
+  FROM documents),
+oldhashes AS (SELECT DISTINCT content_hash FROM oldh),
+added AS (
+  SELECT n.source, n.tok,
+         CASE WHEN o.content_hash IS NOT NULL THEN 1 ELSE 0 END AS seen_before
+  FROM newh n
+  LEFT JOIN oldhashes o ON n.content_hash = o.content_hash
+  WHERE n.doc_id NOT IN (SELECT doc_id FROM oldh)),
+addagg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_added,
+         CAST(SUM(seen_before) AS BIGINT) AS n_added_reserved,
+         CAST(SUM(CASE WHEN seen_before = 0 THEN tok ELSE 0 END) AS BIGINT) AS fresh_tokens
+  FROM added GROUP BY source),
+oldc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_old FROM oldh GROUP BY source),
+newc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new FROM newh GROUP BY source)
+SELECT n.source,
+       COALESCE(o.n_old, 0) AS n_old, n.n_new,
+       COALESCE(a.n_added, 0) AS n_added,
+       COALESCE(a.n_added_reserved, 0) AS n_added_reserved,
+       COALESCE(a.n_added, 0) - COALESCE(a.n_added_reserved, 0) AS n_added_fresh,
+       COALESCE(a.fresh_tokens, 0) AS fresh_tokens,
+       CAST(0 AS BIGINT) AS n_removed,
+       FLOOR((COALESCE(a.n_added_reserved, 0) * 1.0
+              / GREATEST(COALESCE(a.n_added, 0), 1)) * 10000.0 + 0.5) / 10000.0 AS reserved_frac
+FROM newc n
+LEFT JOIN oldc o ON n.source = o.source
+LEFT JOIN addagg a ON n.source = a.source
+ORDER BY n.source"""
+
   // ---- shared shingle machinery -------------------------------------
 
   /** Distinct word-3-gram shingles per doc: (doc_id, gram).

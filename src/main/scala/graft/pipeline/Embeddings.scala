@@ -2016,6 +2016,68 @@ ORDER BY query_id, rank"""
     pqScore(packed.crossJoin(broadcast(lut)), qq, qv, numCodes, subDims, k)
   }
 
+  /** Two-stage RETRIEVE-then-RERANK — the serving pattern every
+   *  production vector store runs (cheap approximate shortlist, exact
+   *  re-scoring of the survivors): the ADC-ranked PQ shortlist of
+   *  `shortlist` candidates per query ([[annPq]]'s chain verbatim) is
+   *  re-ordered by the exact quantized cosine and cut to `k`. The
+   *  `shortlist_rank` column next to the final rank shows the churn
+   *  the rerank pays for — `promoted` marks winners the approximate
+   *  stage had OUTSIDE its top-k, i.e. answers PQ alone would have
+   *  lost, the number that justifies (or kills) the rerank stage's
+   *  latency budget. Cost: everything [[annPq]] pays plus one
+   *  (queries × shortlist)-bounded window — the exact re-scoring
+   *  joins only shortlist rows, never the corpus. Reranking orders on
+   *  the r4-quantized cosine (ties → vec_id) so both engines rank the
+   *  identical IEEE values. */
+  def annRerank(emb: DataFrame, queries: DataFrame,
+                k: Int = 10, shortlist: Int = 30,
+                numCodes: Int = 16, subDims: Int = 8,
+                precomputedQuantized: Option[DataFrame] = None): DataFrame = {
+    val short = annPq(emb, queries, shortlist, numCodes, subDims,
+      precomputedQuantized)
+      .select(col("query_id"), col("rank").as("shortlist_rank"),
+        col("vec_id"), col("cosine"))
+    short
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("vec_id"), col("shortlist_rank"), col("cosine"),
+        (col("shortlist_rank") > k).cast("long").as("promoted"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[pqRankCte]] (so the shortlist can never drift from `ann_pq`'s
+   *  ADC ranking) + exact re-scoring of rk <= 30 + the rerank window
+   *  over the r4-quantized cosine. */
+  lazy val annRerankOracle: String = "WITH " + pqRankCte + """,
+exact AS (
+  SELECT r.query_id, r.vec_id, r.rk AS shortlist_rank,
+         CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM ranked r
+  JOIN qv qa ON qa.vec_id = r.query_id
+  JOIN qv qb ON qb.vec_id = r.vec_id AND qb.i = qa.i
+  WHERE r.rk <= 30
+  GROUP BY r.query_id, r.vec_id, r.rk),
+scored AS (
+  SELECT e.query_id, e.vec_id, e.shortlist_rank,
+         FLOOR((e.dot / (sqrt(na.nq) * sqrt(nb.nq))) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM exact e
+  JOIN nr na ON e.query_id = na.vec_id
+  JOIN nr nb ON e.vec_id = nb.vec_id),
+rr AS (
+  SELECT query_id, vec_id, shortlist_rank, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
+       CAST(shortlist_rank AS BIGINT) AS shortlist_rank, cosine,
+       CASE WHEN shortlist_rank > 10 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS promoted
+FROM rr WHERE rk <= 10
+ORDER BY query_id, rank"""
+
   /** PQ quantization-distortion accounting — the index-quality
    *  readout a PQ deployment watches BEFORE trusting [[annPq]]'s
    *  approximate scores: per subspace, the vector count, the total
