@@ -104,6 +104,7 @@ ORDER BY event_id"""
     "langid_margin" -> ((s, d) => TextAnalysis.langidMargin(docs(s, d))),
     "dedup_curve_by_source" -> ((s, d) => Dedup.dedupCurveBySource(docs(s, d))),
     "dedup_normalized" -> ((s, d) => Dedup.dedupNormalized(docs(s, d))),
+    "drop_provenance" -> ((s, d) => Dedup.dropProvenance(docs(s, d))),
     "snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
     "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
@@ -579,6 +580,7 @@ ORDER BY event_id"""
     "langid_margin" -> TextAnalysis.langidMarginOracle,
     "dedup_curve_by_source" -> Dedup.dedupCurveBySourceOracle,
     "dedup_normalized" -> Dedup.dedupNormalizedOracle,
+    "drop_provenance" -> Dedup.dropProvenanceOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,

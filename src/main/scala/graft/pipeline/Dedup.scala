@@ -1215,6 +1215,67 @@ FROM dets d CROSS JOIN totals t
 LEFT JOIN per p ON d.det = p.det
 ORDER BY d.det"""
 
+  /** Drop-set PROVENANCE — the doc-level venn completing the
+   *  detector-accounting triad ([[dedupPairVenn]] = pairwise
+   *  agreement, [[dedupTokenSavings]] = per-detector budget, this =
+   *  exact overlap structure): per detector COMBINATION (the sorted
+   *  '+'-joined set of {exact, ngram, minhash, simhash} that flagged
+   *  a doc), dropped docs and token mass. Reads as the audit log of
+   *  a four-gate pipeline: mass in the 'exact+minhash+ngram+simhash'
+   *  cell is safe to drop on any one detector's say-so; mass in a
+   *  singleton cell exists ONLY because that detector runs — the
+   *  marginal value of keeping it in the pipeline. Shape: the same
+   *  shared-shingle drop sets as token_savings, one
+   *  groupBy(doc_id).collect_set (drop-set cardinality, ≤4 rows per
+   *  doc), one ≤15-row rollup. */
+  def dropProvenance(docs: DataFrame,
+                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    withSharedShingles(docs, precomputedShingles) { sh =>
+      val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
+      val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+      val exactDrops = h.join(firsts, "content_hash")
+        .filter(col("doc_id") > col("first_id"))
+        .select(lit("exact").as("det"), col("doc_id"))
+      def laterSide(det: String, pairs: DataFrame) =
+        pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
+      val base = exactDrops
+        .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+      base.groupBy("doc_id")
+        .agg(array_join(array_sort(collect_set(col("det"))), "+").as("combo"))
+        .join(tok, "doc_id")
+        .groupBy("combo")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+        .orderBy("combo")
+        // pin the <=15 rows, then let the bracket drop the store
+        .localCheckpoint()
+    }
+  }
+
+  /** [[detChainsCte]]'s pair sets + the exact-hash rule; the combo
+   *  label is string_agg over the per-doc DISTINCT detector set with
+   *  the same lexicographic order as Spark's array_sort. */
+  val dropProvenanceOracle: String = "WITH " + detChainsCte + """,
+toks AS (SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents),
+eh AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+efirsts AS (SELECT content_hash, MIN(doc_id) AS first_id FROM eh GROUP BY content_hash),
+base AS (
+  SELECT 'exact' AS det, eh.doc_id
+  FROM eh JOIN efirsts f ON eh.content_hash = f.content_hash
+  WHERE eh.doc_id > f.first_id
+  UNION SELECT 'ngram', doc_b FROM ng_pairs
+  UNION SELECT 'minhash', doc_b FROM mh_pairs
+  UNION SELECT 'simhash', doc_b FROM sh_pairs),
+combos AS (
+  SELECT doc_id, string_agg(det, '+' ORDER BY det) AS combo
+  FROM base GROUP BY doc_id)
+SELECT c.combo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.tok) AS BIGINT) AS tokens
+FROM combos c JOIN toks t ON c.doc_id = t.doc_id
+GROUP BY c.combo ORDER BY c.combo"""
+
   /** Containment near-dup: pairs where the SMALLER document's shingle
    *  set is mostly inside the larger's — `inter / min(|A|, |B|)` —
    *  which catches excerpts, quotes, and template-plus-payload pages
