@@ -105,6 +105,7 @@ ORDER BY event_id"""
     "dedup_curve_by_source" -> ((s, d) => Dedup.dedupCurveBySource(docs(s, d))),
     "dedup_normalized" -> ((s, d) => Dedup.dedupNormalized(docs(s, d))),
     "drop_provenance" -> ((s, d) => Dedup.dropProvenance(docs(s, d))),
+    "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(docs(s, d))),
     "snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
     "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
@@ -581,6 +582,7 @@ ORDER BY event_id"""
     "dedup_curve_by_source" -> Dedup.dedupCurveBySourceOracle,
     "dedup_normalized" -> Dedup.dedupNormalizedOracle,
     "drop_provenance" -> Dedup.dropProvenanceOracle,
+    "minhash_band_sweep" -> Dedup.minhashBandSweepOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,

@@ -1616,6 +1616,101 @@ ORDER BY c.doc_a, c.doc_b"""
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.bsig").as("bsig"))
   }
 
+  /** EMPIRICAL banding sweep — the measured companion to the analytic
+   *  S-curve ([[minhashScurve]] predicts P(candidate | J) from (r, b);
+   *  this runs the actual corpus through each banding and counts):
+   *  per config (bands × rows-per-band over the same 16-hash
+   *  signature), the distinct candidate-pair count, how many verify
+   *  at J ≥ `minJaccard`, and the realized precision — the table that
+   *  picks the banding BEFORE a 100 TB run pays for a loose one.
+   *  The signature frame computes ONCE (cached); each config is one
+   *  band projection + bucket join + candidate-driven verify. The
+   *  r=1 (16 one-value bands) config is deliberately excluded: a
+   *  single shared min-hash value makes every hot gram's doc set a
+   *  quadratic bucket — exactly the blowup the sweep exists to warn
+   *  about, and the S-curve already prices it analytically. */
+  def minhashBandSweep(docs: DataFrame, minJaccard: Double = 0.2,
+                       idFamily: String = "md5",
+                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = cachedOrStore(docs, precomputedShingles)
+    val sigWide = minhashSigWide(shingleIds(sh, idFamily)).cache()
+    // candidate count comes from the candidate frame itself (a
+    // zero-intersection band collision IS a candidate the sweep must
+    // bill); the verify chain inner-joins intersections, which is fine
+    // for n_verified — a zero-inter pair can never clear minJaccard.
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val perConfig = Seq(2, 4, 8).map { b =>
+      val cands = saltedBucketPairs(minhashBandSig(sigWide, NumHashes, b),
+        Seq("band", "bsig"), "doc_id").cache()
+      cached += cands
+      val nCands = cands.agg(count(lit(1)).as("n_candidates"))
+      val nVer = withJaccard(cands, sh)
+        .filter(col("jaccard") >= minJaccard)
+        .agg(count(lit(1)).as("n_verified"))
+      nCands.crossJoin(nVer)
+        .select(lit(b.toLong).as("bands"),
+          lit((NumHashes / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }
+    val out = perConfig.reduce(_.unionByName(_))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_verified"),
+        r4(col("n_verified") * lit(1.0)
+          / greatest(col("n_candidates"), lit(1L))).as("precision"))
+      .orderBy("bands")
+      .localCheckpoint() // 3 rows; release the caches below
+    cached.foreach(_.unpersist())
+    sigWide.unpersist()
+    out
+  }
+
+  /** The md5-family signature chain ([[detChainsCte]]'s mh_sig shape)
+   *  swept over band widths 8/4/2 rows via `j // r`; candidates are
+   *  DISTINCT pairs per config, verification shares one shingle
+   *  inter/size chain. */
+  val minhashBandSweepOracle: String = "WITH " + shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s),
+mh_hashes AS (
+  SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
+  FROM (SELECT unnest(range(0, 16)) AS j)),
+mh_sig AS (
+  SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
+  FROM shid s CROSS JOIN mh_hashes h
+  GROUP BY s.doc_id, h.j),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle a JOIN shingle b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+cfgs(bands) AS (VALUES (2), (4), (8)),
+bsig AS (
+  SELECT c.bands, s.doc_id, s.j // (16 // c.bands) AS band,
+         string_agg(CAST(s.mh AS VARCHAR), '-' ORDER BY s.j) AS bs
+  FROM mh_sig s CROSS JOIN cfgs c
+  GROUP BY c.bands, s.doc_id, s.j // (16 // c.bands)),
+cands AS (
+  SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bsig a JOIN bsig b
+    ON a.bands = b.bands AND a.band = b.band AND a.bs = b.bs
+       AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.bands,
+         COALESCE(i.inter_n, 0) * 1.0
+           / (sa.n + sb.n - COALESCE(i.inter_n, 0)) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(16 // bands AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       FLOOR((SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) * 1.0
+              / GREATEST(COUNT(*), 1)) * 10000.0 + 0.5) / 10000.0 AS precision
+FROM scored GROUP BY bands ORDER BY bands"""
+
   /** Sketch-quality calibration: for every LSH candidate pair, the
    *  signature-estimated similarity (matching min-hash positions / 16)
    *  next to the exact shingle Jaccard and their absolute gap — the
