@@ -106,6 +106,8 @@ ORDER BY event_id"""
     "dedup_normalized" -> ((s, d) => Dedup.dedupNormalized(docs(s, d))),
     "drop_provenance" -> ((s, d) => Dedup.dropProvenance(docs(s, d))),
     "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(docs(s, d))),
+    "minhash_recall_sample" -> ((s, d) => Dedup.minhashRecallSample(docs(s, d))),
+    "media_qa" -> ((s, d) => Multimodal.mediaQa(docs(s, d))),
     "snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
     "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
@@ -583,6 +585,8 @@ ORDER BY event_id"""
     "dedup_normalized" -> Dedup.dedupNormalizedOracle,
     "drop_provenance" -> Dedup.dropProvenanceOracle,
     "minhash_band_sweep" -> Dedup.minhashBandSweepOracle,
+    "minhash_recall_sample" -> Dedup.minhashRecallSampleOracle,
+    "media_qa" -> Multimodal.mediaQaOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,

@@ -1711,6 +1711,99 @@ SELECT CAST(bands AS BIGINT) AS bands,
               / GREATEST(COUNT(*), 1)) * 10000.0 + 0.5) / 10000.0 AS precision
 FROM scored GROUP BY bands ORDER BY bands"""
 
+  /** Empirical banding RECALL by true-Jaccard bucket — the other half
+   *  of the calibration pair ([[minhashBandSweep]] measures realized
+   *  precision per banding; this measures what the shipped banding
+   *  MISSES, resolved by how similar the missed pairs actually are):
+   *  on a fixed deterministic doc sample, ground truth = every
+   *  within-sample pair at exact Jaccard ≥ `minJaccard` (gram-join
+   *  brute force — pairs sharing no gram have J = 0 and can't be
+   *  truth), candidates = the shipped 16×4 banding over the same
+   *  sample, recall per r4-then-×10 Jaccard bucket. The empirical
+   *  S-curve: borderline buckets (J ≈ threshold) are SUPPOSED to
+   *  recall probabilistically — this table shows where the shipped
+   *  banding's cliff actually sits on this corpus. Sample-bounded by
+   *  the same contract as [[Embeddings.annRecall]]: truth cost is
+   *  O(sample²) worst case and the sample stays fixed-size at any
+   *  corpus scale. */
+  def minhashRecallSample(docs: DataFrame, sampleBlock: Long = 50L,
+                          minJaccard: Double = 0.2,
+                          idFamily: String = "md5"): DataFrame = {
+    // Doc-sampling keeps pairs at (sampleBlock/100)² — both endpoints
+    // must survive — so the default is a 50% sample (25% of true
+    // pairs): the inherent recall-eval trade, truth cost ~(sample)²
+    // co-gram pairs vs pair retention. At 100 TB pick sampleBlock for
+    // the truth budget; the blocks are contiguous id ranges so
+    // id-close duplicate structure survives sampling.
+    val sample = docs.filter(col("doc_id") % 100L < sampleBlock)
+    val sh = shingles(sample).cache()
+    val allPairs = sh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val truth = withJaccard(allPairs, sh)
+      .filter(col("jaccard") >= minJaccard)
+      // r4-then-x10 bucket edge discipline (quality_sweep precedent)
+      .select(col("doc_a"), col("doc_b"),
+        floor(floor(col("jaccard") * 10000.0 + 0.5) / 1000.0).cast("long")
+          .as("j_bucket"))
+    val cands = saltedBucketPairs(
+        minhashBandSig(minhashSigWide(shingleIds(sh, idFamily))),
+        Seq("band", "bsig"), "doc_id")
+      .withColumn("hit", lit(1L))
+    val out = truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("j_bucket"), col("n_true"), col("n_hit"),
+        r4(col("n_hit") * lit(1.0) / col("n_true")).as("recall"))
+      .orderBy("j_bucket")
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  /** Shares the shingle/gram-id/signature CTE shapes, restricted to
+   *  the doc sample; buckets by the identical r4-then-×10 edge rule. */
+  val minhashRecallSampleOracle: String = "WITH " + shinglesCte + """,
+ssh AS (SELECT doc_id, gram FROM shingle WHERE doc_id % 100 < 50),
+sshid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM ssh s),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM ssh a JOIN ssh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(FLOOR(FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5)
+              / 1000.0) AS BIGINT) AS j_bucket
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2),
+mh_hashes AS (
+  SELECT j, 37 + 101 * j AS a, 17 + 257 * j AS b
+  FROM (SELECT unnest(range(0, 16)) AS j)),
+mh_sig AS (
+  SELECT s.doc_id, h.j, MIN((h.a * s.gid + h.b) % 1000003) AS mh
+  FROM sshid s CROSS JOIN mh_hashes h
+  GROUP BY s.doc_id, h.j),
+bsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS bs
+  FROM mh_sig GROUP BY doc_id, j // 4),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bsig a JOIN bsig b
+    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id)
+SELECT t.j_bucket, CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       FLOOR((SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS recall
+FROM truth t
+LEFT JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY t.j_bucket ORDER BY t.j_bucket"""
+
   /** Sketch-quality calibration: for every LSH candidate pair, the
    *  signature-estimated similarity (matching min-hash positions / 16)
    *  next to the exact shingle Jaccard and their absolute gap — the

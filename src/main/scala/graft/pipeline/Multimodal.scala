@@ -350,6 +350,66 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(frame_a AS BIGINT) AS frame_a,
 FROM ham WHERE hamming <= 3
 ORDER BY doc_a, frame_a, doc_b, frame_b"""
 
+  /** Media-payload QA gate — the schema-level sanity pass a
+   *  multimodal pipeline runs BEFORE paying decode cost: per
+   *  modality, empty payloads (truncated uploads), payloads too
+   *  small for their declared dimensions (the classic corrupt-file
+   *  signature — a WxH image can't honestly fit in WxH/`minBitsPerPx`
+   *  bits), byte-length extremes and mass. Catches the feed that
+   *  started shipping thumbnails under full-size metadata without
+   *  opening a single codec. Pure row projection over the typed
+   *  binary records + one |modalities|-row aggregate; payloads never
+   *  shuffle. */
+  def mediaQa(docs: DataFrame, minBitsPerPx: Long = 8L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).toDF()
+      .select(col("modality"), col("byte_len"),
+        col("declared_width"), col("declared_height"),
+        (col("byte_len") === 0L).cast("long").as("is_empty"),
+        (col("byte_len") > 0L && col("byte_len") * lit(8L)
+          < col("declared_width") * col("declared_height") * lit(minBitsPerPx))
+          .cast("long").as("is_undersized"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_empty").as("n_empty"),
+        sum("is_undersized").as("n_undersized"),
+        min("byte_len").as("min_bytes"),
+        max("byte_len").as("max_bytes"),
+        sum("byte_len").as("total_bytes"))
+      .select(col("modality"), col("n_docs"), col("n_empty"),
+        col("n_undersized"), col("min_bytes"), col("max_bytes"),
+        col("total_bytes"),
+        r4((col("n_empty") + col("n_undersized")) * lit(1.0) / col("n_docs"))
+          .as("flagged_frac"))
+      .orderBy("modality")
+  }
+
+  val mediaQaOracle: String = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         64 + (doc_id % 16) * 32 AS declared_width,
+         64 + (doc_id % 8) * 32 AS declared_height
+  FROM documents),
+fl AS (
+  SELECT modality, byte_len,
+         CASE WHEN byte_len = 0 THEN 1 ELSE 0 END AS is_empty,
+         CASE WHEN byte_len > 0 AND byte_len * 8 < declared_width * declared_height * 8
+              THEN 1 ELSE 0 END AS is_undersized
+  FROM b)
+SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+       CAST(SUM(is_undersized) AS BIGINT) AS n_undersized,
+       CAST(MIN(byte_len) AS BIGINT) AS min_bytes,
+       CAST(MAX(byte_len) AS BIGINT) AS max_bytes,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       FLOOR(((SUM(is_empty) + SUM(is_undersized)) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS flagged_frac
+FROM fl GROUP BY modality ORDER BY modality"""
+
   /** SCENE-CUT detection per video — the shot-boundary pass a video
    *  curation pipeline runs to pick representative frames and to
    *  price per-shot embedding cost: adjacent SAMPLED frames' aHash
