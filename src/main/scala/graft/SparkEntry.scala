@@ -108,6 +108,7 @@ ORDER BY event_id"""
     "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(docs(s, d))),
     "minhash_recall_sample" -> ((s, d) => Dedup.minhashRecallSample(docs(s, d))),
     "media_qa" -> ((s, d) => Multimodal.mediaQa(docs(s, d))),
+    "sentence_dedup" -> ((s, d) => TextAnalysis.sentenceDedup(docs(s, d))),
     "snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
     "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
@@ -587,6 +588,7 @@ ORDER BY event_id"""
     "minhash_band_sweep" -> Dedup.minhashBandSweepOracle,
     "minhash_recall_sample" -> Dedup.minhashRecallSampleOracle,
     "media_qa" -> Multimodal.mediaQaOracle,
+    "sentence_dedup" -> TextAnalysis.sentenceDedupOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,

@@ -2242,6 +2242,95 @@ ORDER BY d.doc_id"""
    *  the small side), and doc-partitioned windows. Text never passes
    *  an exchange after the explode; no joins beyond the gram-count
    *  lookup. */
+  /** C4-style exact THREE-SENTENCE-span dedup — the boundary-aligned
+   *  classic next to [[spanDedup]]'s token-k-gram accounting (C4
+   *  removed every repeated three-sentence span from the corpus;
+   *  sentence alignment is what makes the rule cheap and readable):
+   *  per doc, sliding windows of `win` consecutive sentences (split
+   *  on '. '), each hashed whole; a span is REPEATED when its hash
+   *  occurs anywhere else in the corpus, DROPPED when this occurrence
+   *  is not the global first (min (doc_id, idx) — the deterministic
+   *  keep-first rule the dedup family ships). Shape: sentence explode
+   *  + a LEAD window partitioned per doc (nothing corpus-wide), one
+   *  span-hash-keyed count/first aggregate — the only corpus-
+   *  cardinality shuffle carries 16-byte hashes, never text. */
+  def sentenceDedup(docs: DataFrame, win: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val sents = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. "))
+        .as(Seq("idx", "sent")))
+    val leads = (1 until win).map(j => lead(col("sent"), j).over(w))
+    val spans = sents
+      .withColumn("span",
+        concat_ws(BpeSep, (col("sent") +: leads): _*))
+      .withColumn("last_ok", leads.last.isNotNull)
+      .filter(col("last_ok"))
+      .select(col("doc_id"), col("idx"),
+        md5(col("span")).as("span_hash"))
+    val occ = spans.groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+    val flagged = spans.join(occ, "span_hash")
+      .select(col("doc_id"),
+        (col("n_occ") > 1L).cast("long").as("is_repeated"),
+        (col("n_occ") > 1L && !(col("first.doc_id") === col("doc_id")
+          && col("first.idx") === col("idx"))).cast("long").as("is_dropped"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("is_repeated").as("n_repeated_spans"),
+        sum("is_dropped").as("n_dropped_spans"))
+    docs.select("doc_id").join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_repeated_spans"), lit(0L)).as("n_repeated_spans"),
+        coalesce(col("n_dropped_spans"), lit(0L)).as("n_dropped_spans"),
+        r4(coalesce(col("n_repeated_spans"), lit(0L)) * lit(1.0)
+          / greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)))
+          .as("repeated_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Sentence split + LEAD windows + the same keep-first rule; the
+   *  span string joins with chr(1) (BpeSep discipline) so sentence
+   *  boundaries can't be forged by content. */
+  val sentenceDedupOracle: String = """
+WITH sents AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, parts[i] AS sent
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts
+        FROM documents WHERE text IS NOT NULL) t,
+       unnest(range(1, len(parts) + 1)) AS g(i)),
+spans AS (
+  SELECT doc_id, idx,
+         md5(sent || chr(1) || LEAD(sent, 1) OVER w || chr(1)
+             || LEAD(sent, 2) OVER w) AS span_hash,
+         LEAD(sent, 2) OVER w AS s2
+  FROM sents
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+valid AS (SELECT doc_id, idx, span_hash FROM spans WHERE s2 IS NOT NULL),
+occ AS (
+  SELECT span_hash, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         MIN({'doc_id': doc_id, 'idx': idx}) AS first
+  FROM valid GROUP BY span_hash),
+flagged AS (
+  SELECT v.doc_id,
+         CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END AS is_repeated,
+         CASE WHEN o.n_occ > 1 AND NOT (o.first.doc_id = v.doc_id
+              AND o.first.idx = v.idx) THEN 1 ELSE 0 END AS is_dropped
+  FROM valid v JOIN occ o ON v.span_hash = o.span_hash),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(is_repeated) AS BIGINT) AS n_repeated_spans,
+         CAST(SUM(is_dropped) AS BIGINT) AS n_dropped_spans
+  FROM flagged GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.n_repeated_spans, 0) AS n_repeated_spans,
+       COALESCE(a.n_dropped_spans, 0) AS n_dropped_spans,
+       FLOOR((COALESCE(a.n_repeated_spans, 0) * 1.0
+              / GREATEST(COALESCE(a.n_spans, 0), 1)) * 10000.0 + 0.5) / 10000.0 AS repeated_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
   def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
     val (base, spans) = spanFrames(docs, k)
     spanOutput(base, spans)
