@@ -974,4 +974,59 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("round-11 per-source rollups (readability / dedup_normalized / media_qa) are partial-agg passes, no cartesian, no corpus window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(graft.pipeline.TextAnalysis.readability(docs),
+      graft.pipeline.Dedup.dedupNormalized(docs),
+      graft.pipeline.Multimodal.mediaQa(docs))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), p) // rollups only — no rank pass
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+    }
+  }
+
+  test("scene_cuts: lag window partitions BY VIDEO; only packed halves reach the exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Multimodal.sceneCuts(docs, frameBytes = 64, stride = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // the window's required exchange hashes on the video id — a
+    // single-partition (unpartitioned) window over all frames would
+    // read "SinglePartition" here and die at corpus scale
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")), p)
+  }
+
+  test("sentence_dedup: per-doc LEAD window + hash-keyed occurrence agg, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.sentenceDedup(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p) // the per-doc window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("silhouette / hard negatives / rerank: centroid and LUT sides broadcast — no shuffled cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (df <- Seq(
+      graft.pipeline.Embeddings.clusterSilhouette(emb, numCentroids = 32),
+      graft.pipeline.Embeddings.hardNegatives(emb, numCentroids = 32),
+      graft.pipeline.Embeddings.annRerank(emb,
+        emb.filter(col("vec_id") % 100 === 0)))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested loop allowed is the broadcast K-row frame
+      if (p.contains("NestedLoopJoin"))
+        assert(p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("snapshot_diff: id diffs are anti joins, content check a hash-keyed join — no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.snapshotDiff(
+      docs.filter(col("doc_id") % 2 === 0), docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
