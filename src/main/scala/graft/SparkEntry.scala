@@ -109,6 +109,9 @@ ORDER BY event_id"""
     "minhash_recall_sample" -> ((s, d) => Dedup.minhashRecallSample(docs(s, d))),
     "media_qa" -> ((s, d) => Multimodal.mediaQa(docs(s, d))),
     "sentence_dedup" -> ((s, d) => TextAnalysis.sentenceDedup(docs(s, d))),
+    "dedup_transitivity" -> ((s, d) => Dedup.dedupTransitivity(docs(s, d))),
+    "ann_recall_sweep" -> ((s, d) =>
+      Embeddings.annRecallSweep(emb(s, d), annQueries(s, d))),
     "snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiff(docs(s, d).filter(col("doc_id") % 2 === 0), docs(s, d))),
     "ann_rerank" -> ((s, d) => Embeddings.annRerank(emb(s, d), annQueries(s, d))),
@@ -589,6 +592,8 @@ ORDER BY event_id"""
     "minhash_recall_sample" -> Dedup.minhashRecallSampleOracle,
     "media_qa" -> Multimodal.mediaQaOracle,
     "sentence_dedup" -> TextAnalysis.sentenceDedupOracle,
+    "dedup_transitivity" -> Dedup.dedupTransitivityOracle,
+    "ann_recall_sweep" -> Embeddings.annRecallSweepOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
     "scene_cuts" -> Multimodal.sceneCutsOracle,

@@ -727,6 +727,68 @@ SELECT doc_a, doc_b, inter_n, n_a, n_b,
 FROM verified
 ORDER BY doc_a, doc_b"""
 
+  /** TRANSITIVITY of the verified near-dup pair graph — the
+   *  cluster-quality gauge read before trusting [[Clustering]]'s
+   *  connected components as "duplicate groups": of all wedges
+   *  (A–B, B–C), how many close into a triangle (A–C also verified)?
+   *  A threshold detector on a true equivalence-ish relation closes
+   *  most wedges; low transitivity means components are CHAINS glued
+   *  by borderline pairs — survivor policies that keep one doc per
+   *  component are then deleting non-duplicates, and the threshold
+   *  (or containment semantics) needs review. Shape: everything is
+   *  pair-bounded — the wedge join keys the k-bounded directed edge
+   *  list on its middle vertex, the closure check is one join back
+   *  to the pair set; nothing touches corpus text. */
+  def dedupTransitivity(docs: DataFrame, maxDf: Long = 5L,
+                        minJaccard: Double = 0.2,
+                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val pairs = dedupNgram(docs, maxDf, minJaccard, precomputedShingles)
+      .select("doc_a", "doc_b").cache()
+    val sym = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = sym.select(col("doc_a").as("a"), col("doc_b").as("mid"))
+      .join(sym.select(col("doc_a").as("mid"), col("doc_b").as("c")), "mid")
+      .filter(col("a") < col("c"))
+    val closed = wedges.join(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("c"),
+          lit(1L).as("is_closed")),
+        Seq("a", "c"), "left")
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val out = closed.agg(
+        count(lit(1)).as("n_wedges"),
+        coalesce(sum(coalesce(col("is_closed"), lit(0L))), lit(0L))
+          .as("n_closed"))
+      .crossJoin(nPairs)
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        r4(col("n_closed") * lit(1.0) / greatest(col("n_wedges"), lit(1L)))
+          .as("transitivity"))
+      .localCheckpoint()
+    pairs.unpersist()
+    out
+  }
+
+  /** [[ngramVerifiedCte]]'s pair set + the symmetric wedge join and
+   *  triangle-closure check. */
+  val dedupTransitivityOracle: String =
+    "WITH " + shinglesCte + "," + ngramVerifiedCte + """,
+p AS (SELECT doc_a, doc_b FROM verified),
+sym AS (SELECT doc_a, doc_b FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+wedges AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS mid, e2.doc_b AS c
+  FROM sym e1 JOIN sym e2 ON e1.doc_b = e2.doc_a
+  WHERE e1.doc_a < e2.doc_b),
+closed AS (
+  SELECT w.a, w.c, CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_closed
+  FROM wedges w LEFT JOIN p t ON w.a = t.doc_a AND w.c = t.doc_b),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+wc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+              CAST(COALESCE(SUM(is_closed), 0) AS BIGINT) AS n_closed
+       FROM closed)
+SELECT np.n_pairs, wc.n_wedges, wc.n_closed,
+       FLOOR((wc.n_closed * 1.0 / GREATEST(wc.n_wedges, 1)) * 10000.0 + 0.5) / 10000.0 AS transitivity
+FROM wc CROSS JOIN np"""
+
   /** Duplicate-partner degree histogram over the verified n-gram pair
    *  graph — the template/hub-document detector for LEXICAL dedup
    *  ([[graft.pipeline.Embeddings.knnHubness]]'s counterpart): a

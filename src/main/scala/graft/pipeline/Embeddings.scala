@@ -1254,6 +1254,85 @@ LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
 GROUP BY t.query_id
 ORDER BY t.query_id"""
 
+  /** Recall@k SWEEP over the LSH serving path — the
+   *  ranking-resolution view [[annRecall]]'s single k=10 number hides:
+   *  recall@1 says whether the index finds the single best match
+   *  (lookup workloads), recall@10 whether it recovers the
+   *  neighborhood (kNN features); an index can score 0.9@10 while
+   *  missing half the top-1s. ONE brute-force truth pass at max k +
+   *  one LSH candidate set, then the ≤|truth|×|grid| explode of the
+   *  hit-flagged truth rows against the broadcast k grid — no
+   *  re-search per k. Micro-averaged over queries (total hits /
+   *  total truth rows at each k), integer counts, one final
+   *  division per row. */
+  def annRecallSweep(emb: DataFrame, queries: DataFrame,
+                     ks: Seq[Int] = Seq(1, 5, 10),
+                     minCosine: Double = 0.3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val maxK = ks.max
+    val truth = annTopK(emb, queries, maxK)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+    val approx = annLsh(emb, queries, minCosine)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val flagged = truth.join(approx, Seq("query_id", "vec_id"), "left")
+    val grid = ks.map(_.toLong).toDF("k")
+    flagged.crossJoin(broadcast(grid))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("truth_rows"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("k"), col("truth_rows"), col("hits"),
+        r4(col("hits") * lit(1.0) / col("truth_rows")).as("recall"))
+      .orderBy("k")
+  }
+
+  /** [[annRecallOracle]]'s truth/lsh chain with the rank kept and the
+   *  same k-grid fold. */
+  val annRecallSweepOracle: String = "WITH " + planeFpCte + """,
+tdots AS (
+  SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
+  FROM qv qs JOIN qv v ON qs.i = v.i
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  GROUP BY qs.vec_id, v.vec_id),
+truth AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT d.query_id, d.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / (sqrt(na.nq) * sqrt(nb.nq)) DESC, d.vec_id) AS rk
+    FROM tdots d
+    JOIN nr na ON d.query_id = na.vec_id
+    JOIN nr nb ON d.vec_id = nb.vec_id)
+  WHERE rk <= 10),
+lcands AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+ldots AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM lcands c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+  GROUP BY c.query_id, c.vec_id),
+lsh AS (
+  SELECT d.query_id, d.vec_id
+  FROM ldots d
+  JOIN nr na ON d.query_id = na.vec_id
+  JOIN nr nb ON d.vec_id = nb.vec_id
+  WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.3),
+flagged AS (
+  SELECT t.query_id, t.rk,
+         CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t
+  LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id),
+grid(k) AS (VALUES (1), (5), (10))
+SELECT CAST(g.k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS truth_rows,
+       CAST(SUM(f.hit) AS BIGINT) AS hits,
+       FLOOR((SUM(f.hit) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM flagged f JOIN grid g ON f.rk <= g.k
+GROUP BY g.k ORDER BY k"""
+
   /** IVF probe-count sweep — the recall/cost trade-off curve an index
    *  owner reads before fixing `nprobe` in production: for each probe
    *  count, the candidate-list size the probes generate (the cost —
