@@ -52,7 +52,20 @@ def main():
             continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
-            duck_df = con.execute(sql).df()
+            try:
+                duck_df = con.execute(sql).df()
+            except Exception as e:
+                # The heaviest sf0.1 oracles (knn_pagerank's pair-dot
+                # chain) can exceed the host's temp-disk quota when
+                # DuckDB spills per-thread; fewer threads = smaller
+                # concurrent spill footprint. Retry once throttled.
+                if "No space left" not in str(e):
+                    raise
+                con.execute("PRAGMA threads=4")
+                try:
+                    duck_df = con.execute(sql).df()
+                finally:
+                    con.execute("PRAGMA threads=16")
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
