@@ -110,6 +110,8 @@ ORDER BY event_id"""
     "media_qa" -> ((s, d) => Multimodal.mediaQa(docs(s, d))),
     "sentence_dedup" -> ((s, d) => TextAnalysis.sentenceDedup(docs(s, d))),
     "dedup_transitivity" -> ((s, d) => Dedup.dedupTransitivity(docs(s, d))),
+    "cluster_source_mix" -> ((s, d) => Clustering.clusterSourceMix(docs(s, d))),
+    "event_rate_anomalies" -> ((s, d) => Trends.eventRateAnomalies(canon(s, d))),
     "ann_recall_sweep" -> ((s, d) =>
       Embeddings.annRecallSweep(emb(s, d), annQueries(s, d))),
     "snapshot_diff" -> ((s, d) =>
@@ -593,6 +595,8 @@ ORDER BY event_id"""
     "media_qa" -> Multimodal.mediaQaOracle,
     "sentence_dedup" -> TextAnalysis.sentenceDedupOracle,
     "dedup_transitivity" -> Dedup.dedupTransitivityOracle,
+    "cluster_source_mix" -> Clustering.clusterSourceMixOracle,
+    "event_rate_anomalies" -> Trends.eventRateAnomaliesOracle,
     "ann_recall_sweep" -> Embeddings.annRecallSweepOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,

@@ -275,6 +275,66 @@ LIMIT 2000"""
         sum(coalesce(col("duration_ms"), lit(0L))).as("task_ms"))
       .orderBy("dow", "hour")
 
+  /** Event-rate ANOMALY detection — the ops alarm a history server
+   *  feeds a monitoring stack: per hour, the event count vs the
+   *  trailing `windowHours` mean, flagged a spike when it clears
+   *  mean + 3σ (a runaway retry loop, a stuck listener re-emitting,
+   *  or a burst deploy shows up here before any per-app view). The
+   *  3σ test is cross-multiplied so no square root enters:
+   *  `(cnt·n − s1)² > 9·(n·s2 − s1²)` with the products taken in
+   *  DOUBLE on both engines — hourly counts at 100 TB (~1e10/h)
+   *  square past 2⁶³, and Spark's wrapping long overflow vs DuckDB's
+   *  HUGEINT promotion would otherwise disagree; identical IEEE
+   *  expressions agree bit-for-bit. Shape: the corpus collapses to
+   *  the bounded hourly aggregate FIRST; the trailing window runs
+   *  over |hours| rows only (quality_sweep discipline). */
+  def eventRateAnomalies(canon: DataFrame, windowHours: Int = 24,
+                         minPrior: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = canon
+      .select(expr("event_time_us div 3600000000").as("hour_id"))
+      .groupBy("hour_id").agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("hour_id").rowsBetween(-windowHours, -1)
+    val dev = col("n_events").cast("double") * col("n_prior") - col("s1")
+    hourly
+      .withColumn("n_prior", count(col("n_events")).over(w))
+      .withColumn("s1", coalesce(sum("n_events").over(w), lit(0L)))
+      .withColumn("s2",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .select(col("hour_id"), col("n_events"), col("n_prior"),
+        when(col("n_prior") === 0L, lit(0.0))
+          .otherwise(r4(col("s1") * lit(1.0) / col("n_prior")))
+          .as("mean_prior"),
+        (col("n_prior") >= minPrior.toLong && dev > 0.0 &&
+          dev * dev > lit(9.0) * (col("n_prior").cast("double") * col("s2")
+            - col("s1").cast("double") * col("s1")))
+          .cast("long").as("is_spike"))
+      .orderBy("hour_id")
+  }
+
+  val eventRateAnomaliesOracle: String = canonCte + """
+, hourly AS (
+  SELECT event_time_us // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM canon GROUP BY event_time_us // 3600000000),
+win AS (
+  SELECT hour_id, n_events,
+         CAST(COUNT(n_events) OVER w AS BIGINT) AS n_prior,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT CAST(hour_id AS BIGINT) AS hour_id, n_events, n_prior,
+       CASE WHEN n_prior = 0 THEN 0.0
+            ELSE FLOOR((s1 * 1.0 / n_prior) * 10000.0 + 0.5) / 10000.0 END AS mean_prior,
+       CAST(CASE WHEN n_prior >= 6
+                  AND CAST(n_events AS DOUBLE) * n_prior - s1 > 0.0
+                  AND (CAST(n_events AS DOUBLE) * n_prior - s1)
+                      * (CAST(n_events AS DOUBLE) * n_prior - s1)
+                      > 9.0 * (CAST(n_prior AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM win ORDER BY hour_id"""
+
   val usageHeatmapOracle: String = canonCte + """
 , g AS (
   SELECT (event_time_us // 86400000000 + 4) % 7 AS dow,

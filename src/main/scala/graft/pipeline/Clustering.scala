@@ -398,6 +398,41 @@ FROM csize
 GROUP BY cluster_size
 ORDER BY cluster_size"""
 
+  /** Duplicate-cluster SOURCE composition — the provenance cut of the
+   *  cluster-size histogram: per (cluster size × distinct sources)
+   *  cell, how many clusters. Single-source clusters are re-posts
+   *  WITHIN a feed (fix the crawler's refetch policy); multi-source
+   *  clusters are syndication/mirroring ACROSS feeds (a dedup gate is
+   *  the only thing that catches them) — the split decides where
+   *  dedup budget actually pays. Cost: one join of the member frame
+   *  against (doc_id, source), one cluster-keyed distinct-count, one
+   *  cell-cardinality rollup — all bounded by the cluster frame, no
+   *  corpus text anywhere. */
+  def clusterSourceMix(docs: DataFrame,
+                       precomputedPairs: Option[DataFrame] = None,
+                       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val cl = dedupClusters(docs, precomputedPairs, precomputedShingles)
+    cl.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct("source").as("n_sources"))
+      .groupBy("cluster_size", "n_sources")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size", "n_sources")
+  }
+
+  val clusterSourceMixOracle: String = clustersCteChain + """,
+mem AS (
+  SELECT c.cluster_id, d.source
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+per AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM mem GROUP BY cluster_id)
+SELECT cluster_size, n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM per GROUP BY cluster_size, n_sources
+ORDER BY cluster_size, n_sources"""
+
   /** Survivorship POLICY selection — which copy of each duplicate
    *  cluster to keep. [[dedupClusters]]'s min-doc_id survivor is an
    *  arbitrary tiebreak; a real curation pipeline keeps the BEST
