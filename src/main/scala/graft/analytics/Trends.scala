@@ -300,7 +300,11 @@ LIMIT 2000"""
       .withColumn("n_prior", count(col("n_events")).over(w))
       .withColumn("s1", coalesce(sum("n_events").over(w), lit(0L)))
       .withColumn("s2",
-        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+        // squared BEFORE summing in DOUBLE: 1e10 events/hour squares
+        // past 2^63 (wrapping long vs HUGEINT would diverge); below
+        // 2^53 every double add is exact, so the oracle stays bit-equal
+        coalesce(sum(col("n_events").cast("double") * col("n_events"))
+          .over(w), lit(0.0)))
       .select(col("hour_id"), col("n_events"), col("n_prior"),
         when(col("n_prior") === 0L, lit(0.0))
           .otherwise(r4(col("s1") * lit(1.0) / col("n_prior")))
@@ -321,7 +325,7 @@ win AS (
   SELECT hour_id, n_events,
          CAST(COUNT(n_events) OVER w AS BIGINT) AS n_prior,
          CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s1,
-         CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS s2
+         CAST(COALESCE(SUM(CAST(n_events AS DOUBLE) * n_events) OVER w, 0) AS DOUBLE) AS s2
   FROM hourly
   WINDOW w AS (ORDER BY hour_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
 SELECT CAST(hour_id AS BIGINT) AS hour_id, n_events, n_prior,

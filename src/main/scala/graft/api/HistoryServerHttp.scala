@@ -29,10 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * query plans are the same pruned/pushed-down plans the library
  * runs everywhere else.
  */
-class HistoryServerHttp(spark: SparkSession, canon: DataFrame, port: Int = 0) {
+class HistoryServerHttp(spark: SparkSession, canon: DataFrame, port: Int = 0,
+                        host: String = "127.0.0.1") {
 
   private val server =
-    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    HttpServer.create(new InetSocketAddress(host, port), 0)
 
   // Small fixed pool: one slow analytics query must not block the
   // health probe (the single-dispatch-thread default would).

@@ -34,7 +34,8 @@ object ServerMain {
     }
     val canon = EventLogSource.readDirectory(spark, settings.eventLogUri)
       .cache()
-    val server = new HistoryServerHttp(spark, canon, settings.server.port)
+    val server = new HistoryServerHttp(spark, canon, settings.server.port,
+      settings.server.host)
     val port = server.start()
     System.err.println(s"[graft] serving on ${settings.server.host}:$port " +
       s"over ${settings.eventLogUri}")

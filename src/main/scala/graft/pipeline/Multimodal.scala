@@ -127,7 +127,7 @@ object Multimodal {
    *  substr + the same rolling hash. */
   val frameSampleOracle: String = """
 WITH v AS (
-  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  SELECT doc_id, text, CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS byte_len
   FROM documents WHERE doc_id % 3 = 2),
 f AS (
   SELECT doc_id,
@@ -289,7 +289,7 @@ ORDER BY frame_crc, frame_len"""
    *  for candidates, and the 8-term xor/bit_count hamming. */
   val frameDedupNearOracle: String = """
 WITH v AS (
-  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  SELECT doc_id, text, CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS byte_len
   FROM documents WHERE doc_id % 3 = 2),
 f AS (
   SELECT doc_id,
@@ -391,7 +391,7 @@ WITH b AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS modality,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS byte_len,
          64 + (doc_id % 16) * 32 AS declared_width,
          64 + (doc_id % 8) * 32 AS declared_height
   FROM documents),
@@ -466,7 +466,7 @@ FROM fl GROUP BY modality ORDER BY modality"""
    *  same xor/bit_count the Spark side computes over packed halves. */
   val sceneCutsOracle: String = """
 WITH v AS (
-  SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  SELECT doc_id, text, CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS byte_len
   FROM documents WHERE doc_id % 3 = 2),
 f AS (
   SELECT doc_id,
@@ -523,7 +523,7 @@ WITH b AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS modality,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS byte_len,
          text
   FROM documents)
 SELECT doc_id, modality, byte_len,

@@ -112,9 +112,10 @@ class PersistentFileCache(spark: SparkSession, cacheDir: String,
     fileCache.remove(path)
     fileCache.put(path, Entry(modTime, size, now, now, 1L, generation))
     while (fileCache.size > maxEntries) {
-      // evict the least-recently-accessed entry
-      val lru = fileCache.minBy(_._2.lastAccess)._1
-      fileCache.remove(lru)
+      // the map's insertion order IS access order (hits re-insert), so
+      // the head is the least-recently-accessed entry — O(1) eviction;
+      // a minBy scan here turns a listing storm past capacity quadratic
+      fileCache.remove(fileCache.head._1)
     }
     dirty = true
   }
@@ -126,6 +127,10 @@ class PersistentFileCache(spark: SparkSession, cacheDir: String,
       case Some(e) if e.modTime == modTime && e.size == size =>
         e.accessCount += 1
         e.lastAccess = clock()
+        // move to back: keeps insertion order == access order so
+        // putFile's eviction head is always the true LRU entry
+        fileCache.remove(path)
+        fileCache.put(path, e)
         dirty = true
         Some(e)
       case Some(_) =>

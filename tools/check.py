@@ -61,11 +61,16 @@ def main():
                 # concurrent spill footprint. Retry once throttled.
                 if "No space left" not in str(e):
                     raise
+                prior = con.execute(
+                    "SELECT current_setting('threads')").fetchone()[0]
                 con.execute("PRAGMA threads=4")
                 try:
                     duck_df = con.execute(sql).df()
                 finally:
-                    con.execute("PRAGMA threads=16")
+                    # restore the connection's own prior value (host
+                    # core count by default) — a hardcoded restore
+                    # permanently throttled every later oracle
+                    con.execute(f"PRAGMA threads={int(prior)}")
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
