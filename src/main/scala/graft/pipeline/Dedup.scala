@@ -738,15 +738,31 @@ ORDER BY doc_a, doc_b"""
    *  (or containment semantics) needs review. Shape: everything is
    *  pair-bounded — the wedge join keys the k-bounded directed edge
    *  list on its middle vertex, the closure check is one join back
-   *  to the pair set; nothing touches corpus text. */
+   *  to the pair set; nothing touches corpus text.
+   *
+   *  Hub guard (round-11 verdict): a middle vertex of degree d emits
+   *  ~d²/2 wedges, and hub/template documents with degree in the tens
+   *  of thousands are real at 100 TB ([[dupDegreeHist]] exists to
+   *  find them) — an uncapped wedge join dies on exactly the corpus
+   *  this gauge is meant to assess. Vertices with degree >
+   *  `maxWedgeDegree` are excluded from the MIDDLE position (they
+   *  still appear as endpoints), bounding wedge count by cap × pairs;
+   *  the readout is therefore "transitivity over non-hub wedges" —
+   *  the honest statistic anyway, since a template hub's star closes
+   *  almost nothing and would swamp the signal it fakes. */
   def dedupTransitivity(docs: DataFrame, maxDf: Long = 5L,
                         minJaccard: Double = 0.2,
-                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
+                        precomputedShingles: Option[DataFrame] = None,
+                        maxWedgeDegree: Long = 1000L): DataFrame = {
     val pairs = dedupNgram(docs, maxDf, minJaccard, precomputedShingles)
       .select("doc_a", "doc_b").cache()
     val sym = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val okMid = sym.groupBy(col("doc_a").as("mid"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxWedgeDegree).select("mid")
     val wedges = sym.select(col("doc_a").as("a"), col("doc_b").as("mid"))
+      .join(okMid, "mid")
       .join(sym.select(col("doc_a").as("mid"), col("doc_b").as("c")), "mid")
       .filter(col("a") < col("c"))
     val closed = wedges.join(
@@ -767,16 +783,21 @@ ORDER BY doc_a, doc_b"""
     out
   }
 
-  /** [[ngramVerifiedCte]]'s pair set + the symmetric wedge join and
-   *  triangle-closure check. */
+  /** [[ngramVerifiedCte]]'s pair set + the symmetric wedge join
+   *  (middle vertex degree-capped at 1000, matching the Spark hub
+   *  guard) and triangle-closure check. */
   val dedupTransitivityOracle: String =
     "WITH " + shinglesCte + "," + ngramVerifiedCte + """,
 p AS (SELECT doc_a, doc_b FROM verified),
 sym AS (SELECT doc_a, doc_b FROM p
         UNION ALL SELECT doc_b, doc_a FROM p),
+okmid AS (SELECT doc_a AS mid FROM sym GROUP BY doc_a
+          HAVING CAST(COUNT(*) AS BIGINT) <= 1000),
 wedges AS (
   SELECT e1.doc_a AS a, e1.doc_b AS mid, e2.doc_b AS c
-  FROM sym e1 JOIN sym e2 ON e1.doc_b = e2.doc_a
+  FROM sym e1
+  JOIN okmid m ON e1.doc_b = m.mid
+  JOIN sym e2 ON e1.doc_b = e2.doc_a
   WHERE e1.doc_a < e2.doc_b),
 closed AS (
   SELECT w.a, w.c, CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_closed
@@ -1786,18 +1807,26 @@ FROM scored GROUP BY bands ORDER BY bands"""
    *  recall probabilistically — this table shows where the shipped
    *  banding's cliff actually sits on this corpus. Sample-bounded by
    *  the same contract as [[Embeddings.annRecall]]: truth cost is
-   *  O(sample²) worst case and the sample stays fixed-size at any
-   *  corpus scale. */
-  def minhashRecallSample(docs: DataFrame, sampleBlock: Long = 50L,
+   *  O(sampleSize²) worst case and the sample is a FIXED ABSOLUTE
+   *  count at any corpus scale. */
+  def minhashRecallSample(docs: DataFrame, sampleSize: Long = 2000L,
                           minJaccard: Double = 0.2,
-                          idFamily: String = "md5"): DataFrame = {
-    // Doc-sampling keeps pairs at (sampleBlock/100)² — both endpoints
-    // must survive — so the default is a 50% sample (25% of true
-    // pairs): the inherent recall-eval trade, truth cost ~(sample)²
-    // co-gram pairs vs pair retention. At 100 TB pick sampleBlock for
-    // the truth budget; the blocks are contiguous id ranges so
-    // id-close duplicate structure survives sampling.
-    val sample = docs.filter(col("doc_id") % 100L < sampleBlock)
+                          idFamily: String = "md5",
+                          runLen: Long = 50L): DataFrame = {
+    // Fixed-SIZE sampling (round-11 verdict): a fixed FRACTION makes
+    // the brute-force truth pass O(N²) at 100 TB; instead one corpus
+    // count derives a block stride k = ceil(N / sampleSize) and the
+    // sample keeps every k-th run of `runLen` CONSECUTIVE doc_ids —
+    // ~sampleSize docs total regardless of corpus size, spread
+    // uniformly over the id range, with id-close duplicate structure
+    // surviving inside each run. Pair retention is still quadratic in
+    // the kept fraction (both endpoints must survive) — the inherent
+    // recall-eval trade — but the truth budget is now capped by
+    // sampleSize, not by the corpus. The stride arithmetic is pure
+    // integer, reproduced exactly by the oracle's COUNT(*) subquery.
+    val n = docs.count()
+    val k = math.max(1L, (n + sampleSize - 1L) / sampleSize)
+    val sample = docs.filter(expr(s"(doc_id div $runLen) % $k") === 0L)
     val sh = shingles(sample).cache()
     val allPairs = sh.select(col("gram"), col("doc_id").as("doc_a"))
       .join(sh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
@@ -1826,9 +1855,12 @@ FROM scored GROUP BY bands ORDER BY bands"""
   }
 
   /** Shares the shingle/gram-id/signature CTE shapes, restricted to
-   *  the doc sample; buckets by the identical r4-then-×10 edge rule. */
+   *  the doc sample (fixed-size block stride: k = ceil(N/2000) from
+   *  the same COUNT the Spark side broadcasts, runs of 50 ids);
+   *  buckets by the identical r4-then-×10 edge rule. */
   val minhashRecallSampleOracle: String = "WITH " + shinglesCte + """,
-ssh AS (SELECT doc_id, gram FROM shingle WHERE doc_id % 100 < 50),
+stride AS (SELECT GREATEST((COUNT(*) + 1999) // 2000, 1) AS k FROM documents),
+ssh AS (SELECT doc_id, gram FROM shingle WHERE (doc_id // 50) % (SELECT k FROM stride) = 0),
 sshid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM ssh s),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY doc_id),
 inter AS (

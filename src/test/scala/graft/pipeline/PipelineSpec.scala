@@ -257,6 +257,33 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
+  test("transitivity wedge cap excludes hub middle vertices, bounding fan-out") {
+    // Star + triangle fixture: hub H near-dups 4 spokes (spokes share
+    // only H's core, pairwise J < 0.2), plus a 3-clique of identical
+    // docs. Hub degree 4; triangle vertices degree 2; spokes degree 1.
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    def spoke(i: Int) = core + " " + (1 to 30).map(w => s"tail$i$w").mkString(" ")
+    val tri = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val star = (Seq((0L, core)) ++ (1 to 4).map(i => (i.toLong, spoke(i))) ++
+      Seq((5L, tri), (6L, tri), (7L, tri)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+    // Uncapped (default 1000): 6 open wedges through the hub + 3
+    // closed through the triangle.
+    val full = Dedup.dedupTransitivity(star).collect()(0)
+    assert(full.getAs[Long]("n_pairs") === 7L)
+    assert(full.getAs[Long]("n_wedges") === 9L)
+    assert(full.getAs[Long]("n_closed") === 3L)
+    // Cap below the hub's degree: its d²/2 wedge fan-out disappears
+    // (bounded by cap x pairs), non-hub wedges untouched.
+    val capped = Dedup.dedupTransitivity(star, maxWedgeDegree = 3L).collect()(0)
+    assert(capped.getAs[Long]("n_pairs") === 7L)
+    assert(capped.getAs[Long]("n_wedges") === 3L)
+    assert(capped.getAs[Long]("n_closed") === 3L)
+    assert(capped.getAs[Double]("transitivity") === 1.0)
+  }
+
   test("no cartesian product in any near-dup plan") {
     for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
         Dedup.dedupNgram(docs))) {
