@@ -414,6 +414,55 @@ ORDER BY n.source"""
         }
     }
 
+  /** Shared per-family verified pair sets for the detector-accounting
+   *  composites ([[dedupPairVenn]], [[dedupTokenSavings]],
+   *  [[dropProvenance]]). Calling the three family entry points
+   *  separately makes each composite pay the full-store work three
+   *  times over: two doc-size aggregations, two candidate-verify
+   *  intersection joins (the heaviest shape — two joins against the
+   *  whole shingle store each), and two gram-id signature passes.
+   *  This bracket computes the gram-id frame ONCE, both sketch
+   *  signatures in ONE partial-aggregating groupBy (the 16 min-hash
+   *  mins and 32 simhash bit-votes are independent aggregate columns
+   *  over the same (doc_id, gid) rows), and runs ONE exact-Jaccard
+   *  verify over the ngram ∪ minhash candidate union, splitting per
+   *  family by left-semi joins on the cached candidate frames.
+   *
+   *  Pair sets are IDENTICAL to [[dedupNgram]] / [[dedupMinhash]] /
+   *  [[dedupSimhash]] at their defaults by construction: a candidate
+   *  passes the union verify iff it passes its own family's verify
+   *  (same arithmetic, same 0.2 threshold), and verified ∩ family
+   *  candidates = the family's verified pairs. Caches are candidate-/
+   *  doc-cardinality (never the shingle store); the body result is
+   *  localCheckpoint-pinned before the caches drop. */
+  private def withDetectorPairSets(sh: DataFrame)(
+      body: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val dfc = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rareSh = sh.join(dfc.filter(col("df_cnt") <= 5L).select("gram"), "gram")
+    val ngCands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().cache()
+    val aggCols = minhashMinCols(NumHashes) ++ simhashVoteCols
+    val sigBoth = shingleIds(sh, "md5")
+      .groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*).cache()
+    val mhCands = saltedBucketPairs(minhashBandSig(sigBoth),
+      Seq("band", "bsig"), "doc_id").cache()
+    val verified = withJaccard(ngCands.union(mhCands).distinct(), sh)
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b").cache()
+    val ngPairs = verified.join(ngCands, Seq("doc_a", "doc_b"), "left_semi")
+    val mhPairs = verified.join(mhCands, Seq("doc_a", "doc_b"), "left_semi")
+    val fp = sigBoth.select(col("doc_id"), simhashFpCol.as("fp"))
+    val shPairs = simhashVerify(
+        saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id"),
+        fp, maxHamming = 3)
+      .select("doc_a", "doc_b")
+    val out = body(ngPairs, mhPairs, shPairs).localCheckpoint()
+    Seq(verified, mhCands, sigBoth, ngCands).foreach(_.unpersist())
+    out
+  }
+
   /** DuckDB mirror of [[shingles]] (1-based list indexing; `nums` is a
    *  static 1..4000 index table — docs are < 4000 tokens). */
   val shinglesCte: String = """
@@ -1075,11 +1124,12 @@ ORDER BY p.source_a, p.source_b"""
     // in-memory cache here), and the bracket deletes it once the
     // 3-row result is checkpointed.
     withSharedShingles(docs, precomputedShingles) { sh =>
+      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
       def tag(det: String, df: DataFrame) =
         df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
-      val tagged = tag("ngram", dedupNgram(docs, precomputedShingles = Some(sh)))
-        .union(tag("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
-        .union(tag("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+      val tagged = tag("ngram", ngPairs)
+        .union(tag("minhash", mhPairs))
+        .union(tag("simhash", shPairs))
         .cache()
       tagged.count() // eager: consumed by 3 scans below (sizes + self-join)
       val sizes = tagged.groupBy("det").agg(count(lit(1)).as("n"))
@@ -1107,6 +1157,7 @@ ORDER BY p.source_a, p.source_b"""
         .localCheckpoint() // pin the 3 rows, then drop the pair cache
       tagged.unpersist()
       out
+      }
     }
   }
 
@@ -1224,6 +1275,7 @@ ORDER BY p.det_a, p.det_b"""
     val spark = docs.sparkSession
     import spark.implicits._
     withSharedShingles(docs, precomputedShingles) { sh =>
+      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
       val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
       val totals = tok.agg(count(lit(1)).as("n_docs_total"),
         sum("tok").as("tokens_total"))
@@ -1235,9 +1287,9 @@ ORDER BY p.det_a, p.det_b"""
       def laterSide(det: String, pairs: DataFrame) =
         pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
       val base = exactDrops
-        .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
-        .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
-        .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("ngram", ngPairs))
+        .union(laterSide("minhash", mhPairs))
+        .union(laterSide("simhash", shPairs))
         .cache()
       base.count() // eager: consumed twice below (per-det + union rollup)
       val flagged = base.union(
@@ -1258,6 +1310,7 @@ ORDER BY p.det_a, p.det_b"""
         .localCheckpoint() // pin the 5 rows, then drop the drop-set cache
       base.unpersist()
       out
+      }
     }
   }
 
@@ -1314,6 +1367,7 @@ ORDER BY d.det"""
   def dropProvenance(docs: DataFrame,
                      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     withSharedShingles(docs, precomputedShingles) { sh =>
+      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
       val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
       val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
@@ -1323,9 +1377,9 @@ ORDER BY d.det"""
       def laterSide(det: String, pairs: DataFrame) =
         pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
       val base = exactDrops
-        .union(laterSide("ngram", dedupNgram(docs, precomputedShingles = Some(sh))))
-        .union(laterSide("minhash", dedupMinhash(docs, precomputedShingles = Some(sh))))
-        .union(laterSide("simhash", dedupSimhash(docs, precomputedShingles = Some(sh))))
+        .union(laterSide("ngram", ngPairs))
+        .union(laterSide("minhash", mhPairs))
+        .union(laterSide("simhash", shPairs))
       base.groupBy("doc_id")
         .agg(array_join(array_sort(collect_set(col("det"))), "+").as("combo"))
         .join(tok, "doc_id")
@@ -1334,6 +1388,7 @@ ORDER BY d.det"""
         .orderBy("combo")
         // pin the <=15 rows, then let the bracket drop the store
         .localCheckpoint()
+      }
     }
   }
 
@@ -1669,15 +1724,21 @@ ORDER BY c.doc_a, c.doc_b"""
                             numHashes: Int = NumHashes): DataFrame =
     minhashSigWide(shingleIds(shingles(docs), "poly"), numHashes)
 
+  /** The min-hash aggregate columns `mh0..mh{numHashes-1}` — exposed
+   *  as a builder so [[withDetectorPairSets]] can co-compute them with
+   *  the simhash votes in ONE groupBy pass. */
+  private def minhashMinCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
+        .as(s"mh$j")
+    }
+
   /** doc_id + the min-hash columns `mh0..mh{numHashes-1}` — ONE
    *  partial-aggregating groupBy pass (|docs| rows shuffled, not
    *  numHashes x |shingles|). */
   private def minhashSigWide(shId: DataFrame,
                              numHashes: Int = NumHashes): DataFrame = {
-    val minCols = (0 until numHashes).map { j =>
-      min((col("gid") * lit(37L + 101L * j) + lit(17L + 257L * j)) % Prime)
-        .as(s"mh$j")
-    }
+    val minCols = minhashMinCols(numHashes)
     shId.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
@@ -2155,19 +2216,27 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     simhashVerify(cands, fp, maxHamming)
   }
 
+  /** The 32 signed bit-vote aggregate columns `s0..s31` and the
+   *  fingerprint projection over them — builders shared by
+   *  [[simhashFpWide]] and [[withDetectorPairSets]]'s combined
+   *  signature pass. */
+  private def simhashVoteCols: Seq[Column] =
+    (0 until SimBits).map { b =>
+      sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
+        1L).otherwise(-1L)).as(s"s$b")
+    }
+  private def simhashFpCol: Column =
+    (0 until SimBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** doc_id + the 32-bit majority fingerprint — ONE partial-
    *  aggregating pass with 32 signed bit-vote sums as columns (not a
    *  32x row blowup); the fingerprint is then a pure projection. */
   private def simhashFpWide(shId: DataFrame): DataFrame = {
-    val voteCols = (0 until SimBits).map { b =>
-      sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
-        1L).otherwise(-1L)).as(s"s$b")
-    }
-    val fpCol = (0 until SimBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val voteCols = simhashVoteCols
     shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), fpCol.as("fp"))
+      .select(col("doc_id"), simhashFpCol.as("fp"))
   }
 
   /** (doc_id, band, nib) byte-band rows — a pure projection+explode
