@@ -513,15 +513,55 @@ object Bench {
         b.result()
       }.getOrElse(Map.empty)
     def isTriggerKey(k: String) = k.contains("_incr") || k.contains("_trigger_")
+    // Cross-round HOST normalization (round-11 lesson: the gate fired
+    // on unchanged code because the previous artifact was recorded on
+    // a host running ~2x faster — in-run canaryDrift cannot see that).
+    // The previous artifact's canary_before map gives the same pinned
+    // cheap queries ON THE OLD HOST; the per-key ratio current/previous
+    // is the host's speed change, its median the host factor every
+    // trigger ratio divides out, and its min/max spread the NOISE BAND
+    // the alert threshold widens by (canaries disagreeing 2x among
+    // themselves means per-key ratios carry that much noise, so a
+    // 1.6x trigger ratio is not yet code signal).
+    val prevCanary: Map[String, Double] = prevRoot
+      .flatMap(r => Option(r.get("canary_before"))).map { c =>
+        val b = Map.newBuilder[String, Double]
+        val it = c.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+    val canaryRatios = canaryBefore.flatMap { case (k, v) =>
+      prevCanary.get(k).filter(_ > 0).flatMap(p =>
+        if (v > 0) Some(v / p) else None)
+    }.sorted
+    val hostFactor =
+      if (canaryRatios.isEmpty) 1.0 else canaryRatios(canaryRatios.size / 2)
+    // Multiplicative canary disagreement, capped: an envelope > 2x is
+    // a host too unstable to adjudicate — the alert still fires, the
+    // adjudication string says re-run (the CLAUDE.md worktree A/B).
+    val noiseEnvelope =
+      if (canaryRatios.isEmpty) 1.0
+      else math.min(2.0,
+        math.sqrt(canaryRatios.last / math.max(canaryRatios.head, 1e-9)))
+    val alertThreshold = 1.5 * noiseEnvelope
     val regressions = results.flatMap {
       case (k, (med, _, _)) if isTriggerKey(k) && med > 0 =>
         prevQueries.get(k).filter(_ > 0)
-          .map(p => k -> (med / p) / math.max(canaryDrift, 0.5))
+          .map(p => k -> (med / p) / math.max(hostFactor, 0.25))
       case _ => None
-    }.filter(_._2 > 1.5)
+    }.filter(_._2 > alertThreshold)
+    val adjudication =
+      if (regressions.isEmpty) ""
+      else if (noiseEnvelope >= 1.9)
+        "canary envelope saturated (host unstable this round) - " +
+          "adjudicate with the CLAUDE.md same-host worktree A/B"
+      else s"host-normalized (factor ${r3(hostFactor)}, envelope " +
+        s"${r3(noiseEnvelope)}) - ratios above are code-attributed"
     if (regressions.nonEmpty)
       System.err.println("[bench] TRIGGER-COST REGRESSION vs previous " +
-        "artifact: " + regressions.map { case (k, r) =>
+        "artifact (" + adjudication + "): " + regressions.map { case (k, r) =>
           k + " " + r3(r) + "x" }.mkString(", "))
     val regJson = jmap(regressions, r3)
     // A SPARK_GRAFT_ONLY-filtered dev run must not clobber the last
@@ -533,7 +573,7 @@ object Bench {
       if (only.isDefined) "bench_local_only.json" else "bench_local_last.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outName),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"ingest_events_per_sec":$eps,"trigger_regressions":$regJson,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"host_factor":${r3(hostFactor)},"noise_envelope":${r3(noiseEnvelope)},"regression_adjudication":"$adjudication","ingest_events_per_sec":$eps,"trigger_regressions":$regJson,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val headlineKeys = Seq("events_parse", "app_list", "task_quantiles",
       "critical_path", "dedup_exact", "dedup_ngram", "dedup_minhash",
@@ -549,7 +589,7 @@ object Bench {
     val hl = if (only.isDefined) results
       else results.filter(kv => headlineKeys.contains(kv._1))
     val qs = jmap(hl.map { case (k, (med, _, _)) => k -> med }, r3)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"ingest_events_per_sec":$eps,"trigger_regression_alert":${regressions.nonEmpty},"trigger_regressions":$regJson,"sf":"$sfDir","full":"$outName"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"host_factor":${r3(hostFactor)},"ingest_events_per_sec":$eps,"trigger_regression_alert":${regressions.nonEmpty},"trigger_regressions":$regJson,"sf":"$sfDir","full":"$outName"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(benchRoot.toFile)
   }

@@ -59,6 +59,7 @@ ORDER BY event_id"""
     "app_attempts" -> ((s, d) => Applications.appAttempts(canon(s, d))),
     "api_applications" -> ((s, d) => Applications.apiApplications(canon(s, d))),
     "api_health" -> ((s, d) => graft.api.HistoryServerApi.health(canon(s, d))),
+    "store_stats" -> ((s, d) => graft.api.HistoryServerApi.storeStats(canon(s, d))),
     "app_jobs" -> ((s, d) => JobsStages.appJobs(canon(s, d))),
     "app_storage" -> ((s, d) => Storage.appStorage(canon(s, d))),
     "app_stages" -> ((s, d) => JobsStages.appStages(canon(s, d))),
@@ -366,6 +367,14 @@ ORDER BY event_id"""
     // CTE stays byte-stable at every scale factor.
     "knn_graph" -> ((s, d) =>
       Embeddings.knnGraph(emb(s, d), numCentroids = 32)),
+    // The shipped DEFAULT (AutoCentroids = max(32, sqrt N) cells):
+    // benched alongside the pinned-32 oracle shape so the committed
+    // numbers cover the path a library user actually runs; the oracle
+    // derives the same codebook size from COUNT(*) via a
+    // scalar-subquery LIMIT.
+    "knn_graph_default" -> ((s, d) => Embeddings.knnGraph(emb(s, d))),
+    "semantic_clusters_default" -> ((s, d) =>
+      Embeddings.semanticClusters(emb(s, d))),
     "semantic_clusters" -> ((s, d) =>
       Embeddings.semanticClusters(emb(s, d), numCentroids = 32)),
     "semantic_survivors" -> ((s, d) =>
@@ -428,11 +437,15 @@ ORDER BY event_id"""
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** The harness's bounded ANN query set (every 100th vector). The ANN
-    * operators take an explicit queries frame; this selector is test
-    * wiring, not operator semantics. */
+  /** The harness's bounded ANN query set: every 100th vector, capped
+    * at the first 2000 ids — a FIXED-SIZE (≤20) query set at any
+    * corpus scale, not a fixed fraction (round-11 verdict: a
+    * fraction-based set makes recall evaluation O(N·sample) grow with
+    * the corpus). The ANN operators take an explicit queries frame;
+    * this selector is test wiring, not operator semantics — a
+    * production caller passes any fixed query frame. */
   private def annQueries(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).filter(col("vec_id") % 100 === 0)
+    emb(s, dir).filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -444,6 +457,7 @@ ORDER BY event_id"""
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "api_health" -> graft.api.HistoryServerApi.healthOracle,
+    "store_stats" -> graft.api.HistoryServerApi.storeStatsOracle,
     "app_jobs" -> JobsStages.appJobsOracle,
     "app_storage" -> Storage.appStorageOracle,
     "app_stages" -> JobsStages.appStagesOracle,
@@ -578,6 +592,8 @@ ORDER BY event_id"""
     "cluster_sizes" -> Clustering.clusterSizesOracle,
     "cluster_canonical" -> Clustering.clusterCanonicalOracle,
     "knn_graph" -> Embeddings.knnGraphOracle,
+    "knn_graph_default" -> Embeddings.knnGraphDefaultOracle,
+    "semantic_clusters_default" -> Embeddings.semanticClustersDefaultOracle,
     "semantic_clusters" -> Embeddings.semanticClustersOracle,
     "semantic_survivors" -> Embeddings.semanticSurvivorsOracle,
     "semantic_prune" -> Embeddings.dedupSemanticOracle,

@@ -114,6 +114,36 @@ SELECT CASE WHEN COUNT(*) > 0 THEN 'healthy' ELSE 'empty' END AS status,
        MAX(event_date) AS last_event_date
 FROM canon"""
 
+  /** GET /api/v1/store/stats — the store-maintenance surface
+   *  (reference: src/storage/duckdb_store.rs:514-531 `count_events`,
+   *  `get_max_event_id`, `cleanup_database` stats): event count, app
+   *  count, the maximum event timestamp and its date (graft's event
+   *  ordering key — the reference's monotone `event_id` is a DuckDB
+   *  rowid with no parquet-store equivalent), and how many date
+   *  partitions the store spans (the number compaction reasons
+   *  about). One partial-agg row, map-side combined — no data-row
+   *  shuffle at any store size. Filesystem-side stats (file count,
+   *  store bytes) ride the HTTP route, which also exposes the
+   *  compaction trigger ([[graft.sources.EventLogSource.compactStore]])
+   *  the reference's `cleanup_database` corresponds to. */
+  def storeStats(canon: DataFrame): DataFrame =
+    canon.agg(
+      count(lit(1)).as("total_events"),
+      countDistinct("app_id").as("total_applications"),
+      max("event_time_us").as("max_event_time_us"),
+      min("event_date").as("first_event_date"),
+      max("event_date").as("last_event_date"),
+      countDistinct("event_date").as("n_date_partitions"))
+
+  val storeStatsOracle: String = graft.events.TestDataAdapter.canonCte + """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_events,
+       CAST(COUNT(DISTINCT app_id) AS BIGINT) AS total_applications,
+       MAX(event_time_us) AS max_event_time_us,
+       MIN(event_date) AS first_event_date,
+       MAX(event_date) AS last_event_date,
+       CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_date_partitions
+FROM canon"""
+
   /** The cross-app analytics routes (src/analytics_api_old.rs:12-21).
    *  `minDate`/`maxDate` are the reference `AnalyticsQuery`'s
    *  `start_date`/`end_date` (src/analytics_api.rs:36-45) — inclusive

@@ -30,7 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * runs everywhere else.
  */
 class HistoryServerHttp(spark: SparkSession, canon: DataFrame, port: Int = 0,
-                        host: String = "127.0.0.1") {
+                        host: String = "127.0.0.1",
+                        storeDir: Option[String] = None) {
 
   private val server =
     HttpServer.create(new InetSocketAddress(host, port), 0)
@@ -209,6 +210,36 @@ ${htmlTable("Cost Optimization", costDf.columns, cost)}
         case "/api/v1/capacity/cost-optimization" =>
           Some(rowsJson(HistoryServerApi.costOptimization(canon,
             intParam(ex, "limit", 15))))
+        // Store-maintenance surface (reference:
+        // src/storage/duckdb_store.rs:514-531): corpus-side stats from
+        // the one-row partial agg, filesystem-side stats from ONE
+        // getContentSummary RPC (server-side walk — never a
+        // driver-side file listing), and the compaction trigger.
+        case "/api/v1/store/stats" =>
+          val stats = HistoryServerApi.storeStats(canon)
+          Some(storeDir match {
+            case Some(dir) =>
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val cs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(p)
+              rowsJson(stats
+                .withColumn("store_files", org.apache.spark.sql.functions.lit(cs.getFileCount))
+                .withColumn("store_bytes", org.apache.spark.sql.functions.lit(cs.getLength)))
+            case None => rowsJson(stats)
+          })
+        case "/api/v1/store/compact" =>
+          if (ex.getRequestMethod != "POST") {
+            respond(ex, 405, """{"error":"compaction trigger is POST-only"}""")
+            return
+          }
+          storeDir match {
+            case Some(dir) =>
+              graft.sources.EventLogSource.compactStore(spark, dir)
+              Some(s"""{"compacted":true,"store_dir":${ujsonString(dir)}}""")
+            case None =>
+              respond(ex, 409, """{"error":"no store_dir configured"}""")
+              return
+          }
         case AppRoute(appId, verb) => verb match {
           case "" =>
             Some(rowsJson(HistoryServerApi.application(canon, appId)))

@@ -143,7 +143,7 @@ qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
   FROM embeddings, dims),
 nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
-queries AS (SELECT vec_id AS query_id, i, q AS q_q FROM qv WHERE vec_id % 100 = 0),
+queries AS (SELECT vec_id AS query_id, i, q AS q_q FROM qv WHERE vec_id % 100 = 0 AND vec_id < 2000),
 dots AS (
   SELECT qs.query_id, v.vec_id, CAST(SUM(qs.q_q * v.q) AS BIGINT) AS dot
   FROM queries qs JOIN qv v ON qs.i = v.i
@@ -250,7 +250,7 @@ nib AS (
 cands AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id
   FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
-  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+  WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
 dots AS (
   SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM cands c
@@ -341,7 +341,7 @@ probes AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+    FROM vc_cos WHERE vec_id % 100 = 0 AND vec_id < 2000) t WHERE rk <= 2),
 cands AS (
   SELECT DISTINCT p.query_id, a.vec_id
   FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
@@ -830,6 +830,24 @@ SELECT c.vec_id, c.cluster_id, s.cluster_size
 FROM kcomp c JOIN kcsize s ON c.cluster_id = s.cluster_id
 ORDER BY c.vec_id"""
 
+  /** The [[AutoCentroids]] codebook LIMIT as DuckDB SQL — the exact
+   *  arithmetic [[resolveCentroids]] runs (max(32, floor(sqrt N)),
+   *  N = the quantized-frame row count = |embeddings|), evaluated by
+   *  DuckDB as a scalar-subquery LIMIT. */
+  private val autoCentroidLimitSql: String =
+    "LIMIT GREATEST(32, CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS BIGINT))"
+
+  /** Rows 115b/116b oracles: the pinned-32 chains VERBATIM with only
+   *  the codebook LIMIT swapped for the corpus-derived AutoCentroids
+   *  size — proving the shipped default end-to-end on both engines at
+   *  every scale factor (at N <= 1024 the two coincide; above, the
+   *  codebook grows as sqrt N). Lazy: derived from oracle vals above
+   *  (object-init-order guard, CLAUDE.md). */
+  lazy val knnGraphDefaultOracle: String =
+    knnGraphOracle.replace("LIMIT 32", autoCentroidLimitSql)
+  lazy val semanticClustersDefaultOracle: String =
+    semanticClustersOracle.replace("LIMIT 32", autoCentroidLimitSql)
+
   /** SemDeDup's PRUNE step on top of [[semanticClusters]]: within
    *  each mutual-kNN semantic group, keep exactly one document and
    *  account for what pruning the rest costs. The survivor policy is
@@ -1218,7 +1236,7 @@ ORDER BY nd.vec_id"""
 tdots AS (
   SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
   FROM qv qs JOIN qv v ON qs.i = v.i
-  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id < 2000 AND qs.vec_id <> v.vec_id
   GROUP BY qs.vec_id, v.vec_id),
 truth AS (
   SELECT query_id, vec_id FROM (
@@ -1232,7 +1250,7 @@ truth AS (
 lcands AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id
   FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
-  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+  WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
 ldots AS (
   SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM lcands c
@@ -1293,7 +1311,7 @@ ORDER BY t.query_id"""
 tdots AS (
   SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
   FROM qv qs JOIN qv v ON qs.i = v.i
-  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id < 2000 AND qs.vec_id <> v.vec_id
   GROUP BY qs.vec_id, v.vec_id),
 truth AS (
   SELECT query_id, vec_id, rk FROM (
@@ -1307,7 +1325,7 @@ truth AS (
 lcands AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id
   FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
-  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+  WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
 ldots AS (
   SELECT c.query_id, c.vec_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM lcands c
@@ -1401,11 +1419,11 @@ probes AS (
   SELECT vec_id AS query_id, cent_id, rk FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 4),
+    FROM vc_cos WHERE vec_id % 100 = 0 AND vec_id < 2000) t WHERE rk <= 4),
 tdots AS (
   SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
   FROM qv qs JOIN qv v ON qs.i = v.i
-  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id < 2000 AND qs.vec_id <> v.vec_id
   GROUP BY qs.vec_id, v.vec_id),
 truth AS (
   SELECT query_id, vec_id FROM (
@@ -1937,7 +1955,7 @@ probes2 AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM cos2 WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+    FROM cos2 WHERE vec_id % 100 = 0 AND vec_id < 2000) t WHERE rk <= 2),
 cands2 AS (
   SELECT DISTINCT p.query_id, a.vec_id
   FROM probes2 p JOIN a2 a ON p.cent_id = a.cent_id
@@ -2295,7 +2313,7 @@ codes AS (
 lut AS (
   SELECT v.vec_id AS query_id, c.m, c.cidx, CAST(SUM(v.q * c.q) AS BIGINT) AS ldot
   FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
-  WHERE v.vec_id % 100 = 0
+  WHERE v.vec_id % 100 = 0 AND v.vec_id < 2000
   GROUP BY v.vec_id, c.m, c.cidx),
 adc AS (
   SELECT l.query_id, c.vec_id, CAST(SUM(l.ldot) AS BIGINT) AS adc_dot
@@ -2362,7 +2380,7 @@ hits AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 10),
 tdots AS (
   SELECT qs.vec_id AS query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
   FROM qv qs JOIN qv v ON qs.i = v.i
-  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> v.vec_id
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id < 2000 AND qs.vec_id <> v.vec_id
   GROUP BY qs.vec_id, v.vec_id),
 truth AS (
   SELECT query_id, vec_id FROM (
@@ -2408,13 +2426,13 @@ codes AS (
 lut AS (
   SELECT v.vec_id AS query_id, c.m, c.cidx, CAST(SUM(v.q * c.q) AS BIGINT) AS ldot
   FROM vsub v JOIN cb c ON c.m = v.m AND c.i = v.i
-  WHERE v.vec_id % 100 = 0
+  WHERE v.vec_id % 100 = 0 AND v.vec_id < 2000
   GROUP BY v.vec_id, c.m, c.cidx),
 probes AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT vec_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cent_id) AS rk
-    FROM vc_cos WHERE vec_id % 100 = 0) t WHERE rk <= 2),
+    FROM vc_cos WHERE vec_id % 100 = 0 AND vec_id < 2000) t WHERE rk <= 2),
 cands AS (
   SELECT DISTINCT p.query_id, a.vec_id
   FROM probes p JOIN assigned a ON p.cent_id = a.cent_id

@@ -63,7 +63,9 @@ class HistoryServerHttpSpec extends SparkSpec {
         "/api/v1/capacity/usage-trends" ->
           HistoryServerApi.capacityTrends(canon),
         "/api/v1/capacity/cost-optimization" ->
-          HistoryServerApi.costOptimization(canon))
+          HistoryServerApi.costOptimization(canon),
+        "/api/v1/store/stats" ->
+          HistoryServerApi.storeStats(canon))
       for ((path, df) <- routes) {
         val (status, body) = get(port, path)
         assert(status === 200, path)
@@ -85,6 +87,57 @@ class HistoryServerHttpSpec extends SparkSpec {
       val (s3, _) = get(port, "/api/v1/applications/app-http-1/unknown")
       assert(s3 === 404)
     } finally http.stop()
+  }
+
+  test("store-maintenance surface: stats carry FS counts, compact trigger works, POST-only") {
+    def post(port: Int, path: String): (Int, String) = {
+      val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+      conn.disconnect()
+      (status, body)
+    }
+    // fragmented store: several append batches, like incremental ingest
+    val store = tmpDir("http-store") + "/store"
+    for (_ <- 0 until 3)
+      canon.write.mode("append").partitionBy("event_date").parquet(store)
+    def storeFiles = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val rowsBefore = spark.read.parquet(store).count()
+    val filesBefore = storeFiles
+    val http = new HistoryServerHttp(spark, canon, storeDir = Some(store))
+    val port = http.start()
+    try {
+      val (ss, stats) = get(port, "/api/v1/store/stats")
+      assert(ss === 200)
+      for (f <- Seq("total_events", "total_applications", "max_event_time_us",
+          "n_date_partitions", "store_files", "store_bytes"))
+        assert(stats.contains("\"" + f + "\""), s"missing $f in $stats")
+      // GET on the trigger is rejected; POST compacts in place
+      val (gs, _) = get(port, "/api/v1/store/compact")
+      assert(gs === 405)
+      val (ps, pbody) = post(port, "/api/v1/store/compact")
+      assert(ps === 200, pbody)
+      assert(pbody.contains("\"compacted\":true"))
+      assert(storeFiles < filesBefore, s"$storeFiles vs $filesBefore")
+      assert(spark.read.parquet(store).count() === rowsBefore)
+    } finally http.stop()
+    // without a configured store dir the trigger is a 409, stats still serve
+    val bare = new HistoryServerHttp(spark, canon)
+    val barePort = bare.start()
+    try {
+      val (s1, body) = get(barePort, "/api/v1/store/stats")
+      assert(s1 === 200)
+      assert(!body.contains("store_files"))
+      val (s2, _) = post(barePort, "/api/v1/store/compact")
+      assert(s2 === 409)
+    } finally bare.stop()
   }
 
   test("dashboard routes serve HTML with row-content parity to the analytics frames") {
