@@ -190,6 +190,12 @@ ORDER BY event_id"""
     "contamination" -> ((s, d) => Decontamination.benchmarkOverlap(
       docs(s, d).filter(col("doc_id") % 20 =!= 0),
       docs(s, d).filter(col("doc_id") % 20 === 0))),
+    "contamination_normalized" -> ((s, d) =>
+      Decontamination.benchmarkOverlapNormalized(
+        docs(s, d).filter(col("doc_id") % 20 =!= 0),
+        docs(s, d).filter(col("doc_id") % 20 === 0))),
+    "pii_source_rates" -> ((s, d) => TextAnalysis.piiSourceRates(docs(s, d))),
+    "dedup_cross_lang" -> ((s, d) => Dedup.dedupCrossLang(docs(s, d))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(docs(s, d))),
     "span_dedup" -> ((s, d) => TextAnalysis.spanDedup(docs(s, d))),
@@ -545,6 +551,9 @@ ORDER BY event_id"""
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
+    "contamination_normalized" -> Decontamination.benchmarkOverlapNormalizedOracle,
+    "pii_source_rates" -> TextAnalysis.piiSourceRatesOracle,
+    "dedup_cross_lang" -> Dedup.dedupCrossLangOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
     "repetition_score" -> TextAnalysis.repetitionScoreOracle,
     "span_dedup" -> TextAnalysis.spanDedupOracle,

@@ -48,6 +48,45 @@ object Decontamination {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** NORMALIZED benchmark decontamination — the near-match gate real
+   *  pipelines run (GPT-3/C4 lineage: lowercase, strip punctuation,
+   *  squeeze whitespace, THEN n-gram containment), catching the
+   *  contamination exact-gram overlap misses when the quoted eval
+   *  item was re-cased, re-punctuated, or re-wrapped. Normalization
+   *  is the SAME regex chain as [[Dedup.dedupNormalized]] (one
+   *  normalization definition across the exact-dedup and
+   *  decontamination surfaces), applied to both sides before
+   *  shingling; everything downstream is [[benchmarkOverlap]]
+   *  verbatim — same broadcast-benchmark shape, no corpus shuffle. */
+  def benchmarkOverlapNormalized(docs: DataFrame, bench: DataFrame,
+                                 minOverlap: Double = 0.3): DataFrame = {
+    def norm(df: DataFrame) = df.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("text"))
+    benchmarkOverlap(norm(docs), norm(bench), minOverlap)
+  }
+
+  /** [[benchmarkOverlapOracle]] over a normalized-documents CTE (the
+   *  [[Dedup.dedupNormalizedOracle]] regex chain, 'g' flags — Spark
+   *  regexp_replace is replace-all). */
+  val benchmarkOverlapNormalizedOracle: String = "WITH ndocs AS (" +
+    """
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text FROM documents),
+""" + Dedup.shinglesCte.trim.replace("FROM documents", "FROM ndocs") + """,
+bsh AS (SELECT doc_id AS bench_id, gram FROM shingle WHERE doc_id % 20 = 0),
+bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_n FROM bsh GROUP BY bench_id),
+inter AS (
+  SELECT s.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle s JOIN bsh b ON s.gram = b.gram AND s.doc_id <> b.bench_id
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id, b.bench_id)
+SELECT i.doc_id, i.bench_id, i.inter_n, z.bench_n,
+       FLOOR((i.inter_n * 1.0 / z.bench_n) * 10000.0 + 0.5) / 10000.0 AS overlap
+FROM inter i JOIN bsz z ON i.bench_id = z.bench_id
+WHERE i.inter_n * 1.0 / z.bench_n >= 0.3
+ORDER BY i.doc_id, i.bench_id"""
+
   /** Harness split: benchmark = doc_id % 20 == 0, candidates = the
    *  rest. */
   val benchmarkOverlapOracle: String = "WITH " + Dedup.shinglesCte.trim + """,

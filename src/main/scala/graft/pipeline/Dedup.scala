@@ -859,6 +859,48 @@ SELECT np.n_pairs, wc.n_wedges, wc.n_closed,
        FLOOR((wc.n_closed * 1.0 / GREATEST(wc.n_wedges, 1)) * 10000.0 + 0.5) / 10000.0 AS transitivity
 FROM wc CROSS JOIN np"""
 
+  /** Cross-LANGUAGE near-dup matrix over the verified n-gram pair
+   *  graph — the translation-boilerplate / mixed-language-template
+   *  detector: per unordered language pair, how many verified pairs
+   *  connect a doc of lang_a to a doc of lang_b. Off-diagonal mass at
+   *  J ≥ 0.2 on raw shingles means shared same-script boilerplate
+   *  (code blocks, navigation shells, license text) spanning language
+   *  labels — exactly the content a per-language dedup pass would
+   *  MISS, and the evidence for running dedup corpus-wide rather than
+   *  per language shard. Diagonal rows are the within-language
+   *  baseline the off-diagonal reads against. Shape: two doc-keyed
+   *  broadcast-ish joins of the candidate-bounded pair frame against
+   *  a (doc_id, lang) projection, one ≤|langs|² rollup. */
+  def dedupCrossLang(docs: DataFrame, maxDf: Long = 5L,
+                     minJaccard: Double = 0.2,
+                     precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val pairs = dedupNgram(docs, maxDf, minJaccard, precomputedShingles)
+      .select("doc_a", "doc_b")
+    val langs = docs.select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+      .select(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_lang", (col("lang_a") =!= col("lang_b")).cast("long"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** [[ngramVerifiedCte]]'s pair set + the unordered language rollup. */
+  val dedupCrossLangOracle: String =
+    "WITH " + shinglesCte + "," + ngramVerifiedCte + """
+SELECT LEAST(da.lang, db.lang) AS lang_a,
+       GREATEST(da.lang, db.lang) AS lang_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN LEAST(da.lang, db.lang) <> GREATEST(da.lang, db.lang)
+            THEN 1 ELSE 0 END AS BIGINT) AS cross_lang
+FROM verified v
+JOIN documents da ON v.doc_a = da.doc_id
+JOIN documents db ON v.doc_b = db.doc_id
+GROUP BY LEAST(da.lang, db.lang), GREATEST(da.lang, db.lang)
+ORDER BY lang_a, lang_b"""
+
   /** Duplicate-partner degree histogram over the verified n-gram pair
    *  graph — the template/hub-document detector for LEXICAL dedup
    *  ([[graft.pipeline.Embeddings.knnHubness]]'s counterpart): a

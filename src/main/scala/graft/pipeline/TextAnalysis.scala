@@ -1015,6 +1015,71 @@ ORDER BY doc.doc_id"""
       .orderBy("doc_id")
   }
 
+  /** Per-source PII incidence — the compliance readout over
+   *  [[piiScrub]]'s detectors: which sources carry emails / IPv4s /
+   *  phone numbers, how many documents are affected, and the
+   *  affected-document rate — the table a policy review reads before
+   *  a source enters training. Counting follows piiScrub's scrub
+   *  ORDER exactly (emails on raw text, IPs on the email-scrubbed
+   *  text, phones on the IP-scrubbed text — no double counting when
+   *  a phone-shaped run sits inside an IP), same regex literals, the
+   *  Java-regex ∩ RE2 subset. One source-keyed partial agg over
+   *  per-row integer counts; no shuffle of text. */
+  def piiSourceRates(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+\\d{7,14}\\b|(?:\\+\\d{1,3}[ -])?" +
+      "(?:\\(\\d{1,4}\\)[ -]?|\\b\\d{2,4}[ -])" +
+      "(?:\\d{3,4}[ -]\\d{3,4}|\\d{7})\\b"
+    val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4, "<IP>")
+    val per = docs.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long")
+        .as("e"),
+      size(regexp_extract_all(afterEmail, lit(ipv4), lit(0))).cast("long")
+        .as("ip"),
+      size(regexp_extract_all(afterIp, lit(phone), lit(0))).cast("long")
+        .as("ph"))
+    per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("ip") + col("ph") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum("e").as("n_emails"),
+        sum("ip").as("n_ips"),
+        sum("ph").as("n_phones"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        col("n_emails"), col("n_ips"), col("n_phones"),
+        r4(col("docs_with_pii") * lit(1.0) / col("n_docs")).as("pii_doc_rate"))
+      .orderBy("source")
+  }
+
+  /** [[piiScrubOracle]]'s scrub chain + the source rollup. */
+  val piiSourceRatesOracle: String = """
+WITH s AS (
+  SELECT doc_id, source, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+  FROM documents),
+s2 AS (
+  SELECT doc_id, source, text, after_email,
+         regexp_replace(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS after_ip
+  FROM s),
+per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS e,
+         CAST(len(regexp_extract_all(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', 0)) AS BIGINT) AS ip,
+         CAST(len(regexp_extract_all(after_ip, '\+\d{7,14}\b|(?:\+\d{1,3}[ -])?(?:\(\d{1,4}\)[ -]?|\b\d{2,4}[ -])(?:\d{3,4}[ -]\d{3,4}|\d{7})\b', 0)) AS BIGINT) AS ph
+  FROM s2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e + ip + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(ip) AS BIGINT) AS n_ips,
+       CAST(SUM(ph) AS BIGINT) AS n_phones,
+       FLOOR((SUM(CASE WHEN e + ip + ph > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS pii_doc_rate
+FROM per
+GROUP BY source
+ORDER BY source"""
+
   val piiScrubOracle: String = """
 WITH s AS (
   SELECT doc_id, text,
