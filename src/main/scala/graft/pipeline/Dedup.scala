@@ -451,13 +451,26 @@ ORDER BY n.source"""
     val verified = withJaccard(ngCands.union(mhCands).distinct(), sh)
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b").cache()
+    // Eagerly checkpoint the three PAIR-CARDINALITY sets before the
+    // body sees them: the semi-join split makes each family's lazy
+    // plan carry the whole union-verify lineage (both families'
+    // candidate generation), so a body that unions and self-joins
+    // them hands Catalyst a plan with the detector chains inlined
+    // 6+ times — measured round 12 as dedup_pair_venn 7.5 s
+    // standalone vs 30-46 s inside the warmed bench JVM, pure
+    // driver-side optimize/codegen blowup. Checkpointing truncates
+    // each to an RDD scan of a few thousand rows; the checkpoint
+    // jobs themselves share the caches below.
     val ngPairs = verified.join(ngCands, Seq("doc_a", "doc_b"), "left_semi")
+      .localCheckpoint()
     val mhPairs = verified.join(mhCands, Seq("doc_a", "doc_b"), "left_semi")
+      .localCheckpoint()
     val fp = sigBoth.select(col("doc_id"), simhashFpCol.as("fp"))
     val shPairs = simhashVerify(
         saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id"),
         fp, maxHamming = 3)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val out = body(ngPairs, mhPairs, shPairs).localCheckpoint()
     Seq(verified, mhCands, sigBoth, ngCands).foreach(_.unpersist())
     out
