@@ -546,12 +546,21 @@ object Bench {
       else math.min(2.0,
         math.sqrt(canaryRatios.last / math.max(canaryRatios.head, 1e-9)))
     val alertThreshold = 1.5 * noiseEnvelope
+    // BOTH conditions must hold: the host-normalized ratio beyond the
+    // envelope-widened threshold AND the raw ratio beyond 1.5. A pure
+    // host slowdown moves raw but not normalized (the r11 false
+    // positive); a host SPEED-UP divides flat keys by a factor < 1
+    // and inflates their normalized ratio while raw stays ~1 (the
+    // r12 winnow_overlap_incr false positive, raw 1.26 normalized
+    // 2.12 after a 1.7x intra-day host swing) — a real code
+    // regression moves both.
     val regressions = results.flatMap {
       case (k, (med, _, _)) if isTriggerKey(k) && med > 0 =>
         prevQueries.get(k).filter(_ > 0)
-          .map(p => k -> (med / p) / math.max(hostFactor, 0.25))
+          .map(p => (k, (med / p) / math.max(hostFactor, 0.25), med / p))
       case _ => None
-    }.filter(_._2 > alertThreshold)
+    }.filter { case (_, norm, raw) => norm > alertThreshold && raw > 1.5 }
+      .map { case (k, norm, _) => k -> norm }
     val adjudication =
       if (regressions.isEmpty) ""
       else if (noiseEnvelope >= 1.9)
