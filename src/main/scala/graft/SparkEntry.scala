@@ -67,6 +67,9 @@ ORDER BY event_id"""
     "stage_quantiles" -> ((s, d) => JobsStages.stageQuantiles(canon(s, d))),
     "straggler_stages" -> ((s, d) => Diagnostics.stragglerStages(canon(s, d))),
     "executor_timeline" -> ((s, d) => Diagnostics.executorTimeline(canon(s, d))),
+    "executor_churn" -> ((s, d) => Diagnostics.executorChurn(canon(s, d))),
+    "app_duration_quantiles" -> ((s, d) =>
+      CrossApp.appDurationQuantiles(canon(s, d))),
     "user_sessions" -> ((s, d) => Diagnostics.userSessions(canon(s, d))),
     "task_executor_asof" -> ((s, d) => Diagnostics.taskExecutorAsof(canon(s, d))),
     "executor_task_range" -> ((s, d) => Diagnostics.executorTaskRange(canon(s, d))),
@@ -463,6 +466,8 @@ ORDER BY event_id"""
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "api_health" -> graft.api.HistoryServerApi.healthOracle,
+    "executor_churn" -> Diagnostics.executorChurnOracle,
+    "app_duration_quantiles" -> CrossApp.appDurationQuantilesOracle,
     "store_stats" -> graft.api.HistoryServerApi.storeStatsOracle,
     "app_jobs" -> JobsStages.appJobsOracle,
     "app_storage" -> Storage.appStorageOracle,

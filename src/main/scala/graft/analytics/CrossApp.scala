@@ -401,4 +401,48 @@ SELECT ce.cohort_week, ce.week_offset, ce.active_apps, s.cohort_size,
        ce.active_apps * 1000 // s.cohort_size AS retained_pm
 FROM cells ce JOIN sizes s ON ce.cohort_week = s.cohort_week
 ORDER BY ce.cohort_week, ce.week_offset"""
+
+  /** Fleet-level app-DURATION distribution — the SLA one-liner next
+   *  to the per-app `task_quantiles` strips: how long apps run across
+   *  the whole store (nearest-rank p50/p90 + max over per-app
+   *  wall-clock spans, `app_list`'s min/max event-time semantics).
+   *  Shape: one app-keyed partial agg to |apps| rows, one
+   *  ROW_NUMBER window over that bounded frame (a single long per
+   *  app), one conditional-aggregate pass to ONE row — the same
+   *  deterministic quantile discipline as [[JobsStages.taskQuantiles]],
+   *  integer microseconds end-to-end. */
+  def appDurationQuantiles(canon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = canon.groupBy("app_id")
+      .agg(expr("(max(event_time_us) - min(event_time_us)) div 1000")
+        .as("duration_ms"))
+    val w = Window.partitionBy(lit(1))
+    val idx = spans
+      .withColumn("rk", row_number().over(w.orderBy("duration_ms", "app_id")))
+      .withColumn("n", count(lit(1)).over(w))
+    def at(p: Double) =
+      min(when(col("rk") === floor(lit(p) * (col("n") - 1)) + 1,
+        col("duration_ms")))
+    idx.agg(
+      max("n").as("n_apps"),
+      at(0.5).as("p50_duration_ms"),
+      at(0.9).as("p90_duration_ms"),
+      max("duration_ms").as("max_duration_ms"))
+  }
+
+  val appDurationQuantilesOracle: String = canonCte + """
+, spans AS (
+  SELECT app_id,
+         CAST((MAX(event_time_us) - MIN(event_time_us)) // 1000 AS BIGINT) AS duration_ms
+  FROM canon GROUP BY app_id),
+idx AS (
+  SELECT duration_ms,
+         ROW_NUMBER() OVER (ORDER BY duration_ms, app_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM spans)
+SELECT CAST(MAX(n) AS BIGINT) AS n_apps,
+       MIN(CASE WHEN rk = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
+       MIN(CASE WHEN rk = FLOOR(0.9 * (n - 1)) + 1 THEN duration_ms END) AS p90_duration_ms,
+       MAX(duration_ms) AS max_duration_ms
+FROM idx"""
 }

@@ -117,6 +117,52 @@ SELECT app_id, event_time_us, executor_id, delta, removed_reason,
 FROM ev
 ORDER BY app_id, event_time_us, executor_id, delta"""
 
+  /** Executor CHURN per app — the allocation-stability rollup over
+   *  [[executorTimeline]]'s strip: adds, removes, the peak concurrent
+   *  count, and removed/added. A churn ratio near 1 with a sawtooth
+   *  peak means dynamic allocation is thrashing (executors paid for
+   *  but re-warmed constantly — the classic idle-timeout-too-low
+   *  signature); removes ≪ adds with a flat peak is a healthy
+   *  ramp-and-hold profile. Shape: the timeline's one bounded window
+   *  (executor events, orders of magnitude below task events) + one
+   *  app-keyed partial agg. */
+  def executorChurn(canon: DataFrame): DataFrame =
+    executorTimeline(canon)
+      .groupBy("app_id").agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_removed"),
+        max("active_executors").as("peak_active"))
+      .select(col("app_id"), col("n_added"), col("n_removed"),
+        col("peak_active"),
+        graft.util.Round.r4(col("n_removed") * lit(1.0)
+          / greatest(col("n_added"), lit(1L))).as("churn_ratio"))
+      .orderBy("app_id")
+
+  /** [[executorTimelineOracle]]'s windowed strip + the app rollup. */
+  val executorChurnOracle: String = canonCte + """
+, ev AS (
+  SELECT app_id, event_time_us, executor_id,
+         CAST(CASE WHEN event_type = 'SparkListenerExecutorAdded'
+               THEN 1 ELSE -1 END AS BIGINT) AS delta
+  FROM canon
+  WHERE event_type IN ('SparkListenerExecutorAdded', 'SparkListenerExecutorRemoved')),
+tl AS (
+  SELECT app_id, delta,
+         SUM(delta) OVER (PARTITION BY app_id
+           ORDER BY event_time_us, executor_id, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_executors
+  FROM ev)
+SELECT app_id,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(MAX(active_executors) AS BIGINT) AS peak_active,
+       FLOOR((SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) * 1.0
+              / GREATEST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END), 1))
+             * 10000.0 + 0.5) / 10000.0 AS churn_ratio
+FROM tl
+GROUP BY app_id
+ORDER BY app_id"""
+
   /** Every TaskEnd joined to its executor's registration (cores,
    *  max memory) AS OF task time — the canonical time-series
    *  enrichment, via [[graft.operators.AsofJoin]]'s union-window
