@@ -413,6 +413,7 @@ ORDER BY event_id"""
       Embeddings.ivfProbeSweep(emb(s, d), annQueries(s, d))),
     "emb_label_stats" -> ((s, d) => Embeddings.labelStats(emb(s, d))),
     "emb_principal" -> ((s, d) => Embeddings.principalDirection(emb(s, d))),
+    "emb_dim_variance" -> ((s, d) => Embeddings.embDimVariance(emb(s, d))),
     "diversity_sample" -> ((s, d) =>
       Embeddings.diversitySample(emb(s, d), numCentroids = 32)),
     "pq_recall" -> ((s, d) => Embeddings.pqRecall(emb(s, d), annQueries(s, d))),
@@ -466,6 +467,7 @@ ORDER BY event_id"""
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "api_health" -> graft.api.HistoryServerApi.healthOracle,
+    "emb_dim_variance" -> Embeddings.embDimVarianceOracle,
     "executor_churn" -> Diagnostics.executorChurnOracle,
     "app_duration_quantiles" -> CrossApp.appDurationQuantilesOracle,
     "store_stats" -> graft.api.HistoryServerApi.storeStatsOracle,

@@ -1650,6 +1650,59 @@ ORDER BY cent_id, lang"""
    *  `length(bin(x))` in BOTH engines (no leading zeros either side);
    *  all signed divisions are sign-split `-((-x) div p)` so Spark's
    *  toward-zero `div` and DuckDB's floor `//` agree. */
+  /** Per-DIMENSION variance profile — the dead/collapsed-dimension
+   *  detector every embedding QA pass runs before trusting cosine
+   *  geometry: a dimension whose variance is ~0 carries no signal
+   *  (dead ReLU channel, truncated export, padded dims) and inflates
+   *  every norm; a handful of dominant-variance dims means the space
+   *  is effectively low-rank (anisotropy — [[principalDirection]]
+   *  names the direction, THIS names the axes). Integer-exact: per
+   *  dim, n / Σq / Σq² accumulate as BIGINTs over the quantized
+   *  grid; mean and variance are single double expressions over
+   *  those exact sums (population variance, (Σq² − (Σq)²/n)/n),
+   *  r4-rounded. One |vecs|×64 posexplode partial agg to 64 rows —
+   *  the family's standard projection pass, no joins. */
+  def embDimVariance(emb: DataFrame, deadVar: Double = 1.0): DataFrame = {
+    val qd = emb.select(
+        posexplode(expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+    qd.groupBy("dim").agg(
+        count(lit(1)).as("n_vecs"),
+        sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        r4(col("sq") * lit(1.0) / col("n_vecs")).as("q_mean"),
+        // square in DOUBLE: sq is ~1e13 at 1e10 vectors, sq*sq would
+        // overflow BIGINT (the event_rate_anomalies lesson); both
+        // engines run (double)sq * sq — identical IEEE ops
+        r4((col("sq2") - col("sq").cast("double") * col("sq") / col("n_vecs"))
+          / col("n_vecs")).as("q_var"),
+        when((col("sq2") - col("sq").cast("double") * col("sq") / col("n_vecs"))
+          / col("n_vecs") < deadVar, 1L).otherwise(0L).as("is_dead"))
+      .orderBy("dim")
+  }
+
+  /** Same integer sums; DuckDB's 1-based list index maps to the
+   *  0-based `dim`. */
+  val embDimVarianceOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qd AS (
+  SELECT i - 1 AS dim, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sq2
+  FROM qd GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+       FLOOR((sq * 1.0 / n_vecs) * 10000.0 + 0.5) / 10000.0 AS q_mean,
+       FLOOR(((sq2 - CAST(sq AS DOUBLE) * sq / n_vecs) / n_vecs) * 10000.0 + 0.5) / 10000.0 AS q_var,
+       CAST(CASE WHEN (sq2 - CAST(sq AS DOUBLE) * sq / n_vecs) / n_vecs < 1.0
+             THEN 1 ELSE 0 END AS BIGINT) AS is_dead
+FROM agg
+ORDER BY dim"""
+
   def principalDirection(emb: DataFrame, iters: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
