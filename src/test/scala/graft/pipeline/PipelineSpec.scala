@@ -257,6 +257,42 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
+  test("pii source rates count in scrub order and rate affected docs per source") {
+    val fixture = Seq(
+      (0L, "contact me at bob@example.com or 10.0.0.1 today", "en", "s0", 46L),
+      (1L, "clean text with no identifiers at all here", "en", "s0", 43L),
+      (2L, "call +12025550123 now", "en", "s1", 21L),
+      (3L, "also clean", "en", "s2", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.piiSourceRates(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s0").getAs[Long]("n_emails") === 1L)
+    assert(out("s0").getAs[Long]("n_ips") === 1L)
+    assert(out("s0").getAs[Long]("docs_with_pii") === 1L)
+    assert(out("s0").getAs[Double]("pii_doc_rate") === 0.5)
+    assert(out("s1").getAs[Long]("n_phones") === 1L)
+    assert(out("s1").getAs[Double]("pii_doc_rate") === 1.0)
+    assert(out("s2").getAs[Long]("docs_with_pii") === 0L)
+    assert(out("s2").getAs[Double]("pii_doc_rate") === 0.0)
+  }
+
+  test("cross-lang near-dup matrix: identical texts across langs land off-diagonal") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val other = "completely different content about spark data processing at massive scale"
+    val fixture = Seq(
+      (0L, base, "en", "s0"), (1L, base, "de", "s0"),   // cross-lang dup
+      (2L, base, "en", "s0"),                           // within-lang dup of 0
+      (3L, other, "fr", "s1")                           // unrelated
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val rows = Dedup.dedupCrossLang(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("cross_lang"))).toMap
+    // pairs: (0,1) de-en, (0,2) en-en, (1,2) de-en
+    assert(rows(("de", "en")) === ((2L, 1L)))
+    assert(rows(("en", "en")) === ((1L, 0L)))
+    assert(!rows.contains(("fr", "fr")))
+  }
+
   test("transitivity wedge cap excludes hub middle vertices, bounding fan-out") {
     // Star + triangle fixture: hub H near-dups 4 spokes (spokes share
     // only H's core, pairwise J < 0.2), plus a 3-clique of identical
