@@ -124,6 +124,7 @@ ORDER BY event_id"""
     "scene_cuts" -> ((s, d) =>
       Multimodal.sceneCuts(docs(s, d), frameBytes = 64, stride = 2)),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d))),
+    "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(docs(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(docs(s, d))),
     "token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(docs(s, d))),
@@ -467,6 +468,7 @@ ORDER BY event_id"""
     "app_attempts" -> Applications.appAttemptsOracle,
     "api_applications" -> Applications.apiApplicationsOracle,
     "api_health" -> graft.api.HistoryServerApi.healthOracle,
+    "length_histogram" -> TextAnalysis.lengthHistogramOracle,
     "emb_dim_variance" -> Embeddings.embDimVarianceOracle,
     "executor_churn" -> Diagnostics.executorChurnOracle,
     "app_duration_quantiles" -> CrossApp.appDurationQuantilesOracle,

@@ -1388,6 +1388,51 @@ ORDER BY doc_id, chunk_id"""
    *  median idiom, never percentile_approx), so the output is
    *  engine-exact. One rank window partitioned by source, one
    *  map-side-combining rollup. */
+  /** Token-mass-by-LENGTH histogram — the budgeting view next to
+   *  [[lengthQuantiles]]' percentiles: per floor(log2(tokens)) bucket,
+   *  document count and token mass with shares of both totals. This is
+   *  the table sequence packing reads (where does the MASS live — a
+   *  corpus whose tokens sit in the 2^10 bucket packs 4k contexts with
+   *  minimal padding; heavy 2^13+ mass means chunk-then-pack), and the
+   *  short-doc buckets price what a min-length quality rule would
+   *  discard. Same integer log2-via-`bin` discipline as
+   *  [[graft.pipeline.Dedup.gramDfSpectrum]]; one doc-cardinality
+   *  partial agg to ~log2(max_tokens) rows + a broadcast totals join. */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val buckets = docs
+      .select((length(expr("bin((n_chars + 3) div 4)")) - 1).cast("long")
+        .as("len_bucket"),
+        expr("(n_chars + 3) div 4").as("tok"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+    val totals = buckets.agg(sum("n_docs").as("docs_total"),
+      sum("tokens").as("tok_total"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("len_bucket"), col("n_docs"), col("tokens"),
+        r4(col("n_docs") * lit(1.0) / col("docs_total")).as("doc_share"),
+        r4(col("tokens") * lit(1.0) / col("tok_total")).as("token_share"))
+      .orderBy("len_bucket")
+  }
+
+  val lengthHistogramOracle: String = """
+WITH b AS (
+  SELECT CAST(len(bin((n_chars + 3) // 4)) - 1 AS BIGINT) AS len_bucket,
+         (n_chars + 3) // 4 AS tok
+  FROM documents),
+buckets AS (
+  SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS tokens
+  FROM b GROUP BY len_bucket),
+totals AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS docs_total,
+         CAST(SUM(tokens) AS BIGINT) AS tok_total
+  FROM buckets)
+SELECT bu.len_bucket, bu.n_docs, bu.tokens,
+       FLOOR((bu.n_docs * 1.0 / t.docs_total) * 10000.0 + 0.5) / 10000.0 AS doc_share,
+       FLOOR((bu.tokens * 1.0 / t.tok_total) * 10000.0 + 0.5) / 10000.0 AS token_share
+FROM buckets bu CROSS JOIN totals t
+ORDER BY bu.len_bucket"""
+
   def lengthQuantiles(docs: DataFrame): DataFrame = {
     val t = docs.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
