@@ -46,16 +46,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Median-of-3 with (min, max) spread: a single timed run is
+    /** Median-of-N with (min, max) spread: a single timed run is
       * dominated by where C2/GC land (observed ±2.5 s swings on
       * unchanged code between rounds), so one sample per query carries
-      * no regression signal. Three samples and the median reports the
+      * no regression signal. N samples and the median reports the
       * typical run; the spread bounds how much of any cross-round delta
-      * is noise. Same guard the ingest measurement has always used. */
+      * is noise. N defaults to 3; SPARK_GRAFT_REPS=5 is the sf1-run
+      * setting (>10 s composites under host drift need the wider
+      * median — round-12 sf1 spreads like [12.4, 90.1] s made
+      * median-of-3 untrustworthy). */
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     def runMedian(name: String): (Double, Double, Double) = {
-      val ts = (0 until 3).map(_ => runNoop(name))
+      val ts = (0 until reps).map(_ => runNoop(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
-      else (ts.sorted.apply(1), ts.min, ts.max)
+      else (ts.sorted.apply(ts.size / 2), ts.min, ts.max)
     }
     def medianSpread(ts: Seq[Double]): (Double, Double, Double) =
       if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
@@ -74,7 +78,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    for (n <- names) {
+    // forced canaries (SPARK_GRAFT_CANARY=1 under an ONLY filter) must
+    // warm too, or their first timed sample bills Janino/JIT
+    val warmNames = (names ++ (if (sys.env.get("SPARK_GRAFT_CANARY")
+      .contains("1")) Seq("app_list", "resource_usage", "text_stats",
+      "quality_score", "lang_id", "split_assign") else Seq.empty)).distinct
+    for (n <- warmNames) {
       spark.catalog.clearCache()
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
@@ -93,8 +102,14 @@ object Bench {
       * sum before comparing rounds. */
     val canaryKeys = Seq("app_list", "resource_usage", "text_stats",
       "quality_score", "lang_id", "split_assign")
+    // SPARK_GRAFT_CANARY=1 forces the canary series even under a
+    // SPARK_GRAFT_ONLY filter — the sf1 runner's setting (round-12 sf1
+    // artifacts had canary_drift -1 and were uninterpretable under
+    // host drift).
+    val forceCanary = sys.env.get("SPARK_GRAFT_CANARY").contains("1")
+    val runCanaries = only.isEmpty || forceCanary
     def canaryPass(): Seq[(String, Double)] =
-      if (only.isDefined) Seq.empty
+      if (!runCanaries) Seq.empty
       else canaryKeys.map(k => k -> runMedian(k)._1)
     val canaryBefore = canaryPass()
 
@@ -366,38 +381,38 @@ object Bench {
     val runCStream = only.forall(s => s.exists(_.startsWith("stream_cluster_trigger")))
     val cstreamRuns = if (runCStream) {
       streamingClusterTriggerOnce(10000L) // absorb codegen/JIT
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingClusterTriggerOnce(100000L), streamingClusterTriggerOnce(400000L)))
     } else Seq.empty
 
     val runStream = only.forall(s => s.exists(_.startsWith("stream_trigger")))
     val streamRuns = if (runStream) {
       streamingTriggerOnce(warmDir, 1.0) // absorb codegen/JIT
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingTriggerOnce(sfDir, 0.25), streamingTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runMHStream = only.forall(s => s.exists(_.startsWith("stream_minhash_trigger")))
     val mhstreamRuns = if (runMHStream) {
       streamingMinhashTriggerOnce(warmDir, 1.0)
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingMinhashTriggerOnce(sfDir, 0.25), streamingMinhashTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runEStream = only.forall(s => s.exists(_.startsWith("stream_emb_trigger")))
     val estreamRuns = if (runEStream) {
       streamingEmbTriggerOnce(warmDir, 1.0)
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingEmbTriggerOnce(sfDir, 0.25), streamingEmbTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runSHStream = only.forall(s => s.exists(_.startsWith("stream_simhash_trigger")))
     val shstreamRuns = if (runSHStream) {
       streamingSimhashTriggerOnce(warmDir, 1.0)
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingSimhashTriggerOnce(sfDir, 0.25), streamingSimhashTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runXStream = only.forall(s => s.exists(_.startsWith("stream_exact_trigger")))
     val xstreamRuns = if (runXStream) {
       streamingExactTriggerOnce(warmDir, 1.0)
-      (0 until 3).map(_ =>
+      (0 until reps).map(_ =>
         (streamingExactTriggerOnce(sfDir, 0.25), streamingExactTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
 
@@ -405,17 +420,17 @@ object Bench {
       s.contains("dedup_family_shared") || s.contains("shingle_store_write"))
     val sharedRuns = if (runShared) {
       sharedFamilyOnce(warmDir) // absorb codegen/JIT like every other query
-      (0 until 3).map(_ => sharedFamilyOnce(sfDir))
+      (0 until reps).map(_ => sharedFamilyOnce(sfDir))
     } else Seq.empty
     val runEmbShared = only.forall(s =>
       s.contains("emb_family_shared") || s.contains("quantized_store_write"))
     val embSharedRuns = if (runEmbShared) {
       embFamilyOnce(warmDir)
-      (0 until 3).map(_ => embFamilyOnce(sfDir))
+      (0 until reps).map(_ => embFamilyOnce(sfDir))
     } else Seq.empty
     def medianOf(xs: Seq[Double]): (Double, Double, Double) =
       if (xs.exists(_ < 0)) (-1.0, -1.0, -1.0)
-      else (xs.sorted.apply(1), xs.min, xs.max)
+      else (xs.sorted.apply(xs.size / 2), xs.min, xs.max)
 
     /** Three full passes over the suite, each in a DIFFERENT
       * deterministic shuffled order, median per query ACROSS passes
@@ -430,13 +445,13 @@ object Bench {
       * between passes (see canaryMid). Seeds are fixed constants so
       * two runs of the same build time the identical schedule. */
     val canaryMid = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passTimes: Seq[Map[String, Double]] = (0 until 3).map { rep =>
+    val passTimes: Seq[Map[String, Double]] = (0 until reps).map { rep =>
       val order = new scala.util.Random(7919L * (rep + 1)).shuffle(names)
       val t = order.map(n => n -> runNoop(n)).toMap
       // one-sample canary sum after each pass: a monotone rise across
       // entries = the JVM degraded DURING the suite and cross-round
       // deltas on late-pass medians are suspect
-      if (only.isEmpty) canaryMid +=
+      if (runCanaries) canaryMid +=
         canaryKeys.map(k => runNoop(k)).filter(_ >= 0).sum
       t
     }

@@ -406,24 +406,28 @@ ORDER BY ce.cohort_week, ce.week_offset"""
    *  to the per-app `task_quantiles` strips: how long apps run across
    *  the whole store (nearest-rank p50/p90 + max over per-app
    *  wall-clock spans, `app_list`'s min/max event-time semantics).
-   *  Shape: one app-keyed partial agg to |apps| rows, one
-   *  ROW_NUMBER window over that bounded frame (a single long per
-   *  app), one conditional-aggregate pass to ONE row — the same
-   *  deterministic quantile discipline as [[JobsStages.taskQuantiles]],
-   *  integer microseconds end-to-end. */
+   *  Shape: one app-keyed partial agg to |apps| rows, then the
+   *  histogram-rank discipline ([[graft.pipeline.TextAnalysis
+   *  .surprisalBuckets]], SURVEY §4): the spans collapse to a
+   *  per-duration_ms HISTOGRAM before the (necessarily global)
+   *  cumulative window, so the single-partition step sees at most
+   *  |distinct ms values| rows, never one row per app — integer
+   *  microseconds end-to-end. */
   def appDurationQuantiles(canon: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = canon.groupBy("app_id")
       .agg(expr("(max(event_time_us) - min(event_time_us)) div 1000")
         .as("duration_ms"))
+    val hist = spans.groupBy("duration_ms").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(lit(1))
-    val idx = spans
-      .withColumn("rk", row_number().over(w.orderBy("duration_ms", "app_id")))
-      .withColumn("n", count(lit(1)).over(w))
+    val cum = hist
+      .withColumn("cum_le", sum("cnt").over(w.orderBy("duration_ms")))
+      .withColumn("n", sum("cnt").over(w))
+    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
     def at(p: Double) =
-      min(when(col("rk") === floor(lit(p) * (col("n") - 1)) + 1,
+      min(when(col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
         col("duration_ms")))
-    idx.agg(
+    cum.agg(
       max("n").as("n_apps"),
       at(0.5).as("p50_duration_ms"),
       at(0.9).as("p90_duration_ms"),
@@ -435,14 +439,17 @@ ORDER BY ce.cohort_week, ce.week_offset"""
   SELECT app_id,
          CAST((MAX(event_time_us) - MIN(event_time_us)) // 1000 AS BIGINT) AS duration_ms
   FROM canon GROUP BY app_id),
-idx AS (
-  SELECT duration_ms,
-         ROW_NUMBER() OVER (ORDER BY duration_ms, app_id) AS rk,
-         COUNT(*) OVER () AS n
-  FROM spans)
+hist AS (
+  SELECT duration_ms, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spans GROUP BY duration_ms),
+cum AS (
+  SELECT duration_ms, cnt,
+         SUM(cnt) OVER (ORDER BY duration_ms) AS cum_le,
+         SUM(cnt) OVER () AS n
+  FROM hist)
 SELECT CAST(MAX(n) AS BIGINT) AS n_apps,
-       MIN(CASE WHEN rk = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
-       MIN(CASE WHEN rk = FLOOR(0.9 * (n - 1)) + 1 THEN duration_ms END) AS p90_duration_ms,
+       MIN(CASE WHEN cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN duration_ms END) AS p50_duration_ms,
+       MIN(CASE WHEN cum_le - cnt < FLOOR(0.9 * (n - 1)) + 1 AND FLOOR(0.9 * (n - 1)) + 1 <= cum_le THEN duration_ms END) AS p90_duration_ms,
        MAX(duration_ms) AS max_duration_ms
-FROM idx"""
+FROM cum"""
 }

@@ -91,66 +91,82 @@ ORDER BY app_id, stage_id"""
    *  quantile is the element at sorted index `floor(p*(n-1)) + 1`
    *  (nearest-rank on the lower side), an exact integer pick — not
    *  `percentile_approx`, whose sketch output is neither exact nor
-   *  engine-portable. Two window sorts over the same app_id
-   *  partitioning (one exchange, two in-partition sorts), then one
-   *  conditional-aggregate pass. Ties in the metric leave row_number
-   *  nondeterministic BETWEEN equal values, but the value at any fixed
-   *  index is unique — only values are emitted. */
+   *  engine-portable.
+   *
+   *  Exact AND scale-safe without ranking tasks: `duration_ms` and
+   *  `gc_time_ms` are bounded integers, so the corpus partial-aggs to
+   *  a per-(app, metric, value) HISTOGRAM (the stack unpivot fans out
+   *  in-row, then combines map-side), the nearest-rank rule runs as a
+   *  cumulative window over that bounded histogram only — the value
+   *  at rank r is the histogram row with `cum_below < r <= cum_le` —
+   *  and one conditional-aggregate pass emits the strip. No operator
+   *  ever sorts task-cardinality rows: a 100 TB app's tens of millions
+   *  of TaskEnds collapse to at most |distinct ms values| rows before
+   *  any sort (the shape `surprisalBuckets` pioneered, SURVEY §4). */
   def taskQuantiles(canon: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tasks = canon
       .filter(col("event_type") === TaskEnd &&
         col("duration_ms").isNotNull && col("gc_time_ms").isNotNull)
-      .select("app_id", "duration_ms", "gc_time_ms")
-    val byApp = Window.partitionBy("app_id")
-    val idx = tasks
-      .withColumn("rk_d", row_number().over(byApp.orderBy("duration_ms")))
-      .withColumn("rk_g", row_number().over(byApp.orderBy("gc_time_ms")))
-      .withColumn("n", count(lit(1)).over(byApp))
-    def at(rk: String, v: String, p: Double) =
-      min(when(col(rk) === floor(lit(p) * (col("n") - 1)) + 1, col(v)))
-    idx.groupBy("app_id").agg(
+      .select(col("app_id"),
+        expr("stack(2, 'd', duration_ms, 'g', gc_time_ms)").as(Seq("m", "v")))
+    val hist = tasks.groupBy("app_id", "m", "v").agg(count(lit(1)).as("cnt"))
+    val byKey = Window.partitionBy("app_id", "m")
+    val cum = hist
+      .withColumn("cum_le", sum("cnt").over(byKey.orderBy("v")))
+      .withColumn("n", sum("cnt").over(byKey))
+    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    def at(metric: String, p: Double) =
+      min(when(col("m") === metric &&
+        col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
+        col("v")))
+    cum.groupBy("app_id").agg(
       max("n").as("task_n"),
-      at("rk_d", "duration_ms", 0.5).as("p50_duration_ms"),
-      at("rk_d", "duration_ms", 0.75).as("p75_duration_ms"),
-      at("rk_d", "duration_ms", 0.95).as("p95_duration_ms"),
-      max("duration_ms").as("max_duration_ms"),
-      at("rk_g", "gc_time_ms", 0.5).as("p50_gc_ms"),
-      at("rk_g", "gc_time_ms", 0.95).as("p95_gc_ms"),
-      max("gc_time_ms").as("max_gc_ms"))
+      at("d", 0.5).as("p50_duration_ms"),
+      at("d", 0.75).as("p75_duration_ms"),
+      at("d", 0.95).as("p95_duration_ms"),
+      max(when(col("m") === "d", col("v"))).as("max_duration_ms"),
+      at("g", 0.5).as("p50_gc_ms"),
+      at("g", 0.95).as("p95_gc_ms"),
+      max(when(col("m") === "g", col("v"))).as("max_gc_ms"))
       .orderBy("app_id")
   }
 
   /** PER-STAGE task-metric distributions — the real history-server
    *  `taskMetricsDistributions` payload is keyed by stage, not app
-   *  (the stage page's quantile strip). Same deterministic
-   *  nearest-rank picks as [[taskQuantiles]], windowed on
-   *  (app_id, stage_id): one exchange on the composite key, two
-   *  in-partition sorts, one conditional-aggregate pass — identical
-   *  scale shape, finer grain. Stages with a single task still get
-   *  exact quantiles (index 0 picks the only element). */
+   *  (the stage page's quantile strip). Same histogram-rank discipline
+   *  as [[taskQuantiles]] at the (app_id, stage_id) grain: partial-agg
+   *  to a per-(stage, metric, value) histogram, cumulative window over
+   *  the histogram only, conditional-aggregate picks. Stages with a
+   *  single task still get exact quantiles (rank 1 lands on the only
+   *  histogram row). */
   def stageQuantiles(canon: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tasks = canon
       .filter(col("event_type") === TaskEnd && col("stage_id").isNotNull &&
         col("duration_ms").isNotNull && col("gc_time_ms").isNotNull)
-      .select("app_id", "stage_id", "duration_ms", "gc_time_ms")
-    val byStage = Window.partitionBy("app_id", "stage_id")
-    val idx = tasks
-      .withColumn("rk_d", row_number().over(byStage.orderBy("duration_ms")))
-      .withColumn("rk_g", row_number().over(byStage.orderBy("gc_time_ms")))
-      .withColumn("n", count(lit(1)).over(byStage))
-    def at(rk: String, v: String, p: Double) =
-      min(when(col(rk) === floor(lit(p) * (col("n") - 1)) + 1, col(v)))
-    idx.groupBy("app_id", "stage_id").agg(
+      .select(col("app_id"), col("stage_id"),
+        expr("stack(2, 'd', duration_ms, 'g', gc_time_ms)").as(Seq("m", "v")))
+    val hist = tasks.groupBy("app_id", "stage_id", "m", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val byKey = Window.partitionBy("app_id", "stage_id", "m")
+    val cum = hist
+      .withColumn("cum_le", sum("cnt").over(byKey.orderBy("v")))
+      .withColumn("n", sum("cnt").over(byKey))
+    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    def at(metric: String, p: Double) =
+      min(when(col("m") === metric &&
+        col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
+        col("v")))
+    cum.groupBy("app_id", "stage_id").agg(
       max("n").as("task_n"),
-      at("rk_d", "duration_ms", 0.5).as("p50_duration_ms"),
-      at("rk_d", "duration_ms", 0.75).as("p75_duration_ms"),
-      at("rk_d", "duration_ms", 0.95).as("p95_duration_ms"),
-      max("duration_ms").as("max_duration_ms"),
-      at("rk_g", "gc_time_ms", 0.5).as("p50_gc_ms"),
-      at("rk_g", "gc_time_ms", 0.95).as("p95_gc_ms"),
-      max("gc_time_ms").as("max_gc_ms"))
+      at("d", 0.5).as("p50_duration_ms"),
+      at("d", 0.75).as("p75_duration_ms"),
+      at("d", 0.95).as("p95_duration_ms"),
+      max(when(col("m") === "d", col("v"))).as("max_duration_ms"),
+      at("g", 0.5).as("p50_gc_ms"),
+      at("g", 0.95).as("p95_gc_ms"),
+      max(when(col("m") === "g", col("v"))).as("max_gc_ms"))
       .orderBy("app_id", "stage_id")
   }
 
@@ -160,21 +176,27 @@ ORDER BY app_id, stage_id"""
   FROM canon
   WHERE event_type = 'SparkListenerTaskEnd' AND stage_id IS NOT NULL
     AND duration_ms IS NOT NULL AND gc_time_ms IS NOT NULL),
-idx AS (
-  SELECT app_id, stage_id, duration_ms, gc_time_ms,
-         ROW_NUMBER() OVER (PARTITION BY app_id, stage_id ORDER BY duration_ms) AS rk_d,
-         ROW_NUMBER() OVER (PARTITION BY app_id, stage_id ORDER BY gc_time_ms) AS rk_g,
-         COUNT(*) OVER (PARTITION BY app_id, stage_id) AS n
-  FROM t)
+lng AS (
+  SELECT app_id, stage_id, 'd' AS m, duration_ms AS v FROM t
+  UNION ALL
+  SELECT app_id, stage_id, 'g' AS m, gc_time_ms AS v FROM t),
+hist AS (
+  SELECT app_id, stage_id, m, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lng GROUP BY app_id, stage_id, m, v),
+cum AS (
+  SELECT app_id, stage_id, m, v, cnt,
+         SUM(cnt) OVER (PARTITION BY app_id, stage_id, m ORDER BY v) AS cum_le,
+         SUM(cnt) OVER (PARTITION BY app_id, stage_id, m) AS n
+  FROM hist)
 SELECT app_id, stage_id, CAST(MAX(n) AS BIGINT) AS task_n,
-       MIN(CASE WHEN rk_d = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
-       MIN(CASE WHEN rk_d = FLOOR(0.75 * (n - 1)) + 1 THEN duration_ms END) AS p75_duration_ms,
-       MIN(CASE WHEN rk_d = FLOOR(0.95 * (n - 1)) + 1 THEN duration_ms END) AS p95_duration_ms,
-       MAX(duration_ms) AS max_duration_ms,
-       MIN(CASE WHEN rk_g = FLOOR(0.5 * (n - 1)) + 1 THEN gc_time_ms END) AS p50_gc_ms,
-       MIN(CASE WHEN rk_g = FLOOR(0.95 * (n - 1)) + 1 THEN gc_time_ms END) AS p95_gc_ms,
-       MAX(gc_time_ms) AS max_gc_ms
-FROM idx
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_duration_ms,
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.75 * (n - 1)) + 1 AND FLOOR(0.75 * (n - 1)) + 1 <= cum_le THEN v END) AS p75_duration_ms,
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_duration_ms,
+       MAX(CASE WHEN m = 'd' THEN v END) AS max_duration_ms,
+       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_gc_ms,
+       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_gc_ms,
+       MAX(CASE WHEN m = 'g' THEN v END) AS max_gc_ms
+FROM cum
 GROUP BY app_id, stage_id
 ORDER BY app_id, stage_id"""
 
@@ -184,21 +206,27 @@ ORDER BY app_id, stage_id"""
   FROM canon
   WHERE event_type = 'SparkListenerTaskEnd'
     AND duration_ms IS NOT NULL AND gc_time_ms IS NOT NULL),
-idx AS (
-  SELECT app_id, duration_ms, gc_time_ms,
-         ROW_NUMBER() OVER (PARTITION BY app_id ORDER BY duration_ms) AS rk_d,
-         ROW_NUMBER() OVER (PARTITION BY app_id ORDER BY gc_time_ms) AS rk_g,
-         COUNT(*) OVER (PARTITION BY app_id) AS n
-  FROM t)
+lng AS (
+  SELECT app_id, 'd' AS m, duration_ms AS v FROM t
+  UNION ALL
+  SELECT app_id, 'g' AS m, gc_time_ms AS v FROM t),
+hist AS (
+  SELECT app_id, m, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lng GROUP BY app_id, m, v),
+cum AS (
+  SELECT app_id, m, v, cnt,
+         SUM(cnt) OVER (PARTITION BY app_id, m ORDER BY v) AS cum_le,
+         SUM(cnt) OVER (PARTITION BY app_id, m) AS n
+  FROM hist)
 SELECT app_id, CAST(MAX(n) AS BIGINT) AS task_n,
-       MIN(CASE WHEN rk_d = FLOOR(0.5 * (n - 1)) + 1 THEN duration_ms END) AS p50_duration_ms,
-       MIN(CASE WHEN rk_d = FLOOR(0.75 * (n - 1)) + 1 THEN duration_ms END) AS p75_duration_ms,
-       MIN(CASE WHEN rk_d = FLOOR(0.95 * (n - 1)) + 1 THEN duration_ms END) AS p95_duration_ms,
-       MAX(duration_ms) AS max_duration_ms,
-       MIN(CASE WHEN rk_g = FLOOR(0.5 * (n - 1)) + 1 THEN gc_time_ms END) AS p50_gc_ms,
-       MIN(CASE WHEN rk_g = FLOOR(0.95 * (n - 1)) + 1 THEN gc_time_ms END) AS p95_gc_ms,
-       MAX(gc_time_ms) AS max_gc_ms
-FROM idx
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_duration_ms,
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.75 * (n - 1)) + 1 AND FLOOR(0.75 * (n - 1)) + 1 <= cum_le THEN v END) AS p75_duration_ms,
+       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_duration_ms,
+       MAX(CASE WHEN m = 'd' THEN v END) AS max_duration_ms,
+       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_gc_ms,
+       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_gc_ms,
+       MAX(CASE WHEN m = 'g' THEN v END) AS max_gc_ms
+FROM cum
 GROUP BY app_id
 ORDER BY app_id"""
 }

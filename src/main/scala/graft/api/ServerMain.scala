@@ -32,6 +32,21 @@ object ServerMain {
     settings.hadoopOverrides.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+    // Keytab login when the settings carry one (hdfs_reader.rs:55-91
+    // create_kerberos_client): must run after the auth-mode override
+    // lands on the Hadoop conf and before the first filesystem touch.
+    // A spark-submit --principal/--keytab login, if present, already
+    // happened at JVM start; this call is then a no-op re-login of the
+    // same identity or an explicit switch to the configured one.
+    settings.kerberosLogin.foreach { case (principal, keytab) =>
+      settings.krb5ConfPath.foreach(p =>
+        System.setProperty("java.security.krb5.conf", p))
+      org.apache.hadoop.security.UserGroupInformation.setConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.security.UserGroupInformation.loginUserFromKeytab(
+        principal, keytab)
+      System.err.println(s"[graft] kerberos login as $principal from $keytab")
+    }
     val canon = EventLogSource.readDirectory(spark, settings.eventLogUri)
       .cache()
     val server = new HistoryServerHttp(spark, canon, settings.server.port,

@@ -15,9 +15,12 @@ import scala.io.Source
  * matches main.rs: a flag beats the file beats the default.
  *
  * Spark-land scoping (SURVEY §2 row 4 precedent): Kerberos fields are
- * parsed and carried, but authentication itself belongs to the
- * cluster's Hadoop configuration (`spark-submit --principal/--keytab`)
- * — graft forwards, never implements, the handshake. Likewise S3
+ * parsed into a typed [[Settings.kerberosLogin]] plan; when both
+ * principal and keytab are present, [[graft.api.ServerMain]] performs
+ * the login itself via `UserGroupInformation.loginUserFromKeytab`
+ * (reference behavior: hdfs_reader.rs:55-91 `create_kerberos_client`)
+ * — `spark-submit --principal/--keytab` remains the cluster-native
+ * alternative and takes effect first when both are given. S3
  * credentials map onto `fs.s3a.*` Hadoop conf keys via
  * [[Settings.hadoopOverrides]] rather than a bespoke client.
  */
@@ -85,8 +88,30 @@ object GraftConfig {
         h.connectionTimeoutMs.map(t =>
           "ipc.client.connect.timeout" -> t.toString).toSeq
       }
-      s3kv ++ hdfsKv
+      // a kerberos table switches the Hadoop auth mode — required for
+      // UserGroupInformation to attempt a kerberos (not SIMPLE) login
+      val krbKv = history.hdfs.flatMap(_.kerberos).toSeq.flatMap { _ =>
+        Seq("hadoop.security.authentication" -> "kerberos")
+      }
+      s3kv ++ hdfsKv ++ krbKv
     }
+
+    /** The keytab login ServerMain must perform before the first
+     *  filesystem touch (hdfs_reader.rs:55-91): present only when the
+     *  kerberos table carries BOTH a non-empty principal and a keytab
+     *  path — a principal alone means ticket-cache/`spark-submit`
+     *  auth, nothing for graft to do. */
+    def kerberosLogin: Option[(String, String)] =
+      for {
+        h <- history.hdfs
+        k <- h.kerberos
+        keytab <- k.keytabPath
+        if k.principal.nonEmpty
+      } yield (k.principal, keytab)
+
+    /** The krb5.conf override accompanying [[kerberosLogin]], if any. */
+    def krb5ConfPath: Option[String] =
+      history.hdfs.flatMap(_.kerberos).flatMap(_.krb5ConfigPath)
 
     /** The event-log URI the readers consume: explicit HDFS/S3 config
      *  wins over the plain log_directory path (main.rs behavior — the

@@ -1433,46 +1433,60 @@ SELECT bu.len_bucket, bu.n_docs, bu.tokens,
 FROM buckets bu CROSS JOIN totals t
 ORDER BY bu.len_bucket"""
 
+  /** Per-source document-length profile, nearest-rank quantiles at
+   *  `floor(p*(n-1)) + 1`. Histogram-rank discipline (the
+   *  [[surprisalBuckets]] shape, SURVEY §4): n_tok is a bounded
+   *  integer, so the corpus partial-aggs to a per-(source, n_tok)
+   *  histogram, the cumulative window runs over the histogram ONLY
+   *  (never one row per document — a handful of giant sources would
+   *  otherwise push ~the whole corpus through single-reducer sorts),
+   *  and the value at rank r is the histogram row with
+   *  `cum_below < r <= cum_le`. */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("source"), col("doc_id"),
+    val t = docs.select(col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val hist = t.groupBy("source", "n_tok").agg(count(lit(1)).as("cnt"))
     val bySrc = Window.partitionBy("source")
-    val idx = t
-      .withColumn("rk", row_number().over(bySrc.orderBy("n_tok", "doc_id")))
-      .withColumn("n", count(lit(1)).over(bySrc))
-    idx.groupBy("source").agg(
+    val cum = hist
+      .withColumn("cum_le", sum("cnt").over(bySrc.orderBy("n_tok")))
+      .withColumn("n", sum("cnt").over(bySrc))
+    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    def at(p: Double) =
+      min(when(col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
+        col("n_tok")))
+    cum.groupBy("source").agg(
       max("n").as("n_docs"),
-      sum("n_tok").as("total_tokens"),
+      sum(col("n_tok") * col("cnt")).as("total_tokens"),
       min("n_tok").as("min_tokens"),
-      min(when(col("rk") === floor(lit(0.25) * (col("n") - 1)) + 1,
-        col("n_tok"))).as("p25_tokens"),
-      min(when(col("rk") === floor(lit(0.5) * (col("n") - 1)) + 1,
-        col("n_tok"))).as("p50_tokens"),
-      min(when(col("rk") === floor(lit(0.9) * (col("n") - 1)) + 1,
-        col("n_tok"))).as("p90_tokens"),
+      at(0.25).as("p25_tokens"),
+      at(0.5).as("p50_tokens"),
+      at(0.9).as("p90_tokens"),
       max("n_tok").as("max_tokens"))
       .orderBy("source")
   }
 
   val lengthQuantilesOracle: String = """
 WITH t AS (
-  SELECT source, doc_id,
+  SELECT source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents),
-idx AS (
-  SELECT source, n_tok,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
-         COUNT(*) OVER (PARTITION BY source) AS n
-  FROM t)
+hist AS (
+  SELECT source, n_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY source, n_tok),
+cum AS (
+  SELECT source, n_tok, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum_le,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM hist)
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tok * cnt) AS BIGINT) AS total_tokens,
        MIN(n_tok) AS min_tokens,
-       MIN(CASE WHEN rk = FLOOR(0.25 * (n - 1)) + 1 THEN n_tok END) AS p25_tokens,
-       MIN(CASE WHEN rk = FLOOR(0.5 * (n - 1)) + 1 THEN n_tok END) AS p50_tokens,
-       MIN(CASE WHEN rk = FLOOR(0.9 * (n - 1)) + 1 THEN n_tok END) AS p90_tokens,
+       MIN(CASE WHEN cum_le - cnt < FLOOR(0.25 * (n - 1)) + 1 AND FLOOR(0.25 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p25_tokens,
+       MIN(CASE WHEN cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p50_tokens,
+       MIN(CASE WHEN cum_le - cnt < FLOOR(0.9 * (n - 1)) + 1 AND FLOOR(0.9 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p90_tokens,
        MAX(n_tok) AS max_tokens
-FROM idx
+FROM cum
 GROUP BY source
 ORDER BY source"""
 

@@ -130,16 +130,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
   }
 
-  test("task quantiles reuse one exchange for both window sorts") {
-    // Two row_number windows + the count window all partition on
-    // app_id: exactly ONE hashpartitioning exchange on app_id may
-    // appear — a second one means the sorts stopped sharing it.
-    val p = plan(JobsStages.taskQuantiles(canon))
-    val appIdExchanges = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning(app_id"))
-      .size
-    assert(appIdExchanges <= 1, p)
+  /** The quantile-family scale audit: every nearest-rank quantile
+   *  operator must follow the histogram-rank discipline — NO operator
+   *  sorts a frame above histogram cardinality. Concretely: no
+   *  row_number window anywhere (the old shape ranked every raw row
+   *  inside a per-key partition — a skewed key put tens of millions of
+   *  rows through ONE reducer's sort, twice), and every Window's
+   *  direct input chain is the bounded per-(key, value) HashAggregate,
+   *  never the raw frame. */
+  private def assertHistogramRankShape(p: String): Unit = {
+    assert(!p.contains("row_number"), p)
     assert(!p.contains("CartesianProduct"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdxs = lines.zipWithIndex.filter(_._1.contains("Window ")).map(_._2)
+    assert(winIdxs.nonEmpty, p)
+    // below the DEEPEST window (root-first printout → largest index)
+    // the chain must reach the histogram aggregate within the
+    // sort/exchange plumbing — a corpus-cardinality window input would
+    // show a scan/generate/filter chain here instead
+    val deepest = winIdxs.max
+    assert(lines.slice(deepest + 1, deepest + 8)
+      .exists(_.contains("HashAggregate")),
+      lines.slice(deepest, deepest + 8).mkString("\n"))
+  }
+
+  test("task quantiles: histogram-rank — no row_number, windows see only the (app, metric, value) histogram") {
+    assertHistogramRankShape(plan(JobsStages.taskQuantiles(canon)))
   }
 
   test("diagnostics windows: single exchange, partial aggregation, no cartesian") {
@@ -172,12 +188,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairJoinHasBatchInput, lp.toString)
   } }
 
-  test("stage quantiles reuse one exchange across both window sorts") {
-    val p = plan(JobsStages.stageQuantiles(canon))
-    val exchanges = p.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning(app_id"))
-    assert(exchanges <= 1, p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("stage quantiles: histogram-rank — no row_number, windows see only the (stage, metric, value) histogram") {
+    assertHistogramRankShape(plan(JobsStages.stageQuantiles(canon)))
+  }
+
+  test("length quantiles: histogram-rank — the per-source window sees the (source, n_tok) histogram, never documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assertHistogramRankShape(plan(
+      graft.pipeline.TextAnalysis.lengthQuantiles(docs)))
+  }
+
+  test("app duration quantiles: histogram-rank — the global window sees the duration histogram, never per-app rows") {
+    assertHistogramRankShape(plan(CrossApp.appDurationQuantiles(canon)))
   }
 
   test("decontamination broadcasts the benchmark side — corpus shingles never shuffle for the join") {

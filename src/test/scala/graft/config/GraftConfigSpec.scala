@@ -107,4 +107,28 @@ timeout_duration_secs = 7
     assert(kv("fs.s3a.access.key") === "AK")
     assert(kv("fs.s3a.secret.key") === "SK")
   }
+
+  test("kerberos settings wire the UGI login plan (hdfs_reader.rs:55-91)") {
+    // the parsed sample carries principal + keytab: the login plan the
+    // ServerMain UGI call consumes must echo exactly those two, the
+    // auth-mode override must land on the Hadoop conf, and the
+    // krb5.conf path must ride along when present
+    val s = fromTables(parseToml(sample))
+    assert(s.kerberosLogin === Some(("svc@REALM", "/etc/krb5.keytab")))
+    assert(s.hadoopOverrides.toMap
+      .get("hadoop.security.authentication") === Some("kerberos"))
+    assert(s.krb5ConfPath === None)
+    val withKrb5 = fromTables(parseToml(sample +
+      "\n[history.hdfs.kerberos]\nprincipal = \"svc@REALM\"\n" +
+      "keytab_path = \"/etc/krb5.keytab\"\nkrb5_config_path = \"/etc/krb5.conf\"\n"))
+    assert(withKrb5.krb5ConfPath === Some("/etc/krb5.conf"))
+    // principal without keytab = ticket-cache/spark-submit auth: no
+    // login for graft to perform, but the auth mode still switches
+    val noKeytab = Settings(history = HistoryConfig(hdfs = Some(HdfsConfig(
+      namenodeUrl = "hdfs://nn:9000",
+      kerberos = Some(KerberosConfig(principal = "svc@REALM"))))))
+    assert(noKeytab.kerberosLogin === None)
+    assert(noKeytab.hadoopOverrides.toMap
+      .get("hadoop.security.authentication") === Some("kerberos"))
+  }
 }
