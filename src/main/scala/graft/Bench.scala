@@ -55,7 +55,12 @@ object Bench {
       * setting (>10 s composites under host drift need the wider
       * median — round-12 sf1 spreads like [12.4, 90.1] s made
       * median-of-3 untrustworthy). */
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    // Clamped + parse-guarded (a typo'd value must not crash a 40-min
+    // suite); only ODD values give a true median — medianOf/runMedian
+    // return the upper-middle sample for even N, fine for spread
+    // bounds but document the intent by using 3 or 5.
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     def runMedian(name: String): (Double, Double, Double) = {
       val ts = (0 until reps).map(_ => runNoop(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
@@ -78,11 +83,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    /** Canary: a pinned set of cheap, code-stable queries timed
+      * before AND after the full suite in the same JVM (full rationale
+      * at the canary pass below). Declared once, here, because the
+      * warm loop below must also cover it — a canary key edited in one
+      * list but not the other would run its first timed sample cold
+      * and bill Janino/JIT, exactly the artifact it exists to catch. */
+    val canaryKeys = Seq("app_list", "resource_usage", "text_stats",
+      "quality_score", "lang_id", "split_assign")
     // forced canaries (SPARK_GRAFT_CANARY=1 under an ONLY filter) must
     // warm too, or their first timed sample bills Janino/JIT
     val warmNames = (names ++ (if (sys.env.get("SPARK_GRAFT_CANARY")
-      .contains("1")) Seq("app_list", "resource_usage", "text_stats",
-      "quality_score", "lang_id", "split_assign") else Seq.empty)).distinct
+      .contains("1")) canaryKeys else Seq.empty)).distinct
     for (n <- warmNames) {
       spark.catalog.clearCache()
       try SparkEntry.queries(n)(spark, warmDir)
@@ -99,9 +111,8 @@ object Bench {
       * queries ran in a degraded JVM and cross-round deltas on them
       * are noise until re-measured). Cross-round normalization:
       * divide a query's median by the SAME round's canary_before
-      * sum before comparing rounds. */
-    val canaryKeys = Seq("app_list", "resource_usage", "text_stats",
-      "quality_score", "lang_id", "split_assign")
+      * sum before comparing rounds. (canaryKeys declared above the
+      * warm loop, which must cover it.) */
     // SPARK_GRAFT_CANARY=1 forces the canary series even under a
     // SPARK_GRAFT_ONLY filter — the sf1 runner's setting (round-12 sf1
     // artifacts had canary_drift -1 and were uninterpretable under
@@ -588,6 +599,57 @@ object Bench {
         "artifact (" + adjudication + "): " + regressions.map { case (k, r) =>
           k + " " + r3(r) + "x" }.mkString(", "))
     val regJson = jmap(regressions, r3)
+    /** MACHINE-RUN standalone adjudication (round-12 lesson, automated):
+      * an in-suite trigger number from a run whose canary drifted is
+      * not code signal — a standalone re-measure at the SAME HEAD in
+      * the same JVM, outside the suite's parallel pressure, settles
+      * which. When the two-condition alert fires, re-measure each
+      * flagged key in a fresh isolated block RIGHT HERE and write both
+      * numbers + the verdict into the artifact: standalone
+      * reproducing the committed cost (raw ratio <= 1.5) means the
+      * in-suite number was suite-pressure artifact; standalone staying
+      * elevated means code (or cross-round host drift — then the
+      * CLAUDE.md worktree A/B is the tiebreak, and the verdict string
+      * says so). */
+    def standaloneThunk(k: String): Option[() => Double] = k match {
+      case "stream_trigger_quarter_corpus" => Some(() => streamingTriggerOnce(sfDir, 0.25))
+      case "stream_trigger_full_corpus" => Some(() => streamingTriggerOnce(sfDir, 1.0))
+      case "stream_exact_trigger_quarter_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 0.25))
+      case "stream_exact_trigger_full_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 1.0))
+      case "stream_simhash_trigger_quarter_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 0.25))
+      case "stream_simhash_trigger_full_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 1.0))
+      case "stream_minhash_trigger_quarter_corpus" => Some(() => streamingMinhashTriggerOnce(sfDir, 0.25))
+      case "stream_minhash_trigger_full_corpus" => Some(() => streamingMinhashTriggerOnce(sfDir, 1.0))
+      case "stream_emb_trigger_quarter_corpus" => Some(() => streamingEmbTriggerOnce(sfDir, 0.25))
+      case "stream_emb_trigger_full_corpus" => Some(() => streamingEmbTriggerOnce(sfDir, 1.0))
+      case "stream_cluster_trigger_quarter_corpus" => Some(() => streamingClusterTriggerOnce(100000L))
+      case "stream_cluster_trigger_full_corpus" => Some(() => streamingClusterTriggerOnce(400000L))
+      case qk if SparkEntry.queries.contains(qk) => Some(() => runNoop(qk))
+      case _ => None
+    }
+    val resultMap = results.toMap
+    val standaloneAdjudications: Seq[(String, String)] =
+      regressions.map { case (k, norm) =>
+        val sMed = standaloneThunk(k)
+          .map(th => medianOf((0 until reps).map(_ => th()))._1)
+          .getOrElse(-1.0)
+        val prev = prevQueries.getOrElse(k, -1.0)
+        val inSuite = resultMap.get(k).map(_._1).getOrElse(-1.0)
+        val sRaw = if (sMed > 0 && prev > 0) sMed / prev else -1.0
+        val verdict =
+          if (sMed < 0) "standalone-remeasure-failed"
+          else if (sRaw >= 0 && sRaw <= 1.5)
+            "in-suite-pressure-artifact: standalone reproduces committed"
+          else "standalone-elevated: code-attributed (or cross-round " +
+            "host drift - tiebreak with the CLAUDE.md worktree A/B)"
+        k -> (s"""{"in_suite":${r3(inSuite)},"standalone":${r3(sMed)},""" +
+          s""""prev":${r3(prev)},"norm_ratio":${r3(norm)},""" +
+          s""""standalone_ratio":${r3(sRaw)},"verdict":"$verdict"}""")
+      }
+    val standaloneJson = standaloneAdjudications
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    if (standaloneAdjudications.nonEmpty)
+      System.err.println("[bench] standalone adjudication: " + standaloneJson)
     // A SPARK_GRAFT_ONLY-filtered dev run must not clobber the last
     // FULL-suite artifact: survey_numbers.py falls back to
     // bench_local_last.json when the harness wrapper is unparsed, and
@@ -597,7 +659,7 @@ object Bench {
       if (only.isDefined) "bench_local_only.json" else "bench_local_last.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outName),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"host_factor":${r3(hostFactor)},"noise_envelope":${r3(noiseEnvelope)},"regression_adjudication":"$adjudication","ingest_events_per_sec":$eps,"trigger_regressions":$regJson,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"query_spread":$spread,"canary_before":${jmap(canaryBefore, _.toString)},"canary_after":${jmap(canaryAfter, _.toString)},"canary_mid":${canaryMid.mkString("[", ",", "]")},"canary_drift":$canaryDrift,"host_factor":${r3(hostFactor)},"noise_envelope":${r3(noiseEnvelope)},"regression_adjudication":"$adjudication","ingest_events_per_sec":$eps,"trigger_regressions":$regJson,"trigger_standalone":$standaloneJson,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val headlineKeys = Seq("events_parse", "app_list", "task_quantiles",
       "critical_path", "dedup_exact", "dedup_ngram", "dedup_minhash",
@@ -613,7 +675,7 @@ object Bench {
     val hl = if (only.isDefined) results
       else results.filter(kv => headlineKeys.contains(kv._1))
     val qs = jmap(hl.map { case (k, (med, _, _)) => k -> med }, r3)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"host_factor":${r3(hostFactor)},"ingest_events_per_sec":$eps,"trigger_regression_alert":${regressions.nonEmpty},"trigger_regressions":$regJson,"sf":"$sfDir","full":"$outName"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"canary_drift":${r3(canaryDrift)},"host_factor":${r3(hostFactor)},"ingest_events_per_sec":$eps,"trigger_regression_alert":${regressions.nonEmpty},"trigger_regressions":$regJson,"trigger_standalone":$standaloneJson,"sf":"$sfDir","full":"$outName"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(benchRoot.toFile)
   }

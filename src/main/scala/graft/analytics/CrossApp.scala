@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Round.r4
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
+import graft.operators.HistogramRank
 
 /**
  * Cross-application analytics: corpus rollup, per-stage task
@@ -414,19 +415,12 @@ ORDER BY ce.cohort_week, ce.week_offset"""
    *  |distinct ms values| rows, never one row per app — integer
    *  microseconds end-to-end. */
   def appDurationQuantiles(canon: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = canon.groupBy("app_id")
       .agg(expr("(max(event_time_us) - min(event_time_us)) div 1000")
         .as("duration_ms"))
     val hist = spans.groupBy("duration_ms").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(lit(1))
-    val cum = hist
-      .withColumn("cum_le", sum("cnt").over(w.orderBy("duration_ms")))
-      .withColumn("n", sum("cnt").over(w))
-    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
-    def at(p: Double) =
-      min(when(col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
-        col("duration_ms")))
+    val cum = HistogramRank.cumulate(hist, Seq.empty, "duration_ms")
+    def at(p: Double) = HistogramRank.at("duration_ms", p)
     cum.agg(
       max("n").as("n_apps"),
       at(0.5).as("p50_duration_ms"),
@@ -442,14 +436,10 @@ ORDER BY ce.cohort_week, ce.week_offset"""
 hist AS (
   SELECT duration_ms, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM spans GROUP BY duration_ms),
-cum AS (
-  SELECT duration_ms, cnt,
-         SUM(cnt) OVER (ORDER BY duration_ms) AS cum_le,
-         SUM(cnt) OVER () AS n
-  FROM hist)
+""" + HistogramRank.cumCteSql("hist", Seq.empty, "duration_ms") + s"""
 SELECT CAST(MAX(n) AS BIGINT) AS n_apps,
-       MIN(CASE WHEN cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN duration_ms END) AS p50_duration_ms,
-       MIN(CASE WHEN cum_le - cnt < FLOOR(0.9 * (n - 1)) + 1 AND FLOOR(0.9 * (n - 1)) + 1 <= cum_le THEN duration_ms END) AS p90_duration_ms,
+       ${HistogramRank.pickSql("duration_ms", 0.5, "p50_duration_ms")},
+       ${HistogramRank.pickSql("duration_ms", 0.9, "p90_duration_ms")},
        MAX(duration_ms) AS max_duration_ms
 FROM cum"""
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.events.EventModel._
 import graft.events.TestDataAdapter.canonCte
+import graft.operators.HistogramRank
 
 /**
  * Per-application job and stage summaries — the
@@ -104,22 +105,15 @@ ORDER BY app_id, stage_id"""
    *  of TaskEnds collapse to at most |distinct ms values| rows before
    *  any sort (the shape `surprisalBuckets` pioneered, SURVEY §4). */
   def taskQuantiles(canon: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tasks = canon
       .filter(col("event_type") === TaskEnd &&
         col("duration_ms").isNotNull && col("gc_time_ms").isNotNull)
       .select(col("app_id"),
         expr("stack(2, 'd', duration_ms, 'g', gc_time_ms)").as(Seq("m", "v")))
     val hist = tasks.groupBy("app_id", "m", "v").agg(count(lit(1)).as("cnt"))
-    val byKey = Window.partitionBy("app_id", "m")
-    val cum = hist
-      .withColumn("cum_le", sum("cnt").over(byKey.orderBy("v")))
-      .withColumn("n", sum("cnt").over(byKey))
-    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    val cum = HistogramRank.cumulate(hist, Seq("app_id", "m"), "v")
     def at(metric: String, p: Double) =
-      min(when(col("m") === metric &&
-        col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
-        col("v")))
+      HistogramRank.at("v", p, gate = col("m") === metric)
     cum.groupBy("app_id").agg(
       max("n").as("task_n"),
       at("d", 0.5).as("p50_duration_ms"),
@@ -141,7 +135,6 @@ ORDER BY app_id, stage_id"""
    *  single task still get exact quantiles (rank 1 lands on the only
    *  histogram row). */
   def stageQuantiles(canon: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tasks = canon
       .filter(col("event_type") === TaskEnd && col("stage_id").isNotNull &&
         col("duration_ms").isNotNull && col("gc_time_ms").isNotNull)
@@ -149,15 +142,9 @@ ORDER BY app_id, stage_id"""
         expr("stack(2, 'd', duration_ms, 'g', gc_time_ms)").as(Seq("m", "v")))
     val hist = tasks.groupBy("app_id", "stage_id", "m", "v")
       .agg(count(lit(1)).as("cnt"))
-    val byKey = Window.partitionBy("app_id", "stage_id", "m")
-    val cum = hist
-      .withColumn("cum_le", sum("cnt").over(byKey.orderBy("v")))
-      .withColumn("n", sum("cnt").over(byKey))
-    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    val cum = HistogramRank.cumulate(hist, Seq("app_id", "stage_id", "m"), "v")
     def at(metric: String, p: Double) =
-      min(when(col("m") === metric &&
-        col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
-        col("v")))
+      HistogramRank.at("v", p, gate = col("m") === metric)
     cum.groupBy("app_id", "stage_id").agg(
       max("n").as("task_n"),
       at("d", 0.5).as("p50_duration_ms"),
@@ -183,18 +170,14 @@ lng AS (
 hist AS (
   SELECT app_id, stage_id, m, v, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lng GROUP BY app_id, stage_id, m, v),
-cum AS (
-  SELECT app_id, stage_id, m, v, cnt,
-         SUM(cnt) OVER (PARTITION BY app_id, stage_id, m ORDER BY v) AS cum_le,
-         SUM(cnt) OVER (PARTITION BY app_id, stage_id, m) AS n
-  FROM hist)
+""" + HistogramRank.cumCteSql("hist", Seq("app_id", "stage_id", "m"), "v") + s"""
 SELECT app_id, stage_id, CAST(MAX(n) AS BIGINT) AS task_n,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_duration_ms,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.75 * (n - 1)) + 1 AND FLOOR(0.75 * (n - 1)) + 1 <= cum_le THEN v END) AS p75_duration_ms,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_duration_ms,
+       ${HistogramRank.pickSql("v", 0.5, "p50_duration_ms", "m = 'd'")},
+       ${HistogramRank.pickSql("v", 0.75, "p75_duration_ms", "m = 'd'")},
+       ${HistogramRank.pickSql("v", 0.95, "p95_duration_ms", "m = 'd'")},
        MAX(CASE WHEN m = 'd' THEN v END) AS max_duration_ms,
-       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_gc_ms,
-       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_gc_ms,
+       ${HistogramRank.pickSql("v", 0.5, "p50_gc_ms", "m = 'g'")},
+       ${HistogramRank.pickSql("v", 0.95, "p95_gc_ms", "m = 'g'")},
        MAX(CASE WHEN m = 'g' THEN v END) AS max_gc_ms
 FROM cum
 GROUP BY app_id, stage_id
@@ -213,18 +196,14 @@ lng AS (
 hist AS (
   SELECT app_id, m, v, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lng GROUP BY app_id, m, v),
-cum AS (
-  SELECT app_id, m, v, cnt,
-         SUM(cnt) OVER (PARTITION BY app_id, m ORDER BY v) AS cum_le,
-         SUM(cnt) OVER (PARTITION BY app_id, m) AS n
-  FROM hist)
+""" + HistogramRank.cumCteSql("hist", Seq("app_id", "m"), "v") + s"""
 SELECT app_id, CAST(MAX(n) AS BIGINT) AS task_n,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_duration_ms,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.75 * (n - 1)) + 1 AND FLOOR(0.75 * (n - 1)) + 1 <= cum_le THEN v END) AS p75_duration_ms,
-       MIN(CASE WHEN m = 'd' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_duration_ms,
+       ${HistogramRank.pickSql("v", 0.5, "p50_duration_ms", "m = 'd'")},
+       ${HistogramRank.pickSql("v", 0.75, "p75_duration_ms", "m = 'd'")},
+       ${HistogramRank.pickSql("v", 0.95, "p95_duration_ms", "m = 'd'")},
        MAX(CASE WHEN m = 'd' THEN v END) AS max_duration_ms,
-       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN v END) AS p50_gc_ms,
-       MIN(CASE WHEN m = 'g' AND cum_le - cnt < FLOOR(0.95 * (n - 1)) + 1 AND FLOOR(0.95 * (n - 1)) + 1 <= cum_le THEN v END) AS p95_gc_ms,
+       ${HistogramRank.pickSql("v", 0.5, "p50_gc_ms", "m = 'g'")},
+       ${HistogramRank.pickSql("v", 0.95, "p95_gc_ms", "m = 'g'")},
        MAX(CASE WHEN m = 'g' THEN v END) AS max_gc_ms
 FROM cum
 GROUP BY app_id

@@ -32,20 +32,45 @@ object ServerMain {
     settings.hadoopOverrides.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+    // krb5.conf override: applies on EVERY kerberized path, including
+    // principal-only (ticket-cache) setups with no keytab to log in —
+    // and must land before any JVM Kerberos use. If something already
+    // initialized Kerberos (the JVM caches krb5.conf at first touch),
+    // force a re-read; sun.security.krb5.Config is JDK-internal, so
+    // the refresh goes through reflection (spark-submit's launcher
+    // opens java.security.jgss/sun.security.krb5; outside it the
+    // refresh degrades to a warning and the property still governs
+    // first-touch initialization).
+    settings.krb5ConfPath.foreach { p =>
+      System.setProperty("java.security.krb5.conf", p)
+      scala.util.Try(Class.forName("sun.security.krb5.Config")
+        .getMethod("refresh").invoke(null)) match {
+        case scala.util.Failure(e) => System.err.println(
+          s"[graft] krb5.conf set to $p but refresh failed (pre-init " +
+            s"Kerberos state may persist): ${e.getMessage}")
+        case _ => ()
+      }
+    }
     // Keytab login when the settings carry one (hdfs_reader.rs:55-91
     // create_kerberos_client): must run after the auth-mode override
     // lands on the Hadoop conf and before the first filesystem touch.
-    // A spark-submit --principal/--keytab login, if present, already
-    // happened at JVM start; this call is then a no-op re-login of the
-    // same identity or an explicit switch to the configured one.
+    // DRIVER-ONLY: UserGroupInformation.loginUserFromKeytab
+    // authenticates this JVM — executors in a cluster deployment get
+    // NO delegation tokens from it, so kerberized-HDFS reads from
+    // executors REQUIRE `spark-submit --principal/--keytab` (which
+    // obtains and ships HDFS delegation tokens at submit time); this
+    // login covers local-mode and client-side (driver listing /
+    // store-maintenance) filesystem access only. When the submit-time
+    // login already happened, this is a no-op re-login of the same
+    // identity or an explicit switch to the configured one.
     settings.kerberosLogin.foreach { case (principal, keytab) =>
-      settings.krb5ConfPath.foreach(p =>
-        System.setProperty("java.security.krb5.conf", p))
       org.apache.hadoop.security.UserGroupInformation.setConfiguration(
         spark.sparkContext.hadoopConfiguration)
       org.apache.hadoop.security.UserGroupInformation.loginUserFromKeytab(
         principal, keytab)
-      System.err.println(s"[graft] kerberos login as $principal from $keytab")
+      System.err.println(s"[graft] kerberos login as $principal from " +
+        s"$keytab (driver-side; cluster executors need spark-submit " +
+        "--principal/--keytab for delegation tokens)")
     }
     val canon = EventLogSource.readDirectory(spark, settings.eventLogUri)
       .cache()

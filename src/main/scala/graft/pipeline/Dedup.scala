@@ -664,6 +664,68 @@ shid AS (
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Default per-bucket member bound for [[cappedBucketPairs]]: far
+   *  above any bucket the test corpora produce (so the capped path is
+   *  bit-identical to [[saltedBucketPairs]] at every test SF — the
+   *  oracles stay exact) while turning a 100 TB hot cell's |cell|²
+   *  pair blow-up into |cell| × O(cap). */
+  val HotCellCap: Int = 4096
+
+  /** [[saltedBucketPairs]] with a HARD per-bucket pair bound — the
+   *  skew guard for bucket families whose key has no df-cap (the IVF
+   *  `cent_id` cell family above all: a million near-identical
+   *  boilerplate embeddings landing on one centroid is exactly the
+   *  distribution a dedup corpus has, and salting alone only SPREADS
+   *  the |cell|² pairs, it doesn't shrink them).
+   *
+   *  Buckets of ≤ `cap` members pair exactly as [[saltedBucketPairs]]
+   *  (same pair SET — asserted in PipelineSpec). A bucket of n > cap
+   *  members is split into ceil(n/cap) sub-buckets by member-id hash,
+   *  and pairs are enumerated WITHIN each sub-bucket plus across each
+   *  CHAIN-ADJACENT sub-bucket pair (s, s+1) — every member still
+   *  pairs against ~2·cap peers and the sub-bucket chain keeps the
+   *  bucket connected for downstream clustering, but total pair work
+   *  per bucket drops from n²/2 to n·O(cap): linear in the hot cell.
+   *  Nothing is truncated or dropped — every member appears in the
+   *  output — the trade above `cap` is candidate RECALL inside the
+   *  hot bucket (a sub-sampled neighbor set), the same approximation
+   *  the IVF cell restriction itself already makes and the same
+   *  gauges ([[graft.pipeline.Embeddings]] `annRecall`) measure.
+   *
+   *  Cost: one partial-agg size pass over `members` plus the join of
+   *  the (≤ #buckets)-row size frame back onto it (AQE broadcasts
+   *  it); pure dataflow — no driver action, no collected cell list. */
+  def cappedBucketPairs(members: DataFrame, keyCols: Seq[String],
+                        idCol: String, cap: Int = HotCellCap,
+                        salts: Int = 8): DataFrame = {
+    val keys = keyCols.map(col)
+    val sizes = members.groupBy(keys: _*).agg(count(lit(1L)).as("cell_n"))
+    val subbed = members.join(sizes, keyCols)
+      .withColumn("sub", pmod(xxhash64(col(idCol)),
+        expr(s"(cell_n + ${cap - 1}) div $cap")))
+      .select(keys :+ col("sub") :+ col(idCol): _*)
+    val left = subbed
+      .withColumn("sa", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .select(keys :+ col("sub") :+ col("sa") :+ col(idCol).as("doc_a"): _*)
+    val withinRight = subbed
+      .withColumn("sa", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      .select(keys :+ col("sub") :+ col("sa") :+ col(idCol).as("doc_b"): _*)
+    val within = left.join(withinRight, keyCols :+ "sub" :+ "sa")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // chain-adjacent cross pairs: re-key sub-bucket s+1 as s so the
+    // equi-join lands (s, s+1) blocks together; sub-buckets partition
+    // the id set, so doc_a ≠ doc_b by construction — normalize order.
+    val crossRight = subbed.filter(col("sub") > 0)
+      .withColumn("sub", col("sub") - lit(1L))
+      .withColumn("sa", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      .select(keys :+ col("sub") :+ col("sa") :+ col(idCol).as("doc_b"): _*)
+    val cross = left.join(crossRight, keyCols :+ "sub" :+ "sa")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    within.union(cross).distinct()
+  }
+
   /** Exact Jaccard for a candidate-pair frame (doc_a, doc_b):
    *  intersection counted ONLY for candidate pairs (pairs x grams-of-a
    *  joined to grams-of-b) — cost scales with |candidates|, not with

@@ -602,9 +602,12 @@ ORDER BY threshold"""
    *  fixed-K quantizer [[annIvf]] uses) splits the corpus into K
    *  clusters, and near-duplicate pairs are enumerated ONLY within a
    *  cluster — the cluster is the blocking key, so cost is
-   *  Σ|cluster|², never |corpus|², and each cluster's pair work lands
-   *  on its own reducers ([[Dedup.saltedBucketPairs]] spreads a hot
-   *  cluster over several). A vector is dropped when it is the larger
+   *  Σ|cluster|², never |corpus|², each cluster's pair work lands
+   *  on its own reducers, and a DATA-skewed hot cluster (a million
+   *  boilerplate near-identical embeddings on one centroid) is
+   *  hard-bounded by [[Dedup.cappedBucketPairs]]: above
+   *  [[Dedup.HotCellCap]] members the cell sub-buckets and pair work
+   *  turns linear in |cell|. A vector is dropped when it is the larger
    *  `vec_b` of any within-cluster pair at exact quantized cosine >=
    *  `minCosine`; one representative per semantic duplicate group
    *  survives. Complements [[dedupEmbedding]]: sign-bit LSH blocks on
@@ -632,7 +635,7 @@ ORDER BY threshold"""
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
     val assigned = nearestCentroids(qv, centroids, 1).cache()
-    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+    val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val dropped = verifyCosine(cands, qv, qv, "vec_a", "vec_b", minCosine)
       .select(col("vec_b").as("vec_id")).distinct()
@@ -671,8 +674,10 @@ ORDER BY a.vec_id"""
    *  consume: for EVERY vector (not a query sample), its `k` nearest
    *  neighbors by exact quantized cosine among vectors sharing its
    *  IVF cell. Cell-restricted by construction — candidate work is
-   *  Σ|cell|², never |corpus|², and [[Dedup.saltedBucketPairs]]
-   *  spreads a hot cell's pair generation over `salts` reducers; the
+   *  Σ|cell|², never |corpus|², and [[Dedup.cappedBucketPairs]] both
+   *  spreads a hot cell's pair generation over `salts` reducers AND
+   *  hard-bounds a data-skewed cell (> [[Dedup.HotCellCap]] members
+   *  sub-bucket; pair work turns linear in the hot cell); the
    *  per-vertex top-k window partitions on the vertex (cell-bounded
    *  candidate lists, hash-partitioned exchange — no global sort).
    *  Cell-restriction is the standard approximation: cross-cell true
@@ -710,7 +715,7 @@ ORDER BY a.vec_id"""
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
     val assigned = nearestCentroids(qv, centroids, 1)
-    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+    val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val sym = cands.union(
       cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
@@ -2536,7 +2541,13 @@ ORDER BY r.query_id, rank"""
    *  Shape at scale: the k-bounded edge list joins the 1/seedMod
    *  seed frame on neighbor_id (keyed equi-join, ≤ k·N rows), votes
    *  aggregate at (vector, label) cardinality, the readout at label
-   *  cardinality — nothing quadratic beyond [[knnGraph]] itself. */
+   *  cardinality — nothing quadratic beyond [[knnGraph]] itself.
+   *  `seedMod` is deliberately a corpus FRACTION (unlike the
+   *  absolute-count audit strides, [[rpDistortion]]): the labeled
+   *  subset of a semi-supervised run scales with the corpus by spec,
+   *  and every per-seed cost here is a keyed linear join. A real
+   *  deployment replaces the mod-seeding with its actual labeled
+   *  set. */
   def knnLabelProp(emb: DataFrame, k: Int = 5, seedMod: Int = 5,
                    numCentroids: Int = AutoCentroids,
                    precomputedQuantized: Option[DataFrame] = None,
@@ -2685,7 +2696,11 @@ ORDER BY d.source"""
    *  oracle-reproducible stand-in for a seeded Rademacher draw,
    *  Achlioptas 2003's database-friendly JL construction), then
    *  measure what the projection does to COSINES on a deterministic
-   *  pair sample (every 25th vector against its successor):
+   *  FIXED-SIZE pair sample (every k-th vector against its successor,
+   *  k = ceil(N/samplePairs) — an absolute-count stride like
+   *  [[graft.pipeline.Dedup.minhashRecallSample]]'s, NOT a corpus
+   *  fraction: the audit reads ~samplePairs rows at ANY corpus size,
+   *  where a mod-25 fraction would emit N/25 rows at 100 TB):
    *  cosine_full vs cosine_proj and the absolute gap. This is the
    *  "can I afford to store/serve 4× fewer dims" decision table —
    *  measured, not guessed, the same discipline as [[annRecall]] /
@@ -2694,10 +2709,14 @@ ORDER BY d.source"""
    *  itself). Shape at scale: the sign matrix is 64×16 literal rows
    *  broadcast everywhere; projection is one (vec, j)-keyed partial
    *  agg over the exploded frame (16 rows out per vector); the
-   *  sampled pair frame is 1/25th of the corpus joined twice —
-   *  nothing quadratic, no corpus-wide sort. All dots/norms integer. */
+   *  sampled pair frame is ~samplePairs rows joined twice —
+   *  nothing quadratic, no corpus-wide sort. All dots/norms integer.
+   *  The stride is corpus-count-derived and computed IDENTICALLY on
+   *  both engines (Scala `(n + samplePairs - 1) / samplePairs` vs the
+   *  oracle's `(COUNT(*) + 79) // 80` scalar subquery — the
+   *  minhash_recall_sample lockstep discipline, CLAUDE.md). */
   def rpDistortion(emb: DataFrame, projDims: Int = 16,
-                   sampleMod: Int = 25): DataFrame = {
+                   samplePairs: Long = 80L): DataFrame = {
     val spark = emb.sparkSession
     val qv = quantized(emb).cache()
     // 1-based dim index matches the oracle's range(1,65) spelling
@@ -2713,7 +2732,9 @@ ORDER BY d.source"""
     val proj = comps.join(broadcast(signs), "i")
       .groupBy("vec_id", "j").agg(sum(expr("q * sgn")).as("p"))
     val pn = proj.groupBy("vec_id").agg(sum(expr("p * p")).as("np"))
-    val pairs = qv.filter(col("vec_id") % sampleMod === 0)
+    val stride = math.max(1L,
+      (qv.count() + samplePairs - 1L) / samplePairs)
+    val pairs = qv.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("vec_a"), col("qarr").as("qarr_a"),
         col("nq").as("nq_a"))
       .join(qv.select((col("vec_id") - 1).as("vec_a"),
@@ -2765,7 +2786,7 @@ pn AS (SELECT vec_id, CAST(SUM(p * p) AS BIGINT) AS np FROM proj GROUP BY vec_id
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM nr a JOIN nr b ON b.vec_id = a.vec_id + 1
-  WHERE a.vec_id % 25 = 0),
+  WHERE a.vec_id % GREATEST(1, (SELECT (COUNT(*) + 79) // 80 FROM embeddings)) = 0),
 fdot AS (
   SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
   FROM pairs p
@@ -2878,7 +2899,8 @@ FROM sil GROUP BY cent_id ORDER BY cent_id"""
    *  (random negatives are trivially separable; the informative ones
    *  are exactly the high-similarity different-label pairs this
    *  returns). Cell-restricted like [[knnGraph]] — candidate work is
-   *  Σ|cell|², never |corpus|², hot cells salted; the same sqrt-N
+   *  Σ|cell|², never |corpus|², hot cells salted AND hard-bounded
+   *  ([[Dedup.cappedBucketPairs]]); the same sqrt-N
    *  [[AutoCentroids]] default bounds pair work at N^1.5.
    *
    *  Output: (vec_id, label, rank, negative_id, negative_label,
@@ -2897,7 +2919,7 @@ FROM sil GROUP BY cent_id ORDER BY cent_id"""
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
     val assigned = nearestCentroids(qv, centroids, 1)
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
-    val cands = Dedup.saltedBucketPairs(assigned, Seq("cent_id"), "vec_id")
+    val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val sym = cands.union(
       cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Round.r4
+import graft.operators.HistogramRank
 
 /**
  * Text-analysis operators for an LLM training-data pipeline, over the
@@ -1446,14 +1447,8 @@ ORDER BY bu.len_bucket"""
     val t = docs.select(col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val hist = t.groupBy("source", "n_tok").agg(count(lit(1)).as("cnt"))
-    val bySrc = Window.partitionBy("source")
-    val cum = hist
-      .withColumn("cum_le", sum("cnt").over(bySrc.orderBy("n_tok")))
-      .withColumn("n", sum("cnt").over(bySrc))
-    def rank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
-    def at(p: Double) =
-      min(when(col("cum_le") - col("cnt") < rank(p) && rank(p) <= col("cum_le"),
-        col("n_tok")))
+    val cum = HistogramRank.cumulate(hist, Seq("source"), "n_tok")
+    def at(p: Double) = HistogramRank.at("n_tok", p)
     cum.groupBy("source").agg(
       max("n").as("n_docs"),
       sum(col("n_tok") * col("cnt")).as("total_tokens"),
@@ -1473,18 +1468,14 @@ WITH t AS (
 hist AS (
   SELECT source, n_tok, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM t GROUP BY source, n_tok),
-cum AS (
-  SELECT source, n_tok, cnt,
-         SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum_le,
-         SUM(cnt) OVER (PARTITION BY source) AS n
-  FROM hist)
+""" + HistogramRank.cumCteSql("hist", Seq("source"), "n_tok") + s"""
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok * cnt) AS BIGINT) AS total_tokens,
        MIN(n_tok) AS min_tokens,
-       MIN(CASE WHEN cum_le - cnt < FLOOR(0.25 * (n - 1)) + 1 AND FLOOR(0.25 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p25_tokens,
-       MIN(CASE WHEN cum_le - cnt < FLOOR(0.5 * (n - 1)) + 1 AND FLOOR(0.5 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p50_tokens,
-       MIN(CASE WHEN cum_le - cnt < FLOOR(0.9 * (n - 1)) + 1 AND FLOOR(0.9 * (n - 1)) + 1 <= cum_le THEN n_tok END) AS p90_tokens,
+       ${HistogramRank.pickSql("n_tok", 0.25, "p25_tokens")},
+       ${HistogramRank.pickSql("n_tok", 0.5, "p50_tokens")},
+       ${HistogramRank.pickSql("n_tok", 0.9, "p90_tokens")},
        MAX(n_tok) AS max_tokens
 FROM cum
 GROUP BY source

@@ -13,7 +13,11 @@ everything-matches-everything blowup. Embeddings likewise: replica r
 rotates the vector by r positions (norms and within-replica cosine
 geometry preserved, cross-replica cosines uncorrelated).
 
-Usage: python3 tools/make_sf1.py [reps] [outdir]
+Usage: python3 tools/make_sf1.py [reps] [outdir] [tables]
+  tables: comma-list of {documents,embeddings,events}; default all.
+  The sf10 streaming probe uses `100 /tmp/graft_sf10 documents` —
+  a 100x docs-only point (the streaming trigger families read only
+  documents), cheap enough to synthesize per round.
 """
 import sys
 
@@ -25,6 +29,8 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+TABLES = set((sys.argv[3] if len(sys.argv) > 3
+              else "documents,embeddings,events").split(","))
 
 
 def write_parts(df, path, schema=None, n_parts=32):
@@ -49,10 +55,7 @@ def write_parts(df, path, schema=None, n_parts=32):
         pq.write_table(t, f"{path}/part-{i:04d}.parquet")
 
 
-def main():
-    import os
-    os.makedirs(OUT, exist_ok=True)
-
+def make_documents():
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     n_docs = len(docs)
     parts = []
@@ -66,9 +69,11 @@ def main():
             d["n_chars"] = d["text"].str.len().astype("int64")
         parts.append(d)
     out = pd.concat(parts, ignore_index=True)
-    write_parts(out, f"{OUT}/documents.parquet")
+    write_parts(out, f"{OUT}/documents.parquet", n_parts=max(32, REPS))
     print(f"documents: {len(out)} rows")
 
+
+def make_embeddings():
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
     n_emb = len(emb)
     parts = []
@@ -84,6 +89,8 @@ def main():
     write_parts(out, f"{OUT}/embeddings.parquet", schema)
     print(f"embeddings: {len(out)} rows")
 
+
+def make_events():
     # Events for the analytics family: replica r shifts user_id (so
     # app_id = "app-"+user_id becomes 10x distinct apps at sf0.1's
     # per-app volume — the realistic scale-up axis) and event_id by
@@ -105,6 +112,17 @@ def main():
     out = pd.concat(parts, ignore_index=True)
     write_parts(out, f"{OUT}/events.parquet", ev_tbl.schema)
     print(f"events: {len(out)} rows")
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    if "documents" in TABLES:
+        make_documents()
+    if "embeddings" in TABLES:
+        make_embeddings()
+    if "events" in TABLES:
+        make_events()
 
 
 if __name__ == "__main__":
