@@ -692,14 +692,35 @@ shid AS (
    *  the IVF cell restriction itself already makes and the same
    *  gauges ([[graft.pipeline.Embeddings]] `annRecall`) measure.
    *
-   *  Cost: one partial-agg size pass over `members` plus the join of
-   *  the (≤ #buckets)-row size frame back onto it (AQE broadcasts
-   *  it); pure dataflow — no driver action, no collected cell list. */
+   *  Path choice is a ONE-ROW bounded driver action (the
+   *  [[graft.pipeline.Clustering]] bounded-union-find precedent): the
+   *  max bucket size comes off a partial-agg over `members` (K rows
+   *  after combine). Below the cap the helper returns the EXACT
+   *  [[saltedBucketPairs]] plan — zero extra distributed stages, so
+   *  unskewed corpora (every test SF) pay only the size probe; the
+   *  sub-bucket plan's extra join/explode/distinct stages are built
+   *  only when a hot bucket exists, where they are amortized by the
+   *  |cell|² work they remove. Hot buckets are REPORTED (count + max
+   *  size on stderr) — nothing silent.
+   *  CALLER CONTRACT: hand a CACHED `members` frame — the size probe
+   *  plus the pair-join sides scan it up to four times; left lazy, an
+   *  expensive members subtree re-runs per scan (measured 2-7x across
+   *  the kNN family). The cent_id call sites eager-cache their
+   *  centroid assignment for exactly this. */
   def cappedBucketPairs(members: DataFrame, keyCols: Seq[String],
                         idCol: String, cap: Int = HotCellCap,
                         salts: Int = 8): DataFrame = {
     val keys = keyCols.map(col)
     val sizes = members.groupBy(keys: _*).agg(count(lit(1L)).as("cell_n"))
+    val hot = sizes.filter(col("cell_n") > cap)
+      .agg(count(lit(1L)).as("n_hot"), max("cell_n").as("max_cell"))
+      .collect()(0)
+    if (hot.getLong(0) == 0L)
+      return saltedBucketPairs(members, keyCols, idCol, salts)
+    System.err.println(s"[graft] cappedBucketPairs: ${hot.getLong(0)} " +
+      s"bucket(s) over cap=$cap (max ${hot.getLong(1)} members) — " +
+      "sub-bucketing; hot-bucket pair recall is sub-sampled (~2*cap " +
+      "peers per member)")
     val subbed = members.join(sizes, keyCols)
       .withColumn("sub", pmod(xxhash64(col(idCol)),
         expr(s"(cell_n + ${cap - 1}) div $cap")))

@@ -634,6 +634,11 @@ ORDER BY threshold"""
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
+    // CACHED: cappedBucketPairs scans the assignment up to four times
+    // (size probe + pair-join sides); uncached, the crossJoin+window
+    // assignment re-ran per subtree (measured 2-3.5x across the family
+    // when the capped path first landed). The probe's own bounded
+    // action materializes the cache before any concurrent scan.
     val assigned = nearestCentroids(qv, centroids, 1).cache()
     val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
@@ -714,7 +719,13 @@ ORDER BY a.vec_id"""
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
-    val assigned = nearestCentroids(qv, centroids, 1)
+    // CACHED, same rationale as qv above: the symmetrized candidate
+    // frame consumes cappedBucketPairs twice and the capped path scans
+    // its member frame up to four times per consumption — uncached,
+    // the crossJoin+window assignment re-ran up to 8x (measured 2-7x
+    // across the kNN family when the capped path first landed); the
+    // size probe's bounded action materializes the cache.
+    val assigned = nearestCentroids(qv, centroids, 1).cache()
     val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val sym = cands.union(
@@ -2917,7 +2928,8 @@ FROM sil GROUP BY cent_id ORDER BY cent_id"""
     val centroids = trainedCentroids
       .map(_.select(col("cent_id"), col("qarr_a"), col("nq_a")))
       .getOrElse(hashCentroids(qv, resolveCentroids(qv, numCentroids)))
-    val assigned = nearestCentroids(qv, centroids, 1)
+    // CACHED, same rationale as [[knnGraph]]'s assignment cache.
+    val assigned = nearestCentroids(qv, centroids, 1).cache()
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
     val cands = Dedup.cappedBucketPairs(assigned, Seq("cent_id"), "vec_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))

@@ -127,13 +127,18 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped === salted) // below cap: bit-identical pair SET
 
-    // the judge's one-hot-cell fixture: ALL n vectors land in one cell
-    // (the skew the IVF family produces on boilerplate-heavy corpora)
+    // the one-hot-cell fixture: ALL n vectors land in one cell (the
+    // skew the IVF family produces on boilerplate-heavy corpora); a
+    // small SECOND bucket rides along to pin that the sub-bucket
+    // branch leaves sub-cap buckets' pair sets complete
     val n = 300
     val cap = 16
-    val hot = (0 until n).map(i => (1L, i.toLong)).toDF("bucket", "doc_id")
-    val pairs = Dedup.cappedBucketPairs(hot, Seq("bucket"), "doc_id", cap = cap)
+    val hot = ((0 until n).map(i => (1L, i.toLong)) ++
+      (0 until 5).map(i => (2L, 1000L + i))).toDF("bucket", "doc_id")
+    val all = Dedup.cappedBucketPairs(hot, Seq("bucket"), "doc_id", cap = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (small, pairs) = all.partition(_._1 >= 1000L)
+    assert(small.toSet.size === 10) // C(5,2): the small bucket is EXACT
     val pairSet = pairs.toSet
     assert(pairSet.size === pairs.length) // distinct-ed output
     // LINEAR, not quadratic: each member pairs against O(cap) peers —
