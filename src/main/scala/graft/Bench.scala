@@ -298,6 +298,41 @@ object Bench {
       }
     }
 
+    /** The WIDE (64-bit, 16-bit-band) variant of the simhash trigger —
+      * the corpus-scale setting. Same seed/batch protocol under the
+      * poly gram family (the native simhash_fp expression is 32-bit);
+      * the pair of keys exists so the 32-vs-64 band-occupancy story is
+      * measured, not asserted (the sf10 probe caught the 32-bit
+      * trigger growing linearly with the store). */
+    def streamingSimhash64TriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = benchTmp(s"graft-sh64stream-$seedFrac")
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        graft.pipeline.Dedup.writeSimhashStore(seed, s"$base/fp",
+          idFamily = "poly", fpBits = graft.pipeline.Dedup.SimBitsWide)
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingSimhashDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/fp",
+          maxHamming = 3, idFamily = "poly",
+          fpBits = graft.pipeline.Dedup.SimBitsWide)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_simhash64_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     /** Same measurement for the streaming MINHASH member (state =
       * shingle store + per-doc signature store): seed both from a
       * prefix under the poly family, time ONE processBatch of the
@@ -420,6 +455,12 @@ object Bench {
       (0 until reps).map(_ =>
         (streamingSimhashTriggerOnce(sfDir, 0.25), streamingSimhashTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
+    val runSH64Stream = only.forall(s => s.exists(_.startsWith("stream_simhash64_trigger")))
+    val sh64streamRuns = if (runSH64Stream) {
+      streamingSimhash64TriggerOnce(warmDir, 1.0)
+      (0 until reps).map(_ =>
+        (streamingSimhash64TriggerOnce(sfDir, 0.25), streamingSimhash64TriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
     val runXStream = only.forall(s => s.exists(_.startsWith("stream_exact_trigger")))
     val xstreamRuns = if (runXStream) {
       streamingExactTriggerOnce(warmDir, 1.0)
@@ -482,6 +523,9 @@ object Bench {
       (if (runSHStream) Seq(
         "stream_simhash_trigger_quarter_corpus" -> medianOf(shstreamRuns.map(_._1)),
         "stream_simhash_trigger_full_corpus" -> medianOf(shstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runSH64Stream) Seq(
+        "stream_simhash64_trigger_quarter_corpus" -> medianOf(sh64streamRuns.map(_._1)),
+        "stream_simhash64_trigger_full_corpus" -> medianOf(sh64streamRuns.map(_._2))) else Seq.empty) ++
       (if (runMHStream) Seq(
         "stream_minhash_trigger_quarter_corpus" -> medianOf(mhstreamRuns.map(_._1)),
         "stream_minhash_trigger_full_corpus" -> medianOf(mhstreamRuns.map(_._2))) else Seq.empty) ++
@@ -618,6 +662,8 @@ object Bench {
       case "stream_exact_trigger_full_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 1.0))
       case "stream_simhash_trigger_quarter_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 0.25))
       case "stream_simhash_trigger_full_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 1.0))
+      case "stream_simhash64_trigger_quarter_corpus" => Some(() => streamingSimhash64TriggerOnce(sfDir, 0.25))
+      case "stream_simhash64_trigger_full_corpus" => Some(() => streamingSimhash64TriggerOnce(sfDir, 1.0))
       case "stream_minhash_trigger_quarter_corpus" => Some(() => streamingMinhashTriggerOnce(sfDir, 0.25))
       case "stream_minhash_trigger_full_corpus" => Some(() => streamingMinhashTriggerOnce(sfDir, 1.0))
       case "stream_emb_trigger_quarter_corpus" => Some(() => streamingEmbTriggerOnce(sfDir, 0.25))

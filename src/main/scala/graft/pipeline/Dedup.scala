@@ -52,6 +52,18 @@ object Dedup {
   val SimBits = 32
   val SimBands = 4
   val SimBandBits = 8
+  /** Scale-mode fingerprint width (64-bit, 4 x 16-bit bands). The
+   *  32-bit default's 4 x 256-value bands collide linearly with the
+   *  corpus: the sf10 probe (bench_sf10_r14) measured the streaming
+   *  simhash trigger at 12 -> 66 s quarter -> full against a 480k-doc
+   *  store — candidate count is O(state/256) PER BATCH DOC. 16-bit
+   *  bands multiply band-key cardinality by 256, and hamming <= 3 on
+   *  64 bits is also the semantically sane threshold at corpus scale
+   *  (3/32 random collisions pass at ~1.3e-6 per pair — thousands of
+   *  false near-dups per 1e12 pairs). No SQL oracle (the xxhash
+   *  precedent): spec-covered, ground-truth-equality oracles double as
+   *  100%-recall assertions and the hamming ball DIFFERS by design. */
+  val SimBitsWide = 64
 
   /** Exact dedup: first doc_id wins per content hash; emits survivors
    *  with their duplicate count. Partitioned by the hash via the
@@ -2358,31 +2370,42 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  fingerprint projection over them — builders shared by
    *  [[simhashFpWide]] and [[withDetectorPairSets]]'s combined
    *  signature pass. */
-  private def simhashVoteCols: Seq[Column] =
-    (0 until SimBits).map { b =>
+  private def simhashVoteCols: Seq[Column] = simhashVoteColsN(SimBits)
+  private def simhashVoteColsN(bits: Int): Seq[Column] =
+    (0 until bits).map { b =>
       sum(when(((col("gid") * lit(37L + 101L * b) + lit(17L + 257L * b)) % Prime) % 2 === 1,
         1L).otherwise(-1L)).as(s"s$b")
     }
-  private def simhashFpCol: Column =
-    (0 until SimBits)
+  private def simhashFpCol: Column = simhashFpColN(SimBits)
+  // disjoint powers of two: `+` never carries, so bit 63 landing in
+  // the Long sign position is the intended bit pattern, not overflow
+  private def simhashFpColN(bits: Int): Column =
+    (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** doc_id + the 32-bit majority fingerprint — ONE partial-
-   *  aggregating pass with 32 signed bit-vote sums as columns (not a
-   *  32x row blowup); the fingerprint is then a pure projection. */
-  private def simhashFpWide(shId: DataFrame): DataFrame = {
-    val voteCols = simhashVoteCols
+  /** doc_id + the `bits`-bit majority fingerprint — ONE partial-
+   *  aggregating pass with `bits` signed bit-vote sums as columns (not
+   *  a row blowup); the fingerprint is then a pure projection. */
+  private def simhashFpWide(shId: DataFrame, bits: Int = SimBits): DataFrame = {
+    val voteCols = simhashVoteColsN(bits)
     shId.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), simhashFpCol.as("fp"))
+      .select(col("doc_id"), simhashFpColN(bits).as("fp"))
   }
 
-  /** (doc_id, band, nib) byte-band rows — a pure projection+explode
-   *  over the fingerprint frame. */
-  private def simhashNibbles(fp: DataFrame): DataFrame =
+  /** (doc_id, band, nib) band rows — a pure projection+explode over
+   *  the fingerprint frame. Always [[SimBands]]=4 bands (pigeonhole:
+   *  4 bands are exact for hamming <= 3 at ANY width); `bandBits` is
+   *  the band width — 8 for the 32-bit default, 16 for the
+   *  [[SimBitsWide]] scale mode, whose 65536-value bands are what
+   *  keeps band-bucket occupancy (and so candidate count) flat as the
+   *  corpus grows. The mask truncates the arithmetic shift's sign
+   *  fill, so a bit-63 fingerprint bands correctly. */
+  private def simhashNibbles(fp: DataFrame,
+                             bandBits: Int = SimBandBits): DataFrame =
     fp.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${SimBands - 1}), bd -> " +
-          s"named_struct('band', cast(bd as long), 'nib', shiftright(fp, $SimBandBits * bd) & ${(1 << SimBandBits) - 1}))"))
+          s"named_struct('band', cast(bd as long), 'nib', shiftright(fp, $bandBits * bd) & ${(1L << bandBits) - 1}))"))
           .as("nb"))
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.nib").as("nib"))
 
@@ -2411,22 +2434,30 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  (SimhashFpSpec), so a store written under either family serves
    *  triggers run under the other; the expr family just skips the
    *  explode + vote agg + exchange per batch. */
-  def simhashFingerprints(docs: DataFrame, idFamily: String = "md5"): DataFrame =
+  def simhashFingerprints(docs: DataFrame, idFamily: String = "md5",
+                          fpBits: Int = SimBits): DataFrame =
     idFamily match {
-      case "expr" => docs
-        .select(col("doc_id"),
-          call_function("word_ngrams", col("text"), lit(3)).as("grams"))
-        .filter(size(col("grams")) > 0)
-        .select(col("doc_id"),
-          call_function("simhash_fp", col("grams")).as("fp"))
+      case "expr" =>
+        require(fpBits == SimBits,
+          s"the native simhash_fp expression is $SimBits-bit; " +
+            "use an aggregation-path family (poly/md5/xxhash) for fpBits=64")
+        docs
+          .select(col("doc_id"),
+            call_function("word_ngrams", col("text"), lit(3)).as("grams"))
+          .filter(size(col("grams")) > 0)
+          .select(col("doc_id"),
+            call_function("simhash_fp", col("grams")).as("fp"))
       case _ =>
-        simhashFpWide(shingleIds(shingles(docs.select("doc_id", "text")), idFamily))
+        simhashFpWide(shingleIds(shingles(docs.select("doc_id", "text")),
+          idFamily), fpBits)
     }
 
   /** Materialize [[simhashFingerprints]] as a parquet store. */
   def writeSimhashStore(docs: DataFrame, path: String,
-                        idFamily: String = "md5"): Unit =
-    simhashFingerprints(docs, idFamily).write.mode("overwrite").parquet(path)
+                        idFamily: String = "md5",
+                        fpBits: Int = SimBits): Unit =
+    simhashFingerprints(docs, idFamily, fpBits)
+      .write.mode("overwrite").parquet(path)
 
   /** Incremental SimHash near-dup — the third incremental family
    *  member ([[dedupNgramIncremental]], [[dedupMinhashIncremental]]),
@@ -2446,17 +2477,19 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
   def dedupSimhashIncremental(corpus: DataFrame, batch: DataFrame,
                               maxHamming: Int = 3,
                               idFamily: String = "md5",
-                              corpusFingerprints: Option[DataFrame] = None): DataFrame = {
-    val batchFp = simhashFingerprints(batch, idFamily)
+                              corpusFingerprints: Option[DataFrame] = None,
+                              fpBits: Int = SimBits): DataFrame = {
+    val bandBits = fpBits / SimBands
+    val batchFp = simhashFingerprints(batch, idFamily, fpBits)
     val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
-      .getOrElse(simhashFingerprints(corpus, idFamily))
+      .getOrElse(simhashFingerprints(corpus, idFamily, fpBits))
     val allFp = corpusFp.unionByName(batchFp).cache()
     // Batch nibbles broadcast (delta-bounded); the fingerprint store
     // side is scanned map-side, never exchanged at state cardinality
     // — and the verify reads only candidate endpoints' fingerprints.
-    val cands = simhashNibbles(allFp)
+    val cands = simhashNibbles(allFp, bandBits)
       .select(col("band"), col("nib"), col("doc_id").as("id_any"))
-      .join(broadcast(simhashNibbles(batchFp)
+      .join(broadcast(simhashNibbles(batchFp, bandBits)
         .select(col("band"), col("nib"), col("doc_id").as("id_new"))),
         Seq("band", "nib"))
       .filter(col("id_any") =!= col("id_new"))

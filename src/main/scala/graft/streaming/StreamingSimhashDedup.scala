@@ -45,20 +45,28 @@ object StreamingSimhashDedup {
    *  not an input (audited in PlanAuditSpec: the plan's only file scan
    *  is the fp store). */
   def triggerPairs(spark: SparkSession, batch: DataFrame, fpDir: String,
-                   maxHamming: Int, idFamily: String): DataFrame =
+                   maxHamming: Int, idFamily: String,
+                   fpBits: Int = Dedup.SimBits): DataFrame =
     Dedup.dedupSimhashIncremental(
       batch.limit(0), batch, maxHamming, idFamily,
-      corpusFingerprints = Some(readOrEmpty(spark, fpDir, fpSchema)))
+      corpusFingerprints = Some(readOrEmpty(spark, fpDir, fpSchema)),
+      fpBits = fpBits)
 
   /** One micro-batch: detect pairs, append survivors to the doc store,
    *  append the survivors' fingerprints to the fp store. Both appends
-   *  are O(batch). */
+   *  are O(batch). `fpBits` = [[Dedup.SimBitsWide]] is the corpus-scale
+   *  setting (16-bit bands keep band-bucket occupancy flat — the
+   *  32-bit default's trigger cost grows linearly with the store,
+   *  measured in bench_sf10_r14); the store must be written with the
+   *  SAME width end-to-end. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    pairsDir: String, fpDir: String,
-                   maxHamming: Int, idFamily: String): Unit = {
+                   maxHamming: Int, idFamily: String,
+                   fpBits: Int = Dedup.SimBits): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text")
-    val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily).cache()
+    val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily, fpBits)
+      .cache()
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)
     // Same orientation-blind rule as StreamingDedup: doc_b of any pair
@@ -71,7 +79,7 @@ object StreamingSimhashDedup {
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("doc_id"), "left_anti").cache()
     survivors.write.mode("append").parquet(storeDir)
-    Dedup.simhashFingerprints(survivors, idFamily)
+    Dedup.simhashFingerprints(survivors, idFamily, fpBits)
       .write.mode("append").parquet(fpDir)
     survivors.unpersist()
     pairs.unpersist()
@@ -109,13 +117,14 @@ object StreamingSimhashDedup {
   def dedupedDocStream(docs: DataFrame, storeDir: String, pairsDir: String,
                        checkpoint: String, maxHamming: Int = 3,
                        idFamily: String = "md5",
-                       fpDir: String = null): StreamingQuery = {
+                       fpDir: String = null,
+                       fpBits: Int = Dedup.SimBits): StreamingQuery = {
     val dir = Option(fpDir).getOrElse(storeDir + "_fp")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeDir, pairsDir, dir,
-          maxHamming, idFamily)
+          maxHamming, idFamily, fpBits)
         ()
       }
       .trigger(Trigger.AvailableNow())

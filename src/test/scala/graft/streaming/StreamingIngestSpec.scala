@@ -223,6 +223,49 @@ class StreamingIngestSpec extends SparkSpec {
     assert(fpAfter === Set(0L, 2L, 11L, 12L))
   }
 
+  test("streaming simhash WIDE (64-bit) scale mode: same dedup verdicts, 16-bit bands, full fp width") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val root = tmpDir("sim64dedup-stream")
+    // wide fingerprints populate beyond bit 31 (a 32-bit fp never
+    // does) and identical docs still collide at hamming 0
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(docs, "poly", Dedup.SimBitsWide)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+    assert(fps.values.exists(fp => (fp >>> 32) != 0L), fps.toString)
+    // the trigger under fpBits=64 finds the duplicate against the
+    // maintained store and leaves the unrelated doc alone
+    val seed = docs.filter($"doc_id" === 0L || $"doc_id" === 2L)
+    Dedup.writeSimhashStore(seed.select("doc_id", "text"), root + "/fp",
+      idFamily = "poly", fpBits = Dedup.SimBitsWide)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text")
+    StreamingSimhashDedup.processBatch(batch, 0L, root + "/corpus",
+      root + "/pairs", root + "/fp", maxHamming = 3, idFamily = "poly",
+      fpBits = Dedup.SimBitsWide)
+    val pairs = spark.read.parquet(root + "/pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)))
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L))
+    val survivors = spark.read.parquet(root + "/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L))
+    // the appended store rows carry the wide width too
+    val storeFps = spark.read.parquet(root + "/fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storeFps(11L) === Dedup.simhashFingerprints(batch, "poly",
+      Dedup.SimBitsWide).collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap.apply(11L))
+  }
+
   test("streaming minhash dedup: signature+shingle stores grow with survivors, batches dedup against them") {
     import spark.implicits._
     val root = tmpDir("mhdedup-stream")
