@@ -198,6 +198,10 @@ ORDER BY event_id"""
       Decontamination.benchmarkOverlapNormalized(
         docs(s, d).filter(col("doc_id") % 20 =!= 0),
         docs(s, d).filter(col("doc_id") % 20 === 0))),
+    "contamination_minhash" -> ((s, d) =>
+      Decontamination.contaminationMinhash(
+        docs(s, d).filter(col("doc_id") % 20 =!= 0),
+        docs(s, d).filter(col("doc_id") % 20 === 0))),
     "pii_source_rates" -> ((s, d) => TextAnalysis.piiSourceRates(docs(s, d))),
     "dedup_cross_lang" -> ((s, d) => Dedup.dedupCrossLang(docs(s, d))),
     "novelty_score" -> ((s, d) => TextAnalysis.noveltyScore(docs(s, d))),
@@ -226,6 +230,7 @@ ORDER BY event_id"""
     "surprisal_buckets" -> ((s, d) => TextAnalysis.surprisalBuckets(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
+    "cdc_chunk_dedup" -> ((s, d) => Dedup.cdcChunkDedup(docs(s, d))),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
     "minhash_scurve" -> ((s, _) => Dedup.minhashScurve(s)),
@@ -435,6 +440,10 @@ ORDER BY event_id"""
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(emb(s, d))),
     "ann_ivf_pq" -> ((s, d) => Embeddings.annIvfPq(emb(s, d), annQueries(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
+    // hybrid more-like-this for probe doc 0: lexical shingle-Jaccard
+    // rank fused with embedding-cosine rank by reciprocal-rank fusion
+    "hybrid_search" -> ((s, d) =>
+      Embeddings.hybridSearch(docs(s, d), emb(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(docs(s, d))),
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d), frameBytes = 64, stride = 2)),
@@ -561,6 +570,7 @@ ORDER BY event_id"""
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
     "contamination_normalized" -> Decontamination.benchmarkOverlapNormalizedOracle,
+    "contamination_minhash" -> Decontamination.contaminationMinhashOracle,
     "pii_source_rates" -> TextAnalysis.piiSourceRatesOracle,
     "dedup_cross_lang" -> Dedup.dedupCrossLangOracle,
     "novelty_score" -> TextAnalysis.noveltyScoreOracle,
@@ -575,6 +585,7 @@ ORDER BY event_id"""
     "surprisal_buckets" -> TextAnalysis.surprisalBucketsOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
+    "cdc_chunk_dedup" -> Dedup.cdcChunkDedupOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
     "minhash_scurve" -> Dedup.minhashScurveOracle,
     "dedup_ngram_fast" -> Dedup.dedupNgramFastOracle,
@@ -664,6 +675,7 @@ ORDER BY event_id"""
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,
     "ann_recall" -> Embeddings.annRecallOracle,
+    "hybrid_search" -> Embeddings.hybridSearchOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,
     "frame_dedup" -> Multimodal.frameDedupOracle,

@@ -87,6 +87,69 @@ FROM inter i JOIN bsz z ON i.bench_id = z.bench_id
 WHERE i.inter_n * 1.0 / z.bench_n >= 0.3
 ORDER BY i.doc_id, i.bench_id"""
 
+  /** FUZZY decontamination — the MinHash-LSH-gated near-match pass
+   *  (the "fuzzy dedup against eval sets" gate in the Llama/GPT-4
+   *  lineage of training-data reports): where [[benchmarkOverlap]]
+   *  demands exact shingle containment, this flags a candidate whose
+   *  banded MinHash signature COLLIDES with a benchmark doc's in any
+   *  band and whose exact symmetric Jaccard then verifies >=
+   *  `minJaccard` — catching re-worded near-copies whose containment
+   *  falls under the exact gate while keeping the verify
+   *  candidate-driven. Signatures are per-document ([[Dedup]]'s 16
+   *  affine min-hashes, 4x4 banding), so signing the two frames
+   *  separately is bit-identical to signing them together.
+   *
+   *  Scale shape: the benchmark's band signatures BROADCAST (eval
+   *  sets are MBs); the corpus-side band frame is a projection over
+   *  one partial-agg signature pass, so candidate generation joins
+   *  map-side — the corpus never self-joins and never shuffles for
+   *  the collision probe (asserted in PlanAuditSpec). Verification
+   *  touches only colliding pairs via the shared exact-Jaccard pass.
+   *  Id spaces of `docs` and `bench` must be disjoint (or an id
+   *  shared by both frames must denote the same document — it is
+   *  excluded as a self-pair, matching [[benchmarkOverlap]]). */
+  def contaminationMinhash(docs: DataFrame, bench: DataFrame,
+                           minJaccard: Double = 0.2,
+                           idFamily: String = "md5"): DataFrame = {
+    val docSh = Dedup.shingles(docs.select("doc_id", "text")).cache()
+    val benchSh = Dedup.shingles(bench.select("doc_id", "text")).cache()
+    val docBands = Dedup.minhashBandSig(
+      Dedup.minhashSigWide(Dedup.shingleIds(docSh, idFamily)))
+    val benchBands = Dedup.minhashBandSig(
+      Dedup.minhashSigWide(Dedup.shingleIds(benchSh, idFamily)))
+    val cands = docBands
+      .select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+      .join(broadcast(benchBands
+        .select(col("band"), col("bsig"), col("doc_id").as("doc_b"))),
+        Seq("band", "bsig"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    Dedup.withJaccard(cands, docSh.unionByName(benchSh))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
+        r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Shares [[Dedup.minhashCandsSql]] (signature/band/candidate CTEs)
+   *  with the minhash pair oracles — signing all docs together then
+   *  keeping cross (candidate, benchmark) collisions is exactly the
+   *  split-frame run because signatures are per-document. */
+  lazy val contaminationMinhashOracle: String =
+    "WITH " + Dedup.shinglesCte + """,
+shid AS (SELECT s.doc_id, """ + Dedup.gramIdSql + " AS gid FROM shingle s)," +
+      Dedup.minhashCandsSql + """
+SELECT CASE WHEN c.doc_a % 20 = 0 THEN c.doc_b ELSE c.doc_a END AS doc_id,
+       CASE WHEN c.doc_a % 20 = 0 THEN c.doc_a ELSE c.doc_b END AS bench_id,
+       FLOOR((i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE ((c.doc_a % 20 = 0) <> (c.doc_b % 20 = 0))
+  AND i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) >= 0.2
+ORDER BY doc_id, bench_id"""
+
   /** Harness split: benchmark = doc_id % 20 == 0, candidates = the
    *  rest. */
   val benchmarkOverlapOracle: String = "WITH " + Dedup.shinglesCte.trim + """,

@@ -614,7 +614,7 @@ ORDER BY source"""
    *  at |vocab| ~ P merge a few grams identically in both engines —
    *  harmless for min-hash/bit-vote statistics and invisible to the
    *  oracle compare. */
-  private def shingleIds(sh: DataFrame, idFamily: String): DataFrame =
+  private[pipeline] def shingleIds(sh: DataFrame, idFamily: String): DataFrame =
     idFamily match {
       case "md5" => sh.select(col("doc_id"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
@@ -818,7 +818,7 @@ shid AS (
       out
     }
 
-  private def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+  private[pipeline] def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -1886,7 +1886,7 @@ ORDER BY c.doc_a, c.doc_b"""
   /** doc_id + the min-hash columns `mh0..mh{numHashes-1}` — ONE
    *  partial-aggregating groupBy pass (|docs| rows shuffled, not
    *  numHashes x |shingles|). */
-  private def minhashSigWide(shId: DataFrame,
+  private[pipeline] def minhashSigWide(shId: DataFrame,
                              numHashes: Int = NumHashes): DataFrame = {
     val minCols = minhashMinCols(numHashes)
     shId.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -1894,7 +1894,7 @@ ORDER BY c.doc_a, c.doc_b"""
 
   /** (doc_id, band, bsig) — a pure projection+explode over the wide
    *  signature frame. */
-  private def minhashBandSig(sigWide: DataFrame,
+  private[pipeline] def minhashBandSig(sigWide: DataFrame,
                              numHashes: Int = NumHashes,
                              bands: Int = Bands): DataFrame = {
     require(numHashes % bands == 0,
@@ -2292,7 +2292,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id)"""
   }
 
-  private lazy val minhashCandsSql: String = minhashCandsSqlFor(NumHashes, Bands)
+  private[pipeline] lazy val minhashCandsSql: String = minhashCandsSqlFor(NumHashes, Bands)
 
   /** Pair-verify tail over [[minhashCandsSqlFor]]'s CTE chain for any
    *  (numHashes, bands) split — the verify itself is width-independent
@@ -2856,4 +2856,117 @@ SELECT source, exact_distinct, CAST(kmv_est AS BIGINT) AS kmv_est,
                  THEN ABS(kmv_est - exact_distinct) * 1000 // exact_distinct
                  ELSE 0 END AS BIGINT) AS rel_err_pm
 FROM est ORDER BY source"""
+
+  /** Content-defined chunking (CDC) dedup ledger — the LBFS/FastCDC
+   *  storage-dedup primitive (Muthitacharoen et al. SOSP 2001; Xia et
+   *  al. ATC 2016) at word granularity: a chunk boundary opens at
+   *  every word whose [[graft.functions.PolyHash]] value is divisible
+   *  by `avgChunk` (a gear-hash cut rule — the boundary decision
+   *  depends only on the word itself, so chunk identities survive
+   *  insertions/deletions elsewhere in the document, which is exactly
+   *  what fixed-width spans cannot do), giving expected-`avgChunk`-word
+   *  variable-size chunks. Each chunk occurrence gets an
+   *  order-encoding integer fingerprint `sum(gh_i * i)` over its
+   *  words' poly hashes (i = 1-based offset IN the chunk — a plain
+   *  commutative SUM whose terms already encode position, so the
+   *  aggregate is order-independent and exact; gh < 2^20, offsets
+   *  <= 4k tokens keep the sum far inside Long under ANSI). Keep-first
+   *  accounting: the occurrence with the smallest (doc_id, chunk_idx)
+   *  key is canonical, every other occurrence of the same (fp, len)
+   *  is savable — the per-source ledger a chunk store / transport
+   *  dedup layer reads to size itself.
+   *
+   *  Scale shape: tokenize+hash is one projection; the cut rule and
+   *  in-chunk offsets are PER-DOCUMENT windows (hash-partitioned by
+   *  doc_id, bounded by document length — embarrassingly parallel,
+   *  nothing global); chunk identity then collapses through a
+   *  (fp, len)-keyed partial agg at ~n_tokens/avgChunk cardinality —
+   *  the same shuffle class as exact dedup's content-hash groupBy —
+   *  and the final rollup is |sources| rows. No self-join anywhere. */
+  def cdcChunkDedup(docs: DataFrame, avgChunk: Int = 8): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), col("source"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        call_function("poly_hash", col("word")).as("gh"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = tok.withColumn("chunk_idx",
+      sum(when(pmod(col("gh"), lit(avgChunk.toLong)) === 0, 1L)
+        .otherwise(0L)).over(wDoc))
+    val wChunk = Window.partitionBy("doc_id", "chunk_idx").orderBy("pos")
+    val occ = chunked
+      .withColumn("off", row_number().over(wChunk).cast("long"))
+      .groupBy("doc_id", "source", "chunk_idx")
+      .agg(sum(col("gh") * col("off")).as("fp"), count(lit(1)).as("len"))
+    // canonical occurrence key: doc_id * 65536 + chunk_idx (chunk_idx
+    // is bounded by tokens-per-doc < 65536, so the encoding is a
+    // strict total order on (doc_id, chunk_idx) in both engines)
+    val withKey = occ.withColumn("occ_key",
+      col("doc_id") * lit(65536L) + col("chunk_idx"))
+    val canon = withKey.groupBy("fp", "len")
+      .agg(min(col("occ_key")).as("first_key"))
+    val flagged = withKey.join(canon, Seq("fp", "len"))
+      .withColumn("is_dup",
+        when(col("occ_key") =!= col("first_key"), 1L).otherwise(0L))
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_tokens"),
+        sum("is_dup").as("dup_chunks"),
+        sum(col("len") * col("is_dup")).as("dup_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_tokens"),
+        col("dup_chunks"), col("dup_tokens"),
+        r4(col("dup_tokens") * lit(1.0) / col("n_tokens"))
+          .as("dup_token_share"))
+      .orderBy("source")
+  }
+
+  /** Mirrors [[cdcChunkDedup]]: the per-WORD poly hash re-derives
+   *  through [[polyShidCte]]'s power table (LEFT JOIN + COALESCE so a
+   *  zero-length word hashes to 0 exactly like the expression);
+   *  prepend `WITH RECURSIVE`. Must stay in lockstep with
+   *  [[graft.functions.PolyHash]]. */
+  lazy val cdcChunkDedupOracle: String = """WITH RECURSIVE
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+nums AS (SELECT unnest(range(1, 4001)) AS i),
+toked AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos, toks[i] AS word
+  FROM toked, nums WHERE i <= len(toks)),
+wh AS (
+  SELECT t.doc_id, t.source, t.pos,
+         CAST(COALESCE(SUM(ord(substr(t.word, p.i, 1)) * p.v), 0) % 1000003 AS BIGINT) AS gh
+  FROM tok t LEFT JOIN pw p ON p.i <= LEAST(len(t.word), 64)
+  GROUP BY t.doc_id, t.source, t.pos),
+chunked AS (
+  SELECT doc_id, source, pos, gh,
+         SUM(CASE WHEN gh % 8 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_idx
+  FROM wh),
+occ AS (
+  SELECT doc_id, source, chunk_idx,
+         CAST(SUM(gh * off) AS BIGINT) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(doc_id * 65536 + chunk_idx) AS BIGINT) AS occ_key
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+                                     ORDER BY pos) AS off
+        FROM chunked)
+  GROUP BY doc_id, source, chunk_idx),
+canon AS (SELECT fp, len, MIN(occ_key) AS first_key FROM occ GROUP BY fp, len),
+flagged AS (
+  SELECT o.source, o.len,
+         CASE WHEN o.occ_key <> c.first_key THEN 1 ELSE 0 END AS is_dup
+  FROM occ o JOIN canon c ON o.fp = c.fp AND o.len = c.len)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(len) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_dup) AS BIGINT) AS dup_chunks,
+       CAST(SUM(len * is_dup) AS BIGINT) AS dup_tokens,
+       FLOOR((SUM(len * is_dup) * 1.0 / SUM(len)) * 10000.0 + 0.5) / 10000.0 AS dup_token_share
+FROM flagged GROUP BY source
+ORDER BY source"""
 }

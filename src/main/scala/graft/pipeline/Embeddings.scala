@@ -3049,4 +3049,140 @@ SELECT CAST(e.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        FLOOR((MIN(p.cos_q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS min_cosine
 FROM perv p JOIN embeddings e ON p.vec_id = e.vec_id
 GROUP BY e.label ORDER BY label"""
+
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.
+   *  SIGIR 2009 — the fusion rule hybrid lexical+vector serving stacks
+   *  standardized on): a "more-like-this" query for one probe document
+   *  scored through BOTH modalities — lexical rank by exact shingle
+   *  Jaccard against the probe's gram set, semantic rank by exact
+   *  quantized cosine against the probe's embedding — fused as
+   *  `1/(rrfK + lex_rank) + 1/(rrfK + sem_rank)` (rrfK = 60, the
+   *  published default), a document absent from one top-`topPerList`
+   *  list contributing 0 from that list. Surfaces neighbors either
+   *  modality alone would miss: paraphrases (semantic-only) and
+   *  rare-term exact quotes (lexical-only) land in one ranking, which
+   *  is why dedup-adjudication and RAG candidate mining run the fused
+   *  list rather than either single-modality top-k.
+   *
+   *  Determinism contract: both per-list scores are ratios of exact
+   *  integers (shared-gram counts / quantized dots through
+   *  IEEE-specified sqrt/div), ranks are row_number with id
+   *  tie-breaks, and the fused score is a FIXED-ORDER two-term sum of
+   *  reciprocals computed in DOUBLE on both engines (the oracle casts
+   *  `1.0` to DOUBLE — DuckDB's bare 1.0 literal is DECIMAL and its
+   *  fixed-scale division could tie where doubles don't); `r4` only in
+   *  the final projection, never in a sort key.
+   *
+   *  Scale shape: the probe's gram set and quantized vector BROADCAST
+   *  (one document); the lexical side is one corpus-shingle scan with
+   *  a partial-agg intersection count, the semantic side a pure
+   *  projection over the quantized frame; each list collapses through
+   *  a distributed TakeOrdered(topPerList) before any window runs (the
+   *  row_number windows order <= topPerList rows, never the corpus);
+   *  fusion full-outer-joins two <= topPerList-row frames. Nothing
+   *  pairs the corpus with itself, and a multi-query batch broadcasts
+   *  the query frame exactly like [[annTopK]]. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, queryId: Long = 0L,
+                   k: Int = 50, topPerList: Int = 100,
+                   rrfK: Int = 60): DataFrame = {
+    val sh = Dedup.shingles(docs.select("doc_id", "text"))
+    val qGrams = sh.filter(col("doc_id") === queryId).select("gram")
+    val qN = qGrams.agg(count(lit(1)).as("n_q"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val lexScored = sh.filter(col("doc_id") =!= queryId)
+      .join(broadcast(qGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("inter_n"))
+      .join(sizes, "doc_id")
+      .crossJoin(broadcast(qN))
+      .select(col("doc_id"),
+        (col("inter_n") * lit(1.0)
+          / (col("n") + col("n_q") - col("inter_n"))).as("jacc"))
+    val lex = lexScored.orderBy(col("jacc").desc, col("doc_id"))
+      .limit(topPerList)
+      .withColumn("lex_rank", row_number().over(Window
+        .orderBy(col("jacc").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val qv = quantized(emb)
+    val qSide = qv.filter(col("vec_id") === queryId)
+      .select(col("qarr").as("qarr_a"), col("nq").as("nq_a"))
+    val semScored = qv.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("doc_id"), col("qarr").as("qarr_b"),
+        col("nq").as("nq_b"))
+      .crossJoin(broadcast(qSide))
+      .select(col("doc_id"),
+        (expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+          .as("cosine"))
+    val sem = semScored.orderBy(col("cosine").desc, col("doc_id"))
+      .limit(topPerList)
+      .withColumn("sem_rank", row_number().over(Window
+        .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "sem_rank")
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK.toLong) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK.toLong) + col("sem_rank")),
+            lit(0.0))).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), r4(col("rrf")).as("rrf_score"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy("rank")
+  }
+
+  /** Shares [[graft.pipeline.Dedup.shinglesCte]] (lexical side) and
+   *  the qv/nr quantization chain (semantic side); reciprocals divide
+   *  through an explicit DOUBLE cast — see the determinism note on
+   *  [[hybridSearch]]. */
+  lazy val hybridSearchOracle: String =
+    "WITH " + Dedup.shinglesCte.trim + """,
+qg AS (SELECT gram FROM shingle WHERE doc_id = 0),
+qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_q FROM qg),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle s JOIN qg ON s.gram = qg.gram
+  WHERE s.doc_id <> 0 GROUP BY s.doc_id),
+lexs AS (
+  SELECT i.doc_id, i.inter_n * 1.0 / (z.n + q.n_q - i.inter_n) AS jacc
+  FROM inter i JOIN sizes z ON i.doc_id = z.doc_id CROSS JOIN qn q),
+lexr AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY jacc DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lexs),
+lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 100),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
+n0 AS (SELECT nq AS nq_a FROM nr WHERE vec_id = 0),
+dots AS (
+  SELECT v.vec_id AS doc_id, CAST(SUM(v.q * qq.q) AS BIGINT) AS dot
+  FROM qv v JOIN qq ON v.i = qq.i
+  WHERE v.vec_id <> 0 GROUP BY v.vec_id),
+sems AS (
+  SELECT d.doc_id, d.dot / (sqrt(a.nq_a) * sqrt(b.nq)) AS cosine
+  FROM dots d JOIN nr b ON d.doc_id = b.vec_id CROSS JOIN n0 a),
+semr AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+  FROM sems),
+sem AS (SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= 100),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), CAST(0 AS DOUBLE)) AS rrf,
+         l.lex_rank, s.sem_rank
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, rrf, lex_rank, sem_rank
+  FROM fused)
+SELECT rank, doc_id,
+       FLOOR(rrf * 10000.0 + 0.5) / 10000.0 AS rrf_score, lex_rank, sem_rank
+FROM ranked WHERE rank <= 50
+ORDER BY rank"""
 }

@@ -548,6 +548,90 @@ class PipelineSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 100L))
   }
 
+  test("hybrid search fuses lexical and semantic ranks; one-list docs still score") {
+    // probe doc 0: grams {a b c, b c d, c d e}
+    // doc 1: 3 shared grams of 4 -> jacc 0.75 (lex rank 1), cosine 0 (sem rank 3)
+    // doc 2: 1 shared gram  of 3 -> jacc 0.2  (lex rank 2), cosine 0.8 (sem rank 2)
+    // doc 3: < 3 tokens, NO grams (lex-absent), cosine ~0.995 (sem rank 1)
+    val hdocs = Seq(
+      (0L, "a b c d e", "en", "web", 9L),
+      (1L, "a b c d e f", "en", "web", 11L),
+      (2L, "a b c x y", "en", "web", 9L),
+      (3L, "z z", "en", "web", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hemb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.6f, 0.0f), 0),
+      (3L, Array(0.99f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Embeddings.hybridSearch(hdocs, hemb).orderBy("rank").collect()
+    // RRF: doc1 = 1/61 + 1/63 > doc2 = 2/62 > doc3 = 1/61 alone —
+    // fusion flips nothing-by-accident: doc1 wins on the reciprocal
+    // sum despite doc2 beating it semantically.
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("rrf_score") === 0.0323)
+    val d3 = out(2)
+    assert(d3.isNullAt(d3.fieldIndex("lex_rank")))
+    assert(d3.getAs[Long]("sem_rank") === 1L)
+    // self never retrieved
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(0L))
+  }
+
+  test("cdc chunk dedup: identical docs fully dedup, shifted docs still share chunk mass, ledger is exact") {
+    val body = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val cdocs = Seq(
+      (0L, body, "en", "a", 1L),
+      (1L, body, "en", "b", 1L),              // exact copy in another source
+      (2L, "PREFIX INSERTED HERE " + body, "en", "c", 1L), // shifted copy
+      (3L, "unrelated totally different words entirely", "en", "d", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.cdcChunkDedup(cdocs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // doc 1 is byte-identical to doc 0: every chunk is a dup of doc 0's
+    assert(out("b").getAs[Long]("dup_tokens") === out("b").getAs[Long]("n_tokens"))
+    assert(out("b").getAs[Double]("dup_token_share") === 1.0)
+    // doc 2 is doc 0 with a 3-word prefix: content-defined boundaries
+    // realign after the first cut, so MOST of its token mass dedups
+    // against doc 0 — the property fixed-width spans cannot give
+    val c = out("c")
+    assert(c.getAs[Long]("dup_tokens") * 10 > c.getAs[Long]("n_tokens") * 5,
+      s"shifted copy should dedup >50% of tokens, got $c")
+    assert(c.getAs[Long]("dup_tokens") < c.getAs[Long]("n_tokens"))
+    // token conservation: per-source n_tokens equals the word count
+    assert(out("a").getAs[Long]("n_tokens") === 64L)
+    assert(out("c").getAs[Long]("n_tokens") === 67L)
+    // doc 0 is canonical (smallest occ key): zero dups; unrelated doc too
+    assert(out("a").getAs[Long]("dup_tokens") === 0L)
+    assert(out("d").getAs[Long]("dup_chunks") === 0L)
+  }
+
+  test("fuzzy decontamination flags a re-worded near-copy of a benchmark doc, never corpus-internal pairs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearCopy = base.replace("w20", "CHANGED") // 1 of 40 words differs
+    val loop = Seq.fill(12)("x y z").mkString(" ")
+    val cdocs = Seq(
+      (1L, nearCopy, "en", "web", 1L),
+      (2L, loop, "en", "web", 1L),
+      (3L, loop, "en", "web", 1L), // 2 and 3 duplicate EACH OTHER only
+      (4L, "totally unrelated content here now", "en", "web", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cbench = Seq((100L, base, "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Decontamination.contaminationMinhash(cdocs, cbench).collect()
+    val pairs = out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("bench_id"))).toSet
+    assert(pairs.contains((1L, 100L)))
+    // near-copy, not exact: jaccard strictly inside (0.2, 1.0)
+    val j = out.find(r => r.getAs[Long]("doc_id") == 1L).get
+      .getAs[Double]("jaccard")
+    assert(j > 0.2 && j < 1.0)
+    // the corpus-internal duplicate pair (2,3) must NOT be reported —
+    // only candidate x benchmark collisions reach the verify
+    assert(pairs.forall(_._2 == 100L))
+    assert(!pairs.exists(p => Set(2L, 3L).contains(p._1)))
+  }
+
   test("text stats + quality + fingerprint are deterministic and sane") {
     val ts = TextAnalysis.textStats(docs).filter(col("doc_id") === 4).collect()(0)
     assert(ts.getAs[Long]("n_tokens") === 2L)
