@@ -264,6 +264,37 @@ object Bench {
         -1.0
       }
     }
+    /** Same measurement for the CDC chunk-store admission gate: seed
+      * the (fp, len) chunk store from a prefix, time ONE processBatch
+      * of the fixed tail batch at two seed sizes. The trigger's only
+      * file scan is the chunk store, so the quarter-vs-full gap can
+      * only come from its columnar scan + the membership join's
+      * store-side cardinality. */
+    def streamingCdcTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = benchTmp(s"graft-cdcstream-$seedFrac")
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        graft.pipeline.Dedup.writeCdcChunkStore(seed, s"$base/chunks")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingCdcDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/chunks")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_cdc_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
     /** Same measurement for the cheapest-state streaming member,
       * SIMHASH (state = ONE long per corpus doc): seed the fp store
       * from a prefix under the `expr` family (the projection
@@ -467,6 +498,12 @@ object Bench {
       (0 until reps).map(_ =>
         (streamingExactTriggerOnce(sfDir, 0.25), streamingExactTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
+    val runCdcStream = only.forall(s => s.exists(_.startsWith("stream_cdc_trigger")))
+    val cdcstreamRuns = if (runCdcStream) {
+      streamingCdcTriggerOnce(warmDir, 1.0)
+      (0 until reps).map(_ =>
+        (streamingCdcTriggerOnce(sfDir, 0.25), streamingCdcTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
 
     val runShared = only.forall(s =>
       s.contains("dedup_family_shared") || s.contains("shingle_store_write"))
@@ -520,6 +557,9 @@ object Bench {
       (if (runXStream) Seq(
         "stream_exact_trigger_quarter_corpus" -> medianOf(xstreamRuns.map(_._1)),
         "stream_exact_trigger_full_corpus" -> medianOf(xstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runCdcStream) Seq(
+        "stream_cdc_trigger_quarter_corpus" -> medianOf(cdcstreamRuns.map(_._1)),
+        "stream_cdc_trigger_full_corpus" -> medianOf(cdcstreamRuns.map(_._2))) else Seq.empty) ++
       (if (runSHStream) Seq(
         "stream_simhash_trigger_quarter_corpus" -> medianOf(shstreamRuns.map(_._1)),
         "stream_simhash_trigger_full_corpus" -> medianOf(shstreamRuns.map(_._2))) else Seq.empty) ++
@@ -660,6 +700,8 @@ object Bench {
       case "stream_trigger_full_corpus" => Some(() => streamingTriggerOnce(sfDir, 1.0))
       case "stream_exact_trigger_quarter_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 0.25))
       case "stream_exact_trigger_full_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 1.0))
+      case "stream_cdc_trigger_quarter_corpus" => Some(() => streamingCdcTriggerOnce(sfDir, 0.25))
+      case "stream_cdc_trigger_full_corpus" => Some(() => streamingCdcTriggerOnce(sfDir, 1.0))
       case "stream_simhash_trigger_quarter_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 0.25))
       case "stream_simhash_trigger_full_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 1.0))
       case "stream_simhash64_trigger_quarter_corpus" => Some(() => streamingSimhash64TriggerOnce(sfDir, 0.25))

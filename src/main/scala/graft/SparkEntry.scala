@@ -231,6 +231,31 @@ ORDER BY event_id"""
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "cdc_chunk_dedup" -> ((s, d) => Dedup.cdcChunkDedup(docs(s, d))),
+    // Incremental CDC: batch = the dedup_exact_incr harness transform
+    // (verbatim copies of %5==0 docs + tail-perturbed %5==1 docs,
+    // id-shifted above the corpus so keep-first favors the corpus)
+    "cdc_chunk_dedup_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.cdcChunkDedupIncremental(dd, batch)
+    }),
+    // Maintained-store path: the (fp, len) chunk store is built first
+    // and corpus text is NOT an input to the dedup call — must
+    // hash-match the identical full-run-restricted oracle.
+    "cdc_chunk_dedup_incr_store" -> ((s, d) => {
+      val dd = docs(s, d)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.cdcChunkDedupIncremental(dd.limit(0), batch,
+        corpusChunks = Some(Dedup.cdcChunkStore(dd)))
+    }),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(docs(s, d))),
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(docs(s, d))),
     "minhash_scurve" -> ((s, _) => Dedup.minhashScurve(s)),
@@ -586,6 +611,8 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "cdc_chunk_dedup" -> Dedup.cdcChunkDedupOracle,
+    "cdc_chunk_dedup_incr" -> Dedup.cdcChunkDedupIncrementalOracle,
+    "cdc_chunk_dedup_incr_store" -> Dedup.cdcChunkDedupIncrementalOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
     "minhash_scurve" -> Dedup.minhashScurveOracle,
     "dedup_ngram_fast" -> Dedup.dedupNgramFastOracle,

@@ -2883,13 +2883,22 @@ FROM est ORDER BY source"""
    *  (fp, len)-keyed partial agg at ~n_tokens/avgChunk cardinality —
    *  the same shuffle class as exact dedup's content-hash groupBy —
    *  and the final rollup is |sources| rows. No self-join anywhere. */
-  def cdcChunkDedup(docs: DataFrame, avgChunk: Int = 8): DataFrame = {
+  /** The shared CDC chunking chain: (doc_id, [extras...], chunk_idx,
+   *  fp, len, occ_key) chunk-occurrence frame — ONE definition of the
+   *  cut rule + fingerprint shared by [[cdcChunkDedup]], the store
+   *  builder, and the incremental path, so the three can never drift
+   *  (the simhashFpWide/SimhashFp lockstep discipline). `extraCols`
+   *  are passthrough per-document columns carried into the grouping
+   *  (e.g. `source`). */
+  private def cdcOccurrences(docs: DataFrame, avgChunk: Int,
+                             extraCols: Seq[String]): DataFrame = {
+    val keep = Seq(col("doc_id")) ++ extraCols.map(col)
     val tok = docs
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
-      .select(col("doc_id"), col("source"),
+      .select(keep ++ Seq(
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word"))): _*)
+      .select(keep ++ Seq(
         (col("pos0") + 1).cast("long").as("pos"),
-        call_function("poly_hash", col("word")).as("gh"))
+        call_function("poly_hash", col("word")).as("gh")): _*)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val chunked = tok.withColumn("chunk_idx",
@@ -2898,13 +2907,17 @@ FROM est ORDER BY source"""
     val wChunk = Window.partitionBy("doc_id", "chunk_idx").orderBy("pos")
     val occ = chunked
       .withColumn("off", row_number().over(wChunk).cast("long"))
-      .groupBy("doc_id", "source", "chunk_idx")
+      .groupBy(keep ++ Seq(col("chunk_idx")): _*)
       .agg(sum(col("gh") * col("off")).as("fp"), count(lit(1)).as("len"))
     // canonical occurrence key: doc_id * 65536 + chunk_idx (chunk_idx
     // is bounded by tokens-per-doc < 65536, so the encoding is a
     // strict total order on (doc_id, chunk_idx) in both engines)
-    val withKey = occ.withColumn("occ_key",
+    occ.withColumn("occ_key",
       col("doc_id") * lit(65536L) + col("chunk_idx"))
+  }
+
+  def cdcChunkDedup(docs: DataFrame, avgChunk: Int = 8): DataFrame = {
+    val withKey = cdcOccurrences(docs, avgChunk, Seq("source"))
     val canon = withKey.groupBy("fp", "len")
       .agg(min(col("occ_key")).as("first_key"))
     val flagged = withKey.join(canon, Seq("fp", "len"))
@@ -2969,4 +2982,122 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        FLOOR((SUM(len * is_dup) * 1.0 / SUM(len)) * 10000.0 + 0.5) / 10000.0 AS dup_token_share
 FROM flagged GROUP BY source
 ORDER BY source"""
+
+  /** The CDC chunk-identity store: the DISTINCT (fp, len) set of a
+   *  corpus's chunk occurrences — the append-only state
+   *  [[cdcChunkDedupIncremental]] probes instead of re-chunking corpus
+   *  text. Append each accepted batch's frame; duplicate rows across
+   *  appends are harmless (membership semantics — the fold is the
+   *  `distinct()` at read). */
+  def cdcChunkStore(docs: DataFrame, avgChunk: Int = 8): DataFrame =
+    cdcOccurrences(docs.select("doc_id", "text"), avgChunk, Nil)
+      .select("fp", "len").distinct()
+
+  /** Materialize [[cdcChunkStore]] as parquet. */
+  def writeCdcChunkStore(docs: DataFrame, path: String,
+                         avgChunk: Int = 8): Unit =
+    cdcChunkStore(docs, avgChunk).write.mode("overwrite").parquet(path)
+
+  /** Incremental CDC chunk dedup — the ingest-time admission ledger:
+   *  chunk ONLY the batch (the corpus is never re-tokenized), then
+   *  flag each batch chunk whose identity (fp, len) already exists in
+   *  the corpus chunk store OR in an earlier batch occurrence
+   *  (keep-first within the batch by the same occ_key order the full
+   *  run uses). Output is PER BATCH DOCUMENT — the admission decision
+   *  grain — where the full-corpus operator reports per source.
+   *
+   *  Bit-identical to [[cdcChunkDedup]]'s accounting over
+   *  corpus UNION batch restricted to batch rows, PROVIDED batch
+   *  doc_ids sort after all corpus doc_ids (the append-only ingest
+   *  contract: a corpus occurrence always precedes, so "in store" =
+   *  "non-canonical"); the oracle runs exactly that full-run form.
+   *
+   *  Scale shape: chunking cost is O(batch) (projection + per-doc
+   *  windows); the store probe is one hash join keyed on (fp, len) —
+   *  the exact-dedup shuffle class — with the batch side bounded by
+   *  the incremental contract. Maintained-store mode: pass
+   *  `corpusChunks` ([[cdcChunkStore]]'s frame, distinct-folded here)
+   *  and corpus text is not an input at all. */
+  def cdcChunkDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                               avgChunk: Int = 8,
+                               corpusChunks: Option[DataFrame] = None): DataFrame = {
+    val store = corpusChunks.map(_.select("fp", "len").distinct())
+      .getOrElse(cdcChunkStore(corpus, avgChunk))
+    val occ = cdcOccurrences(batch.select("doc_id", "text"), avgChunk, Nil)
+    val batchCanon = occ.groupBy("fp", "len")
+      .agg(min(col("occ_key")).as("first_batch_key"))
+    val flagged = occ
+      .join(batchCanon, Seq("fp", "len"))
+      .join(store.select(col("fp"), col("len"), lit(1L).as("in_corpus")),
+        Seq("fp", "len"), "left")
+      .withColumn("is_dup",
+        when(col("in_corpus").isNotNull
+          || col("occ_key") =!= col("first_batch_key"), 1L).otherwise(0L))
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_tokens"),
+        sum("is_dup").as("dup_chunks"),
+        sum(col("len") * col("is_dup")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("dup_chunks"), col("dup_tokens"),
+        r4(col("dup_tokens") * lit(1.0) / col("n_tokens"))
+          .as("dup_token_share"))
+      .orderBy("doc_id")
+  }
+
+  /** The FULL-run CDC chain over corpus UNION batch, restricted to
+   *  batch rows and aggregated per document — valid as the
+   *  incremental oracle because batch ids (+1M/+2M shifts) sort after
+   *  every corpus id, so full-run keep-first = store-membership +
+   *  batch-internal keep-first (see [[cdcChunkDedupIncremental]]). */
+  lazy val cdcChunkDedupIncrementalOracle: String = """WITH RECURSIVE
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+nums AS (SELECT unnest(range(1, 4001)) AS i),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id % 5 = 1),
+toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM alldocs),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS word
+  FROM toked, nums WHERE i <= len(toks)),
+wh AS (
+  SELECT t.doc_id, t.pos,
+         CAST(COALESCE(SUM(ord(substr(t.word, p.i, 1)) * p.v), 0) % 1000003 AS BIGINT) AS gh
+  FROM tok t LEFT JOIN pw p ON p.i <= LEAST(len(t.word), 64)
+  GROUP BY t.doc_id, t.pos),
+chunked AS (
+  SELECT doc_id, pos, gh,
+         SUM(CASE WHEN gh % 8 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_idx
+  FROM wh),
+occ AS (
+  SELECT doc_id, chunk_idx,
+         CAST(SUM(gh * off) AS BIGINT) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(doc_id * 65536 + chunk_idx) AS BIGINT) AS occ_key
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+                                     ORDER BY pos) AS off
+        FROM chunked)
+  GROUP BY doc_id, chunk_idx),
+canon AS (SELECT fp, len, MIN(occ_key) AS first_key FROM occ GROUP BY fp, len),
+flagged AS (
+  SELECT o.doc_id, o.len,
+         CASE WHEN o.occ_key <> c.first_key THEN 1 ELSE 0 END AS is_dup
+  FROM occ o JOIN canon c ON o.fp = c.fp AND o.len = c.len
+  WHERE o.doc_id >= 1000000)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(len) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_dup) AS BIGINT) AS dup_chunks,
+       CAST(SUM(len * is_dup) AS BIGINT) AS dup_tokens,
+       FLOOR((SUM(len * is_dup) * 1.0 / SUM(len)) * 10000.0 + 0.5) / 10000.0 AS dup_token_share
+FROM flagged GROUP BY doc_id
+ORDER BY doc_id"""
 }

@@ -557,6 +557,79 @@ class StreamingIngestSpec extends SparkSpec {
       spark.read.parquet(store + "_bloom").select("word_idx").distinct().count())
   }
 
+  test("streaming cdc dedup: fully-reconstructible docs drop across and within batches; replays append nothing") {
+    import spark.implicits._
+    val body = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val src = tmpDir("scdc-src")
+    val store = tmpDir("scdc-store") + "/corpus"
+    val ckpt = tmpDir("scdc-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingCdcDedup.dedupedDocStream(
+        spark.readStream.schema(schema).parquet(src), store, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: doc 1 is an in-batch verbatim copy of 0 (keep-first
+    // drops it); doc 2 has a novel prefix chunk -> admitted
+    Seq((0L, body), (1L, body), (2L, "PREFIX " + body))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    // batch 2: doc 10 is fully covered by stored chunks -> dropped;
+    // doc 11 appends a novel suffix -> admitted
+    val batch2 = Seq((10L, body), (11L, body + " brand new suffix words"))
+      .toDF("doc_id", "text")
+    batch2.write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L))
+    // replay (at-least-once): every chunk of batch 2 is now stored, so
+    // a re-run drops the whole batch and appends nothing
+    val nDocs = spark.read.parquet(store).count()
+    StreamingCdcDedup.processBatch(batch2, 99L, store, store + "_chunks")
+    assert(spark.read.parquet(store).count() === nDocs)
+    // compaction preserves trigger verdicts and folds the chunk store
+    val probe = Seq((20L, body), (21L, "wholly novel probe content"))
+      .toDF("doc_id", "text")
+    def verdicts = StreamingCdcDedup.triggerFlags(spark, probe, store + "_chunks")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"))).toSet
+    val before = verdicts
+    assert(before === Set((20L, true), (21L, false)))
+    StreamingCdcDedup.compactState(spark, store)
+    assert(verdicts === before)
+    assert(spark.read.parquet(store + "_chunks").count() ===
+      spark.read.parquet(store + "_chunks").distinct().count())
+  }
+
+  test("streaming cdc dedup trigger reads ONLY the chunk store — never corpus text") {
+    import spark.implicits._
+    val body = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val base = tmpDir("scdc-audit")
+    val corpusDir = base + "/corpusdocs"
+    val chunksDir = base + "/chunkstore"
+    val corpus = Seq((0L, body), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(corpusDir)
+    graft.pipeline.Dedup.cdcChunkStore(corpus).write.parquet(chunksDir)
+    val batch = Seq((10L, body), (11L, "wholly novel probe content"))
+      .toDF("doc_id", "text")
+    val flags = StreamingCdcDedup.triggerFlags(spark, batch, chunksDir)
+    val p = flags.queryExecution.executedPlan.toString
+    val locations = p.linesIterator.filter(_.contains("Location")).toSeq
+    assert(locations.nonEmpty, p)
+    assert(locations.forall(_.contains("chunkstore")), locations.toString)
+    assert(!p.contains("corpusdocs"), p)
+    val out = flags.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"))).toMap
+    assert(out === Map(10L -> true, 11L -> false))
+  }
+
   test("streaming exact dedup trigger reads ONLY the hash/bloom stores — never corpus text") {
     import spark.implicits._
     val base = tmpDir("sxdedup-audit")
