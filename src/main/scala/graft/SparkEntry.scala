@@ -82,6 +82,7 @@ ORDER BY event_id"""
     "spill_stages" -> ((s, d) => Diagnostics.spillStages(canon(s, d))),
     "attempt_regression" -> ((s, d) => Diagnostics.attemptRegression(canon(s, d))),
     "failure_breakdown" -> ((s, d) => Diagnostics.failureBreakdown(canon(s, d))),
+    "locality_breakdown" -> ((s, d) => Diagnostics.localityBreakdown(canon(s, d))),
     "resource_usage" -> ((s, d) => Resources.resourceUsage(canon(s, d))),
     "executor_summary" -> ((s, d) => Resources.executorSummary(canon(s, d))),
     "perf_trends" -> ((s, d) => Trends.perfTrends(canon(s, d))),
@@ -525,6 +526,7 @@ ORDER BY event_id"""
     "spill_stages" -> Diagnostics.spillStagesOracle,
     "attempt_regression" -> Diagnostics.attemptRegressionOracle,
     "failure_breakdown" -> Diagnostics.failureBreakdownOracle,
+    "locality_breakdown" -> Diagnostics.localityBreakdownOracle,
     "resource_usage" -> Resources.resourceUsageOracle,
     "executor_summary" -> Resources.executorSummaryOracle,
     "perf_trends" -> Trends.perfTrendsOracle,

@@ -694,6 +694,50 @@ SELECT app_id, end_reason, n_tasks, task_ms,
 FROM per_reason
 ORDER BY app_id, end_reason"""
 
+  /** Task-LOCALITY breakdown per app — the data-placement twin of
+   *  [[failureBreakdown]]: how much task time ran PROCESS_LOCAL vs
+   *  NODE_LOCAL / RACK_LOCAL / ANY. Rising non-local share is the
+   *  first symptom of cache-executor mismatch or HDFS block
+   *  imbalance, and the task_ms column prices it (a thousand 10 ms
+   *  ANY tasks matter less than ten 100 s ones). `is_local` flags the
+   *  PROCESS_LOCAL row so a dashboard can one-filter the loss rows.
+   *  Scale shape: one map-side-combining groupBy collapsing tasks to
+   *  (app x <=5 levels) cardinality; the share window runs over that
+   *  tiny aggregate, never over tasks. */
+  def localityBreakdown(canon: DataFrame): DataFrame = {
+    val tasks = canon
+      .filter(col("event_type") === TaskEnd && col("locality").isNotNull)
+      .select("app_id", "locality", "duration_ms")
+    val perLevel = tasks.groupBy("app_id", "locality").agg(
+      count(lit(1)).as("n_tasks"),
+      sum("duration_ms").as("task_ms"))
+    perLevel
+      .withColumn("app_tasks",
+        sum("n_tasks").over(Window.partitionBy("app_id")))
+      .select(
+        col("app_id"), col("locality"), col("n_tasks"), col("task_ms"),
+        r4(col("n_tasks") * lit(1.0) / col("app_tasks")).as("share"),
+        when(col("locality") === "PROCESS_LOCAL", 1L).otherwise(0L)
+          .as("is_local"))
+      .orderBy("app_id", "locality")
+  }
+
+  val localityBreakdownOracle: String = canonCte + """
+, t AS (
+  SELECT app_id, locality, duration_ms
+  FROM canon
+  WHERE event_type = 'SparkListenerTaskEnd' AND locality IS NOT NULL),
+per_level AS (
+  SELECT app_id, locality,
+         CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         CAST(SUM(duration_ms) AS BIGINT) AS task_ms
+  FROM t GROUP BY app_id, locality)
+SELECT app_id, locality, n_tasks, task_ms,
+       FLOOR((n_tasks * 1.0 / SUM(n_tasks) OVER (PARTITION BY app_id)) * 10000.0 + 0.5) / 10000.0 AS share,
+       CAST(CASE WHEN locality = 'PROCESS_LOCAL' THEN 1 ELSE 0 END AS BIGINT) AS is_local
+FROM per_level
+ORDER BY app_id, locality"""
+
   /** Sessionization: group a user's events into sessions split at
    *  inactivity gaps > gapUs. The classic lag-flag-cumsum window
    *  shape — one shuffle on the user key, everything else
