@@ -466,6 +466,10 @@ ORDER BY event_id"""
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(emb(s, d))),
     "ann_ivf_pq" -> ((s, d) => Embeddings.annIvfPq(emb(s, d), annQueries(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(emb(s, d), annQueries(s, d))),
+    "matryoshka_recall" -> ((s, d) =>
+      Embeddings.matryoshkaRecall(emb(s, d), annQueries(s, d))),
+    "bq_recall" -> ((s, d) =>
+      Embeddings.bqRecall(emb(s, d), annQueries(s, d))),
     // hybrid more-like-this for probe doc 0: lexical shingle-Jaccard
     // rank fused with embedding-cosine rank by reciprocal-rank fusion
     "hybrid_search" -> ((s, d) =>
@@ -704,6 +708,8 @@ ORDER BY event_id"""
     "ann_lsh" -> Embeddings.annLshOracle,
     "ann_ivf" -> Embeddings.annIvfOracle,
     "ann_recall" -> Embeddings.annRecallOracle,
+    "matryoshka_recall" -> Embeddings.matryoshkaRecallOracle,
+    "bq_recall" -> Embeddings.bqRecallOracle,
     "hybrid_search" -> Embeddings.hybridSearchOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,

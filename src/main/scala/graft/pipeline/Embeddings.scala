@@ -173,7 +173,11 @@ ORDER BY query_id, rank"""
    *  shuffles and zero row blowup (the old shape crossJoined 32 plane
    *  rows per vector and re-aggregated — 32x the rows through an
    *  exchange for the same arithmetic). */
-  private def nibbles(qv: DataFrame): DataFrame = {
+  /** The raw 32-bit sign fingerprint (vec_id, fp) — the binary
+   *  quantization of the vector: one bit per hyperplane, 4 B/vector.
+   *  Shared by the LSH banding ([[nibbles]]) and the BQ serving-path
+   *  recall gauge ([[bqRecall]]), so the two read the SAME bits. */
+  private def signFp(qv: DataFrame): DataFrame = {
     val bitCols = (0 until NumPlanes).map { p =>
       val (pa, pb) = (37L + 101L * p, 17L + 257L * p)
       val plane = Array.tabulate(Dims)(idx => (pa * (idx + 1) + pb) % 97L - 48L)
@@ -181,6 +185,10 @@ ORDER BY query_id, rank"""
         lit(1L << p)).otherwise(lit(0L))
     }
     qv.select(col("vec_id"), bitCols.reduce(_ + _).as("fp"))
+  }
+
+  private def nibbles(qv: DataFrame): DataFrame = {
+    signFp(qv)
       .select(col("vec_id"),
         explode(expr("transform(sequence(0, 3), bd -> " +
           "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 8 * bd) & 255))"))
@@ -3185,4 +3193,248 @@ SELECT rank, doc_id,
        FLOOR(rrf * 10000.0 + 0.5) / 10000.0 AS rrf_score, lex_rank, sem_rank
 FROM ranked WHERE rank <= 50
 ORDER BY rank"""
+
+  /** Matryoshka / prefix-dimension recall sweep — the "how many
+   *  dimensions does serving actually need" gauge (Kusupati et al.
+   *  NeurIPS 2022 matryoshka representation learning made a truncated
+   *  PREFIX of the embedding the standard cheap serving mode; this
+   *  measures what that truncation costs on THIS corpus): for each
+   *  prefix width d, brute-force cosine top-k over the first d
+   *  quantized dims for the fixed query set, scored against the
+   *  full-width top-k as truth. Recall@k per width is the table that
+   *  picks the serving width before a 100 TB index build commits to
+   *  one — alongside `int8_distortion` (value quantization) and
+   *  `pq_recall` (codebook quantization), this covers the third
+   *  compression axis: dimension truncation.
+   *
+   *  Determinism: prefix dots/norms are exact integers; a zero prefix
+   *  norm scores cosine 0 by an explicit CASE on BOTH engines (0/0
+   *  would be NaN, whose sort order engines disagree on); ties break
+   *  on vec_id. Scale shape: one broadcast of the bounded query set
+   *  per width — the [[annTopK]] plan with sliced arrays; per-query
+   *  top-k via window over the per-query candidate stream; widths
+   *  union at |widths| x |queries| x k cardinality. Corpus is scanned
+   *  |widths| times and never self-joined. */
+  def matryoshkaRecall(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                       widths: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(widths.nonEmpty && widths.max <= Dims,
+      s"prefix widths must be <= $Dims")
+    val qv = quantized(emb).cache()
+    val qq = quantized(queries)
+    def topkAt(d: Int): DataFrame = {
+      def pre(c: org.apache.spark.sql.Column) =
+        if (d == Dims) c else slice(c, 1, d)
+      val qside = qq
+        .select(col("vec_id").as("query_id"), pre(col("qarr")).as("qarr_a"))
+        .withColumn("nq_a", expr("qdot(qarr_a, qarr_a)"))
+      qv.select(col("vec_id"), pre(col("qarr")).as("qarr_b"))
+        .withColumn("nq_b", expr("qdot(qarr_b, qarr_b)"))
+        .crossJoin(broadcast(qside))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          when(col("nq_a") * col("nq_b") === 0L, lit(0.0))
+            .otherwise(expr(pairDot)
+              / (sqrt(col("nq_a")) * sqrt(col("nq_b")))))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val truth = topkAt(Dims).cache()
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val perWidth = widths.map { d =>
+      topkAt(d).join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    val out = perWidth.crossJoin(broadcast(truthN))
+      .select(col("dims"), col("n_hits"), col("n_truth"),
+        r4(col("n_hits") * lit(1.0) / col("n_truth")).as("recall"))
+      .orderBy("dims")
+      .localCheckpoint() // |widths| rows; release the caches below
+    truth.unpersist()
+    qv.unpersist()
+    out
+  }
+
+  /** Width-config cross join over the shared qv chain; the zero-norm
+   *  CASE and the vec_id tie-break mirror [[matryoshkaRecall]]
+   *  exactly. Queries = the harness ANN query set. */
+  lazy val matryoshkaRecallOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+cfg AS (SELECT unnest([8, 16, 32, 64]) AS w),
+nr AS (
+  SELECT c.w, v.vec_id, CAST(SUM(v.q * v.q) AS BIGINT) AS nq
+  FROM qv v CROSS JOIN cfg c WHERE v.i <= c.w
+  GROUP BY c.w, v.vec_id),
+queries AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0 AND vec_id < 2000),
+dots AS (
+  SELECT c.w, qs.query_id, v.vec_id, CAST(SUM(qs.q * v.q) AS BIGINT) AS dot
+  FROM queries qs
+  JOIN qv v ON qs.i = v.i
+  CROSS JOIN cfg c
+  WHERE qs.query_id <> v.vec_id AND qs.i <= c.w
+  GROUP BY c.w, qs.query_id, v.vec_id),
+sims AS (
+  SELECT d.w, d.query_id, d.vec_id,
+         CASE WHEN na.nq * nb.nq = 0 THEN 0.0
+              ELSE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) END AS cosine
+  FROM dots d
+  JOIN nr na ON na.w = d.w AND na.vec_id = d.query_id
+  JOIN nr nb ON nb.w = d.w AND nb.vec_id = d.vec_id),
+ranked AS (
+  SELECT w, query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY w, query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM sims),
+approx AS (SELECT w, query_id, vec_id FROM ranked WHERE rk <= 10),
+truth AS (SELECT query_id, vec_id FROM approx WHERE w = 64),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+hitrows AS (
+  SELECT a.w
+  FROM approx a JOIN truth t
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
+hits AS (
+  SELECT c.w, CAST(COUNT(h.w) AS BIGINT) AS n_hits
+  FROM cfg c LEFT JOIN hitrows h ON h.w = c.w
+  GROUP BY c.w)
+SELECT CAST(h.w AS BIGINT) AS dims, h.n_hits, tn.n_truth,
+       FLOOR((h.n_hits * 1.0 / tn.n_truth) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM hits h CROSS JOIN tn
+ORDER BY dims"""
+
+  /** Binary-quantization serving-path recall — the 4 B/vector extreme
+   *  of the compression family ([[matryoshkaRecall]] truncates
+   *  dimensions, `int8_distortion` narrows values, `pq_recall`
+   *  codebook-quantizes; this keeps ONE SIGN BIT per hyperplane): the
+   *  modern vector-store cheap mode, serving as hamming-distance
+   *  shortlist over the 32-bit [[signFp]] fingerprints followed by an
+   *  exact rerank of the shortlist — measured here as recall@k vs the
+   *  exact cosine top-k, per shortlist size. The table prices the
+   *  bit-index: how large a hamming shortlist buys back the recall
+   *  the 1-bit quantization loses.
+   *
+   *  Determinism: hamming is integer bit_count(xor) with vec_id
+   *  tie-break; the rerank cosine is the exact quantized dot (same
+   *  arithmetic as truth, which is [[annTopK]]'s chain verbatim).
+   *  Scale shape: fingerprints are a pure projection (4 B/vector
+   *  state); the hamming pass is one broadcast-query scan of the fp
+   *  frame (in-row xor, no candidate blowup); the exact rerank joins
+   *  only |queries| x maxShortlist rows back to the quantized frame.
+   *  Corpus is never self-joined. */
+  def bqRecall(emb: DataFrame, queries: DataFrame, k: Int = 10,
+               shortlists: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k),
+      s"every shortlist size must be >= k=$k")
+    val qv = quantized(emb).cache()
+    val qq = quantized(queries)
+    val qfp = signFp(qq)
+      .select(col("vec_id").as("query_id"), col("fp").as("qfp"))
+    val short = signFp(qv).crossJoin(broadcast(qfp))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("bit_count(fp ^ qfp)").cast("long").as("hamming"))
+      .withColumn("hrk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("hrk") <= shortlists.max)
+    val withCos = short
+      .join(qv.select(col("vec_id"), col("qarr").as("qarr_b"),
+        col("nq").as("nq_b")), "vec_id")
+      .join(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("qarr").as("qarr_a"), col("nq").as("nq_a"))), "query_id")
+      .withColumn("cosine",
+        expr(pairDot) / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .select("query_id", "vec_id", "hrk", "cosine")
+      .cache()
+    val truth = annTopK(emb, queries, k).select("query_id", "vec_id").cache()
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val perSize = shortlists.map { sN =>
+      val top = withCos.filter(col("hrk") <= sN)
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+      top.join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(sN.toLong).as("shortlist"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    val out = perSize.crossJoin(broadcast(truthN))
+      .select(col("shortlist"), col("n_hits"), col("n_truth"),
+        r4(col("n_hits") * lit(1.0) / col("n_truth")).as("recall"))
+      .orderBy("shortlist")
+      .localCheckpoint() // |shortlists| rows; release the caches below
+    withCos.unpersist()
+    truth.unpersist()
+    qv.unpersist()
+    out
+  }
+
+  /** Shares [[planeFpCte]] (the fingerprint bits) and the qv/nr
+   *  cosine chain with the LSH/topk oracles; zero-hit shortlist sizes
+   *  keep their row via the cfg LEFT JOIN. */
+  lazy val bqRecallOracle: String = "WITH " + planeFpCte.trim + """,
+qf AS (SELECT vec_id AS query_id, fp AS qfp FROM fp WHERE vec_id % 100 = 0 AND vec_id < 2000),
+ham AS (
+  SELECT q.query_id, f.vec_id,
+         CAST(bit_count(xor(f.fp, q.qfp)) AS BIGINT) AS hamming
+  FROM fp f CROSS JOIN qf q WHERE f.vec_id <> q.query_id),
+hrk AS (
+  SELECT query_id, vec_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS hrk
+  FROM ham),
+short AS (SELECT query_id, vec_id, hrk FROM hrk WHERE hrk <= 100),
+sdots AS (
+  SELECT s.query_id, s.vec_id, s.hrk, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM short s
+  JOIN qv qa ON qa.vec_id = s.query_id
+  JOIN qv qb ON qb.vec_id = s.vec_id AND qb.i = qa.i
+  GROUP BY s.query_id, s.vec_id, s.hrk),
+ssims AS (
+  SELECT d.query_id, d.vec_id, d.hrk,
+         d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine
+  FROM sdots d
+  JOIN nr na ON na.vec_id = d.query_id
+  JOIN nr nb ON nb.vec_id = d.vec_id),
+cfg AS (SELECT unnest([10, 50, 100]) AS s),
+rr AS (
+  SELECT c.s, m.query_id, m.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY c.s, m.query_id
+                            ORDER BY m.cosine DESC, m.vec_id) AS rk
+  FROM ssims m CROSS JOIN cfg c WHERE m.hrk <= c.s),
+approx AS (SELECT s, query_id, vec_id FROM rr WHERE rk <= 10),
+tdots AS (
+  SELECT qs.query_id, v.vec_id, CAST(SUM(qs.qq * v.q) AS BIGINT) AS dot
+  FROM (SELECT vec_id AS query_id, i, q AS qq FROM qv
+        WHERE vec_id % 100 = 0 AND vec_id < 2000) qs
+  JOIN qv v ON qs.i = v.i
+  WHERE qs.query_id <> v.vec_id
+  GROUP BY qs.query_id, v.vec_id),
+tsims AS (
+  SELECT d.query_id, d.vec_id, d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine
+  FROM tdots d
+  JOIN nr na ON na.vec_id = d.query_id
+  JOIN nr nb ON nb.vec_id = d.vec_id),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM tsims) WHERE rk <= 10),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+hitrows AS (
+  SELECT a.s
+  FROM approx a JOIN truth t
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
+hits AS (
+  SELECT c.s, CAST(COUNT(h.s) AS BIGINT) AS n_hits
+  FROM cfg c LEFT JOIN hitrows h ON h.s = c.s
+  GROUP BY c.s)
+SELECT CAST(h.s AS BIGINT) AS shortlist, h.n_hits, tn.n_truth,
+       FLOOR((h.n_hits * 1.0 / tn.n_truth) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM hits h CROSS JOIN tn
+ORDER BY shortlist"""
 }
