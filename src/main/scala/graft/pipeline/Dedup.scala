@@ -3026,9 +3026,13 @@ ORDER BY source"""
     // keys, probe keys, the flag join) and is bounded by the batch —
     // pin it once instead of re-running the chunking windows per
     // consumer (measured: the uncached triple chain dominated the
-    // sf10 trigger constant).
-    val occ = cdcOccurrences(batch.select("doc_id", "text"), avgChunk, Nil)
-      .localCheckpoint()
+    // sf10 trigger constant). Same `graft.pin.results=false` test
+    // seam as pinnedVerify so plan audits see the composed shape.
+    val occRaw = cdcOccurrences(batch.select("doc_id", "text"), avgChunk, Nil)
+    val occ =
+      if (batch.sparkSession.conf.get("graft.pin.results", "true") == "false")
+        occRaw
+      else occRaw.localCheckpoint()
     val batchCanon = occ.groupBy("fp", "len")
       .agg(min(col("occ_key")).as("first_batch_key"))
     // Membership probe with the BATCH side broadcast: the chunk store

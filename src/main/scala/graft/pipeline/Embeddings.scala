@@ -3247,14 +3247,19 @@ ORDER BY rank"""
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(d.toLong).as("dims"), col("n_hits"))
     }.reduce(_.unionByName(_))
-    val out = perWidth.crossJoin(broadcast(truthN))
+    val lazyPins = emb.sparkSession
+      .conf.get("graft.pin.results", "true") == "false"
+    val composed = perWidth.crossJoin(broadcast(truthN))
       .select(col("dims"), col("n_hits"), col("n_truth"),
         r4(col("n_hits") * lit(1.0) / col("n_truth")).as("recall"))
       .orderBy("dims")
-      .localCheckpoint() // |widths| rows; release the caches below
-    truth.unpersist()
-    qv.unpersist()
-    out
+    if (lazyPins) composed // plan-audit seam: keep the composed shape
+    else {
+      val out = composed.localCheckpoint() // |widths| rows
+      truth.unpersist()
+      qv.unpersist()
+      out
+    }
   }
 
   /** Width-config cross join over the shared qv chain; the zero-norm
@@ -3361,15 +3366,20 @@ ORDER BY dims"""
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(sN.toLong).as("shortlist"), col("n_hits"))
     }.reduce(_.unionByName(_))
-    val out = perSize.crossJoin(broadcast(truthN))
+    val lazyPins = emb.sparkSession
+      .conf.get("graft.pin.results", "true") == "false"
+    val composed = perSize.crossJoin(broadcast(truthN))
       .select(col("shortlist"), col("n_hits"), col("n_truth"),
         r4(col("n_hits") * lit(1.0) / col("n_truth")).as("recall"))
       .orderBy("shortlist")
-      .localCheckpoint() // |shortlists| rows; release the caches below
-    withCos.unpersist()
-    truth.unpersist()
-    qv.unpersist()
-    out
+    if (lazyPins) composed // plan-audit seam: keep the composed shape
+    else {
+      val out = composed.localCheckpoint() // |shortlists| rows
+      withCos.unpersist()
+      truth.unpersist()
+      qv.unpersist()
+      out
+    }
   }
 
   /** Shares [[planeFpCte]] (the fingerprint bits) and the qv/nr

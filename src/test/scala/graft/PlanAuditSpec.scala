@@ -220,6 +220,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cdc incremental probe: chunk store scanned, never exchanged — batch side broadcasts") {
+    // The measured sf10 lesson (STRESS_SF1.md): the shuffled-store
+    // membership join grew 2.4x per 4x state; the broadcast shape
+    // +43%. Assert no Exchange sits between the chunk-store scan and
+    // the first join above it, and that the probe joins broadcast.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val store = graft.pipeline.Dedup.cdcChunkStore(corpus)
+      .localCheckpoint() // stand-in for the parquet store read
+    val out = withLazyPins {
+      graft.pipeline.Dedup.cdcChunkDedupIncremental(
+        corpus.limit(0), docs.filter(col("doc_id") >= 400),
+        corpusChunks = Some(store))
+    }
+    val p = plan(out)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the semi probe keyed on (fp, len) must be a broadcast join, not
+    // a sort-merge over the store: no SortMergeJoin carrying fp
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("fp")), p)
+  }
+
+  test("hybrid search: both per-list windows run over TakeOrdered tops, never the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Embeddings.hybridSearch(docs, emb))
+    // each list collapses through a distributed TakeOrdered before its
+    // rank window; the probe sides broadcast
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("matryoshka + bq recall: query side broadcasts, corpus never self-joins") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+    val (pm, pb) = withLazyPins {
+      (plan(graft.pipeline.Embeddings.matryoshkaRecall(emb, queries)),
+        plan(graft.pipeline.Embeddings.bqRecall(emb, queries)))
+    }
+    assert(!pm.contains("CartesianProduct"), pm)
+    assert(pm.contains("BroadcastNestedLoopJoin")
+      || pm.contains("BroadcastHashJoin"), pm)
+    assert(!pb.contains("CartesianProduct"), pb)
+    assert(pb.contains("BroadcastNestedLoopJoin")
+      || pb.contains("BroadcastHashJoin"), pb)
+  }
+
   test("shard packing windows per writer lane — no single global partition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.Sampling.shardPack(docs))
