@@ -352,6 +352,10 @@ ORDER BY event_id"""
     // xxhash, but SQL-reproducible): full fingerprint-parity oracle.
     "dedup_simhash_fast" -> ((s, d) =>
       Dedup.dedupSimhash(docs(s, d), idFamily = "poly")),
+    // 64-bit scale-mode simhash through the FULL hash gate (poly
+    // family): fingerprints/bands/hamming re-derived in SQL at width 64
+    "dedup_simhash_wide" -> ((s, d) =>
+      Dedup.dedupSimhash(docs(s, d), idFamily = "poly", fpBits = 64)),
     // Scale mode C (native whole-fingerprint expression): the
     // signature pass is a pure projection; same oracle as mode B
     // because the fingerprints are bit-identical.
@@ -646,6 +650,7 @@ ORDER BY event_id"""
     "dedup_minhash_wide" -> Dedup.dedupMinhashWideOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,
     "dedup_simhash_fast" -> Dedup.dedupSimhashFastOracle,
+    "dedup_simhash_wide" -> Dedup.dedupSimhashWideOracle,
     "dedup_simhash_expr" -> Dedup.dedupSimhashFastOracle,
     "dedup_clusters" -> Clustering.dedupClustersOracle,
     "cluster_weights" -> Clustering.clusterWeightsOracle,

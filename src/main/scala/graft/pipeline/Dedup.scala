@@ -2328,16 +2328,24 @@ ORDER BY c.doc_a, c.doc_b"""
 shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     minhashTailSql
 
-  /** SimHash near-dup: 32-bit majority fingerprint over gram-id hash
-   *  bits; candidates share >=1 of 4 byte-wide bands (exact for
-   *  hamming <= 3 by pigeonhole), verified with bit_count(xor). */
+  /** SimHash near-dup: `fpBits`-bit majority fingerprint over gram-id
+   *  hash bits; candidates share >=1 of 4 bands (exact for
+   *  hamming <= 3 by pigeonhole at ANY width), verified with
+   *  bit_count(xor). `fpBits = SimBitsWide` (64) is the corpus-scale
+   *  setting — 16-bit bands keep bucket occupancy flat where the
+   *  32-bit default's 256-value bands saturate (the sf10 probe,
+   *  STRESS_SF1.md) — and under `idFamily = "poly"` it keeps a full
+   *  bit-for-bit DuckDB oracle ([[dedupSimhashWideOracle]]). */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3,
                    idFamily: String = "md5",
-                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+                   precomputedShingles: Option[DataFrame] = None,
+                   fpBits: Int = SimBits): DataFrame = {
+    require(fpBits % SimBands == 0, s"fpBits must be a multiple of $SimBands")
     val sh = cachedOrStore(docs, precomputedShingles)
-    val fp = simhashFpWide(shingleIds(sh, idFamily))
+    val fp = simhashFpWide(shingleIds(sh, idFamily), fpBits)
       .cache() // used for banding AND the per-side fp lookup below
-    val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id")
+    val cands = saltedBucketPairs(
+      simhashNibbles(fp, fpBits / SimBands), Seq("band", "nib"), "doc_id")
     simhashVerify(cands, fp, maxHamming)
   }
 
@@ -2536,6 +2544,54 @@ WHERE bit_count(xor(fp_a, fp_b)) <= 3
 ORDER BY doc_a, doc_b"""
 
   private val simhashTailSql: String = simhashTailSqlWith("")
+
+  /** The WIDE (64-bit / 4x16-bit-band) tail: same vote family over
+   *  bits 0..63. The fingerprint is assembled in HUGEINT (bit 63 is
+   *  2^63 — past BIGINT's positive range) and mapped to the Long's
+   *  two's-complement value, so xor/bit_count/shift-mask then operate
+   *  on exactly Spark's bit pattern (the >> sign-fill is masked off
+   *  by the band mask, identical under arithmetic or logical shift). */
+  private val simhashTailSqlWide: String = s"""
+bits AS (
+  SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
+  FROM (SELECT unnest(range(0, 64)) AS b)),
+persum AS (
+  SELECT s.doc_id, bt.b,
+         SUM(CASE WHEN ((bt.a * s.gid + bt.c) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS sm
+  FROM shid s CROSS JOIN bits bt
+  GROUP BY s.doc_id, bt.b),
+fpu AS (
+  SELECT doc_id,
+         SUM(CASE WHEN sm > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM persum GROUP BY doc_id),
+fp AS (
+  SELECT doc_id,
+         CAST(u - CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN CAST(18446744073709551616 AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp
+  FROM fpu),
+nib AS (
+  SELECT doc_id, fp, bd.band, (fp >> (16 * bd.band)) & 65535 AS nib
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) bd),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM nib a JOIN nib b
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, fp_a, fp_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+ORDER BY doc_a, doc_b"""
+
+  /** Oracle for the 64-bit scale mode under the `poly` family: the
+   *  fingerprints, 16-bit bands, and hamming verdicts are re-derived
+   *  in SQL bit-for-bit — the width that previously had only
+   *  spec-level coverage now goes through the hash gate. */
+  lazy val dedupSimhashWideOracle: String =
+    "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
+      simhashTailSqlWide
 
   /** The FULL-run simhash chain with the batch restriction applied to
    *  candidate generation — valid as the incremental oracle because
