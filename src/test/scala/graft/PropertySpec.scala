@@ -383,4 +383,53 @@ class PropertySpec extends SparkSpec {
     val at02 = sweep.find(_._1 == 0.2).map(_._2)
     assert(at02.contains(graft.pipeline.Dedup.dedupNgram(docs).count()))
   }
+
+  test("cdc chunks partition every doc: contiguous indices, conserved token mass, reference fingerprints") {
+    // brute-force reference: poly hash each word, cut BEFORE each
+    // boundary word (hash % 8 == 0), fingerprint = sum(gh * offset1)
+    def polyRef(w: String): Long = {
+      var v = 1L; var sum = 0L
+      val n = math.min(w.codePointCount(0, w.length), 64)
+      var i = 0; var cp = 0
+      while (cp < n) {
+        sum = (sum + w.codePointAt(i).toLong * v) % 1000003L
+        v = (v * 31) % 1000003L
+        i += Character.charCount(w.codePointAt(i)); cp += 1
+      }
+      sum % 1000003L
+    }
+    val wordGen = Gen.chooseNum(1, 40).map(i => s"w$i")
+    for (seed <- 1L to 4L) {
+      val docsW = sample(Gen.listOfN(12,
+        Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, wordGen))), seed)
+      val df = docsW.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.pipeline.Dedup.cdcChunkDedup(df).collect()
+      // token conservation across the whole corpus
+      assert(out.map(_.getAs[Long]("n_tokens")).sum ===
+        docsW.map(_.size.toLong).sum, s"seed=$seed")
+      // reference chunking: same count of distinct chunk identities
+      val refChunks = docsW.zipWithIndex.flatMap { case (ws, d) =>
+        val hs = ws.map(polyRef)
+        val cuts = hs.zipWithIndex.map { case (h, i) => (h % 8 == 0, i) }
+        val idx = cuts.scanLeft(0L) { case (acc, (b, _)) =>
+          acc + (if (b) 1 else 0) }.tail
+        ws.indices.groupBy(i => idx(i)).map { case (ci, poss) =>
+          val fp = poss.sortBy(identity).zipWithIndex
+            .map { case (pos, off) => hs(pos) * (off + 1) }.sum
+          (fp, poss.size.toLong)
+        }
+      }
+      val refDup = {
+        val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+        var dupTok = 0L
+        for ((fp, len) <- refChunks)
+          if (!seen.add((fp, len))) dupTok += len
+        dupTok
+      }
+      assert(out.map(_.getAs[Long]("dup_tokens")).sum === refDup,
+        s"seed=$seed")
+    }
+  }
 }
