@@ -2996,8 +2996,12 @@ FROM est ORDER BY source"""
    *  zero-length word hashes to 0 exactly like the expression);
    *  prepend `WITH RECURSIVE`. Must stay in lockstep with
    *  [[graft.functions.PolyHash]]. */
-  lazy val cdcChunkDedupOracle: String = """WITH RECURSIVE
-pw AS (
+  /** The shared CDC chunk-occurrence CTE chain over `documents`
+   *  (through `occ(doc_id, source, chunk_idx, fp, len, occ_key)`) —
+   *  one SQL definition for every corpus-wide CDC oracle, mirroring
+   *  the single [[cdcOccurrences]] builder on the Spark side. Prepend
+   *  `WITH RECURSIVE`. */
+  private val cdcOccCteSql: String = """pw AS (
   SELECT 1 AS i, CAST(1 AS BIGINT) AS v
   UNION ALL
   SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
@@ -3025,7 +3029,10 @@ occ AS (
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
                                      ORDER BY pos) AS off
         FROM chunked)
-  GROUP BY doc_id, source, chunk_idx),
+  GROUP BY doc_id, source, chunk_idx)"""
+
+  lazy val cdcChunkDedupOracle: String = "WITH RECURSIVE " +
+    cdcOccCteSql + """,
 canon AS (SELECT fp, len, MIN(occ_key) AS first_key FROM occ GROUP BY fp, len),
 flagged AS (
   SELECT o.source, o.len,
@@ -3038,6 +3045,66 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        FLOOR((SUM(len * is_dup) * 1.0 / SUM(len)) * 10000.0 + 0.5) / 10000.0 AS dup_token_share
 FROM flagged GROUP BY source
 ORDER BY source"""
+
+  /** The most-REPEATED chunks, ranked — the span-granular boilerplate
+   *  ledger ([[graft.pipeline.TextAnalysis]]'s `template_prefixes`
+   *  detects repeated feed PREFIXES; this surfaces repeated material
+   *  anywhere in the document: navigation blocks, license footers,
+   *  quoted passages). Each row is one chunk identity with its
+   *  occurrence count, distinct-document and distinct-source spread,
+   *  total token mass, and a pointer to its canonical first
+   *  occurrence (doc id decoded from the min occ key) so a reviewer
+   *  can read the actual span. Single-occurrence chunks are excluded
+   *  (nothing to strip). Rank ties break on (fp, len) — exact
+   *  integers on both engines.
+   *
+   *  Scale shape: one chunk-keyed partial agg over [[cdcOccurrences]]
+   *  (the exact-dedup shuffle class; COUNT DISTINCT expands to a
+   *  two-level aggregate, still keyed on the chunk id), then a
+   *  distributed TakeOrdered(k) — the rank window orders <= k rows,
+   *  never the chunk universe. */
+  def boilerplateChunks(docs: DataFrame, avgChunk: Int = 8,
+                        k: Int = 50): DataFrame = {
+    val occ = cdcOccurrences(docs, avgChunk, Seq("source"))
+    val agg = occ.groupBy("fp", "len").agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        min("occ_key").as("first_key"))
+      .filter(col("n_occurrences") > 1L)
+    agg.orderBy(col("n_occurrences").desc, col("fp"), col("len")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("n_occurrences").desc, col("fp"), col("len")))
+        .cast("long"))
+      .select(col("rank"), col("fp"), col("len"), col("n_occurrences"),
+        col("n_docs"), col("n_sources"),
+        (col("n_occurrences") * col("len")).as("token_mass"),
+        expr("first_key div 65536").as("first_doc_id"))
+      .orderBy("rank")
+  }
+
+  /** Rides [[cdcOccCteSql]] — the one SQL definition of the chunk
+   *  chain — so this oracle and [[cdcChunkDedupOracle]] cannot
+   *  drift. */
+  lazy val boilerplateChunksOracle: String = "WITH RECURSIVE " +
+    cdcOccCteSql + """,
+agg AS (
+  SELECT fp, len,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         MIN(occ_key) AS first_key
+  FROM occ GROUP BY fp, len
+  HAVING COUNT(*) > 1),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, fp, len) AS BIGINT) AS rank,
+         fp, len, n_occurrences, n_docs, n_sources, first_key
+  FROM agg)
+SELECT rank, fp, len, n_occurrences, n_docs, n_sources,
+       CAST(n_occurrences * len AS BIGINT) AS token_mass,
+       CAST(first_key // 65536 AS BIGINT) AS first_doc_id
+FROM ranked WHERE rank <= 50
+ORDER BY rank"""
 
   /** The CDC chunk-identity store: the DISTINCT (fp, len) set of a
    *  corpus's chunk occurrences — the append-only state
