@@ -319,9 +319,13 @@ object Bench {
           .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
           .select("doc_id", "text")
         val t0 = System.nanoTime()
+        // explicitly the LEGACY 32-bit width: the library default
+        // flipped to SimBitsWide, but this key IS the 32-bit series
+        // (the cliff the pair of keys exists to keep measured)
         graft.streaming.StreamingSimhashDedup.processBatch(batch, 0L,
           s"$base/corpus", s"$base/pairs", s"$base/fp",
-          maxHamming = 3, idFamily = "expr")
+          maxHamming = 3, idFamily = "expr",
+          fpBits = graft.pipeline.Dedup.SimBits)
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream_simhash_trigger failed: ${e.getMessage}")

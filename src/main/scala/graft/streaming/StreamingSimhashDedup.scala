@@ -25,6 +25,16 @@ import graft.pipeline.Dedup
  * the same verdicts; re-appended rows are exact duplicates, folded by
  * [[compactState]]'s distinct), and the parquet-state discipline are
  * [[StreamingDedup]]'s — see its header for the contract.
+ *
+ * DEFAULT width is [[Dedup.SimBitsWide]] (64-bit fingerprints, 4
+ * 16-bit bands): the sf10 probe (bench_sf10_r14) measured the 32-bit
+ * width's trigger LINEAR in store size (4×256 band keys saturate —
+ * 58.7 s vs 6.3 s wide at a 480k-doc store), so the maintained-store
+ * surface must not ship the cliff as its default. The batch
+ * `dedup_simhash*` entrypoints keep the 32-bit default (their SQL
+ * oracles pin that width); a store written at one width must be read
+ * at the same width end-to-end — pass `fpBits = Dedup.SimBits`
+ * explicitly to keep operating a legacy 32-bit store.
  */
 object StreamingSimhashDedup {
 
@@ -46,7 +56,7 @@ object StreamingSimhashDedup {
    *  is the fp store). */
   def triggerPairs(spark: SparkSession, batch: DataFrame, fpDir: String,
                    maxHamming: Int, idFamily: String,
-                   fpBits: Int = Dedup.SimBits): DataFrame =
+                   fpBits: Int = Dedup.SimBitsWide): DataFrame =
     Dedup.dedupSimhashIncremental(
       batch.limit(0), batch, maxHamming, idFamily,
       corpusFingerprints = Some(readOrEmpty(spark, fpDir, fpSchema)),
@@ -62,7 +72,7 @@ object StreamingSimhashDedup {
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    pairsDir: String, fpDir: String,
                    maxHamming: Int, idFamily: String,
-                   fpBits: Int = Dedup.SimBits): Unit = {
+                   fpBits: Int = Dedup.SimBitsWide): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text")
     val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily, fpBits)
@@ -118,7 +128,7 @@ object StreamingSimhashDedup {
                        checkpoint: String, maxHamming: Int = 3,
                        idFamily: String = "md5",
                        fpDir: String = null,
-                       fpBits: Int = Dedup.SimBits): StreamingQuery = {
+                       fpBits: Int = Dedup.SimBitsWide): StreamingQuery = {
     val dir = Option(fpDir).getOrElse(storeDir + "_fp")
     docs.writeStream
       .option("checkpointLocation", checkpoint)

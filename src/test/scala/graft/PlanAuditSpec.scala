@@ -406,7 +406,11 @@ class PlanAuditSpec extends SparkSpec {
       (1L, "completely different content about spark data processing")
     ).toDF("doc_id", "text")
     corpus.write.parquet(corpusDir)
-    graft.pipeline.Dedup.simhashFingerprints(corpus).write.parquet(fpDir)
+    // store written at the streaming surface's default width (WIDE —
+    // the default flipped after the sf10 probe; triggerPairs below
+    // reads it at its own default, so the two must agree)
+    graft.pipeline.Dedup.simhashFingerprints(corpus,
+      fpBits = graft.pipeline.Dedup.SimBitsWide).write.parquet(fpDir)
     val batch = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")

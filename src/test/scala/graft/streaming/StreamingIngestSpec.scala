@@ -266,6 +266,44 @@ class StreamingIngestSpec extends SparkSpec {
       .toMap.apply(11L))
   }
 
+  test("streaming simhash LEGACY 32-bit mode: explicit fpBits=SimBits still serves a 32-bit store") {
+    // The default flipped to SimBitsWide (the 32-bit trigger measured
+    // linear-in-state at the sf10 probe); an existing 32-bit store
+    // keeps working by passing fpBits = Dedup.SimBits explicitly —
+    // this pins the legacy path so the default flip can't orphan it.
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val root = tmpDir("sim32dedup-stream")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark data processing at massive scale")
+    ).toDF("doc_id", "text")
+    Dedup.writeSimhashStore(docs, root + "/fp",
+      idFamily = "poly", fpBits = Dedup.SimBits)
+    // a 32-bit store never populates beyond bit 31
+    val seeded = spark.read.parquet(root + "/fp")
+      .collect().map(_.getLong(1))
+    assert(seeded.forall(fp => (fp >>> 32) == 0L), seeded.mkString(","))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "entirely novel prose with no overlap whatsoever against anything before")
+    ).toDF("doc_id", "text")
+    StreamingSimhashDedup.processBatch(batch, 0L, root + "/corpus",
+      root + "/pairs", root + "/fp", maxHamming = 3, idFamily = "poly",
+      fpBits = Dedup.SimBits)
+    val pairs = spark.read.parquet(root + "/pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)))
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L))
+    val survivors = spark.read.parquet(root + "/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L))
+    // appended rows stay 32-bit — width consistency end-to-end
+    val after = spark.read.parquet(root + "/fp")
+      .collect().map(_.getLong(1))
+    assert(after.forall(fp => (fp >>> 32) == 0L), after.mkString(","))
+  }
+
   test("streaming minhash dedup: signature+shingle stores grow with survivors, batches dedup against them") {
     import spark.implicits._
     val root = tmpDir("mhdedup-stream")
