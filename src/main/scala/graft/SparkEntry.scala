@@ -232,6 +232,9 @@ ORDER BY event_id"""
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(docs(s, d))),
     "cdc_chunk_dedup" -> ((s, d) => Dedup.cdcChunkDedup(docs(s, d))),
+    // Scale mode C of the CDC family: the native cdc_chunks
+    // expression chain, sharing the window-chain oracle VERBATIM
+    "cdc_chunk_dedup_expr" -> ((s, d) => Dedup.cdcChunkDedupExpr(docs(s, d))),
     "boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(docs(s, d))),
     // Incremental CDC: batch = the dedup_exact_incr harness transform
     // (verbatim copies of %5==0 docs + tail-perturbed %5==1 docs,
@@ -622,6 +625,7 @@ ORDER BY event_id"""
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_curve" -> Dedup.dedupCurveOracle,
     "cdc_chunk_dedup" -> Dedup.cdcChunkDedupOracle,
+    "cdc_chunk_dedup_expr" -> Dedup.cdcChunkDedupOracle,
     "boilerplate_chunks" -> Dedup.boilerplateChunksOracle,
     "cdc_chunk_dedup_incr" -> Dedup.cdcChunkDedupIncrementalOracle,
     "cdc_chunk_dedup_incr_store" -> Dedup.cdcChunkDedupIncrementalOracle,

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
+import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -31,6 +31,9 @@ import graft.functions.{MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNG
  *  - `winnow_fps(string, int, int) -> array<bigint>` — codegen'd
  *    complete winnowing fingerprint selection (packed hash*2^20+pos)
  *    ([[graft.functions.WinnowFps]]).
+ *  - `cdc_chunks(string, int) -> array<struct<fp,len>>` — codegen'd
+ *    complete content-defined chunking of a document under the poly
+ *    family ([[graft.functions.CdcChunks]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -97,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "winnow_fps expects exactly 3 arguments")
         WinnowFps(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cdc_chunks expects exactly 2 arguments")
+        CdcChunks(children.head, children(1))
       }))
   }
 }

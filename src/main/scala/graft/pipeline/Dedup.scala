@@ -2946,8 +2946,8 @@ FROM est ORDER BY source"""
    *  (the simhashFpWide/SimhashFp lockstep discipline). `extraCols`
    *  are passthrough per-document columns carried into the grouping
    *  (e.g. `source`). */
-  private def cdcOccurrences(docs: DataFrame, avgChunk: Int,
-                             extraCols: Seq[String]): DataFrame = {
+  private[graft] def cdcOccurrences(docs: DataFrame, avgChunk: Int,
+                                    extraCols: Seq[String]): DataFrame = {
     val keep = Seq(col("doc_id")) ++ extraCols.map(col)
     val tok = docs
       .select(keep ++ Seq(
@@ -2965,15 +2965,55 @@ FROM est ORDER BY source"""
       .withColumn("off", row_number().over(wChunk).cast("long"))
       .groupBy(keep ++ Seq(col("chunk_idx")): _*)
       .agg(sum(col("gh") * col("off")).as("fp"), count(lit(1)).as("len"))
-    // canonical occurrence key: doc_id * 65536 + chunk_idx (chunk_idx
-    // is bounded by tokens-per-doc < 65536, so the encoding is a
-    // strict total order on (doc_id, chunk_idx) in both engines)
+    // canonical occurrence key: doc_id * 2^24 + chunk_idx — a strict
+    // total order on (doc_id, chunk_idx) in both engines provided
+    // chunk_idx < 2^24 (tokens-per-doc < 16.7M — no real document
+    // approaches it; the r14 shape's 65536 multiplier made >65535
+    // tokens/doc silently collide into the NEXT doc's key space) and
+    // doc_id < 2^39 (~550B docs — ~250x a 100 TB corpus at 50 KB/doc).
+    // PropertySpec asserts the corpus bound so a testdata refresh
+    // can't silently violate the encoding.
     occ.withColumn("occ_key",
-      col("doc_id") * lit(65536L) + col("chunk_idx"))
+      col("doc_id") * lit(CdcKeyMult) + col("chunk_idx"))
   }
 
-  def cdcChunkDedup(docs: DataFrame, avgChunk: Int = 8): DataFrame = {
-    val withKey = cdcOccurrences(docs, avgChunk, Seq("source"))
+  /** occ_key multiplier — see [[cdcOccurrences]]'s bound rationale.
+   *  Lives in lockstep with the literal in [[cdcOccCteSql]] and
+   *  [[cdcChunkDedupIncrementalOracle]]. */
+  val CdcKeyMult: Long = 1L << 24
+
+  /** CDC chunk-occurrence frame via the native [[graft.functions.CdcChunks]]
+   *  expression — the 100 TB mode of [[cdcOccurrences]]: the whole
+   *  cut-rule + fingerprint chain runs in ONE in-row codegen'd loop
+   *  (scan → project → posexplode of the CHUNK set, ~1/avgChunk of
+   *  the tokens, NO exchange), where the window chain posexplodes
+   *  every token through two doc-partitioned windows. The emitted
+   *  chunk ordinal is 0-based where the window chain's cut-count sum
+   *  starts at 0 or 1 — but both are strictly increasing in document
+   *  position, so occ_key (doc-major, position-minor) selects the
+   *  SAME canonical occurrence per (fp, len) group and every is_dup
+   *  verdict is identical: `cdc_chunk_dedup_expr` shares
+   *  [[cdcChunkDedupOracle]] VERBATIM (the SimhashFp/MinhashSig
+   *  discipline); CdcChunksSpec asserts per-doc (fp, len) sequence
+   *  parity against the window chain. */
+  private[graft] def cdcOccurrencesExpr(docs: DataFrame, avgChunk: Int,
+                                        extraCols: Seq[String]): DataFrame = {
+    val keep = Seq(col("doc_id")) ++ extraCols.map(col)
+    docs
+      .select(keep ++ Seq(
+        posexplode(call_function("cdc_chunks", col("text"),
+          lit(avgChunk))).as(Seq("chunk_idx0", "ch"))): _*)
+      .select(keep ++ Seq(
+        col("chunk_idx0").cast("long").as("chunk_idx"),
+        col("ch.fp").as("fp"), col("ch.len").as("len")): _*)
+      .withColumn("occ_key",
+        col("doc_id") * lit(CdcKeyMult) + col("chunk_idx"))
+  }
+
+  /** The per-source duplication rollup shared by [[cdcChunkDedup]]
+   *  and [[cdcChunkDedupExpr]] — keep-first canonical per chunk
+   *  identity, then a |sources|-row ledger. */
+  private def cdcChunkRollup(withKey: DataFrame): DataFrame = {
     val canon = withKey.groupBy("fp", "len")
       .agg(min(col("occ_key")).as("first_key"))
     val flagged = withKey.join(canon, Seq("fp", "len"))
@@ -2991,6 +3031,14 @@ FROM est ORDER BY source"""
       .orderBy("source")
   }
 
+  def cdcChunkDedup(docs: DataFrame, avgChunk: Int = 8): DataFrame =
+    cdcChunkRollup(cdcOccurrences(docs, avgChunk, Seq("source")))
+
+  /** [[cdcChunkDedup]] through the native expression chain — same
+   *  answer (shares the oracle verbatim), no per-token exchange. */
+  def cdcChunkDedupExpr(docs: DataFrame, avgChunk: Int = 8): DataFrame =
+    cdcChunkRollup(cdcOccurrencesExpr(docs, avgChunk, Seq("source")))
+
   /** Mirrors [[cdcChunkDedup]]: the per-WORD poly hash re-derives
    *  through [[polyShidCte]]'s power table (LEFT JOIN + COALESCE so a
    *  zero-length word hashes to 0 exactly like the expression);
@@ -3001,11 +3049,12 @@ FROM est ORDER BY source"""
    *  one SQL definition for every corpus-wide CDC oracle, mirroring
    *  the single [[cdcOccurrences]] builder on the Spark side. Prepend
    *  `WITH RECURSIVE`. */
-  private val cdcOccCteSql: String = """pw AS (
+  private lazy val cdcOccCteSql: String = s"""pw AS (
   SELECT 1 AS i, CAST(1 AS BIGINT) AS v
   UNION ALL
   SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
-nums AS (SELECT unnest(range(1, 4001)) AS i),
+nums AS (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) + 1
+                                 FROM documents))) AS i),
 toked AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
 tok AS (
   SELECT doc_id, source, CAST(i AS BIGINT) AS pos, toks[i] AS word
@@ -3025,7 +3074,7 @@ occ AS (
   SELECT doc_id, source, chunk_idx,
          CAST(SUM(gh * off) AS BIGINT) AS fp,
          CAST(COUNT(*) AS BIGINT) AS len,
-         CAST(MIN(doc_id * 65536 + chunk_idx) AS BIGINT) AS occ_key
+         CAST(MIN(doc_id * $CdcKeyMult + chunk_idx) AS BIGINT) AS occ_key
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
                                      ORDER BY pos) AS off
         FROM chunked)
@@ -3079,7 +3128,7 @@ ORDER BY source"""
       .select(col("rank"), col("fp"), col("len"), col("n_occurrences"),
         col("n_docs"), col("n_sources"),
         (col("n_occurrences") * col("len")).as("token_mass"),
-        expr("first_key div 65536").as("first_doc_id"))
+        expr(s"first_key div $CdcKeyMult").as("first_doc_id"))
       .orderBy("rank")
   }
 
@@ -3087,7 +3136,7 @@ ORDER BY source"""
    *  chain — so this oracle and [[cdcChunkDedupOracle]] cannot
    *  drift. */
   lazy val boilerplateChunksOracle: String = "WITH RECURSIVE " +
-    cdcOccCteSql + """,
+    cdcOccCteSql + s""",
 agg AS (
   SELECT fp, len,
          CAST(COUNT(*) AS BIGINT) AS n_occurrences,
@@ -3102,7 +3151,7 @@ ranked AS (
   FROM agg)
 SELECT rank, fp, len, n_occurrences, n_docs, n_sources,
        CAST(n_occurrences * len AS BIGINT) AS token_mass,
-       CAST(first_key // 65536 AS BIGINT) AS first_doc_id
+       CAST(first_key // $CdcKeyMult AS BIGINT) AS first_doc_id
 FROM ranked WHERE rank <= 50
 ORDER BY rank"""
 
@@ -3198,12 +3247,11 @@ ORDER BY rank"""
    *  incremental oracle because batch ids (+1M/+2M shifts) sort after
    *  every corpus id, so full-run keep-first = store-membership +
    *  batch-internal keep-first (see [[cdcChunkDedupIncremental]]). */
-  lazy val cdcChunkDedupIncrementalOracle: String = """WITH RECURSIVE
+  lazy val cdcChunkDedupIncrementalOracle: String = s"""WITH RECURSIVE
 pw AS (
   SELECT 1 AS i, CAST(1 AS BIGINT) AS v
   UNION ALL
   SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
-nums AS (SELECT unnest(range(1, 4001)) AS i),
 alldocs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -3211,6 +3259,8 @@ alldocs AS (
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
   FROM documents WHERE doc_id % 5 = 1),
+nums AS (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) + 1
+                                 FROM alldocs))) AS i),
 toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM alldocs),
 tok AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS word
@@ -3230,7 +3280,7 @@ occ AS (
   SELECT doc_id, chunk_idx,
          CAST(SUM(gh * off) AS BIGINT) AS fp,
          CAST(COUNT(*) AS BIGINT) AS len,
-         CAST(MIN(doc_id * 65536 + chunk_idx) AS BIGINT) AS occ_key
+         CAST(MIN(doc_id * $CdcKeyMult + chunk_idx) AS BIGINT) AS occ_key
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
                                      ORDER BY pos) AS off
         FROM chunked)

@@ -432,4 +432,23 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  test("cdc occ_key encoding bounds hold on every testdata SF (tokens/doc < 2^24, doc_id < 2^39)") {
+    // The occ_key = doc_id * CdcKeyMult + chunk_idx encoding is a
+    // strict total order ONLY under these bounds (chunk_idx is
+    // bounded by tokens-per-doc); the oracle's token-position range
+    // is now derived from MAX(len(toks)) so it can't silently
+    // truncate, but the ENCODING bound still needs a tripwire a
+    // testdata refresh would hit loudly.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val r = docs.select(
+        max(size(split(col("text"), " "))).cast("long").as("max_toks"),
+        max(col("doc_id")).as("max_id")).collect()(0)
+      assert(r.getLong(0) < graft.pipeline.Dedup.CdcKeyMult, s"$sf tokens")
+      // +2M headroom: the incremental oracle shifts batch ids by 2^21
+      assert(r.getLong(1) + 3000000L < (1L << 39), s"$sf doc ids")
+    }
+  }
 }
