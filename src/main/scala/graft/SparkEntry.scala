@@ -236,6 +236,7 @@ ORDER BY event_id"""
     // expression chain, sharing the window-chain oracle VERBATIM
     "cdc_chunk_dedup_expr" -> ((s, d) => Dedup.cdcChunkDedupExpr(docs(s, d))),
     "boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(docs(s, d))),
+    "cdc_chunk_trim" -> ((s, d) => Dedup.cdcChunkTrim(docs(s, d))),
     // Incremental CDC: batch = the dedup_exact_incr harness transform
     // (verbatim copies of %5==0 docs + tail-perturbed %5==1 docs,
     // id-shifted above the corpus so keep-first favors the corpus)
@@ -627,6 +628,7 @@ ORDER BY event_id"""
     "cdc_chunk_dedup" -> Dedup.cdcChunkDedupOracle,
     "cdc_chunk_dedup_expr" -> Dedup.cdcChunkDedupOracle,
     "boilerplate_chunks" -> Dedup.boilerplateChunksOracle,
+    "cdc_chunk_trim" -> Dedup.cdcChunkTrimOracle,
     "cdc_chunk_dedup_incr" -> Dedup.cdcChunkDedupIncrementalOracle,
     "cdc_chunk_dedup_incr_store" -> Dedup.cdcChunkDedupIncrementalOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,

@@ -3155,6 +3155,68 @@ SELECT rank, fp, len, n_occurrences, n_docs, n_sources,
 FROM ranked WHERE rank <= 50
 ORDER BY rank"""
 
+  /** The policy half of [[boilerplateChunks]] — the chunk-granular
+   *  trim ledger ([[graft.pipeline.TextAnalysis]]'s `span_trim` is
+   *  the precedent at span granularity): strip every chunk whose
+   *  identity appears in >= `minDocs` DISTINCT documents (the
+   *  boilerplate criterion — cross-document spread, not mere
+   *  repetition, so a doc's internal refrain survives) and account
+   *  per document for chunks/tokens trimmed, tokens kept, and the
+   *  kept ratio — the writer-side ledger a boilerplate-stripping
+   *  curation pass emits.
+   *
+   *  Scale shape: one (fp, len)-keyed partial agg for the document
+   *  frequency (countDistinct = two-level aggregate, still keyed on
+   *  the chunk id), then one join back on the same key — both the
+   *  exact-dedup shuffle class; the boiler set is NOT assumed
+   *  broadcastable (at crawl scale, df >= 3 chunks are a material
+   *  fraction of the chunk universe), so the flag join shuffles on
+   *  the chunk id like the dedup canon join. Final rollup is
+   *  doc-cardinality. */
+  def cdcChunkTrim(docs: DataFrame, avgChunk: Int = 8,
+                   minDocs: Int = 3): DataFrame = {
+    val occ = cdcOccurrences(docs.select("doc_id", "text"), avgChunk, Nil)
+    val boiler = occ.groupBy("fp", "len")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("fp"), col("len"), lit(1L).as("boiler"))
+    val flagged = occ.join(boiler, Seq("fp", "len"), "left")
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_tokens"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L))
+          .as("trimmed_chunks"),
+        sum(when(col("boiler").isNotNull, col("len")).otherwise(0L))
+          .as("trimmed_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("trimmed_chunks"), col("trimmed_tokens"),
+        (col("n_tokens") - col("trimmed_tokens")).as("kept_tokens"),
+        r4((col("n_tokens") - col("trimmed_tokens")) * lit(1.0)
+          / col("n_tokens")).as("kept_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Rides [[cdcOccCteSql]] like [[boilerplateChunksOracle]] — the
+   *  one SQL chunk-chain definition. */
+  lazy val cdcChunkTrimOracle: String = "WITH RECURSIVE " +
+    cdcOccCteSql + """,
+boiler AS (
+  SELECT fp, len FROM occ GROUP BY fp, len
+  HAVING COUNT(DISTINCT doc_id) >= 3),
+per AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(o.len) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_chunks,
+         CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN o.len ELSE 0 END) AS BIGINT) AS trimmed_tokens
+  FROM occ o LEFT JOIN boiler b ON o.fp = b.fp AND o.len = b.len
+  GROUP BY o.doc_id)
+SELECT doc_id, n_chunks, n_tokens, trimmed_chunks, trimmed_tokens,
+       CAST(n_tokens - trimmed_tokens AS BIGINT) AS kept_tokens,
+       FLOOR(((n_tokens - trimmed_tokens) * 1.0 / n_tokens) * 10000.0 + 0.5)
+         / 10000.0 AS kept_ratio
+FROM per ORDER BY doc_id"""
+
   /** The CDC chunk-identity store: the DISTINCT (fp, len) set of a
    *  corpus's chunk occurrences — the append-only state
    *  [[cdcChunkDedupIncremental]] probes instead of re-chunking corpus
