@@ -295,6 +295,40 @@ object Bench {
         -1.0
       }
     }
+    /** Same measurement for the streaming SPAN member (state = the
+      * SUM-folded gram-count delta store): seed the counts from a
+      * prefix, time ONE processBatch of the fixed tail batch at two
+      * seed sizes. The trigger's only file scan is the gram-count
+      * store, so the quarter-vs-full gap can only come from its
+      * columnar scan + the count-probe join's store-side
+      * cardinality. */
+    def streamingSpanTriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = benchTmp(s"graft-spstream-$seedFrac")
+        val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") < seedN)
+          .select("doc_id", "text")
+        graft.pipeline.TextAnalysis.spanGramCounts(seed)
+          .write.mode("overwrite").parquet(s"$base/gramcnt")
+        val batch = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= batchStart)
+          .select("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingSpanDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/stats", s"$base/gramcnt",
+          k = 5, maxDupRatio = 0.5)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_span_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
     /** Same measurement for the cheapest-state streaming member,
       * SIMHASH (state = ONE long per corpus doc): seed the fp store
       * from a prefix under the `expr` family (the projection
@@ -508,6 +542,12 @@ object Bench {
       (0 until reps).map(_ =>
         (streamingCdcTriggerOnce(sfDir, 0.25), streamingCdcTriggerOnce(sfDir, 1.0)))
     } else Seq.empty
+    val runSpanStream = only.forall(s => s.exists(_.startsWith("stream_span_trigger")))
+    val spanstreamRuns = if (runSpanStream) {
+      streamingSpanTriggerOnce(warmDir, 1.0)
+      (0 until reps).map(_ =>
+        (streamingSpanTriggerOnce(sfDir, 0.25), streamingSpanTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
 
     val runShared = only.forall(s =>
       s.contains("dedup_family_shared") || s.contains("shingle_store_write"))
@@ -564,6 +604,9 @@ object Bench {
       (if (runCdcStream) Seq(
         "stream_cdc_trigger_quarter_corpus" -> medianOf(cdcstreamRuns.map(_._1)),
         "stream_cdc_trigger_full_corpus" -> medianOf(cdcstreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runSpanStream) Seq(
+        "stream_span_trigger_quarter_corpus" -> medianOf(spanstreamRuns.map(_._1)),
+        "stream_span_trigger_full_corpus" -> medianOf(spanstreamRuns.map(_._2))) else Seq.empty) ++
       (if (runSHStream) Seq(
         "stream_simhash_trigger_quarter_corpus" -> medianOf(shstreamRuns.map(_._1)),
         "stream_simhash_trigger_full_corpus" -> medianOf(shstreamRuns.map(_._2))) else Seq.empty) ++
@@ -706,6 +749,8 @@ object Bench {
       case "stream_exact_trigger_full_corpus" => Some(() => streamingExactTriggerOnce(sfDir, 1.0))
       case "stream_cdc_trigger_quarter_corpus" => Some(() => streamingCdcTriggerOnce(sfDir, 0.25))
       case "stream_cdc_trigger_full_corpus" => Some(() => streamingCdcTriggerOnce(sfDir, 1.0))
+      case "stream_span_trigger_quarter_corpus" => Some(() => streamingSpanTriggerOnce(sfDir, 0.25))
+      case "stream_span_trigger_full_corpus" => Some(() => streamingSpanTriggerOnce(sfDir, 1.0))
       case "stream_simhash_trigger_quarter_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 0.25))
       case "stream_simhash_trigger_full_corpus" => Some(() => streamingSimhashTriggerOnce(sfDir, 1.0))
       case "stream_simhash64_trigger_quarter_corpus" => Some(() => streamingSimhash64TriggerOnce(sfDir, 0.25))

@@ -680,7 +680,17 @@ shid AS (
    *  above any bucket the test corpora produce (so the capped path is
    *  bit-identical to [[saltedBucketPairs]] at every test SF — the
    *  oracles stay exact) while turning a 100 TB hot cell's |cell|²
-   *  pair blow-up into |cell| × O(cap). */
+   *  pair blow-up into |cell| × O(cap).
+   *
+   *  The recall PRICE above the cap is measured, not guessed
+   *  (PipelineSpec "above-cap recall"): with s = ceil(n/cap)
+   *  sub-buckets the retained fraction of a hot cell's true pairs
+   *  tracks the even-spread analytic (3s-2)/s² — measured 0.659 at
+   *  4x over cap, 0.347 at 8x, 0.182 at 16x. Candidate recall only;
+   *  the chain keeps the cell CONNECTED, so duplicate-cluster folds
+   *  (dedupSemantic → connected components) still glue the whole
+   *  cell — the price lands on per-pair consumers (kNN edges), the
+   *  same trade the IVF cell restriction itself makes. */
   val HotCellCap: Int = 4096
 
   /** [[saltedBucketPairs]] with a HARD per-bucket pair bound — the

@@ -163,6 +163,37 @@ class PipelineSpec extends SparkSpec {
     assert((0L until n.toLong).map(find).toSet.size === 1)
   }
 
+  test("capped bucket pairs: above-cap recall is MEASURED and meets the analytic floor") {
+    // The family's calibration discipline (ann_recall /
+    // minhash_recall_sample) applied to the hot-cell guard itself. In
+    // a hot cell of near-identical members every pair is a true pair,
+    // so the retained-pair fraction IS the candidate recall the cap
+    // trades above HotCellCap. Even-spread analytic retention with
+    // s = ceil(n/cap) sub-buckets: within-blocks n²/2s + adjacent
+    // blocks (s-1)(n/s)² over n²/2 exact = (3s-2)/s²; hash spread
+    // moves block sizes, so assert a 0.75 margin and record the
+    // measured points (these are quoted in HotCellCap's scaladoc —
+    // keep in lockstep).
+    val cap = 16
+    val measured = for (n <- Seq(64, 128, 256)) yield {
+      val hot = (0 until n).map(i => (1L, i.toLong)).toDF("bucket", "doc_id")
+      val got = Dedup.cappedBucketPairs(hot, Seq("bucket"), "doc_id",
+        cap = cap).count().toDouble
+      val exact = n.toLong * (n - 1) / 2
+      val recall = got / exact
+      val s = (n + cap - 1) / cap
+      val analytic = (3.0 * s - 2) / (s.toLong * s)
+      assert(recall >= 0.75 * analytic,
+        f"n=$n s=$s recall=$recall%.3f < 0.75*analytic=${0.75 * analytic}%.3f")
+      assert(recall <= 1.0)
+      (s, recall, analytic)
+    }
+    info(measured.map { case (s, r, a) =>
+      f"${s}x-over-cap: recall=$r%.3f (analytic ${a}%.3f)" }.mkString("; "))
+    // recall decays ~1/s: deeper skew costs recall monotonically
+    assert(measured.map(_._2).sliding(2).forall(p => p(0) > p(1)))
+  }
+
   test("bpe encode: token counts and compression under full and truncated merge tables") {
     val d = Seq((0L, "low lower lowest low low", "en", "s0", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -124,8 +124,11 @@ def render(bench_path, tests):
     for fam, label in [("stream_trigger", "ngram"),
                        ("stream_exact_trigger", "exact"),
                        ("stream_simhash_trigger", "simhash"),
+                       ("stream_simhash64_trigger", "simhash-wide"),
                        ("stream_minhash_trigger", "minhash"),
                        ("stream_emb_trigger", "embedding"),
+                       ("stream_cdc_trigger", "cdc"),
+                       ("stream_span_trigger", "span"),
                        ("stream_cluster_trigger", "cluster-fold")]:
         q = ok.get(f"{fam}_quarter_corpus")
         f = ok.get(f"{fam}_full_corpus")
