@@ -451,6 +451,7 @@ object Bench {
         val seed = emb.filter(org.apache.spark.sql.functions.col("vec_id") < seedN)
           .select("vec_id", "embedding")
         graft.pipeline.Embeddings.writeQuantizedStore(seed, s"$base/qv")
+        graft.pipeline.Embeddings.writeEmbFingerprintStore(seed, s"$base/qv_fp")
         val batch = emb
           .filter(org.apache.spark.sql.functions.col("vec_id") >= batchStart)
           .select("vec_id", "embedding")
@@ -460,6 +461,42 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream_emb_trigger failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    /** The WIDE (64-plane, 16-bit-band) variant of the embedding
+      * trigger — the corpus-scale banding. The quantized store is
+      * width-agnostic (fingerprints are derived), so the pair of keys
+      * measures the same state under both bandings: the 32-plane
+      * trigger's candidate mass grows linearly with the store (4x8-bit
+      * bands saturate — the simhash-32 shape, measured 4.7x per 4x
+      * state in the sf10 probe), the wide banding keeps occupancy
+      * flat at a measured recall S-curve shift (EmbeddingsSpec). */
+    def streamingEmb64TriggerOnce(dir: String, seedFrac: Double): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      try {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+          .collect()(0).getLong(0)
+        val batchStart = maxId - math.max(1L, maxId / 25)
+        val seedN = (batchStart * seedFrac).toLong
+        val base = benchTmp(s"graft-emb64stream-$seedFrac")
+        val seed = emb.filter(org.apache.spark.sql.functions.col("vec_id") < seedN)
+          .select("vec_id", "embedding")
+        graft.pipeline.Embeddings.writeQuantizedStore(seed, s"$base/qv")
+        graft.pipeline.Embeddings.writeEmbFingerprintStore(seed, s"$base/qv_fp")
+        val batch = emb
+          .filter(org.apache.spark.sql.functions.col("vec_id") >= batchStart)
+          .select("vec_id", "embedding")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingEmbeddingDedup.processBatch(batch, 0L,
+          s"$base/corpus", s"$base/pairs", s"$base/qv", minCosine = 0.4,
+          planes = graft.pipeline.Embeddings.NumPlanesWide)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_emb64_trigger failed: ${e.getMessage}")
         -1.0
       }
     }
@@ -517,6 +554,12 @@ object Bench {
       streamingEmbTriggerOnce(warmDir, 1.0)
       (0 until reps).map(_ =>
         (streamingEmbTriggerOnce(sfDir, 0.25), streamingEmbTriggerOnce(sfDir, 1.0)))
+    } else Seq.empty
+    val runE64Stream = only.forall(s => s.exists(_.startsWith("stream_emb64_trigger")))
+    val e64streamRuns = if (runE64Stream) {
+      streamingEmb64TriggerOnce(warmDir, 1.0)
+      (0 until reps).map(_ =>
+        (streamingEmb64TriggerOnce(sfDir, 0.25), streamingEmb64TriggerOnce(sfDir, 1.0)))
     } else Seq.empty
     val runSHStream = only.forall(s => s.exists(_.startsWith("stream_simhash_trigger")))
     val shstreamRuns = if (runSHStream) {
@@ -619,6 +662,9 @@ object Bench {
       (if (runEStream) Seq(
         "stream_emb_trigger_quarter_corpus" -> medianOf(estreamRuns.map(_._1)),
         "stream_emb_trigger_full_corpus" -> medianOf(estreamRuns.map(_._2))) else Seq.empty) ++
+      (if (runE64Stream) Seq(
+        "stream_emb64_trigger_quarter_corpus" -> medianOf(e64streamRuns.map(_._1)),
+        "stream_emb64_trigger_full_corpus" -> medianOf(e64streamRuns.map(_._2))) else Seq.empty) ++
       (if (runCStream) Seq(
         "stream_cluster_trigger_quarter_corpus" -> medianOf(cstreamRuns.map(_._1)),
         "stream_cluster_trigger_full_corpus" -> medianOf(cstreamRuns.map(_._2))) else Seq.empty)
@@ -759,6 +805,8 @@ object Bench {
       case "stream_minhash_trigger_full_corpus" => Some(() => streamingMinhashTriggerOnce(sfDir, 1.0))
       case "stream_emb_trigger_quarter_corpus" => Some(() => streamingEmbTriggerOnce(sfDir, 0.25))
       case "stream_emb_trigger_full_corpus" => Some(() => streamingEmbTriggerOnce(sfDir, 1.0))
+      case "stream_emb64_trigger_quarter_corpus" => Some(() => streamingEmb64TriggerOnce(sfDir, 0.25))
+      case "stream_emb64_trigger_full_corpus" => Some(() => streamingEmb64TriggerOnce(sfDir, 1.0))
       case "stream_cluster_trigger_quarter_corpus" => Some(() => streamingClusterTriggerOnce(100000L))
       case "stream_cluster_trigger_full_corpus" => Some(() => streamingClusterTriggerOnce(400000L))
       case qk if SparkEntry.queries.contains(qk) => Some(() => runNoop(qk))

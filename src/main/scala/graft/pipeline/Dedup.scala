@@ -1649,9 +1649,20 @@ ORDER BY c.doc_a, c.doc_b"""
                             corpusShingles: Option[DataFrame] = None,
                             corpusGramDf: Option[DataFrame] = None): DataFrame = {
     val batchDocs = batch.select("doc_id", "text")
+    // Cache the BATCH shingles (bounded by the incremental contract,
+    // consumed by grams/df/candidates) — but NEVER the corpus-side
+    // store union: in store mode the shingle store is already
+    // materialized parquet, and caching state-cardinality gram rows
+    // per call re-materializes O(state) strings into executor memory
+    // (the sf10 probe measured the trigger 3.1x per 4x state — the
+    // cache write + heap pressure, not the columnar scans it saved;
+    // the round-8 store-vs-cache lesson again). Text mode (no store)
+    // still caches: there the union subtree re-SHINGLES corpus text
+    // per consumer, which is worse than the cache.
+    val batchSh = shingles(batchDocs).cache()
+    val shCached = corpusShingles.isEmpty
     val sh = corpusShingles match {
-      case Some(cs) => cs.select("doc_id", "gram")
-        .unionByName(shingles(batchDocs)).cache()
+      case Some(cs) => cs.select("doc_id", "gram").unionByName(batchSh)
       case None => shingles(
         corpus.select("doc_id", "text").unionByName(batchDocs)).cache()
     }
@@ -1659,11 +1670,11 @@ ORDER BY c.doc_a, c.doc_b"""
     // consulted at the batch's grams: restrict the fold (store-delta
     // or counted) to them up front — the df term drops from
     // O(|vocab|) to O(|batch vocab|) per call, identical results.
-    val batchGrams = shingles(batchDocs).select("gram").distinct()
+    val batchGrams = batchSh.select("gram").distinct()
     val df = corpusGramDf match {
       case Some(cdf) => cdf.select(col("gram"), col("df_cnt"))
         .join(broadcast(batchGrams), Seq("gram"), "left_semi")
-        .unionByName(shingles(batchDocs)
+        .unionByName(batchSh
           .groupBy("gram").agg(count(lit(1)).as("df_cnt")))
         .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))
       case None => sh.join(broadcast(batchGrams), Seq("gram"), "left_semi")
@@ -1696,7 +1707,8 @@ ORDER BY c.doc_a, c.doc_b"""
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
-    sh.unpersist()
+    if (shCached) sh.unpersist()
+    batchSh.unpersist()
     out
   }
 
@@ -1727,8 +1739,13 @@ ORDER BY c.doc_a, c.doc_b"""
                               corpusShingles: Option[DataFrame] = None,
                               corpusSignatures: Option[DataFrame] = None): DataFrame = {
     val batchSh = shingles(batch.select("doc_id", "text")).cache()
+    // Store mode never caches the corpus shingles: the store is
+    // materialized parquet, scanned at most twice, and caching
+    // O(state) gram strings per call is the heap-pressure term the
+    // sf10 probe billed to this trigger (see dedupNgramIncremental).
+    val corpusShCached = corpusShingles.isEmpty
     val corpusSh = corpusShingles.map(_.select("doc_id", "gram"))
-      .getOrElse(shingles(corpus.select("doc_id", "text"))).cache()
+      .getOrElse(shingles(corpus.select("doc_id", "text")).cache())
     val batchSig = minhashSigWide(shingleIds(batchSh, idFamily))
     val corpusSig = corpusSignatures
       .map(_.select(col("doc_id") +: (0 until NumHashes).map(j => col(s"mh$j")): _*))
@@ -1753,7 +1770,7 @@ ORDER BY c.doc_a, c.doc_b"""
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
-    corpusSh.unpersist()
+    if (corpusShCached) corpusSh.unpersist()
     batchSh.unpersist()
     out
   }
@@ -3234,7 +3251,7 @@ FROM per ORDER BY doc_id"""
    *  appends are harmless (membership semantics — the fold is the
    *  `distinct()` at read). */
   def cdcChunkStore(docs: DataFrame, avgChunk: Int = 8): DataFrame =
-    cdcOccurrences(docs.select("doc_id", "text"), avgChunk, Nil)
+    cdcOccurrencesExpr(docs.select("doc_id", "text"), avgChunk, Nil)
       .select("fp", "len").distinct()
 
   /** Materialize [[cdcChunkStore]] as parquet. */
@@ -3268,11 +3285,15 @@ FROM per ORDER BY doc_id"""
     val store = corpusChunks.getOrElse(cdcChunkStore(corpus, avgChunk))
     // The batch occurrence frame is consumed three times (canonical
     // keys, probe keys, the flag join) and is bounded by the batch —
-    // pin it once instead of re-running the chunking windows per
-    // consumer (measured: the uncached triple chain dominated the
-    // sf10 trigger constant). Same `graft.pin.results=false` test
-    // seam as pinnedVerify so plan audits see the composed shape.
-    val occRaw = cdcOccurrences(batch.select("doc_id", "text"), avgChunk, Nil)
+    // pin it once instead of re-running the chunking per consumer
+    // (measured: the uncached triple chain dominated the sf10 trigger
+    // constant). Same `graft.pin.results=false` test seam as
+    // pinnedVerify so plan audits see the composed shape. Batch
+    // chunking goes through the native cdc_chunks expression — chunk
+    // identities bit-identical to the window chain (CdcChunksSpec)
+    // with zero exchanges before the pin, which removes the two
+    // doc-partitioned windows from every trigger's constant.
+    val occRaw = cdcOccurrencesExpr(batch.select("doc_id", "text"), avgChunk, Nil)
     val occ =
       if (batch.sparkSession.conf.get("graft.pin.results", "true") == "false")
         occRaw

@@ -33,6 +33,9 @@ object Embeddings {
 
   val Dims = 64
   val NumPlanes = 32
+  /** Corpus-scale sign-LSH width: 64 planes / 4 x 16-bit bands — see
+   *  [[nibbles]] for the measured saturation-vs-recall trade. */
+  val NumPlanesWide = 64
   val NibbleBands = 4
 
   /** vec_id, qarr (array<long> milli-units), nq (exact squared norm).
@@ -177,8 +180,8 @@ ORDER BY query_id, rank"""
    *  quantization of the vector: one bit per hyperplane, 4 B/vector.
    *  Shared by the LSH banding ([[nibbles]]) and the BQ serving-path
    *  recall gauge ([[bqRecall]]), so the two read the SAME bits. */
-  private def signFp(qv: DataFrame): DataFrame = {
-    val bitCols = (0 until NumPlanes).map { p =>
+  private def signFp(qv: DataFrame, planes: Int = NumPlanes): DataFrame = {
+    val bitCols = (0 until planes).map { p =>
       val (pa, pb) = (37L + 101L * p, 17L + 257L * p)
       val plane = Array.tabulate(Dims)(idx => (pa * (idx + 1) + pb) % 97L - 48L)
       when(call_function("qdot", col("qarr"), typedlit(plane)) > 0,
@@ -187,14 +190,73 @@ ORDER BY query_id, rank"""
     qv.select(col("vec_id"), bitCols.reduce(_ + _).as("fp"))
   }
 
-  private def nibbles(qv: DataFrame): DataFrame = {
-    signFp(qv)
-      .select(col("vec_id"),
+  /** Always 4 bands; `planes`/4-bit band values. The WIDE setting
+   *  ([[NumPlanesWide]] = 64, 16-bit bands) is the maintained-store
+   *  scale mode: 8-bit bands saturate at ~256 values/band, so a
+   *  large store's band buckets grow linearly and candidate mass with
+   *  them (the sf10 probe measured the 32-plane incremental trigger
+   *  4.7x per 4x state at a 480k-vector store — the simhash-32 cliff
+   *  shape). Unlike simhash's pigeonhole, sign-LSH banding is
+   *  probabilistic: wider bands shift the match S-curve right
+   *  (EmbeddingsSpec "band recall by cosine" measures the shift on
+   *  real data — that measured trade, not an assertion, is why the
+   *  batch default stays 32 and the wide mode is the opt-in for
+   *  corpus-scale stores, mirroring minhash's bands-vs-rows knob). */
+  /** The full within-corpus banded candidate pair set at a given
+   *  width — the measurement surface for the band-recall spec (the
+   *  minhash_recall_sample discipline applied to sign-LSH): recall
+   *  per true-cosine bucket = |candidates ∩ bucket| / |bucket|. */
+  private[graft] def bandCandidatePairs(emb: DataFrame,
+                                        planes: Int = NumPlanes): DataFrame = {
+    val nib = nibbles(quantized(emb), planes)
+    nib.select(col("band"), col("nibv"), col("vec_id").as("vec_a"))
+      .join(nib.select(col("band"), col("nibv"), col("vec_id").as("vec_b")),
+        Seq("band", "nibv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  private def nibbles(qv: DataFrame, planes: Int = NumPlanes): DataFrame =
+    nibblesFromFp(signFp(qv, planes), planes)
+
+  /** Band rows from a PRECOMPUTED fingerprint frame `(vec_id, fp)` —
+   *  the banding side of the maintained-fp-store trigger path. A
+   *  64-plane fp serves BOTH widths: planes 0-31 use the same
+   *  formulas at either width, so fp32 = fp64 & 0xFFFFFFFF and the
+   *  32-plane bands are the low-32-bit slices — ONE stored long per
+   *  vector, width chosen at read time. */
+  private def nibblesFromFp(fp: DataFrame, planes: Int): DataFrame = {
+    val bandBits = planes / 4
+    fp.select(col("vec_id"),
         explode(expr("transform(sequence(0, 3), bd -> " +
-          "named_struct('band', cast(bd as long), 'nibv', shiftright(fp, 8 * bd) & 255))"))
+          s"named_struct('band', cast(bd as long), 'nibv', shiftright(fp, $bandBits * bd) & ${(1L << bandBits) - 1}))"))
           .as("nb"))
       .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
   }
+
+  /** The per-vector sign fingerprint frame `(vec_id, fp)` at the FULL
+   *  wide width — the append-only banding state
+   *  [[dedupEmbeddingIncremental]]'s maintained-store mode reads
+   *  instead of re-deriving fingerprints from the quantized store.
+   *  Why it exists: "fingerprints stay derived" is elegant but costs
+   *  O(state × planes) qdot projections PER TRIGGER — the sf10 probe
+   *  measured the trigger cost tracking exactly a×state×planes
+   *  (32-plane: 10.5 s quarter / 68 s full; 64-plane: 21.9 / 62 —
+   *  the candidate mass was NOT the linear term, the store-side fp
+   *  recompute was). Materialized, the banding side is an
+   *  8-byte-per-vector columnar scan, the simhash-family profile. */
+  def embFingerprints(emb: DataFrame): DataFrame =
+    signFp(quantized(emb), NumPlanesWide)
+
+  /** Materialize [[embFingerprints]] as a parquet store. */
+  def writeEmbFingerprintStore(emb: DataFrame, path: String): Unit =
+    embFingerprints(emb).write.mode("overwrite").parquet(path)
+
+  /** [[embFingerprints]] from an already-quantized frame — the
+   *  compaction-time rebuild path (state stores hold qarr, not raw
+   *  embeddings) and the migration path for pre-fp-store state. */
+  def embFingerprintsFromQuantized(qv: DataFrame): DataFrame =
+    signFp(qv.select(col("vec_id"), col("qarr")), NumPlanesWide)
 
   private val planeFpCte: String = """
 dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -569,20 +631,37 @@ ORDER BY threshold"""
    *  below the pair join, O(old²) never enumerates — and the result
    *  is bit-identical to the full run restricted to batch-touching
    *  pairs (fingerprints are per-vector). */
+  /** `planes` = [[NumPlanesWide]] is the corpus-scale banding (the
+   *  quantized STORE is width-agnostic — fingerprints are a pure
+   *  projection over qarr — so a store serves either width; the
+   *  S-curve shift is the measured trade, see [[nibbles]]). */
   def dedupEmbeddingIncremental(emb: DataFrame, batch: DataFrame,
                                 minCosine: Double = 0.4,
-                                corpusQuantized: Option[DataFrame] = None): DataFrame = {
+                                corpusQuantized: Option[DataFrame] = None,
+                                planes: Int = NumPlanes,
+                                corpusFingerprints: Option[DataFrame] = None): DataFrame = {
     val corpusQv = corpusQuantized
       .map(_.select(col("vec_id"), col("qarr"), col("nq")))
       .getOrElse(quantized(emb))
     val batchQv = quantized(batch)
     val allQv = corpusQv.unionByName(batchQv).cache()
+    // Corpus banding side: the maintained fp store when provided (an
+    // 8-byte-per-vector scan — see [[embFingerprints]] for why the
+    // derive-per-trigger default is the O(state × planes) term), else
+    // derived from the quantized frame. Batch fps always derive
+    // (O(batch)).
+    val batchNib = nibblesFromFp(signFp(batchQv, NumPlanesWide)
+      .select(col("vec_id"), col("fp")), planes)
+    val corpusNib = corpusFingerprints match {
+      case Some(fps) => nibblesFromFp(fps.select("vec_id", "fp"), planes)
+      case None => nibbles(corpusQv, planes)
+    }
     // Batch nibbles broadcast (delta-bounded); the quantized store
     // side is scanned map-side, never exchanged at state cardinality
     // — and the verify reads only candidate endpoints' vectors.
-    val cands = nibbles(allQv)
+    val cands = corpusNib.unionByName(batchNib)
       .select(col("band"), col("nibv"), col("vec_id").as("id_any"))
-      .join(broadcast(nibbles(batchQv)
+      .join(broadcast(batchNib
         .select(col("band"), col("nibv"), col("vec_id").as("id_new"))),
         Seq("band", "nibv"))
       .filter(col("id_any") =!= col("id_new"))

@@ -2467,10 +2467,20 @@ ORDER BY d.doc_id"""
   def spanDedupIncremental(corpus: DataFrame, batch: DataFrame, k: Int = 5,
                            corpusGramCounts: Option[DataFrame] = None): DataFrame = {
     val (base, grams) = spanGrams(batch, k)
+    // A batch doc's verdicts consult counts ONLY at the batch's own
+    // grams, so the store fold is restricted to them BEFORE the SUM:
+    // the delta store is scanned + broadcast-filtered, never exchanged
+    // at state-vocabulary cardinality (the CDC/exact-gate shape — the
+    // unrestricted gram-keyed fold was this trigger's 2.3x-per-4x-state
+    // term in the sf10 probe). Identical results: corpusCnt enters
+    // through a left join keyed on batch grams.
+    val batchGramKeys = grams.select("gram").distinct()
     val corpusCnt = corpusGramCounts
-      .map(_.groupBy("gram").agg(sum("cnt").as("c_corpus")))
-      .getOrElse(spanGrams(corpus, k)._2.groupBy("gram")
-        .agg(count(lit(1)).as("c_corpus")))
+      .map(_.join(broadcast(batchGramKeys), Seq("gram"), "left_semi")
+        .groupBy("gram").agg(sum("cnt").as("c_corpus")))
+      .getOrElse(spanGrams(corpus, k)._2
+        .join(broadcast(batchGramKeys), Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("c_corpus")))
     val batchCnt = grams.groupBy("gram").agg(count(lit(1)).as("c_batch"))
     val total = batchCnt.join(corpusCnt, Seq("gram"), "left")
       .select(col("gram"),

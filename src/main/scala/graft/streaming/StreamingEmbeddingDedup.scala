@@ -23,12 +23,35 @@ import graft.pipeline.Embeddings
  * plan's only file scan is the quantized store).
  *
  * State per corpus vector: the quantized vector itself (64 longs +
- * norm) — fingerprints stay DERIVED (a pure projection over the
- * store), so band-count changes never invalidate state. Appends are
+ * norm) for VERIFY, plus one wide sign fingerprint long (the
+ * `<qvDir>_fp` sibling) for BANDING — the sf10 probe measured the
+ * derive-fingerprints-per-trigger shape costing O(state × planes)
+ * qdot projections (the trigger's actual linear term, 10.5→68 s per
+ * 4× state at 32 planes), so band keys now come off an
+ * 8-byte-per-vector columnar scan, the simhash-family profile. ONE
+ * stored 64-plane fp serves both widths (planes 0-31 share formulas:
+ * fp32 = fp64 & 0xFFFFFFFF), so the width knob never invalidates
+ * state; a pre-fp-sibling store falls back to deriving (correct,
+ * old cost) until [[compactState]] rebuilds the sibling. Appends are
  * per-vector rows; replayed batches (at-least-once restarts)
  * re-append byte-identical rows and [[compactState]]'s distinct
  * restores one row per vector. Survivor orientation and the
  * parquet-state discipline are [[StreamingDedup]]'s — see its header.
+ *
+ * WIDTH: `planes` defaults to the 32-plane / 4×8-bit banding, whose
+ * trigger cost the sf10 probe measured LINEAR in store size (4.7× per
+ * 4× state at a 480k-vector store — 256-value bands saturate, the
+ * simhash-32 shape). Unlike simhash, widening here is NOT free:
+ * sign-LSH banding is probabilistic and 16-bit bands shift the match
+ * S-curve right (both widths' recall per true-cosine bucket is
+ * MEASURED in PipelineSpec "band recall"; both trigger costs are
+ * standing bench keys `stream_emb{,64}_trigger_*`). Deployments with
+ * stores beyond ~100k vectors should set
+ * `planes = Embeddings.NumPlanesWide` and buy flat band occupancy at
+ * that measured recall price — or run the SemDeDup centroid-blocked
+ * batch path ([[graft.pipeline.Embeddings.dedupSemantic]], hot-cell
+ * capped) as the periodic compaction-time sweep, which has no banding
+ * recall loss inside a cell. The store serves every width unchanged.
  */
 object StreamingEmbeddingDedup {
 
@@ -36,6 +59,9 @@ object StreamingEmbeddingDedup {
     StructField("vec_id", LongType),
     StructField("qarr", ArrayType(LongType)),
     StructField("nq", LongType)))
+
+  private val fpSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("fp", LongType)))
 
   private def readOrEmpty(spark: SparkSession, dir: String,
                           schema: StructType): DataFrame = {
@@ -51,20 +77,37 @@ object StreamingEmbeddingDedup {
    *  are not an input (audited in PlanAuditSpec: the plan's only file
    *  scan is the quantized store). */
   def triggerPairs(spark: SparkSession, batch: DataFrame, qvDir: String,
-                   minCosine: Double): DataFrame =
+                   minCosine: Double,
+                   planes: Int = Embeddings.NumPlanes,
+                   fpDir: String = null): DataFrame = {
+    // Banding side: the maintained fp store (8 B/vector scan) when it
+    // exists; a store created before the fp sibling landed falls back
+    // to deriving fingerprints from the quantized rows — correct at
+    // the measured O(state x planes) cost — until compactState (which
+    // rebuilds the sibling) or the next seeded restart.
+    val fps = Option(fpDir).filter { d =>
+      val pth = new Path(d)
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pth)
+    }.map(d => spark.read.schema(fpSchema).parquet(d))
     Embeddings.dedupEmbeddingIncremental(
       batch.limit(0), batch, minCosine,
-      corpusQuantized = Some(readOrEmpty(spark, qvDir, qvSchema)))
+      corpusQuantized = Some(readOrEmpty(spark, qvDir, qvSchema)),
+      planes = planes,
+      corpusFingerprints = fps)
+  }
 
   /** One micro-batch: detect pairs, append the surviving raw vectors
    *  to the corpus store and their quantized rows to the index store.
    *  Both appends are O(batch). */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    pairsDir: String, qvDir: String,
-                   minCosine: Double): Unit = {
+                   minCosine: Double,
+                   planes: Int = Embeddings.NumPlanes,
+                   fpDir: String = null): Unit = {
     val spark = batch.sparkSession
+    val dir = Option(fpDir).getOrElse(qvDir + "_fp")
     val b = batch.select("vec_id", "embedding")
-    val pairs = triggerPairs(spark, b, qvDir, minCosine).cache()
+    val pairs = triggerPairs(spark, b, qvDir, minCosine, planes, dir).cache()
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)
     // Same orientation-blind rule as StreamingDedup: vec_b of any pair
@@ -79,6 +122,8 @@ object StreamingEmbeddingDedup {
     survivors.write.mode("append").parquet(storeDir)
     Embeddings.quantizedIndex(survivors)
       .write.mode("append").parquet(qvDir)
+    Embeddings.embFingerprints(survivors)
+      .write.mode("append").parquet(dir)
     survivors.unpersist()
     pairs.unpersist()
   }
@@ -86,7 +131,10 @@ object StreamingEmbeddingDedup {
   /** Offline state maintenance between stream restarts: replayed
    *  batches append byte-identical (vec_id, qarr, nq) rows, so
    *  compaction is distinct + rewrite via the same crash-safe
-   *  tmp-write + rename-swap as [[StreamingDedup.compactState]]. */
+   *  tmp-write + rename-swap as [[StreamingDedup.compactState]]. The
+   *  fp sibling is REBUILT from the compacted quantized rows (also
+   *  the migration path that materializes it for a pre-fp-store
+   *  deployment). */
   def compactState(spark: SparkSession, storeDir: String,
                    qvDir: String = null, partitions: Int = 32): Unit = {
     val dir = Option(qvDir).getOrElse(storeDir + "_qv")
@@ -94,19 +142,25 @@ object StreamingEmbeddingDedup {
     val path = new Path(dir)
     val fs = path.getFileSystem(hconf)
     if (!fs.exists(path)) return
-    val tmp = new Path(dir + ".compact-tmp")
-    val old = new Path(dir + ".compact-old")
-    spark.read.schema(qvSchema).parquet(dir)
-      .distinct().repartition(partitions)
-      .write.parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compactState: cannot move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compactState: cannot install $tmp")
+    def swapIn(target: Path, write: String => Unit): Unit = {
+      val tmp = new Path(target + ".compact-tmp")
+      val old = new Path(target + ".compact-old")
+      write(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(target) && !fs.rename(target, old))
+        throw new java.io.IOException(s"compactState: cannot move $target aside")
+      if (!fs.rename(tmp, target)) {
+        fs.rename(old, target) // roll back
+        throw new java.io.IOException(s"compactState: cannot install $tmp")
+      }
+      fs.delete(old, true)
     }
-    fs.delete(old, true)
+    swapIn(path, t => spark.read.schema(qvSchema).parquet(dir)
+      .distinct().repartition(partitions).write.parquet(t))
+    swapIn(new Path(dir + "_fp"), t =>
+      Embeddings.embFingerprintsFromQuantized(
+          spark.read.schema(qvSchema).parquet(dir))
+        .repartition(partitions).write.parquet(t))
   }
 
   /** Start the loop over a streaming embeddings frame (schema must
@@ -114,12 +168,14 @@ object StreamingEmbeddingDedup {
    *  index store defaults to a sibling of `storeDir`. */
   def dedupedVecStream(vecs: DataFrame, storeDir: String, pairsDir: String,
                        checkpoint: String, minCosine: Double = 0.4,
-                       qvDir: String = null): StreamingQuery = {
+                       qvDir: String = null,
+                       planes: Int = Embeddings.NumPlanes): StreamingQuery = {
     val dir = Option(qvDir).getOrElse(storeDir + "_qv")
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, storeDir, pairsDir, dir, minCosine)
+        processBatch(batch, batchId, storeDir, pairsDir, dir, minCosine,
+          planes)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -490,6 +490,23 @@ class PlanAuditSpec extends SparkSpec {
     val got = pairs.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 10L)))
+    // the maintained-FP-STORE shape (the scale path — deriving
+    // fingerprints per trigger was the measured O(state x planes)
+    // term): banding scans the 8-byte fp store, verify the qv store,
+    // corpus embeddings still never read
+    graft.pipeline.Embeddings.writeEmbFingerprintStore(
+      corpus, base + "/fpstore")
+    val pairs2 = graft.streaming.StreamingEmbeddingDedup.triggerPairs(
+      spark, batch, qvDir, 0.4, fpDir = base + "/fpstore")
+    val locs2 = plan(pairs2).linesIterator
+      .filter(_.contains("Location")).toSeq
+    assert(locs2.exists(_.contains("fpstore")), locs2.toString)
+    assert(locs2.forall(l => l.contains("qvstore") || l.contains("fpstore")),
+      locs2.toString)
+    assert(!plan(pairs2).contains("corpusvecs"), plan(pairs2))
+    val got2 = pairs2.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((0L, 10L)))
   } }
 
   test("span dedup and lm surprisal plans are partial-agg joins, no cartesian") {

@@ -163,6 +163,69 @@ class PipelineSpec extends SparkSpec {
     assert((0L until n.toLong).map(find).toSet.size === 1)
   }
 
+  test("sign-LSH band recall by true-cosine bucket: measured at BOTH widths (32-plane vs 64-plane wide)") {
+    // The minhash_recall_sample discipline applied to the embedding
+    // banding: the wide (64-plane / 16-bit-band) mode fixes the
+    // measured occupancy cliff (sf10: 32-plane trigger 4.7x per 4x
+    // state) by trading banded recall — this test MEASURES that
+    // S-curve shift on the real corpus so the trade is recorded, not
+    // asserted. Ground truth = exact quantized cosine over all pairs
+    // (the same integers verifyCosine uses), computed driver-side
+    // (500 vectors at sf0.001).
+    // sf0.001 has no pairs above cosine 0.7, so the fixture appends
+    // deterministic perturbed copies of every 5th vector: a tiny
+    // dim-0 nudge (cosine ~0.999 — the top bucket) and a half-dims
+    // damping (cosine ~0.88 — the middle bucket); ground truth below
+    // is computed over the augmented frame, so buckets self-assign.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val near = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.05 AS FLOAT), x))")
+          .as("embedding"))
+    val mid = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i % 2 = 0, CAST(x * 0.3 AS FLOAT), x))")
+          .as("embedding"))
+    val emb = base.unionByName(near).unionByName(mid)
+    val qv = graft.pipeline.Embeddings.quantizedIndex(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val truth = scala.collection.mutable.Map(
+      (0 until 3).map(b => b -> scala.collection.mutable.Set.empty[(Long, Long)]): _*)
+    def bucket(c: Double): Int =
+      if (c >= 0.9) 2 else if (c >= 0.7) 1 else if (c >= 0.4) 0 else -1
+    for (i <- qv.indices; j <- (i + 1) until qv.length) {
+      val (ia, qa, na) = qv(i); val (ib, qb, nb) = qv(j)
+      var dot = 0L; var d = 0
+      while (d < qa.length) { dot += qa(d) * qb(d); d += 1 }
+      val c = dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      val bk = bucket(c)
+      if (bk >= 0) truth(bk) += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    assert(truth(2).nonEmpty && truth(0).nonEmpty, truth.view.mapValues(_.size).toMap.toString)
+    val recalls = for (planes <- Seq(Embeddings.NumPlanes, Embeddings.NumPlanesWide)) yield {
+      val cands = Embeddings.bandCandidatePairs(emb, planes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = (0 until 3).map(b =>
+        if (truth(b).isEmpty) 1.0
+        else truth(b).count(cands.contains).toDouble / truth(b).size)
+      planes -> r
+    }
+    info(recalls.map { case (p, r) =>
+      f"$p planes: [0.4,0.7)=${r(0)}%.3f [0.7,0.9)=${r(1)}%.3f [0.9,1]=${r(2)}%.3f"
+    }.mkString("; "))
+    val narrow = recalls.head._2; val wide = recalls(1)._2
+    // the 32-plane banding must stay a high-recall near-dup blocker in
+    // the verify zone's top bucket; the wide mode keeps usable recall
+    // there (the price of flat occupancy) — floors pin the MEASURED
+    // values with slack so a banding regression trips loudly
+    assert(narrow(2) >= 0.8, s"narrow top-bucket ${narrow(2)}")
+    assert(wide(2) >= 0.3, s"wide top-bucket ${wide(2)}")
+    // wider bands can only cut per-band match probability in the top
+    // bucket (p^16 <= p^8 per band pair) — the direction of the trade
+    assert(wide(2) <= narrow(2) + 1e-9)
+  }
+
   test("capped bucket pairs: above-cap recall is MEASURED and meets the analytic floor") {
     // The family's calibration discipline (ann_recall /
     // minhash_recall_sample) applied to the hot-cell guard itself. In

@@ -434,9 +434,17 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(pairsDir).select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       .contains((4L, 11L)))
-    // compaction preserves the index
+    // the banding fp sibling tracks the index store (one wide
+    // fingerprint long per surviving vector, populated beyond bit 31)
+    val fpRows = spark.read.parquet(store + "_qv_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(fpRows.map(_._1).toSet === Set(0L, 2L, 11L, 12L))
+    assert(fpRows.exists(p => (p._2 >>> 32) != 0L), fpRows.mkString(","))
+    // compaction preserves the index and rebuilds the fp sibling
     StreamingEmbeddingDedup.compactState(spark, store)
     assert(spark.read.parquet(store + "_qv").select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
+    assert(spark.read.parquet(store + "_qv_fp").select("vec_id").collect()
       .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
   }
 

@@ -127,6 +127,7 @@ def render(bench_path, tests):
                        ("stream_simhash64_trigger", "simhash-wide"),
                        ("stream_minhash_trigger", "minhash"),
                        ("stream_emb_trigger", "embedding"),
+                       ("stream_emb64_trigger", "embedding-wide"),
                        ("stream_cdc_trigger", "cdc"),
                        ("stream_span_trigger", "span"),
                        ("stream_cluster_trigger", "cluster-fold")]:
