@@ -154,6 +154,13 @@ ORDER BY event_id"""
     "template_prefixes" -> ((s, d) => TextAnalysis.templatePrefixes(docs(s, d))),
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(docs(s, d))),
+    "train_order" -> ((s, d) => Sampling.trainOrder(docs(s, d))),
+    "similar_docs" -> ((s, d) => Dedup.similarDocs(docs(s, d))),
+    "snapshot_chunk_diff" -> ((s, d) =>
+      Dedup.snapshotChunkDiff(docs(s, d).filter(col("doc_id") % 2 === 0),
+        docs(s, d))),
+    "detector_semantic_pr" -> ((s, d) =>
+      Dedup.detectorSemanticPr(docs(s, d), emb(s, d))),
     "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
     "seq_pack" -> ((s, d) => Sampling.seqPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
@@ -581,6 +588,10 @@ ORDER BY event_id"""
     "template_prefixes" -> TextAnalysis.templatePrefixesOracle,
     "split_assign" -> Sampling.splitAssignOracle,
     "shard_pack" -> Sampling.shardPackOracle,
+    "train_order" -> Sampling.trainOrderOracle,
+    "similar_docs" -> Dedup.similarDocsOracle,
+    "snapshot_chunk_diff" -> Dedup.snapshotChunkDiffOracle,
+    "detector_semantic_pr" -> Dedup.detectorSemanticPrOracle,
     "pack_stats" -> Sampling.packStatsOracle,
     "seq_pack" -> Sampling.seqPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,

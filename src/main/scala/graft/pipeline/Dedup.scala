@@ -894,6 +894,76 @@ SELECT doc_a, doc_b, inter_n, n_a, n_b,
 FROM verified
 ORDER BY doc_a, doc_b"""
 
+  /** Query-by-document SIMILARITY SEARCH over the lexical index — the
+   *  serving-path reading of [[dedupNgram]]'s machinery. dedupNgram
+   *  enumerates the whole above-threshold pair GRAPH (a batch dedup
+   *  pass); this answers the retrieval question a curation reviewer or
+   *  attribution tool asks: "for THIS document, what are its k nearest
+   *  lexical neighbors, however weak" — top-k by exact shingle Jaccard
+   *  among rare-gram candidates, no threshold, so near-misses below
+   *  the dedup cutoff are visible (the [[Embeddings.annTopK]] analogue
+   *  on the lexical side). Queries are a deterministic id sample
+   *  (doc_id % 53 = 0 — the bounded-query-set contract annTopK has).
+   *
+   *  Scale shape: candidate generation is the same df-capped inverted
+   *  index as dedupNgram (each rare gram fans out <= maxDf docs — the
+   *  skew guard), restricted to query docs on one side BEFORE the
+   *  gram join, so candidate cost is |query shingles| x maxDf, not
+   *  corpus-pair; Jaccard verification is candidate-driven; the top-k
+   *  rank is a window over each query's candidates (bounded), never a
+   *  corpus sort. */
+  def similarDocs(docs: DataFrame, maxDf: Long = 5L, k: Int = 3,
+                  precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = cachedOrStore(docs, precomputedShingles)
+    val dfc = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    val rareSh = sh.join(dfc.filter(col("df_cnt") <= maxDf).select("gram"), "gram")
+    val qSide = rareSh.filter(pmod(col("doc_id"), lit(53L)) === 0L)
+      .select(col("gram"), col("doc_id").as("doc_a"))
+    val cands = qSide
+      .join(rareSh.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    withJaccard(cands, sh)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_a")
+          .orderBy(col("jaccard").desc, col("doc_b"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_a").as("query_id"), col("rank"),
+        col("doc_b").as("match_id"), col("inter_n"), col("n_a"), col("n_b"),
+        r4(col("jaccard")).as("jaccard"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Rides [[shinglesCte]]; the rank ORDER BY compares the identical
+   *  pre-round IEEE division both engines compute, ties on match id —
+   *  the [[dedupNgram]] jaccard arithmetic verbatim. */
+  val similarDocsOracle: String = "WITH " + shinglesCte + """,
+sd_dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM shingle GROUP BY gram),
+sd_rare AS (SELECT gram FROM sd_dfreq WHERE df_cnt <= 5),
+sd_raresh AS (SELECT s.doc_id, s.gram FROM shingle s JOIN sd_rare r ON s.gram = r.gram),
+sd_cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sd_raresh a JOIN sd_raresh b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % 53 = 0),
+sd_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingle GROUP BY doc_id),
+sd_inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM sd_cands c
+  JOIN shingle a ON a.doc_id = c.doc_a
+  JOIN shingle b ON b.doc_id = c.doc_b AND b.gram = a.gram
+  GROUP BY c.doc_a, c.doc_b),
+sd_ranked AS (
+  SELECT i.doc_a, i.doc_b, i.inter_n, sa.n AS n_a, sb.n AS n_b,
+         CAST(ROW_NUMBER() OVER (PARTITION BY i.doc_a
+           ORDER BY i.inter_n * 1.0 / (sa.n + sb.n - i.inter_n) DESC, i.doc_b) AS BIGINT) AS rank
+  FROM sd_inter i
+  JOIN sd_sizes sa ON i.doc_a = sa.doc_id
+  JOIN sd_sizes sb ON i.doc_b = sb.doc_id)
+SELECT doc_a AS query_id, rank, doc_b AS match_id, inter_n, n_a, n_b,
+       FLOOR((inter_n * 1.0 / (n_a + n_b - inter_n)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM sd_ranked WHERE rank <= 3
+ORDER BY query_id, rank"""
+
   /** TRANSITIVITY of the verified near-dup pair graph — the
    *  cluster-quality gauge read before trusting [[Clustering]]'s
    *  connected components as "duplicate groups": of all wedges
@@ -1415,6 +1485,122 @@ LEFT JOIN det_sizes na ON p.det_a = na.det
 LEFT JOIN det_sizes nb ON p.det_b = nb.det
 LEFT JOIN det_common c ON p.det_a = c.det_a AND p.det_b = c.det_b
 ORDER BY p.det_a, p.det_b"""
+
+  /** Per-detector precision/recall against the SEMANTIC detector —
+   *  the cross-modal refinement of [[dedupPairVenn]] (which compares
+   *  the lexical families with each other): treating
+   *  [[Embeddings.dedupEmbedding]]'s verified cosine>=0.4 pair set as
+   *  the reference, how much of what each lexical family flags is
+   *  semantically confirmed (precision) and how much of the semantic
+   *  set it recovers (recall). Low precision = the family flags
+   *  boilerplate the embeddings consider distinct content; low recall
+   *  = paraphrase duplication only the embeddings see — the two
+   *  numbers that decide whether a 100 TB pipeline pays for the
+   *  embedding pass. The reference is the embedding DETECTOR's output
+   *  (banded LSH + exact verify), not an all-pairs ground truth — the
+   *  honest comparison, since that detector is what a production
+   *  pipeline would actually run (its own recall is measured by
+   *  `ann_recall`/`embedding_threshold_sweep`). Pairs are compared on
+   *  the doc universe that HAS embeddings (both endpoints semi-joined)
+   *  so absent vectors can't read as disagreement.
+   *
+   *  Shape: the three lexical pair sets share ONE shingle store (the
+   *  venn bracket); the semantic set is the embedding family's own
+   *  bucketed pipeline; all joins and rollups run at PAIR cardinality;
+   *  the 1-row semantic total joins as a broadcast crossJoin; 3-row
+   *  output. */
+  def detectorSemanticPr(docs: DataFrame, emb: DataFrame,
+                         precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val truth = Embeddings.dedupEmbedding(emb)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1L).as("sem"))
+      .localCheckpoint()
+    val embIds = emb.select(col("vec_id"))
+    withSharedShingles(docs, precomputedShingles) { sh =>
+      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
+        def tag(det: String, df: DataFrame) = df
+          .join(embIds.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(embIds.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(lit(det).as("det"), col("doc_a"), col("doc_b"))
+        val tagged = tag("ngram", ngPairs)
+          .union(tag("minhash", mhPairs))
+          .union(tag("simhash", shPairs))
+        val per = tagged.join(truth, Seq("doc_a", "doc_b"), "left")
+          .groupBy("det").agg(
+            count(lit(1)).as("det_pairs"),
+            sum(coalesce(col("sem"), lit(0L))).as("tp"))
+        val semN = truth.groupBy().agg(count(lit(1)).as("sem_pairs"))
+        Seq("minhash", "ngram", "simhash").toDF("det")
+          .join(per, Seq("det"), "left")
+          .crossJoin(broadcast(semN))
+          .select(col("det"),
+            coalesce(col("det_pairs"), lit(0L)).as("det_pairs"),
+            col("sem_pairs"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .withColumn("fp", col("det_pairs") - col("tp"))
+          .withColumn("fn", col("sem_pairs") - col("tp"))
+          .withColumn("precision", r4(col("tp") * lit(1.0)
+            / greatest(col("det_pairs"), lit(1L))))
+          .withColumn("recall", r4(col("tp") * lit(1.0)
+            / greatest(col("sem_pairs"), lit(1L))))
+          .orderBy("det")
+      }
+    }
+  }
+
+  /** Composes [[detChainsCte]] (the three lexical pair chains, the
+   *  venn/token-savings arithmetic verbatim) with
+   *  [[Embeddings.planeFpCte]] + the dedupEmbedding tail (re-spelled
+   *  with a pr_ prefix against CTE collisions) — every detector's
+   *  semantics rides its family oracle. */
+  lazy val detectorSemanticPrOracle: String = "WITH " + detChainsCte + "," +
+    Embeddings.planeFpCte + """,
+pr_cands AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM nib a JOIN nib b ON a.band = b.band AND a.nibv = b.nibv
+  WHERE a.vec_id < b.vec_id),
+pr_dots AS (
+  SELECT c.doc_a, c.doc_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM pr_cands c
+  JOIN qv qa ON qa.vec_id = c.doc_a
+  JOIN qv qb ON qb.vec_id = c.doc_b AND qb.i = qa.i
+  GROUP BY c.doc_a, c.doc_b),
+pr_sem AS (
+  SELECT d.doc_a, d.doc_b
+  FROM pr_dots d
+  JOIN nr na ON d.doc_a = na.vec_id
+  JOIN nr nb ON d.doc_b = nb.vec_id
+  WHERE d.dot / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.4),
+pr_tagged AS (
+  SELECT t.det, t.doc_a, t.doc_b FROM (
+    SELECT 'ngram' AS det, doc_a, doc_b FROM ng_pairs
+    UNION ALL SELECT 'minhash', doc_a, doc_b FROM mh_pairs
+    UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh_pairs) t
+  JOIN (SELECT vec_id FROM embeddings) ea ON t.doc_a = ea.vec_id
+  JOIN (SELECT vec_id FROM embeddings) eb ON t.doc_b = eb.vec_id),
+pr_per AS (
+  SELECT t.det,
+         CAST(COUNT(*) AS BIGINT) AS det_pairs,
+         CAST(SUM(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM pr_tagged t LEFT JOIN pr_sem s
+    ON t.doc_a = s.doc_a AND t.doc_b = s.doc_b
+  GROUP BY t.det),
+pr_semn AS (SELECT CAST(COUNT(*) AS BIGINT) AS sem_pairs FROM pr_sem),
+pr_dets(det) AS (VALUES ('minhash'), ('ngram'), ('simhash'))
+SELECT d.det,
+       COALESCE(p.det_pairs, 0) AS det_pairs,
+       n.sem_pairs,
+       COALESCE(p.tp, 0) AS tp,
+       COALESCE(p.det_pairs, 0) - COALESCE(p.tp, 0) AS fp,
+       n.sem_pairs - COALESCE(p.tp, 0) AS fn,
+       FLOOR((COALESCE(p.tp, 0) * 1.0 / GREATEST(COALESCE(p.det_pairs, 0), 1)) * 10000.0 + 0.5) / 10000.0 AS "precision",
+       FLOOR((COALESCE(p.tp, 0) * 1.0 / GREATEST(n.sem_pairs, 1)) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM pr_dets d
+LEFT JOIN pr_per p ON d.det = p.det
+CROSS JOIN pr_semn n
+ORDER BY d.det"""
 
   /** Token-savings ledger per dedup detector — the budget column next
    *  to [[dedupPairVenn]]'s agreement matrix: what each family (and
@@ -3243,6 +3429,76 @@ SELECT doc_id, n_chunks, n_tokens, trimmed_chunks, trimmed_tokens,
        FLOOR(((n_tokens - trimmed_tokens) * 1.0 / n_tokens) * 10000.0 + 0.5)
          / 10000.0 AS kept_ratio
 FROM per ORDER BY doc_id"""
+
+  /** Chunk-level SNAPSHOT DIFF — [[snapshotDiff]]'s crawl-refresh
+   *  ledger at TRANSFER granularity: of the tokens in the docs ADDED
+   *  since the previous snapshot, how many arrive in chunks whose
+   *  identity the old snapshot already stores (re-served boilerplate,
+   *  partial edits of known pages — bytes a chunk-addressed store or
+   *  transport layer never pays again) vs genuinely new chunk mass.
+   *  snapshotDiff prices whole-doc replays (exact content hash); a
+   *  crawl refresh is mostly PARTIAL overlap — the page re-served
+   *  with a new timestamp in the footer — which whole-doc hashing
+   *  scores as 100% fresh and this ledger prices correctly (the
+   *  rsync/CDC use case). Within-batch chunk repetition is NOT
+   *  collapsed here ([[cdcChunkDedupIncremental]]'s admission grain
+   *  owns that): the question is what this snapshot costs to
+   *  transfer/store against the previous one.
+   *
+   *  Scale shape: the old snapshot reduces to its DISTINCT chunk
+   *  identity set — exactly the [[cdcChunkStore]] frame, so a
+   *  production run reads the maintained parquet store and never
+   *  re-chunks the old corpus; added docs chunk through the native
+   *  `cdc_chunks` expression (one in-row loop, no exchange); the
+   *  membership probe is one (fp, len)-keyed left join — the
+   *  exact-dedup shuffle class — and the rollup is |sources| rows. */
+  def snapshotChunkDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                        avgChunk: Int = 8): DataFrame = {
+    val oldChunks = cdcOccurrencesExpr(oldDocs.select("doc_id", "text"),
+        avgChunk, Nil)
+      .select("fp", "len").distinct()
+      .withColumn("known", lit(1L))
+    val addedOcc = cdcOccurrencesExpr(
+      newDocs.join(oldDocs.select("doc_id"), Seq("doc_id"), "left_anti"),
+      avgChunk, Seq("source"))
+    addedOcc.join(oldChunks, Seq("fp", "len"), "left")
+      .groupBy("source").agg(
+        countDistinct("doc_id").as("n_added_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_tokens"),
+        sum(when(col("known").isNotNull, 1L).otherwise(0L))
+          .as("reused_chunks"),
+        sum(when(col("known").isNotNull, col("len")).otherwise(0L))
+          .as("reused_tokens"))
+      .select(col("source"), col("n_added_docs"), col("n_chunks"),
+        col("n_tokens"), col("reused_chunks"), col("reused_tokens"),
+        (col("n_tokens") - col("reused_tokens")).as("fresh_tokens"),
+        r4((col("n_tokens") - col("reused_tokens")) * lit(1.0)
+          / col("n_tokens")).as("fresh_token_frac"))
+      .orderBy("source")
+  }
+
+  /** Rides [[cdcOccCteSql]] — the one SQL chunk-chain definition. The
+   *  harness drives old = even doc ids, new = the full corpus, so the
+   *  added docs are the odd ids. */
+  lazy val snapshotChunkDiffOracle: String = "WITH RECURSIVE " +
+    cdcOccCteSql + """,
+scd_oldset AS (SELECT DISTINCT fp, len FROM occ WHERE doc_id % 2 = 0),
+scd_add AS (SELECT * FROM occ WHERE doc_id % 2 = 1),
+scd_per AS (
+  SELECT a.source,
+         CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_added_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(a.len) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reused_chunks,
+         CAST(SUM(CASE WHEN o.fp IS NOT NULL THEN a.len ELSE 0 END) AS BIGINT) AS reused_tokens
+  FROM scd_add a LEFT JOIN scd_oldset o ON a.fp = o.fp AND a.len = o.len
+  GROUP BY a.source)
+SELECT source, n_added_docs, n_chunks, n_tokens, reused_chunks, reused_tokens,
+       CAST(n_tokens - reused_tokens AS BIGINT) AS fresh_tokens,
+       FLOOR(((n_tokens - reused_tokens) * 1.0 / n_tokens) * 10000.0 + 0.5)
+         / 10000.0 AS fresh_token_frac
+FROM scd_per ORDER BY source"""
 
   /** The CDC chunk-identity store: the DISTINCT (fp, len) set of a
    *  corpus's chunk occurrences — the append-only state

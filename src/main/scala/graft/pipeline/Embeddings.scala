@@ -258,7 +258,7 @@ ORDER BY query_id, rank"""
   def embFingerprintsFromQuantized(qv: DataFrame): DataFrame =
     signFp(qv.select(col("vec_id"), col("qarr")), NumPlanesWide)
 
-  private val planeFpCte: String = """
+  private[pipeline] val planeFpCte: String = """
 dims AS (SELECT unnest(range(1, 65)) AS i),
 qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q

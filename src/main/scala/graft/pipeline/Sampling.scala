@@ -78,6 +78,52 @@ ORDER BY doc_id"""
       .orderBy("doc_id")
   }
 
+  /** Deterministic TRAINING-ORDER shuffle — the epoch order a data
+   *  loader consumes — computed WITHOUT a global sort (the one shape a
+   *  "shuffle the corpus" request must not take at 100 TB: a global
+   *  rank is a worldwide sort into one ordering authority). Docs hash
+   *  to `lanes` independent lanes (pure projection, the
+   *  [[shardPack]] writer-lane discipline), each lane orders by the
+   *  hash WITHIN itself — a per-lane window over ~1/lanes of the
+   *  corpus, embarrassingly parallel — and the global position is the
+   *  round-robin interleave `ord = pos_in_lane * lanes + lane`.
+   *  Because the md5 hash is content-independent and per-doc, the
+   *  order is stable under re-runs and reshards, reproducible from
+   *  the doc id alone, and well-mixed across sources (hash order
+   *  within a lane is already a shuffle — adjacent positions are
+   *  unrelated docs). `ord` has gaps once shorter lanes exhaust
+   *  (lanes differ in size by hash balance); consumers SORT by ord,
+   *  so gaps are harmless — uniqueness is what matters, and
+   *  pos*lanes+lane is injective. At scale, set `lanes` ~ the shard
+   *  count so each lane's window fits one task comfortably. */
+  def trainOrder(docs: DataFrame, lanes: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("lane", col("h") % lanes)
+      .withColumn("pos_in_lane",
+        (row_number().over(Window.partitionBy("lane")
+          .orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("lane"), col("pos_in_lane"),
+        (col("pos_in_lane") * lanes + col("lane")).as("ord"))
+      .orderBy("doc_id")
+
+  /** Same first-8-hex-digits md5 arithmetic as [[splitAssign]]'s
+   *  bucket (the cross-engine-identical idiom). */
+  val trainOrderOracle: String = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, h % 8 AS lane,
+         CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos_in_lane
+  FROM h)
+SELECT doc_id, lane, pos_in_lane,
+       CAST(pos_in_lane * 8 + lane AS BIGINT) AS ord
+FROM p
+ORDER BY doc_id"""
+
   /** CTE chain producing the shard assignment
    *  `packed(doc_id, writer, n_tok, shard_idx)` — the SQL twin of
    *  [[shardPack]]'s body, shared by its oracle and the

@@ -1650,4 +1650,69 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("source") == "other").head
       .getAs[Long]("rank") === 1L)
   }
+
+  test("similar docs: identical doc ranks first, near-dup second, unrelated absent") {
+    // query sample is doc_id % 53 == 0 -> only doc 0 here
+    val out = Dedup.similarDocs(docs).collect()
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    assert(out.length === 2) // docs 2 (no shared gram) and 4 (too short) absent
+    assert(out(0).getAs[Long]("rank") === 1L)
+    assert(out(0).getAs[Long]("match_id") === 3L) // identical text
+    assert(out(0).getAs[Double]("jaccard") === 1.0)
+    assert(out(1).getAs[Long]("rank") === 2L)
+    assert(out(1).getAs[Long]("match_id") === 1L) // one-word difference
+    assert(out(1).getAs[Long]("inter_n") === 11L)
+  }
+
+  test("snapshot chunk diff: a replayed identical doc is 100% reused chunk mass") {
+    // old = even ids (0, 2, 4); added = 1 (near-dup of 0) and 3 (identical to 0)
+    val out = Dedup.snapshotChunkDiff(docs.filter(col("doc_id") % 2 === 0), docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === Set("s0", "s2"))
+    val s2 = out("s2") // doc 3 == doc 0 verbatim: every chunk identity known
+    assert(s2.getAs[Long]("fresh_tokens") === 0L)
+    assert(s2.getAs[Double]("fresh_token_frac") === 0.0)
+    assert(s2.getAs[Long]("reused_chunks") === s2.getAs[Long]("n_chunks"))
+    val s0 = out("s0") // doc 1: 14 tokens, reused + fresh partition the mass
+    assert(s0.getAs[Long]("n_tokens") === 14L)
+    assert(s0.getAs[Long]("reused_tokens") + s0.getAs[Long]("fresh_tokens")
+      === s0.getAs[Long]("n_tokens"))
+  }
+
+  test("train order: injective interleave, dense per-lane positions, deterministic") {
+    val out = Sampling.trainOrder(docs).collect()
+    assert(out.length === 5)
+    val ords = out.map(_.getAs[Long]("ord"))
+    assert(ords.distinct.length === ords.length) // pos*lanes+lane is injective
+    for (r <- out)
+      assert(r.getAs[Long]("ord") ===
+        r.getAs[Long]("pos_in_lane") * 8 + r.getAs[Long]("lane"))
+    // positions are dense 0..k-1 within each lane
+    out.groupBy(_.getAs[Long]("lane")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos_in_lane")).sorted.toSeq
+        === (0L until rows.length).toSeq)
+    }
+    // content-independent and re-run stable
+    assert(Sampling.trainOrder(docs).collect().map(_.toSeq).toSeq
+      === out.map(_.toSeq).toSeq)
+  }
+
+  test("detector semantic pr: counts are consistent and bounded on real testdata") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.detectorSemanticPr(sfDocs, sfEmb).collect()
+    assert(out.map(_.getAs[String]("det")).toSeq
+      === Seq("minhash", "ngram", "simhash"))
+    for (r <- out) {
+      val (dp, sp, tp) = (r.getAs[Long]("det_pairs"),
+        r.getAs[Long]("sem_pairs"), r.getAs[Long]("tp"))
+      assert(tp >= 0L && tp <= dp && tp <= sp)
+      assert(r.getAs[Long]("fp") === dp - tp)
+      assert(r.getAs[Long]("fn") === sp - tp)
+      val (prec, rec) = (r.getAs[Double]("precision"), r.getAs[Double]("recall"))
+      assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    // all three detectors score against the SAME semantic total
+    assert(out.map(_.getAs[Long]("sem_pairs")).distinct.length === 1)
+  }
 }
