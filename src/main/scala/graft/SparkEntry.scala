@@ -161,6 +161,9 @@ ORDER BY event_id"""
         docs(s, d))),
     "detector_semantic_pr" -> ((s, d) =>
       Dedup.detectorSemanticPr(docs(s, d), emb(s, d))),
+    "bloom_fp_calibration" -> ((s, d) => Dedup.bloomFpCalibration(docs(s, d))),
+    "ann_filtered" -> ((s, d) =>
+      Embeddings.annFiltered(emb(s, d), annQueries(s, d))),
     "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
     "seq_pack" -> ((s, d) => Sampling.seqPack(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
@@ -592,6 +595,8 @@ ORDER BY event_id"""
     "similar_docs" -> Dedup.similarDocsOracle,
     "snapshot_chunk_diff" -> Dedup.snapshotChunkDiffOracle,
     "detector_semantic_pr" -> Dedup.detectorSemanticPrOracle,
+    "bloom_fp_calibration" -> Dedup.bloomFpCalibrationOracle,
+    "ann_filtered" -> Embeddings.annFilteredOracle,
     "pack_stats" -> Sampling.packStatsOracle,
     "seq_pack" -> Sampling.seqPackOracle,
     "source_mix" -> Sampling.sourceMixOracle,

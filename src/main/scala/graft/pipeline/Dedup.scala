@@ -2850,8 +2850,14 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  instead of wrapping). Build and probe share this definition —
    *  that identity is the no-false-negative guarantee. */
   private def probePos(h1: Column, h2: Column, i: Column, mBits: Int): Column =
-    pmod(pmod(h1, lit(mBits.toLong)) + i * pmod(h2, lit(mBits.toLong)),
-      lit(mBits.toLong))
+    probePos(h1, h2, i, lit(mBits.toLong))
+
+  /** The one probe-position definition (column-typed m so the
+   *  calibration sweep can grid over filter sizes); [[bloomWords]],
+   *  [[dedupExactIncremental]], and [[bloomFpCalibration]] all probe
+   *  through here. */
+  private def probePos(h1: Column, h2: Column, i: Column, mBits: Column): Column =
+    pmod(pmod(h1, mBits) + i * pmod(h2, mBits), mBits)
 
   def bloomWords(docs: DataFrame, mBits: Int = BloomBits,
                  probes: Int = BloomProbes): DataFrame = {
@@ -2865,6 +2871,122 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("mask"))
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
   }
+
+  /** Bloom false-positive CALIBRATION — "measure, don't guess" for
+   *  the family's bloom geometry (the [[bloomWords]] scaladoc sizes
+   *  by the fp~(1-e^(-kn/m))^k rule of thumb; this MEASURES the curve
+   *  on the corpus's own key distribution, the discipline
+   *  `minhash_calibration`/`ann_recall` apply to their sketches). A
+   *  membership filter is built over the distinct word-3-gram
+   *  SHINGLES of half the corpus (even doc ids — the gram universe is
+   *  the family's real blooming candidate: large, text-derived,
+   *  df-skewed; the testdata's 31-word vocabulary makes a word-level
+   *  filter vacuous) at each candidate size m, then probed with the
+   *  disjoint grams the other half contributes (guaranteed
+   *  non-members = every positive is false); per m: member/set-bit
+   *  counts (the load factor) and the measured fp rate. Keys are
+   *  poly-hashed (h1 = poly_hash(gram), h2 = poly_hash(reversed
+   *  gram)) so — unlike the xxhash64 production filter, whose
+   *  geometry this shares through [[probePos]] — the DuckDB oracle
+   *  reproduces every probe bit-exactly; the testdata is ASCII, where
+   *  both engines reverse identically.
+   *
+   *  Shape: gram-cardinality frames (distinct-gram partial aggs),
+   *  the position-set join keyed on (m, pos) — position cardinality
+   *  is min(m, probes*|grams|) per grid point — and a |grid|-row
+   *  rollup; the 1-row member count joins broadcast. */
+  def bloomFpCalibration(docs: DataFrame,
+                         mGrid: Seq[Int] = Seq(1 << 14, 1 << 17, 1 << 20),
+                         probes: Int = BloomProbes): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mem = shingles(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+      .select("gram").distinct()
+    val neg = shingles(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      .select("gram").distinct()
+      .join(mem, Seq("gram"), "left_anti")
+    val grid = mGrid.map(_.toLong).toDF("m_bits")
+    def positions(df: DataFrame) = df
+      .select(col("gram"),
+        call_function("poly_hash", col("gram")).as("h1"),
+        call_function("poly_hash", reverse(col("gram"))).as("h2"))
+      .crossJoin(broadcast(grid))
+      .select(col("gram"), col("m_bits"), col("h1"), col("h2"),
+        explode(sequence(lit(0L), lit((probes - 1).toLong))).as("i"))
+      .select(col("gram"), col("m_bits"),
+        probePos(col("h1"), col("h2"), col("i"), col("m_bits")).as("pos"))
+    val memPos = positions(mem).select("m_bits", "pos").distinct().cache()
+    val negAgg = positions(neg)
+      .join(memPos.withColumn("present", lit(1L)), Seq("m_bits", "pos"), "left")
+      .groupBy("m_bits", "gram")
+      .agg(sum(coalesce(col("present"), lit(0L))).as("n_hit"))
+      .groupBy("m_bits").agg(
+        count(lit(1)).as("n_negatives"),
+        sum(when(col("n_hit") === probes.toLong, 1L).otherwise(0L))
+          .as("false_positives"))
+    val setBits = memPos.groupBy("m_bits").agg(count(lit(1)).as("set_bits"))
+    val memN = mem.agg(count(lit(1)).as("n_members"))
+    grid.crossJoin(broadcast(memN))
+      .join(setBits, Seq("m_bits"))
+      .join(negAgg, Seq("m_bits"))
+      .select(col("m_bits"), col("n_members"), col("set_bits"),
+        col("n_negatives"), col("false_positives"),
+        r4(col("false_positives") * lit(1.0)
+          / greatest(col("n_negatives"), lit(1L))).as("fp_rate"))
+      .orderBy("m_bits")
+  }
+
+  /** Rides [[shinglesCte]]; the per-gram poly hash re-derives through
+   *  the [[polyShidCte]] power-table idiom (LEFT JOIN + COALESCE,
+   *  >64-char grams truncate identically on both sides); probe
+   *  arithmetic mirrors [[probePos]] term for term (hashes are
+   *  nonnegative, so `%` = pmod). */
+  val bloomFpCalibrationOracle: String = "WITH RECURSIVE " + shinglesCte + """,
+pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64),
+mem AS (SELECT DISTINCT gram FROM shingle WHERE doc_id % 2 = 0),
+neg AS (SELECT gram FROM (SELECT DISTINCT gram FROM shingle WHERE doc_id % 2 = 1) x
+        WHERE gram NOT IN (SELECT gram FROM mem)),
+hw AS (
+  SELECT w.gram,
+         CAST(COALESCE(SUM(ord(substr(w.gram, p.i, 1)) * p.v), 0) % 1000003 AS BIGINT) AS h1,
+         CAST(COALESCE(SUM(ord(substr(reverse(w.gram), p.i, 1)) * p.v), 0) % 1000003 AS BIGINT) AS h2
+  FROM (SELECT gram FROM mem UNION SELECT gram FROM neg) w
+  LEFT JOIN pw p ON p.i <= LEAST(len(w.gram), 64)
+  GROUP BY w.gram),
+grid(m_bits) AS (VALUES (CAST(16384 AS BIGINT)), (CAST(131072 AS BIGINT)), (CAST(1048576 AS BIGINT))),
+pr AS (SELECT unnest(range(0, 5)) AS i),
+mpos AS (
+  SELECT DISTINCT g.m_bits,
+         ((h.h1 % g.m_bits) + pr.i * (h.h2 % g.m_bits)) % g.m_bits AS pos
+  FROM mem m JOIN hw h ON m.gram = h.gram, grid g, pr),
+npos AS (
+  SELECT g.m_bits, n.gram, pr.i,
+         ((h.h1 % g.m_bits) + pr.i * (h.h2 % g.m_bits)) % g.m_bits AS pos
+  FROM neg n JOIN hw h ON n.gram = h.gram, grid g, pr),
+nagg AS (
+  SELECT m_bits,
+         CAST(COUNT(*) AS BIGINT) AS n_negatives,
+         CAST(SUM(CASE WHEN n_hit = 5 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+  FROM (
+    SELECT np.m_bits, np.gram,
+           SUM(CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM npos np LEFT JOIN mpos mp
+      ON np.m_bits = mp.m_bits AND np.pos = mp.pos
+    GROUP BY np.m_bits, np.gram)
+  GROUP BY m_bits),
+sb AS (SELECT m_bits, CAST(COUNT(*) AS BIGINT) AS set_bits FROM mpos GROUP BY m_bits),
+mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mem)
+SELECT g.m_bits, mn.n_members, s.set_bits, a.n_negatives, a.false_positives,
+       FLOOR((a.false_positives * 1.0 / GREATEST(a.n_negatives, 1)) * 10000.0 + 0.5)
+         / 10000.0 AS fp_rate
+FROM grid g
+CROSS JOIN mn
+JOIN sb s ON g.m_bits = s.m_bits
+JOIN nagg a ON g.m_bits = a.m_bits
+ORDER BY g.m_bits"""
 
   /** Incremental EXACT dedup: which batch docs already exist verbatim
    *  in the corpus, without joining the whole batch against the

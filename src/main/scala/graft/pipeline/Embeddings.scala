@@ -167,6 +167,74 @@ SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id,
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rank"""
 
+  /** FILTERED vector search — [[annTopK]] under a metadata predicate:
+   *  each query's top-k restricted to corpus vectors sharing the
+   *  query's `label` (the "same-category nearest neighbors" serving
+   *  shape every production vector store ships as filtered search).
+   *  Post-filtering a global top-k under-returns when the filter is
+   *  selective — the well-known filtered-ANN failure — so the filter
+   *  is applied IN candidate generation: the broadcast query side
+   *  joins the corpus ON the label, which is exactly how a
+   *  label-partitioned index serves it at scale (each query scans
+   *  only its label's partition — 1/|labels| of the corpus — instead
+   *  of post-filtering a corpus-wide list). Bounded query sample, k
+   *  guaranteed satisfiable per label or the shorter list returned
+   *  honestly. */
+  def annFiltered(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val qside = quantized(queries).join(labels, "vec_id")
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("qarr").as("qarr_a"), col("nq").as("nq_a"))
+    val corpus = quantized(emb).join(labels, "vec_id")
+      .select(col("vec_id"), col("label"),
+        col("qarr").as("qarr_b"), col("nq").as("nq_b"))
+    corpus.join(broadcast(qside), Seq("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot", expr(pairDot))
+      .withColumn("cosine", col("dot") / (sqrt(col("nq_a")) * sqrt(col("nq_b"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("label"), col("rk").cast("long").as("rank"),
+        col("vec_id"), r4(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[annTopKOracle]]'s chain with the label equi-join pushed into
+   *  the dot pass — the same filter-in-candidate-generation shape. */
+  val annFilteredOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+queries AS (
+  SELECT q.vec_id AS query_id, l.label, q.i, q.q AS q_q
+  FROM qv q JOIN lab l ON q.vec_id = l.vec_id
+  WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
+dots AS (
+  SELECT qs.query_id, qs.label, v.vec_id, CAST(SUM(qs.q_q * v.q) AS BIGINT) AS dot
+  FROM queries qs
+  JOIN qv v ON qs.i = v.i
+  JOIN lab lv ON v.vec_id = lv.vec_id AND lv.label = qs.label
+  WHERE qs.query_id <> v.vec_id
+  GROUP BY qs.query_id, qs.label, v.vec_id),
+sims AS (
+  SELECT d.query_id, d.label, d.vec_id,
+         d.dot / (sqrt(nq_a.nq) * sqrt(nq_b.nq)) AS cosine
+  FROM dots d
+  JOIN nr nq_a ON d.query_id = nq_a.vec_id
+  JOIN nr nq_b ON d.vec_id = nq_b.vec_id),
+ranked AS (
+  SELECT query_id, label, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM sims)
+SELECT query_id, label, CAST(rk AS BIGINT) AS rank, vec_id,
+       FLOOR((cosine) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rank"""
+
   /** Sign-bit fingerprints from deterministic integer "random"
    *  hyperplanes h_p[i] = ((37+101p)*i + 17+257p) mod 97 - 48, plus the
    *  4 exploded nibble bands used for bucketing.

@@ -1697,6 +1697,34 @@ class PipelineSpec extends SparkSpec {
       === out.map(_.toSeq).toSeq)
   }
 
+  test("ann filtered: matches share the query's label; nearer wrong-label vector excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (100L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.95f, 0.05f, 0.0f), 1), // closest to the query but wrong label
+      (3L, Array(1.0f, 0.05f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Embeddings.annFiltered(emb, emb.filter(col("vec_id") === 0), k = 5)
+      .collect()
+    assert(out.forall(_.getAs[Long]("label") == 0L))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 100L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
+  test("bloom fp calibration: fp rate falls with filter size; set bits bounded") {
+    val out = Dedup.bloomFpCalibration(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")).collect()
+    assert(out.length === 3)
+    val rates = out.map(_.getAs[Double]("fp_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b })
+    for (r <- out) {
+      assert(r.getAs[Long]("set_bits") <=
+        math.min(r.getAs[Long]("m_bits"), 5L * r.getAs[Long]("n_members")))
+      assert(r.getAs[Long]("false_positives") <= r.getAs[Long]("n_negatives"))
+    }
+  }
+
   test("detector semantic pr: counts are consistent and bounded on real testdata") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
