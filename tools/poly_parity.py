@@ -11,6 +11,13 @@ astral-plane emoji, ZWJ sequences).
 
 Run whenever PolyHash.compute or polyShidCte changes:
     python3 tools/poly_parity.py        # exits 0 on parity, 1 on drift
+
+Also pins the REVERSED-gram hash (`h2 = poly_hash(reverse(gram))`,
+Dedup.bloomFpCalibration + its oracle's `reverse(w.gram)`): parity is
+asserted for ASCII inputs only, because Spark's `reverse` reverses
+CODE POINTS while DuckDB's reverses grapheme clusters — the operator's
+documented ASCII-only scope. Non-ASCII cases print the divergence
+informationally without failing.
 """
 import sys
 import duckdb
@@ -49,6 +56,14 @@ def definition(s):
     return h
 
 
+REV_SQL = """WITH RECURSIVE pw AS (
+  SELECT 1 AS i, CAST(1 AS BIGINT) AS v
+  UNION ALL
+  SELECT i + 1, (v * 31) % 1000003 FROM pw WHERE i < 64)
+SELECT CAST(COALESCE(SUM(ord(substr(reverse(?), p.i, 1)) * p.v), 0) % 1000003 AS BIGINT)
+FROM pw p WHERE p.i <= LEAST(len(reverse(?)), 64)"""
+
+
 def main():
     con = duckdb.connect()
     bad = 0
@@ -58,6 +73,19 @@ def main():
         status = "OK  " if duck == want else "DRIFT"
         if duck != want:
             bad += 1
+        print(f"{status} duck={duck:>7} def={want:>7}  {s!r}")
+    print("-- reversed-gram h2 (ASCII-only contract) --")
+    for s in CASES:
+        duck = con.execute(REV_SQL, [s, s]).fetchone()[0]
+        # Spark's reverse() reverses code points — Python [::-1] matches.
+        want = definition(s[::-1])
+        is_ascii = all(ord(ch) < 128 for ch in s)
+        if is_ascii:
+            status = "OK  " if duck == want else "DRIFT"
+            if duck != want:
+                bad += 1
+        else:
+            status = "ok  " if duck == want else "info"  # divergence expected
         print(f"{status} duck={duck:>7} def={want:>7}  {s!r}")
     print("== parity ==" if not bad else f"== {bad} DRIFTS ==")
     return 1 if bad else 0
