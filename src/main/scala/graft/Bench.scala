@@ -456,8 +456,12 @@ object Bench {
           .filter(org.apache.spark.sql.functions.col("vec_id") >= batchStart)
           .select("vec_id", "embedding")
         val t0 = System.nanoTime()
+        // the 32-plane banding is PINNED (the default is now
+        // auto-width): this key tracks the narrow mode's
+        // linear-in-state cost across rounds
         graft.streaming.StreamingEmbeddingDedup.processBatch(batch, 0L,
-          s"$base/corpus", s"$base/pairs", s"$base/qv", minCosine = 0.4)
+          s"$base/corpus", s"$base/pairs", s"$base/qv", minCosine = 0.4,
+          planes = graft.pipeline.Embeddings.NumPlanes)
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream_emb_trigger failed: ${e.getMessage}")

@@ -112,11 +112,13 @@ ORDER BY event_id"""
     "drop_provenance" -> ((s, d) => Dedup.dropProvenance(docs(s, d))),
     "minhash_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(docs(s, d))),
     "minhash_recall_sample" -> ((s, d) => Dedup.minhashRecallSample(docs(s, d))),
+    "simhash_recall_sample" -> ((s, d) => Dedup.simhashRecallSample(docs(s, d))),
     "media_qa" -> ((s, d) => Multimodal.mediaQa(docs(s, d))),
     "sentence_dedup" -> ((s, d) => TextAnalysis.sentenceDedup(docs(s, d))),
     "dedup_transitivity" -> ((s, d) => Dedup.dedupTransitivity(docs(s, d))),
     "cluster_source_mix" -> ((s, d) => Clustering.clusterSourceMix(docs(s, d))),
     "event_rate_anomalies" -> ((s, d) => Trends.eventRateAnomalies(canon(s, d))),
+    "event_mix_drift" -> ((s, d) => Trends.eventMixDrift(canon(s, d))),
     "ann_recall_sweep" -> ((s, d) =>
       Embeddings.annRecallSweep(emb(s, d), annQueries(s, d))),
     "snapshot_diff" -> ((s, d) =>
@@ -142,6 +144,7 @@ ORDER BY event_id"""
     "quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(docs(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(docs(s, d))),
+    "winnow_density" -> ((s, d) => TextAnalysis.winnowDensity(docs(s, d))),
     // native whole-selection expression path; same oracle (identical
     // selection by construction)
     "winnow_fingerprints_expr" -> ((s, d) =>
@@ -166,10 +169,12 @@ ORDER BY event_id"""
       Embeddings.annFiltered(emb(s, d), annQueries(s, d))),
     "pack_stats" -> ((s, d) => Sampling.packStats(docs(s, d))),
     "seq_pack" -> ((s, d) => Sampling.seqPack(docs(s, d))),
+    "pack_padding_sweep" -> ((s, d) => Sampling.packPaddingSweep(docs(s, d))),
     "source_mix" -> ((s, d) => Sampling.sourceMix(docs(s, d))),
     "source_lang_mix" -> ((s, d) => Sampling.sourceLangMix(docs(s, d))),
     "mix_resample" -> ((s, d) => Sampling.mixResample(docs(s, d))),
     "mix_temperature" -> ((s, d) => Sampling.mixTemperature(docs(s, d))),
+    "mix_epochs" -> ((s, d) => Sampling.mixEpochs(docs(s, d))),
     // the synthetic corpus carries no PII, so at any SF this key
     // proves cross-engine regex parity on the no-op path; the
     // operator's redaction behavior is pinned by PipelineSpec on a
@@ -194,6 +199,7 @@ ORDER BY event_id"""
     "pmi_terms" -> ((s, d) => TextAnalysis.pmiTerms(docs(s, d))),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(docs(s, d))),
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
+    "signal_correlations" -> ((s, d) => TextAnalysis.signalCorrelations(docs(s, d))),
     "quality_rules" -> ((s, d) => TextAnalysis.qualityRules(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // The composed five-stage pipeline (quality gate -> exact dedup ->
@@ -207,6 +213,10 @@ ORDER BY event_id"""
       docs(s, d).filter(col("doc_id") % 20 === 0))),
     "contamination_normalized" -> ((s, d) =>
       Decontamination.benchmarkOverlapNormalized(
+        docs(s, d).filter(col("doc_id") % 20 =!= 0),
+        docs(s, d).filter(col("doc_id") % 20 === 0))),
+    "contamination_source_rates" -> ((s, d) =>
+      Decontamination.contaminationSourceRates(
         docs(s, d).filter(col("doc_id") % 20 =!= 0),
         docs(s, d).filter(col("doc_id") % 20 === 0))),
     "contamination_minhash" -> ((s, d) =>
@@ -247,6 +257,7 @@ ORDER BY event_id"""
     "cdc_chunk_dedup_expr" -> ((s, d) => Dedup.cdcChunkDedupExpr(docs(s, d))),
     "boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(docs(s, d))),
     "cdc_chunk_trim" -> ((s, d) => Dedup.cdcChunkTrim(docs(s, d))),
+    "cdc_chunk_size_hist" -> ((s, d) => Dedup.cdcChunkSizeHist(docs(s, d))),
     // Incremental CDC: batch = the dedup_exact_incr harness transform
     // (verbatim copies of %5==0 docs + tail-perturbed %5==1 docs,
     // id-shifted above the corpus so keep-first favors the corpus)
@@ -476,6 +487,7 @@ ORDER BY event_id"""
     "cluster_split" -> ((s, d) => Sampling.clusterSplit(docs(s, d))),
     "embedding_coverage" -> ((s, d) =>
       Embeddings.embeddingCoverage(docs(s, d), emb(s, d))),
+    "emb_norm_quantiles" -> ((s, d) => Embeddings.embNormQuantiles(emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
@@ -489,6 +501,8 @@ ORDER BY event_id"""
       Embeddings.matryoshkaRecall(emb(s, d), annQueries(s, d))),
     "bq_recall" -> ((s, d) =>
       Embeddings.bqRecall(emb(s, d), annQueries(s, d))),
+    "int8_recall" -> ((s, d) =>
+      Embeddings.int8Recall(emb(s, d), annQueries(s, d))),
     // hybrid more-like-this for probe doc 0: lexical shingle-Jaccard
     // rank fused with embedding-cosine rank by reciprocal-rank fusion
     "hybrid_search" -> ((s, d) =>
@@ -584,6 +598,7 @@ ORDER BY event_id"""
     "quality_sweep" -> TextAnalysis.qualitySweepOracle,
     "fingerprint" -> TextAnalysis.fingerprintOracle,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracle,
+    "winnow_density" -> TextAnalysis.winnowDensityOracle,
     "winnow_fingerprints_expr" -> TextAnalysis.winnowFingerprintsOracle,
     "winnow_overlap" -> TextAnalysis.winnowOverlapOracle,
     "winnow_overlap_incr" -> TextAnalysis.winnowOverlapIncrementalOracle,
@@ -599,10 +614,12 @@ ORDER BY event_id"""
     "ann_filtered" -> Embeddings.annFilteredOracle,
     "pack_stats" -> Sampling.packStatsOracle,
     "seq_pack" -> Sampling.seqPackOracle,
+    "pack_padding_sweep" -> Sampling.packPaddingSweepOracle,
     "source_mix" -> Sampling.sourceMixOracle,
     "source_lang_mix" -> Sampling.sourceLangMixOracle,
     "mix_resample" -> Sampling.mixResampleOracle,
     "mix_temperature" -> Sampling.mixTemperatureOracle,
+    "mix_epochs" -> Sampling.mixEpochsOracle,
     "pii_scrub" -> TextAnalysis.piiScrubOracle,
     "chunk_passages" -> TextAnalysis.chunkPassagesOracle,
     "passage_dedup" -> TextAnalysis.passageDedupOracle,
@@ -621,10 +638,12 @@ ORDER BY event_id"""
     "pmi_terms" -> TextAnalysis.pmiTermsOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
+    "signal_correlations" -> TextAnalysis.signalCorrelationsOracle,
     "quality_rules" -> TextAnalysis.qualityRulesOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
+    "contamination_source_rates" -> Decontamination.contaminationSourceRatesOracle,
     "contamination_normalized" -> Decontamination.benchmarkOverlapNormalizedOracle,
     "contamination_minhash" -> Decontamination.contaminationMinhashOracle,
     "pii_source_rates" -> TextAnalysis.piiSourceRatesOracle,
@@ -645,6 +664,7 @@ ORDER BY event_id"""
     "cdc_chunk_dedup_expr" -> Dedup.cdcChunkDedupOracle,
     "boilerplate_chunks" -> Dedup.boilerplateChunksOracle,
     "cdc_chunk_trim" -> Dedup.cdcChunkTrimOracle,
+    "cdc_chunk_size_hist" -> Dedup.cdcChunkSizeHistOracle,
     "cdc_chunk_dedup_incr" -> Dedup.cdcChunkDedupIncrementalOracle,
     "cdc_chunk_dedup_incr_store" -> Dedup.cdcChunkDedupIncrementalOracle,
     "minhash_calibration" -> Dedup.minhashCalibrationOracle,
@@ -699,11 +719,13 @@ ORDER BY event_id"""
     "drop_provenance" -> Dedup.dropProvenanceOracle,
     "minhash_band_sweep" -> Dedup.minhashBandSweepOracle,
     "minhash_recall_sample" -> Dedup.minhashRecallSampleOracle,
+    "simhash_recall_sample" -> Dedup.simhashRecallSampleOracle,
     "media_qa" -> Multimodal.mediaQaOracle,
     "sentence_dedup" -> TextAnalysis.sentenceDedupOracle,
     "dedup_transitivity" -> Dedup.dedupTransitivityOracle,
     "cluster_source_mix" -> Clustering.clusterSourceMixOracle,
     "event_rate_anomalies" -> Trends.eventRateAnomaliesOracle,
+    "event_mix_drift" -> Trends.eventMixDriftOracle,
     "ann_recall_sweep" -> Embeddings.annRecallSweepOracle,
     "snapshot_diff" -> Dedup.snapshotDiffOracle,
     "ann_rerank" -> Embeddings.annRerankOracle,
@@ -729,6 +751,7 @@ ORDER BY event_id"""
     "split_leakage" -> Sampling.splitLeakageOracle,
     "cluster_split" -> Sampling.clusterSplitOracle,
     "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
+    "emb_norm_quantiles" -> Embeddings.embNormQuantilesOracle,
     "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
     "ann_pq" -> Embeddings.annPqOracle,
     "pq_distortion" -> Embeddings.pqDistortionOracle,
@@ -739,6 +762,7 @@ ORDER BY event_id"""
     "ann_recall" -> Embeddings.annRecallOracle,
     "matryoshka_recall" -> Embeddings.matryoshkaRecallOracle,
     "bq_recall" -> Embeddings.bqRecallOracle,
+    "int8_recall" -> Embeddings.int8RecallOracle,
     "hybrid_search" -> Embeddings.hybridSearchOracle,
     "multimodal_features" -> Multimodal.multimodalFeaturesOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,

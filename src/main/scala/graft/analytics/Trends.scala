@@ -339,6 +339,91 @@ SELECT CAST(hour_id AS BIGINT) AS hour_id, n_events, n_prior,
              THEN 1 ELSE 0 END AS BIGINT) AS is_spike
 FROM win ORDER BY hour_id"""
 
+  /** Event-TYPE-mix drift, day over day — the composition alarm next
+   *  to [[eventRateAnomalies]]' volume alarm: a fleet whose emitter
+   *  changed (a Spark upgrade adding listener events, a stuck stage
+   *  flooding TaskEnd, a listener dropping a type) can keep a flat
+   *  total rate while its event-type MIX shifts, which is exactly
+   *  what a downstream parser breaks on. Per consecutive calendar-day
+   *  pair: the total-variation distance between the two days'
+   *  event-type share distributions (shares in integer ppm —
+   *  `cnt · 1e6 div day_total` — so the L1 sum is exact under any
+   *  aggregation order; TVD = L1/2 surfaces as an r4 double), the
+   *  count of types that appeared/disappeared, and a shift flag at
+   *  TVD > 0.05 (the alarm default a deployment tunes).
+   *
+   *  Shape: the corpus collapses to the (day, type) aggregate FIRST
+   *  (map-side combine); the share window, day-pair lag, and the
+   *  |days|×|types| comparison grid all run over that bounded frame
+   *  — nothing downstream of the first groupBy touches corpus
+   *  cardinality. */
+  def eventMixDrift(canon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shares = canon
+      .groupBy(col("event_date").as("date"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("day_total", sum("cnt").over(Window.partitionBy("date")))
+      .withColumn("share_ppm", expr("cnt * 1000000 div day_total"))
+      .select("date", "event_type", "share_ppm")
+    val pairs = shares.select("date").distinct()
+      .withColumn("prev_date", lag("date", 1).over(Window.orderBy("date")))
+      .filter(col("prev_date").isNotNull)
+    val grid = pairs.crossJoin(
+      broadcast(shares.select("event_type").distinct()))
+    grid
+      .join(shares.select(col("date"), col("event_type"),
+        col("share_ppm").as("cur_ppm")), Seq("date", "event_type"), "left")
+      .join(shares.select(col("date").as("prev_date"), col("event_type"),
+        col("share_ppm").as("prev_ppm")), Seq("prev_date", "event_type"), "left")
+      .groupBy("date", "prev_date")
+      .agg(
+        sum(abs(coalesce(col("cur_ppm"), lit(0L))
+          - coalesce(col("prev_ppm"), lit(0L)))).as("l1_ppm"),
+        sum(when(col("cur_ppm").isNotNull && col("prev_ppm").isNull, 1L)
+          .otherwise(0L)).as("n_types_added"),
+        sum(when(col("prev_ppm").isNotNull && col("cur_ppm").isNull, 1L)
+          .otherwise(0L)).as("n_types_dropped"))
+      .select(col("date"), col("prev_date"), col("l1_ppm"),
+        r4(col("l1_ppm") / lit(2000000.0)).as("tvd"),
+        col("n_types_added"), col("n_types_dropped"),
+        when(col("l1_ppm") > 100000L, 1L).otherwise(0L).as("is_shift"))
+      .orderBy("date")
+  }
+
+  val eventMixDriftOracle: String = canonCte + """
+, daily AS (
+  SELECT event_date AS date, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM canon GROUP BY event_date, event_type),
+shares AS (
+  SELECT date, event_type,
+         CAST(cnt * 1000000 // (SUM(cnt) OVER (PARTITION BY date)) AS BIGINT) AS share_ppm
+  FROM daily),
+pairs AS (
+  SELECT date, prev_date FROM (
+    SELECT date, LAG(date) OVER (ORDER BY date) AS prev_date
+    FROM (SELECT DISTINCT date FROM shares))
+  WHERE prev_date IS NOT NULL),
+grid AS (
+  SELECT p.date, p.prev_date, t.event_type
+  FROM pairs p CROSS JOIN (SELECT DISTINCT event_type FROM shares) t),
+j AS (
+  SELECT g.date, g.prev_date,
+         c.share_ppm AS cur_ppm, pv.share_ppm AS prev_ppm
+  FROM grid g
+  LEFT JOIN shares c ON c.date = g.date AND c.event_type = g.event_type
+  LEFT JOIN shares pv ON pv.date = g.prev_date AND pv.event_type = g.event_type)
+SELECT date, prev_date,
+       CAST(SUM(ABS(COALESCE(cur_ppm, 0) - COALESCE(prev_ppm, 0))) AS BIGINT) AS l1_ppm,
+       FLOOR((SUM(ABS(COALESCE(cur_ppm, 0) - COALESCE(prev_ppm, 0))) / 2000000.0)
+             * 10000.0 + 0.5) / 10000.0 AS tvd,
+       CAST(SUM(CASE WHEN cur_ppm IS NOT NULL AND prev_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_added,
+       CAST(SUM(CASE WHEN prev_ppm IS NOT NULL AND cur_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_dropped,
+       CAST(CASE WHEN SUM(ABS(COALESCE(cur_ppm, 0) - COALESCE(prev_ppm, 0))) > 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_shift
+FROM j
+GROUP BY date, prev_date
+ORDER BY date"""
+
   val usageHeatmapOracle: String = canonCte + """
 , g AS (
   SELECT (event_time_us // 86400000000 + 4) % 7 AS dow,

@@ -165,4 +165,68 @@ SELECT i.doc_id, i.bench_id, i.inter_n, z.bench_n,
 FROM inter i JOIN bsz z ON i.bench_id = z.bench_id
 WHERE i.inter_n * 1.0 / z.bench_n >= 0.3
 ORDER BY i.doc_id, i.bench_id"""
+
+  /** Per-SOURCE contamination incidence — the triage table that turns
+   *  [[benchmarkOverlap]]'s pair list into an ingest decision: which
+   *  FEEDS carry eval leakage, at what doc and token rate (the
+   *  [[graft.pipeline.TextAnalysis]] `pii_source_rates` discipline
+   *  applied to decontamination). A source at 10× the fleet's flag
+   *  rate is usually a scraped eval mirror or a paste site — cheaper
+   *  to drop or re-crawl the source than to per-doc-filter it
+   *  forever. Rides the exact-containment gate verbatim (same
+   *  broadcast-benchmark shape — no new corpus shuffle beyond the one
+   *  flagged-id semi-join); per source: docs, flagged docs, token
+   *  mass, flagged token mass, and both rates. */
+  def contaminationSourceRates(docs: DataFrame, bench: DataFrame,
+                               minOverlap: Double = 0.3): DataFrame = {
+    val flagged = benchmarkOverlap(docs, bench, minOverlap)
+      .select("doc_id").distinct()
+      .withColumn("flagged", lit(1L))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("flagged", coalesce(col("flagged"), lit(0L)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("flagged").as("n_flagged"),
+        sum("n_tok").as("n_tokens"),
+        sum(col("n_tok") * col("flagged")).as("tokens_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        r4(col("n_flagged") * lit(1.0) / col("n_docs")).as("flagged_rate"),
+        col("n_tokens"), col("tokens_flagged"),
+        r4(col("tokens_flagged") * lit(1.0) / col("n_tokens"))
+          .as("token_rate"))
+      .orderBy("source")
+  }
+
+  /** [[benchmarkOverlapOracle]]'s bsh/bsz/inter chain, collapsed to
+   *  the distinct flagged-id set and rolled up per source. */
+  val contaminationSourceRatesOracle: String =
+    "WITH " + Dedup.shinglesCte.trim + """,
+bsh AS (SELECT doc_id AS bench_id, gram FROM shingle WHERE doc_id % 20 = 0),
+bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_n FROM bsh GROUP BY bench_id),
+inter AS (
+  SELECT s.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM shingle s JOIN bsh b ON s.gram = b.gram AND s.doc_id <> b.bench_id
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id, b.bench_id),
+flagged AS (
+  SELECT DISTINCT i.doc_id
+  FROM inter i JOIN bsz z ON i.bench_id = z.bench_id
+  WHERE i.inter_n * 1.0 / z.bench_n >= 0.3),
+cand AS (
+  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS flagged
+  FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+  WHERE d.doc_id % 20 <> 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       FLOOR((SUM(flagged) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS flagged_rate,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tok * flagged) AS BIGINT) AS tokens_flagged,
+       FLOOR((SUM(n_tok * flagged) * 1.0 / SUM(n_tok)) * 10000.0 + 0.5) / 10000.0 AS token_rate
+FROM cand
+GROUP BY source
+ORDER BY source"""
 }

@@ -2729,7 +2729,12 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  `candPred` injects an extra candidate predicate (the incremental
    *  oracle's batch restriction) into the SAME chain, so the full-run
    *  and incremental oracles can never drift. */
-  private def simhashTailSqlWith(candPred: String): String = s"""
+  /** The fingerprint + band CTE prefix (bits → persum → fp → nib)
+   *  over a `shid(doc_id, gid)` table — shared by every 32-bit simhash
+   *  oracle tail AND [[simhashRecallSampleOracle]] (which swaps in its
+   *  own truth/cands tail), so the vote/fingerprint/banding SQL can
+   *  never drift between the dedup and calibration oracles. */
+  private val simhashFpNibSql: String = s"""
 bits AS (
   SELECT b, 37 + 101 * b AS a, 17 + 257 * b AS c
   FROM (SELECT unnest(range(0, 32)) AS b)),
@@ -2744,7 +2749,10 @@ fp AS (
   FROM persum GROUP BY doc_id),
 nib AS (
   SELECT doc_id, fp, bd.band, (fp >> (8 * bd.band)) & 255 AS nib
-  FROM fp, (SELECT unnest(range(0, 4)) AS band) bd),
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) bd)"""
+
+  private def simhashTailSqlWith(candPred: String): String =
+    simhashFpNibSql + s""",
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.fp AS fp_a, b.fp AS fp_b
@@ -2826,6 +2834,80 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
   val dedupSimhashFastOracle: String =
     "WITH RECURSIVE " + shinglesCte.trim + "," + polyShidCte + "," +
       simhashTailSql
+
+  /** Empirical SimHash banding recall by TRUE hamming distance — the
+   *  simhash analogue of [[minhashRecallSample]] (that one resolves
+   *  missed pairs by true Jaccard; this one by true fingerprint
+   *  distance): on the same fixed-size block-stride doc sample,
+   *  ground truth = every within-sample pair at hamming ≤
+   *  `maxHamming` over the shipped 32-bit fingerprints, candidates =
+   *  the shipped 4×8-bit banding over the same sample, recall per
+   *  exact hamming value. Rows 0..3 are the pigeonhole GUARANTEE
+   *  (4 bands are exact for hamming ≤ 3 — recall 1.0 is a standing
+   *  tripwire for the banding arithmetic); rows 4+ are the measured
+   *  S-curve tail the guarantee says nothing about — how often a
+   *  4-to-`maxHamming`-bit neighbor still collides in some band,
+   *  which is what a deployment loosening `maxHamming` above 3
+   *  actually buys without re-banding.
+   *
+   *  Truth cost contract = [[minhashRecallSample]]'s: one corpus
+   *  count derives stride k = ceil(N/sampleSize), the sample is a
+   *  FIXED ABSOLUTE size at any corpus scale, and the all-pairs
+   *  hamming pass is O(sampleSize²) over an 8-byte-per-doc frame (the
+   *  ~sample-row fingerprint side broadcasts; never a corpus
+   *  self-join). */
+  def simhashRecallSample(docs: DataFrame, sampleSize: Long = 2000L,
+                          maxHamming: Int = 12,
+                          runLen: Long = 50L): DataFrame = {
+    val n = docs.count()
+    val k = math.max(1L, (n + sampleSize - 1L) / sampleSize)
+    val sample = docs.filter(expr(s"(doc_id div $runLen) % $k") === 0L)
+    val fp = simhashFingerprints(sample).cache()
+    val truth = fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      .crossJoin(broadcast(
+        fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val cands = saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"),
+        "doc_id")
+      .withColumn("hit", lit(1L))
+    val out = truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("hamming"), col("n_true"), col("n_hit"),
+        r4(col("n_hit") * lit(1.0) / col("n_true")).as("recall"))
+      .orderBy("hamming")
+      .localCheckpoint()
+    fp.unpersist()
+    out
+  }
+
+  /** Shares the stride rule with [[minhashRecallSampleOracle]] and the
+   *  whole fingerprint/banding chain with the dedup oracles
+   *  ([[simhashFpNibSql]] verbatim over the sample-restricted shid). */
+  lazy val simhashRecallSampleOracle: String = "WITH " + shinglesCte + """,
+stride AS (SELECT GREATEST((COUNT(*) + 1999) // 2000, 1) AS k FROM documents),
+shid AS (SELECT s.doc_id, """ + gramIdSql + """ AS gid FROM shingle s
+         WHERE (s.doc_id // 50) % (SELECT k FROM stride) = 0),""" +
+    simhashFpNibSql + """,
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM nib a JOIN nib b
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+SELECT t.hamming, CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       FLOOR((SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS recall
+FROM truth t
+LEFT JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY t.hamming ORDER BY t.hamming"""
 
   /** Bloom-filter geometry for [[dedupExactIncremental]]. 2^20 bits =
    *  16 Ki 64-bit words (128 KiB broadcast); 5 probes give fp ~0.01 at
@@ -3551,6 +3633,58 @@ SELECT doc_id, n_chunks, n_tokens, trimmed_chunks, trimmed_tokens,
        FLOOR(((n_tokens - trimmed_tokens) * 1.0 / n_tokens) * 10000.0 + 0.5)
          / 10000.0 AS kept_ratio
 FROM per ORDER BY doc_id"""
+
+  /** CDC chunk-SIZE spectrum — "measure, don't guess" for the
+   *  gear-cut geometry itself (the discipline [[bloomFpCalibration]]
+   *  applies to the bloom and `minhash_calibration` to the sketch):
+   *  the cut rule `poly_hash(word) % avgChunk == 0` PROMISES
+   *  geometric chunk lengths with mean ≈ avgChunk, and every CDC
+   *  consumer (dedup ledger, boilerplate ranking, snapshot diff,
+   *  streaming store) inherits whatever the corpus's actual hash
+   *  behavior delivers. Per floor(log2(len)) bucket: chunk count,
+   *  token mass, shares of both — a spectrum skewed off geometric
+   *  means the word distribution is gaming the cut rule (e.g. one
+   *  hot boilerplate token that always/never cuts) and avgChunk
+   *  needs re-tuning before the chunk stores are sized. Integer log2
+   *  via `length(bin(len)) - 1` ([[gramDfSpectrum]]'s bucket rule).
+   *
+   *  Scale shape: chunks come off the native `cdc_chunks` expression
+   *  (one in-row loop, no exchange), collapse map-side to ~log2(max
+   *  len) buckets; the totals join is a 1-row broadcast. */
+  def cdcChunkSizeHist(docs: DataFrame, avgChunk: Int = 8): DataFrame = {
+    val occ = cdcOccurrencesExpr(docs.select("doc_id", "text"), avgChunk, Nil)
+    val buckets = occ
+      .select((length(expr("bin(len)")) - 1).cast("long").as("len_bucket"),
+        col("len"))
+      .groupBy("len_bucket").agg(
+        count(lit(1)).as("n_chunks"), sum("len").as("n_tokens"))
+    val totals = buckets.agg(sum("n_chunks").as("chunks_total"),
+      sum("n_tokens").as("tok_total"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("len_bucket"), col("n_chunks"), col("n_tokens"),
+        r4(col("n_chunks") * lit(1.0) / col("chunks_total")).as("chunk_share"),
+        r4(col("n_tokens") * lit(1.0) / col("tok_total")).as("token_share"))
+      .orderBy("len_bucket")
+  }
+
+  /** Rides [[cdcOccCteSql]] — the one SQL chunk-chain definition —
+   *  with [[gramDfSpectrum]]'s bucket/totals tail. */
+  lazy val cdcChunkSizeHistOracle: String = "WITH RECURSIVE " +
+    cdcOccCteSql + """,
+buckets AS (
+  SELECT CAST(len(bin(len)) - 1 AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(len) AS BIGINT) AS n_tokens
+  FROM occ GROUP BY len(bin(len)) - 1),
+totals AS (
+  SELECT CAST(SUM(n_chunks) AS BIGINT) AS chunks_total,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+  FROM buckets)
+SELECT b.len_bucket, b.n_chunks, b.n_tokens,
+       FLOOR((b.n_chunks * 1.0 / t.chunks_total) * 10000.0 + 0.5) / 10000.0 AS chunk_share,
+       FLOOR((b.n_tokens * 1.0 / t.tok_total) * 10000.0 + 0.5) / 10000.0 AS token_share
+FROM buckets b CROSS JOIN totals t
+ORDER BY b.len_bucket"""
 
   /** Chunk-level SNAPSHOT DIFF — [[snapshotDiff]]'s crawl-refresh
    *  ledger at TRANSFER granularity: of the tokens in the docs ADDED

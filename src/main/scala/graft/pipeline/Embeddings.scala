@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.HistogramRank
 import graft.util.Round.r4
 
 /**
@@ -2020,6 +2021,69 @@ FROM j
 GROUP BY source
 ORDER BY source"""
 
+  /** Per-label embedding-NORM profile — the degenerate-vector QA gate
+   *  an embedding store runs before trusting cosine anywhere: a
+   *  near-zero norm is a failed/empty encode (its cosine is noise or
+   *  pinned 0 by the zero-norm CASE every operator carries), a
+   *  far-tail norm is a scaling bug, and a label whose norm band
+   *  shifted is a re-encoded shard mixed into an old index
+   *  ([[embeddingCoverage]] says vectors EXIST; this says they're
+   *  usable). Norms in exact integer milli-units
+   *  (`floor(sqrt(nq))` — nq is the exact quantized squared norm,
+   *  IEEE sqrt of an exactly-representable integer floors identically
+   *  on both engines), quantiles by the [[HistogramRank]] discipline:
+   *  the corpus collapses to a per-(label, norm) histogram FIRST, the
+   *  rank windows run over that bounded frame only — never a
+   *  corpus-cardinality sort. */
+  def embNormQuantiles(emb: DataFrame): DataFrame = {
+    val t = quantized(emb)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .select(col("label"),
+        floor(sqrt(col("nq"))).cast("long").as("norm_milli"))
+    val hist = t.groupBy("label", "norm_milli").agg(count(lit(1)).as("cnt"))
+    val cum = HistogramRank.cumulate(hist, Seq("label"), "norm_milli")
+    def at(p: Double) = HistogramRank.at("norm_milli", p)
+    cum.groupBy("label").agg(
+      max("n").as("n_vectors"),
+      sum(when(col("norm_milli") === 0L, col("cnt")).otherwise(0L))
+        .as("n_zero"),
+      min("norm_milli").as("min_norm_milli"),
+      at(0.25).as("p25_norm_milli"),
+      at(0.5).as("p50_norm_milli"),
+      at(0.75).as("p75_norm_milli"),
+      max("norm_milli").as("max_norm_milli"))
+      .orderBy("label")
+  }
+
+  /** Shares the qv/nr quantization CTEs with [[annTopKOracle]] and the
+   *  cum/pick builders with every histogram-rank oracle. */
+  lazy val embNormQuantilesOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+t AS (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CAST(FLOOR(sqrt(n.nq)) AS BIGINT) AS norm_milli
+  FROM nr n JOIN embeddings e ON n.vec_id = e.vec_id),
+hist AS (
+  SELECT label, norm_milli, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY label, norm_milli),
+""" + HistogramRank.cumCteSql("hist", Seq("label"), "norm_milli") + s"""
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN norm_milli = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_zero,
+       MIN(norm_milli) AS min_norm_milli,
+       ${HistogramRank.pickSql("norm_milli", 0.25, "p25_norm_milli")},
+       ${HistogramRank.pickSql("norm_milli", 0.5, "p50_norm_milli")},
+       ${HistogramRank.pickSql("norm_milli", 0.75, "p75_norm_milli")},
+       MAX(norm_milli) AS max_norm_milli
+FROM cum
+GROUP BY label
+ORDER BY label"""
+
   /** Cross-modal consistency check: every verified lexical near-dup
    *  pair ([[Dedup.dedupNgram]]'s output, verbatim) next to the
    *  embedding cosine of the same two documents, plus the gap — the
@@ -3594,4 +3658,148 @@ SELECT CAST(h.s AS BIGINT) AS shortlist, h.n_hits, tn.n_truth,
        FLOOR((h.n_hits * 1.0 / tn.n_truth) * 10000.0 + 0.5) / 10000.0 AS recall
 FROM hits h CROSS JOIN tn
 ORDER BY shortlist"""
+
+  /** INT8 serving-path recall — the missing gauge of the compression
+   *  family: `int8_distortion` audits how much cosine GEOMETRY the
+   *  per-vector symmetric int8 codec keeps; this measures what that
+   *  distortion costs where it matters, recall@k of the int8-ranked
+   *  top-k against the exact top-k ([[pqRecall]] prices the PQ codec,
+   *  [[bqRecall]] the 1-bit codec, [[matryoshkaRecall]] dimension
+   *  truncation — int8 is the 4×-smaller full-scan mode every serving
+   *  stack tries first). Quantization rule is [[int8Distortion]]'s
+   *  verbatim: `q8_i = FLOOR(q_i * 127 / max|q| + 0.5)` over the
+   *  milli-quantized ints, zero vectors stay zero. Per-vector scales
+   *  cancel in cosine, so int8 ranking is `dot8 / (sqrt(nq8_a) *
+   *  sqrt(nq8_b))` — exact integer dots through IEEE sqrt/div, id
+   *  tie-breaks, the family's determinism contract.
+   *
+   *  Scale shape: the int8 frame is a pure projection over the
+   *  quantized index; ranking is one broadcast-query corpus scan
+   *  (in-row `qdot`, no candidate blowup, the [[annTopK]] baseline
+   *  plan); the per-k rollup collapses to |ks| rows. Corpus is never
+   *  self-joined. */
+  def int8Recall(emb: DataFrame, queries: DataFrame,
+                 ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val kmax = ks.max
+    def toInt8(df: DataFrame): DataFrame = quantized(df)
+      .withColumn("mabs",
+        expr("aggregate(qarr, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("q8",
+        expr("transform(qarr, x -> CASE WHEN mabs = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(FLOOR(x * 127.0 / mabs + 0.5) AS BIGINT) END)"))
+      .withColumn("nq8", expr("qdot(q8, q8)"))
+      .select("vec_id", "q8", "nq8")
+    val apx = toInt8(emb)
+      .crossJoin(broadcast(toInt8(queries).select(
+        col("vec_id").as("query_id"),
+        col("q8").as("q8_q"), col("nq8").as("nq8_q"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos8",
+        when(col("nq8") * col("nq8_q") === 0L, lit(0.0))
+          .otherwise(expr("qdot(q8, q8_q)")
+            / (sqrt(col("nq8")) * sqrt(col("nq8_q")))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos8").desc, col("vec_id"))))
+      .filter(col("rk") <= kmax)
+      .select("query_id", "vec_id", "rk")
+      .cache()
+    val truth = annTopK(emb, queries, kmax)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .cache()
+    val perK = ks.map { k =>
+      val tn = truth.filter(col("rank") <= k)
+        .agg(count(lit(1)).as("n_truth"))
+      apx.filter(col("rk") <= k)
+        .join(truth.filter(col("rank") <= k),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(k.toLong).as("k"), col("n_hits"))
+        .crossJoin(broadcast(tn))
+    }.reduce(_.unionByName(_))
+    val lazyPins = emb.sparkSession
+      .conf.get("graft.pin.results", "true") == "false"
+    val composed = perK
+      .select(col("k"), col("n_hits"), col("n_truth"),
+        r4(col("n_hits") * lit(1.0) / col("n_truth")).as("recall"))
+      .orderBy("k")
+    if (lazyPins) composed // plan-audit seam: keep the composed shape
+    else {
+      val out = composed.localCheckpoint() // |ks| rows
+      apx.unpersist()
+      truth.unpersist()
+      out
+    }
+  }
+
+  /** Shares the qv/nr milli-quantization CTEs with [[annTopKOracle]];
+   *  the int8 rule mirrors [[int8DistortionOracle]]'s q8 CTE verbatim;
+   *  per-k counting via the cfg LEFT JOIN (zero-hit k keeps its row,
+   *  the [[bqRecallOracle]] discipline). */
+  lazy val int8RecallOracle: String = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+qv AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, dims),
+nr AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM qv GROUP BY vec_id),
+vm AS (SELECT vec_id, CAST(MAX(ABS(q)) AS BIGINT) AS mabs FROM qv GROUP BY vec_id),
+q8 AS (
+  SELECT v.vec_id, v.i,
+         CASE WHEN m.mabs = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(v.q * 127.0 / m.mabs + 0.5) AS BIGINT) END AS q8
+  FROM qv v JOIN vm m ON v.vec_id = m.vec_id),
+n8 AS (SELECT vec_id, CAST(SUM(q8 * q8) AS BIGINT) AS nq8 FROM q8 GROUP BY vec_id),
+q8q AS (SELECT vec_id AS query_id, i, q8 AS q8_q FROM q8
+        WHERE vec_id % 100 = 0 AND vec_id < 2000),
+d8 AS (
+  SELECT qs.query_id, v.vec_id, CAST(SUM(qs.q8_q * v.q8) AS BIGINT) AS dot8
+  FROM q8q qs JOIN q8 v ON qs.i = v.i
+  WHERE qs.query_id <> v.vec_id
+  GROUP BY qs.query_id, v.vec_id),
+s8 AS (
+  SELECT d.query_id, d.vec_id,
+         CASE WHEN na.nq8 * nb.nq8 = 0 THEN 0.0
+              ELSE d.dot8 / (sqrt(na.nq8) * sqrt(nb.nq8)) END AS cos8
+  FROM d8 d
+  JOIN n8 na ON na.vec_id = d.query_id
+  JOIN n8 nb ON nb.vec_id = d.vec_id),
+r8 AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos8 DESC, vec_id) AS rk
+  FROM s8),
+tdots AS (
+  SELECT qs.query_id, v.vec_id, CAST(SUM(qs.qq * v.q) AS BIGINT) AS dot
+  FROM (SELECT vec_id AS query_id, i, q AS qq FROM qv
+        WHERE vec_id % 100 = 0 AND vec_id < 2000) qs
+  JOIN qv v ON qs.i = v.i
+  WHERE qs.query_id <> v.vec_id
+  GROUP BY qs.query_id, v.vec_id),
+tsims AS (
+  SELECT d.query_id, d.vec_id, d.dot / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine
+  FROM tdots d
+  JOIN nr na ON na.vec_id = d.query_id
+  JOIN nr nb ON nb.vec_id = d.vec_id),
+tr AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM tsims),
+cfg AS (SELECT unnest([1, 5, 10]) AS k),
+approx AS (SELECT c.k, r.query_id, r.vec_id FROM r8 r
+           CROSS JOIN cfg c WHERE r.rk <= c.k),
+truth AS (SELECT c.k, t.query_id, t.vec_id FROM tr t
+          CROSS JOIN cfg c WHERE t.rk <= c.k),
+tn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY k),
+hitrows AS (
+  SELECT a.k
+  FROM approx a JOIN truth t
+    ON a.k = t.k AND a.query_id = t.query_id AND a.vec_id = t.vec_id),
+hits AS (
+  SELECT c.k, CAST(COUNT(h.k) AS BIGINT) AS n_hits
+  FROM cfg c LEFT JOIN hitrows h ON h.k = c.k
+  GROUP BY c.k)
+SELECT CAST(h.k AS BIGINT) AS k, h.n_hits, tn.n_truth,
+       FLOOR((h.n_hits * 1.0 / tn.n_truth) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM hits h JOIN tn ON tn.k = h.k
+ORDER BY k"""
 }

@@ -242,6 +242,86 @@ FROM e
 GROUP BY writer, seq_idx
 ORDER BY writer, seq_idx"""
 
+  /** Context-length packing-efficiency sweep — the planning table
+   *  behind the [[seqPack]] vs pad-per-document layout choice: for
+   *  each candidate context length, what the PADDED layout (one doc
+   *  per sequence, pad short docs to L, truncate long ones — the SFT
+   *  default) wastes in pad/truncated tokens, against what the PACKED
+   *  concat-and-chunk layout ([[seqPack]]'s discipline, same 8 writer
+   *  lanes) wastes (only each lane's last window is partial). The
+   *  utilization gap per L is the direct "tokens paid vs tokens
+   *  trained on" cost of keeping document isolation, and the
+   *  truncation column says what long-document mass a short L
+   *  silently drops — the two numbers that pick a context length
+   *  before a run.
+   *
+   *  All integer: per-doc token counts, LEAST/GREATEST splits, packed
+   *  sequence counts as per-lane ceil division `(lane + L - 1) div L`.
+   *  Scale shape: one corpus pass partial-aggregated map-side onto the
+   *  |grid|-row broadcast cross (4N intermediate rows collapse in the
+   *  combiner); the packed side aggregates the 8-row lane frame. */
+  def packPaddingSweep(docs: DataFrame,
+                       seqLens: Seq[Int] = Seq(128, 256, 512, 1024),
+                       writers: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grid = seqLens.map(_.toLong).toDF("seq_len")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % writers).as("writer"))
+    val padded = toks.crossJoin(broadcast(grid))
+      .groupBy("seq_len").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        sum(least(col("n_tok"), col("seq_len"))).as("kept_tokens"),
+        sum(greatest(lit(0L), col("seq_len") - col("n_tok")))
+          .as("padded_pad_tokens"),
+        sum(greatest(lit(0L), col("n_tok") - col("seq_len")))
+          .as("padded_trunc_tokens"))
+    val packed = toks.groupBy("writer").agg(sum("n_tok").as("lane_tokens"))
+      .crossJoin(broadcast(grid))
+      .groupBy("seq_len").agg(
+        sum(expr("(lane_tokens + seq_len - 1) div seq_len")).as("packed_seqs"))
+    padded.join(packed, "seq_len")
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("padded_pad_tokens"), col("padded_trunc_tokens"),
+        r4(col("kept_tokens") * lit(1.0) / (col("n_docs") * col("seq_len")))
+          .as("padded_util"),
+        col("packed_seqs"),
+        (col("packed_seqs") * col("seq_len") - col("total_tokens"))
+          .as("packed_pad_tokens"),
+        r4(col("total_tokens") * lit(1.0)
+          / (col("packed_seqs") * col("seq_len"))).as("packed_util"))
+      .orderBy("seq_len")
+  }
+
+  /** Rides [[shardPackCte]]'s `t` (same writer hash and token count —
+   *  one lane definition across the packing family). */
+  val packPaddingSweepOracle: String = "WITH " + shardPackCte.trim + """,
+grid(seq_len) AS (VALUES (CAST(128 AS BIGINT)), (CAST(256 AS BIGINT)),
+                         (CAST(512 AS BIGINT)), (CAST(1024 AS BIGINT))),
+padded AS (
+  SELECT g.seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(LEAST(n_tok, g.seq_len)) AS BIGINT) AS kept_tokens,
+         CAST(SUM(GREATEST(0, g.seq_len - n_tok)) AS BIGINT) AS padded_pad_tokens,
+         CAST(SUM(GREATEST(0, n_tok - g.seq_len)) AS BIGINT) AS padded_trunc_tokens
+  FROM t CROSS JOIN grid g GROUP BY g.seq_len),
+lanes AS (SELECT writer, CAST(SUM(n_tok) AS BIGINT) AS lane_tokens FROM t GROUP BY writer),
+pk AS (
+  SELECT g.seq_len,
+         CAST(SUM((lane_tokens + g.seq_len - 1) // g.seq_len) AS BIGINT) AS packed_seqs
+  FROM lanes CROSS JOIN grid g GROUP BY g.seq_len)
+SELECT p.seq_len, p.n_docs, p.total_tokens, p.padded_pad_tokens, p.padded_trunc_tokens,
+       FLOOR((p.kept_tokens * 1.0 / (p.n_docs * p.seq_len)) * 10000.0 + 0.5) / 10000.0 AS padded_util,
+       k.packed_seqs,
+       k.packed_seqs * p.seq_len - p.total_tokens AS packed_pad_tokens,
+       FLOOR((p.total_tokens * 1.0 / (k.packed_seqs * p.seq_len)) * 10000.0 + 0.5) / 10000.0 AS packed_util
+FROM padded p JOIN pk k ON p.seq_len = k.seq_len
+ORDER BY p.seq_len"""
+
   /** Per-source mixture accounting + uniform-mixture resampling
    *  weights — the "data mixing" step of a pre-training pipeline:
    *  what fraction of tokens each source contributes and the weight
@@ -461,6 +541,91 @@ SELECT source, n_docs, n_tokens,
        FLOOR((w6 * 1.0 * total_tokens / (w6_sum * 1.0 * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS boost
 FROM n
 ORDER BY source"""
+
+  /** Data-constrained mixture EPOCH ledger (Muennighoff et al. 2023,
+   *  arXiv:2305.16264 "Scaling Data-Constrained Language Models" — the
+   *  repeat-data regime): [[mixTemperature]] says what FRACTION each
+   *  source should contribute; this prices what that recipe costs in
+   *  repetition when the training token budget exceeds the corpus.
+   *  For each budget multiple `x` (budget = x × corpus tokens) and
+   *  source: tokens requested under the α=0.5 temperature weights
+   *  (the SAME 1e-6 fixed-point w6 chain — one weight definition
+   *  across both operators), epochs over the source's available
+   *  tokens, the repeated-token overflow, and the
+   *  `epochs > 4` flag — the published point where repeated data's
+   *  value decays to ~zero, i.e. the sources that cap the usable
+   *  budget under this recipe.
+   *
+   *  Determinism: the w6 weights are the mixTemperature fixed-point
+   *  integers; `tokens_requested` is a FLOOR over one fixed-order
+   *  double chain `((x·total)·1.0·w6)/w6_sum` — x·total stays integer
+   *  (< 2^63 at any corpus), the double steps are IEEE-identical on
+   *  both engines, and every downstream column derives from the
+   *  resulting integer. Scale shape: [[sourceMix]]'s — one map-side
+   *  aggregation to K rows, windows + the |budgets|-row broadcast grid
+   *  over the K-row frame only. */
+  def mixEpochs(docs: DataFrame, budgets: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    val grid = budgets.map(_.toLong).toDF("budget_x")
+    per
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("w6",
+        floor(sqrt(col("n_tokens") * lit(1.0) / col("total_tokens"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("w6_sum", sum("w6").over(all))
+      .crossJoin(broadcast(grid))
+      .withColumn("tokens_requested",
+        floor(col("budget_x") * col("total_tokens") * lit(1.0)
+          * col("w6") / col("w6_sum")).cast("long"))
+      .select(col("budget_x"), col("source"), col("n_tokens"),
+        r4(col("w6") * lit(1.0) / col("w6_sum")).as("sample_prob"),
+        col("tokens_requested"),
+        r4(col("tokens_requested") * lit(1.0) / col("n_tokens")).as("epochs"),
+        greatest(lit(0L), col("tokens_requested") - col("n_tokens"))
+          .as("repeated_tokens"),
+        when(col("tokens_requested") > col("n_tokens") * lit(4L), 1L)
+          .otherwise(0L).as("over_four_epochs"))
+      .orderBy("budget_x", "source")
+  }
+
+  /** Extends [[mixTemperatureOracle]]'s w6 chain with the budget grid;
+   *  the requested-token FLOOR mirrors the Spark double chain's
+   *  left-to-right association term for term. */
+  val mixEpochsOracle: String = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT source, n_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM per),
+w AS (
+  SELECT source, n_tokens, total_tokens,
+         CAST(FLOOR(sqrt(n_tokens * 1.0 / total_tokens) * 1000000.0 + 0.5) AS BIGINT) AS w6
+  FROM tot),
+n AS (
+  SELECT source, n_tokens, total_tokens, w6,
+         CAST(SUM(w6) OVER () AS BIGINT) AS w6_sum
+  FROM w),
+grid(budget_x) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))),
+req AS (
+  SELECT g.budget_x, n.source, n.n_tokens, n.w6, n.w6_sum,
+         CAST(FLOOR(g.budget_x * n.total_tokens * 1.0 * n.w6 / n.w6_sum) AS BIGINT) AS tokens_requested
+  FROM n CROSS JOIN grid g)
+SELECT budget_x, source, n_tokens,
+       FLOOR((w6 * 1.0 / w6_sum) * 10000.0 + 0.5) / 10000.0 AS sample_prob,
+       tokens_requested,
+       FLOOR((tokens_requested * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS epochs,
+       GREATEST(CAST(0 AS BIGINT), tokens_requested - n_tokens) AS repeated_tokens,
+       CAST(CASE WHEN tokens_requested > n_tokens * 4 THEN 1 ELSE 0 END AS BIGINT) AS over_four_epochs
+FROM req
+ORDER BY budget_x, source"""
 
   /** Stratified curation shortlist: the top-k docs PER LANGUAGE by
    *  quality score (ties broken by doc_id) — the "best docs per

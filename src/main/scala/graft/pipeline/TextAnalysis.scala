@@ -508,6 +508,102 @@ SELECT doc_id, n_tok AS n_tokens, n_distinct AS n_distinct_tokens,
 FROM q
 ORDER BY doc_id"""
 
+  /** Pairwise Pearson correlation among the per-doc quality SIGNALS —
+   *  the redundancy audit run before paying for every signal at
+   *  100 TB: two signals correlated at |r| ≈ 1 gate the same
+   *  documents, and the cheaper one wins ([[qualityScore]] mixes
+   *  them; [[dupQualityProfile]]/[[lengthQualityMatrix]] cross ONE
+   *  signal against externals — this crosses the signals against
+   *  each other). Four integer-quantized signals per doc, spellings
+   *  shared with [[qualityScore]]'s q chain: token count, distinct-
+   *  token ratio, stopword ratio, punctuation density (milli units,
+   *  floor division). Pearson from the moment sums: all Σx/Σx²/Σxy
+   *  accumulate as EXACT BIGINTs (signals ≤ 4e3, products ≤ 1.6e7 —
+   *  a corpus needs > 2e12 docs with > 4000 tokens each to overflow,
+   *  past 100 TB), the final `(nΣxy − ΣxΣy)/√(nΣx²−(Σx)²)√(…)` runs
+   *  in DOUBLE on the one-row moment frame (the
+   *  [[graft.analytics.Trends.eventRateAnomalies]] discipline:
+   *  integer aggregation, IEEE-identical scalar tail). Zero-variance
+   *  signals report r = 0.0. ONE map-side-combining aggregation to a
+   *  single moment row; the 6-pair unpivot is driver-free
+   *  projection. */
+  def signalCorrelations(docs: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
+    val stopTok = size(expr(
+      "filter(split(text, ' '), w -> w = 'the' OR w = 'a')")).cast("long")
+    val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
+    val xs = docs.select(
+        nTok.as("n_tok"), nDistinct.as("n_distinct"),
+        stopTok.as("stop_tok"), punct.as("punct"), col("n_chars"))
+      .filter(col("n_tok") >= 1L)
+      .select(
+        col("n_tok").as("x1"),
+        expr("n_distinct * 1000 div n_tok").as("x2"),
+        expr("stop_tok * 1000 div n_tok").as("x3"),
+        expr("punct * 1000 div greatest(n_chars, 1)").as("x4"))
+    val names = Seq("len_tok", "distinct_milli", "stop_milli", "punct_milli")
+    val idx = 1 to 4
+    val moments = xs.agg(
+      count(lit(1)).as("n"),
+      (idx.map(i => sum(col(s"x$i")).as(s"s$i")) ++
+        idx.map(i => sum(col(s"x$i") * col(s"x$i")).as(s"q$i")) ++
+        (for (i <- idx; j <- idx if i < j)
+          yield sum(col(s"x$i") * col(s"x$j")).as(s"p$i$j"))): _*)
+    val nD = col("n").cast("double")
+    def variance(i: Int) =
+      nD * col(s"q$i") - col(s"s$i").cast("double") * col(s"s$i")
+    val rows = for (i <- idx; j <- idx if i < j) yield moments.select(
+      lit(names(i - 1)).as("metric_a"), lit(names(j - 1)).as("metric_b"),
+      col("n").as("n_docs"),
+      when(variance(i) * variance(j) <= 0.0, lit(0.0))
+        .otherwise(r4(
+          (nD * col(s"p$i$j") - col(s"s$i").cast("double") * col(s"s$j"))
+            / (sqrt(variance(i)) * sqrt(variance(j))))).as("r"))
+    rows.reduce(_.unionByName(_)).orderBy("metric_a", "metric_b")
+  }
+
+  /** Shares [[qualityScoreOracle]]'s q-chain spellings; the moment
+   *  sums CAST to BIGINT (HUGEINT guard) and the Pearson tail mirrors
+   *  the Spark double chain term for term. */
+  lazy val signalCorrelationsOracle: String = {
+    val names = Map(1 -> "len_tok", 2 -> "distinct_milli",
+      3 -> "stop_milli", 4 -> "punct_milli")
+    val idx = 1 to 4
+    val sums = (idx.map(i => s"CAST(SUM(x$i) AS BIGINT) AS s$i") ++
+      idx.map(i => s"CAST(SUM(x$i * x$i) AS BIGINT) AS q$i") ++
+      (for (i <- idx; j <- idx if i < j)
+        yield s"CAST(SUM(x$i * x$j) AS BIGINT) AS p$i$j")).mkString(",\n         ")
+    def v(i: Int) =
+      s"(CAST(n AS DOUBLE) * q$i - CAST(s$i AS DOUBLE) * s$i)"
+    val rows = (for (i <- idx; j <- idx if i < j) yield s"""
+SELECT '${names(i)}' AS metric_a, '${names(j)}' AS metric_b, n AS n_docs,
+       CASE WHEN ${v(i)} * ${v(j)} <= 0.0 THEN 0.0
+            ELSE FLOOR(((CAST(n AS DOUBLE) * p$i$j - CAST(s$i AS DOUBLE) * s$j)
+                        / (sqrt(${v(i)}) * sqrt(${v(j)}))) * 10000.0 + 0.5) / 10000.0
+       END AS r
+FROM st""").mkString("\nUNION ALL")
+    s"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_tok,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct
+  FROM documents),
+x AS (
+  SELECT n_tok AS x1,
+         n_distinct * 1000 // n_tok AS x2,
+         stop_tok * 1000 // n_tok AS x3,
+         punct * 1000 // GREATEST(n_chars, 1) AS x4
+  FROM m WHERE n_tok >= 1),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         $sums
+  FROM x)$rows
+ORDER BY metric_a, metric_b"""
+  }
+
   /** Length × quality joint distribution — the "are we dropping long
    *  documents disproportionately?" audit a quality cutoff needs
    *  before [[qualitySweep]]'s 1-D survival curve is trusted: a
@@ -698,7 +794,12 @@ ORDER BY doc_id"""
    *  power table reproduces [[graft.functions.PolyHash]] exactly
    *  (code-point granular — the documented ASCII-corpus assumption
    *  [[graft.pipeline.Dedup.polyShidCte]] carries applies here too). */
-  val winnowFingerprintsOracle: String = """
+  /** The winnowing selection CTE chain (toks → … → sel(doc_id, wmin))
+   *  — one SQL definition of the selection, shared by
+   *  [[winnowFingerprintsOracle]], the overlap oracles, and
+   *  [[winnowDensityOracle]] so the packed-min arithmetic can never
+   *  drift between them. */
+  private val winnowSelCte: String = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
@@ -724,11 +825,66 @@ wm AS (
            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
   FROM ph),
 sel AS (
-  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= n_grams - 4)
+  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= n_grams - 4)"""
+
+  val winnowFingerprintsOracle: String = winnowSelCte + """
 SELECT doc_id, CAST(wmin % 1048576 AS BIGINT) AS fp_pos,
        CAST(wmin // 1048576 AS BIGINT) AS fp_hash
 FROM sel
 ORDER BY doc_id, fp_pos"""
+
+  /** Winnowing DENSITY calibration — "measure, don't guess" applied
+   *  to the winnowing guarantee itself: SWA's analysis promises the
+   *  selected-fingerprint density approaches 2/(w+1) on random hash
+   *  sequences, and every consumer ([[winnowOverlap]]'s index size,
+   *  the incremental fp store's growth rate) is sized off that
+   *  number. Per source: documents, window count, selected
+   *  fingerprints, the measured density, and the analytic value side
+   *  by side — a source whose density runs hot has repetitive text
+   *  re-selecting the same minima's neighbors (more windows, same
+   *  fps would run COLD; boilerplate-heavy short cycles run hot), and
+   *  its fp store will not size like the analytic predicts.
+   *
+   *  Shape: selection via the native `winnow_fps` expression (in-row
+   *  loop, no per-gram exchange), one doc-keyed count join, rollup to
+   *  |sources| rows. Window count is pure per-doc arithmetic
+   *  (`max(0, n_tok - n - w + 2)`). */
+  def winnowDensity(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val sel = winnowFingerprintsExpr(docs.select("doc_id", "text"), n, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+    docs.select(col("doc_id"), col("source"),
+        greatest(lit(0L), size(split(col("text"), " ")).cast("long")
+          - lit((n + w - 2).toLong)).as("n_windows"))
+      .join(sel, Seq("doc_id"), "left")
+      .withColumn("n_sel", coalesce(col("n_sel"), lit(0L)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_windows").as("n_windows"),
+        sum("n_sel").as("n_fps"))
+      .select(col("source"), col("n_docs"), col("n_windows"), col("n_fps"),
+        r4(col("n_fps") * lit(1.0) / greatest(col("n_windows"), lit(1L)))
+          .as("density"),
+        r4(lit(2.0) / (w + 1)).as("analytic_density"))
+      .orderBy("source")
+  }
+
+  /** Rides [[winnowSelCte]] — the one SQL selection definition. */
+  val winnowDensityOracle: String = winnowSelCte + """,
+selc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel FROM sel GROUP BY doc_id),
+per AS (
+  SELECT d.source,
+         GREATEST(0, CAST(len(string_split(d.text, ' ')) AS BIGINT) - 5) AS n_windows,
+         COALESCE(s.n_sel, 0) AS n_sel
+  FROM documents d LEFT JOIN selc s ON d.doc_id = s.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM(n_sel) AS BIGINT) AS n_fps,
+       FLOOR((SUM(n_sel) * 1.0 / GREATEST(SUM(n_windows), 1)) * 10000.0 + 0.5) / 10000.0 AS density,
+       FLOOR((2.0 / 5) * 10000.0 + 0.5) / 10000.0 AS analytic_density
+FROM per
+GROUP BY source
+ORDER BY source"""
 
   /** Cross-document passage overlap on [[winnowFingerprints]] — the
    *  MOSS detector itself: two docs sharing `minShared`+ winnowed

@@ -38,22 +38,66 @@ import graft.pipeline.Embeddings
  * restores one row per vector. Survivor orientation and the
  * parquet-state discipline are [[StreamingDedup]]'s — see its header.
  *
- * WIDTH: `planes` defaults to the 32-plane / 4×8-bit banding, whose
- * trigger cost the sf10 probe measured LINEAR in store size (4.7× per
- * 4× state at a 480k-vector store — 256-value bands saturate, the
- * simhash-32 shape). Unlike simhash, widening here is NOT free:
- * sign-LSH banding is probabilistic and 16-bit bands shift the match
- * S-curve right (both widths' recall per true-cosine bucket is
- * MEASURED in PipelineSpec "band recall"; both trigger costs are
- * standing bench keys `stream_emb{,64}_trigger_*`). Deployments with
- * stores beyond ~100k vectors should set
- * `planes = Embeddings.NumPlanesWide` and buy flat band occupancy at
- * that measured recall price — or run the SemDeDup centroid-blocked
- * batch path ([[graft.pipeline.Embeddings.dedupSemantic]], hot-cell
- * capped) as the periodic compaction-time sweep, which has no banding
- * recall loss inside a cell. The store serves every width unchanged.
+ * WIDTH: `planes` defaults to [[PlanesAuto]] — the width is chosen
+ * PER TRIGGER from the maintained fp store's row count (a
+ * footer-metadata parquet count, no data scan): 32-plane / 4×8-bit
+ * bands below [[AutoWideVectors]] (100k) stored vectors,
+ * [[graft.pipeline.Embeddings.NumPlanesWide]] (64-plane / 4×16-bit)
+ * above. The 32-bit banding's trigger cost is LINEAR in store size
+ * (sf10 probe: 4.7× per 4× state at a 480k-vector store — 256-value
+ * bands saturate, the simhash-32 shape), so a defaults-only
+ * deployment previously inherited a measured scale cliff; auto-width
+ * caps it at the wide mode's flat band occupancy. Unlike simhash,
+ * widening is NOT free: sign-LSH banding is probabilistic and 16-bit
+ * bands shift the match S-curve right (both widths' recall per
+ * true-cosine bucket is MEASURED in PipelineSpec "band recall"; both
+ * trigger costs are standing bench keys `stream_emb{,64}_trigger_*`)
+ * — which is why the default keeps the higher-recall 32-plane
+ * banding while the store is small, and why the threshold sits where
+ * the probe located the cliff's onset, not at zero. Pin `planes`
+ * explicitly to hold one width; the stored 64-plane fingerprints
+ * serve BOTH widths (fp32 = fp64 & 0xFFFFFFFF), so the knob — and
+ * the auto-switch as the store grows past the threshold — never
+ * invalidates state. Deployments wanting zero banding-recall loss
+ * run the SemDeDup centroid-blocked batch path
+ * ([[graft.pipeline.Embeddings.dedupSemantic]], hot-cell capped) as
+ * the periodic compaction-time sweep instead.
  */
 object StreamingEmbeddingDedup {
+
+  /** Sentinel `planes` value: resolve the banding width per trigger
+   *  from the fp store's size (see the WIDTH scaladoc above). */
+  val PlanesAuto: Int = 0
+
+  /** Auto-width threshold: stores at or beyond this many vectors band
+   *  at [[graft.pipeline.Embeddings.NumPlanesWide]]. Set where the
+   *  sf10 probe measured the 32-bit banding's linear-in-state cost
+   *  overtaking the wide mode (bench_sf10_r14/r15: 32-bit already
+   *  4.7× at 480k; comparable at ~120k). */
+  val AutoWideVectors: Long = 100000L
+
+  /** Resolve [[PlanesAuto]] against the maintained state: the fp
+   *  sibling's row count when it exists (8 B/vector frame, and the
+   *  count is answered from parquet footers — no data scan), else the
+   *  quantized store's, else 0 (cold start → narrow). A pinned
+   *  `planes > 0` passes through untouched. */
+  private def resolvePlanes(spark: SparkSession, planes: Int,
+                            qvDir: String, fpDir: String,
+                            autoWideAt: Long): Int =
+    if (planes > 0) planes
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def countIf(dir: String, schema: StructType): Option[Long] = {
+        val p = new Path(dir)
+        if (p.getFileSystem(hconf).exists(p))
+          Some(spark.read.schema(schema).parquet(dir).count())
+        else None
+      }
+      val stored = countIf(fpDir, fpSchema)
+        .orElse(countIf(qvDir, qvSchema)).getOrElse(0L)
+      if (stored >= autoWideAt) Embeddings.NumPlanesWide
+      else Embeddings.NumPlanes
+    }
 
   private val qvSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -78,8 +122,11 @@ object StreamingEmbeddingDedup {
    *  scan is the quantized store). */
   def triggerPairs(spark: SparkSession, batch: DataFrame, qvDir: String,
                    minCosine: Double,
-                   planes: Int = Embeddings.NumPlanes,
-                   fpDir: String = null): DataFrame = {
+                   planes: Int = PlanesAuto,
+                   fpDir: String = null,
+                   autoWideAt: Long = AutoWideVectors): DataFrame = {
+    val resolvedPlanes = resolvePlanes(spark, planes, qvDir,
+      Option(fpDir).getOrElse(qvDir + "_fp"), autoWideAt)
     // Banding side: the maintained fp store (8 B/vector scan) when it
     // exists; a store created before the fp sibling landed falls back
     // to deriving fingerprints from the quantized rows — correct at
@@ -92,7 +139,7 @@ object StreamingEmbeddingDedup {
     Embeddings.dedupEmbeddingIncremental(
       batch.limit(0), batch, minCosine,
       corpusQuantized = Some(readOrEmpty(spark, qvDir, qvSchema)),
-      planes = planes,
+      planes = resolvedPlanes,
       corpusFingerprints = fps)
   }
 
@@ -102,12 +149,14 @@ object StreamingEmbeddingDedup {
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    pairsDir: String, qvDir: String,
                    minCosine: Double,
-                   planes: Int = Embeddings.NumPlanes,
-                   fpDir: String = null): Unit = {
+                   planes: Int = PlanesAuto,
+                   fpDir: String = null,
+                   autoWideAt: Long = AutoWideVectors): Unit = {
     val spark = batch.sparkSession
     val dir = Option(fpDir).getOrElse(qvDir + "_fp")
     val b = batch.select("vec_id", "embedding")
-    val pairs = triggerPairs(spark, b, qvDir, minCosine, planes, dir).cache()
+    val pairs = triggerPairs(spark, b, qvDir, minCosine, planes, dir,
+      autoWideAt).cache()
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)
     // Same orientation-blind rule as StreamingDedup: vec_b of any pair
@@ -169,7 +218,7 @@ object StreamingEmbeddingDedup {
   def dedupedVecStream(vecs: DataFrame, storeDir: String, pairsDir: String,
                        checkpoint: String, minCosine: Double = 0.4,
                        qvDir: String = null,
-                       planes: Int = Embeddings.NumPlanes): StreamingQuery = {
+                       planes: Int = PlanesAuto): StreamingQuery = {
     val dir = Option(qvDir).getOrElse(storeDir + "_qv")
     vecs.writeStream
       .option("checkpointLocation", checkpoint)

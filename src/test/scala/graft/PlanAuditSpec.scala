@@ -202,6 +202,12 @@ class PlanAuditSpec extends SparkSpec {
     assertHistogramRankShape(plan(CrossApp.appDurationQuantiles(canon)))
   }
 
+  test("embedding norm quantiles: histogram-rank — the per-label window sees the (label, norm) histogram, never vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assertHistogramRankShape(plan(
+      graft.pipeline.Embeddings.embNormQuantiles(emb)))
+  }
+
   test("decontamination broadcasts the benchmark side — corpus shingles never shuffle for the join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.Decontamination.benchmarkOverlap(

@@ -448,6 +448,38 @@ class StreamingIngestSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(0L, 2L, 11L, 12L))
   }
 
+  test("streaming embedding auto-width: narrow below the store threshold, wide at it, one stored state serves both") {
+    import spark.implicits._
+    val root = tmpDir("embwidth")
+    val store = root + "/corpus"
+    val qvDir = store + "_qv"
+    val dims = graft.pipeline.Embeddings.Dims
+    val vecA = Array.fill(dims)(0.5f)
+    val vecB = Array.tabulate(dims)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecC = Array.tabulate(dims)(i => if (i % 4 < 2) 1.0f else -1.0f)
+    StreamingEmbeddingDedup.processBatch(
+      Seq((0L, vecA), (2L, vecB), (7L, vecC)).toDF("vec_id", "embedding"),
+      0L, store, root + "/pairs", qvDir, 0.4)
+    val batch = Seq((10L, vecA), (3L, vecB), (11L, vecC))
+      .toDF("vec_id", "embedding")
+    def pairsAt(planes: Int, autoAt: Long): Set[(Long, Long)] =
+      StreamingEmbeddingDedup.triggerPairs(spark, batch, qvDir, 0.4,
+          planes, null, autoAt)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = pairsAt(graft.pipeline.Embeddings.NumPlanes, 1L)
+    val wide = pairsAt(graft.pipeline.Embeddings.NumPlanesWide, 1L)
+    // the 3-vector store sits far below the 100k default: auto = narrow
+    assert(pairsAt(StreamingEmbeddingDedup.PlanesAuto,
+      StreamingEmbeddingDedup.AutoWideVectors) === narrow)
+    // at a 1-vector threshold the same store resolves wide — and the
+    // stored 64-plane fingerprints serve the wide banding unchanged
+    assert(pairsAt(StreamingEmbeddingDedup.PlanesAuto, 1L) === wide)
+    // exact Walsh duplicates collide in every banding width
+    assert(narrow === Set((0L, 10L), (2L, 3L), (7L, 11L)))
+    assert(wide === narrow)
+  }
+
   test("streaming dedup restart recovery: per-batch restarts equal one continuous run, state stores track the doc store") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
