@@ -201,6 +201,7 @@ ORDER BY event_id"""
     "dup_quality_profile" -> ((s, d) => TextAnalysis.dupQualityProfile(docs(s, d))),
     "signal_correlations" -> ((s, d) => TextAnalysis.signalCorrelations(docs(s, d))),
     "quality_rules" -> ((s, d) => TextAnalysis.qualityRules(docs(s, d))),
+    "rule_overlap_matrix" -> ((s, d) => TextAnalysis.ruleOverlapMatrix(docs(s, d))),
     "curation_sample" -> ((s, d) => Sampling.curationSample(docs(s, d))),
     // The composed five-stage pipeline (quality gate -> exact dedup ->
     // near-dup survivors -> split -> shard pack) as ONE dataflow; its
@@ -488,6 +489,7 @@ ORDER BY event_id"""
     "embedding_coverage" -> ((s, d) =>
       Embeddings.embeddingCoverage(docs(s, d), emb(s, d))),
     "emb_norm_quantiles" -> ((s, d) => Embeddings.embNormQuantiles(emb(s, d))),
+    "semantic_drift" -> ((s, d) => Embeddings.semanticDrift(emb(s, d))),
     "ann_topk" -> ((s, d) => Embeddings.annTopK(emb(s, d), annQueries(s, d))),
     "ann_lsh" -> ((s, d) => Embeddings.annLsh(emb(s, d), annQueries(s, d))),
     "ann_ivf" -> ((s, d) => Embeddings.annIvf(emb(s, d), annQueries(s, d))),
@@ -640,6 +642,7 @@ ORDER BY event_id"""
     "dup_quality_profile" -> TextAnalysis.dupQualityProfileOracle,
     "signal_correlations" -> TextAnalysis.signalCorrelationsOracle,
     "quality_rules" -> TextAnalysis.qualityRulesOracle,
+    "rule_overlap_matrix" -> TextAnalysis.ruleOverlapMatrixOracle,
     "curation_sample" -> Sampling.curationSampleOracle,
     "curate_corpus" -> Curation.curateCorpusOracle,
     "contamination" -> Decontamination.benchmarkOverlapOracle,
@@ -752,6 +755,7 @@ ORDER BY event_id"""
     "cluster_split" -> Sampling.clusterSplitOracle,
     "embedding_coverage" -> Embeddings.embeddingCoverageOracle,
     "emb_norm_quantiles" -> Embeddings.embNormQuantilesOracle,
+    "semantic_drift" -> Embeddings.semanticDriftOracle,
     "ann_ivf_trained" -> Embeddings.annIvfTrainedOracle,
     "ann_pq" -> Embeddings.annPqOracle,
     "pq_distortion" -> Embeddings.pqDistortionOracle,

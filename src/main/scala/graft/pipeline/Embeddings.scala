@@ -2084,6 +2084,80 @@ FROM cum
 GROUP BY label
 ORDER BY label"""
 
+  /** SEMANTIC drift over ingestion order — the embedding-space
+   *  analogue of `quality_drift` (and the within-corpus counterpart
+   *  of [[sourceCentroidDrift]]'s per-source readout): per ingestion
+   *  decile (id order, `Dedup.dedupCurve`'s bucket rule), the
+   *  total-variation distance between the decile's IVF-cell
+   *  occupancy distribution and the corpus baseline — the
+   *  distribution-shift monitor that catches a crawl whose TOPIC mix
+   *  moved mid-ingest (a seed-list change, a domain collapse) even
+   *  when per-doc quality metrics stay flat. Cell shares in integer
+   *  ppm (exact under any aggregation order, the `event_mix_drift`
+   *  discipline); TVD = L1/2 surfaces as r4.
+   *
+   *  Shape: ONE broadcast-codebook assignment pass over the
+   *  quantized frame (the family's standard K-bounded scan),
+   *  collapse to the (decile, cell) aggregate, then the baseline
+   *  join and L1 run on the bounded |deciles|×|cells| grid only. */
+  def semanticDrift(emb: DataFrame, numCentroids: Int = 32,
+                    buckets: Int = 10): DataFrame = {
+    val qv = quantized(emb).cache()
+    val assigned = nearestCentroids(qv,
+      hashCentroids(qv, resolveCentroids(qv, numCentroids)), 1)
+    val maxId = emb.agg(max("vec_id").as("max_id"))
+    val bkt = assigned.crossJoin(broadcast(maxId))
+      .select(col("vec_id"), col("cent_id"),
+        expr(s"vec_id * $buckets div (max_id + 1)").as("bucket"))
+    val dc = bkt.groupBy("bucket", "cent_id").agg(count(lit(1)).as("cnt"))
+    val dt = dc.groupBy("bucket").agg(sum("cnt").as("n_vectors"))
+    val base = bkt.groupBy("cent_id").agg(count(lit(1)).as("bcnt"))
+    val nTot = bkt.agg(count(lit(1)).as("n_total"))
+    val out = dt.crossJoin(broadcast(base)).crossJoin(broadcast(nTot))
+      .join(dc, Seq("bucket", "cent_id"), "left")
+      .select(col("bucket"), col("n_vectors"),
+        expr("coalesce(cnt, 0) * 1000000 div n_vectors").as("dec_ppm"),
+        expr("bcnt * 1000000 div n_total").as("base_ppm"))
+      .groupBy("bucket", "n_vectors")
+      .agg(sum(abs(col("dec_ppm") - col("base_ppm"))).as("l1_ppm"))
+      .select(col("bucket"), col("n_vectors"), col("l1_ppm"),
+        r4(col("l1_ppm") / lit(2000000.0)).as("tvd"))
+      .orderBy("bucket")
+      .localCheckpoint() // |buckets| rows; pin before the unpersist
+    qv.unpersist()
+    out
+  }
+
+  /** Rides [[ivfAssignCte]] (the one cell-assignment SQL spelling)
+   *  with `dedupCurve`'s bucket rule and `event_mix_drift`'s ppm/TVD
+   *  tail. */
+  val semanticDriftOracle: String = "WITH " + ivfAssignCte + """,
+m AS (SELECT CAST(MAX(vec_id) AS BIGINT) AS max_id FROM embeddings),
+bkt AS (
+  SELECT a.vec_id, a.cent_id,
+         CAST(a.vec_id * 10 // (m.max_id + 1) AS BIGINT) AS bucket
+  FROM assigned a CROSS JOIN m),
+dc AS (SELECT bucket, cent_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM bkt GROUP BY bucket, cent_id),
+dt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_vectors
+       FROM dc GROUP BY bucket),
+base AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS bcnt
+         FROM bkt GROUP BY cent_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bkt),
+j AS (
+  SELECT g.bucket, g.n_vectors,
+         CAST(COALESCE(d.cnt, 0) * 1000000 // g.n_vectors AS BIGINT) AS dec_ppm,
+         CAST(g.bcnt * 1000000 // (SELECT n_total FROM n) AS BIGINT) AS base_ppm
+  FROM (SELECT dt.bucket, dt.n_vectors, b.cent_id, b.bcnt
+        FROM dt CROSS JOIN base b) g
+  LEFT JOIN dc d ON d.bucket = g.bucket AND d.cent_id = g.cent_id)
+SELECT bucket, n_vectors,
+       CAST(SUM(ABS(dec_ppm - base_ppm)) AS BIGINT) AS l1_ppm,
+       FLOOR((SUM(ABS(dec_ppm - base_ppm)) / 2000000.0) * 10000.0 + 0.5) / 10000.0 AS tvd
+FROM j
+GROUP BY bucket, n_vectors
+ORDER BY bucket"""
+
   /** Cross-modal consistency check: every verified lexical near-dup
    *  pair ([[Dedup.dedupNgram]]'s output, verbatim) next to the
    *  embedding cosine of the same two documents, plus the gap — the

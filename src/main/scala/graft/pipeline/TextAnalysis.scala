@@ -2278,8 +2278,12 @@ ORDER BY rank"""
    *  counts reuse [[textStats]]' conventions (whitespace tokens,
    *  ceil-div-4 BPE estimate, the shared stopword/punct expressions
    *  of [[qualityCol]]). */
-  def qualityRules(docs: DataFrame): DataFrame = {
-    val flags = docs.select(
+  /** The per-doc rule-flag frame (f_short/f_long_word/f_symbol/
+   *  f_stop_low/f_repeat + bpe) — ONE definition of the rule
+   *  predicates, shared by [[qualityRules]] (the per-rule ledger) and
+   *  [[ruleOverlapMatrix]] (the pairwise-redundancy audit). */
+  private def ruleFlags(docs: DataFrame): DataFrame =
+    docs.select(
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
       size(expr("filter(split(text, ' '), w -> w = 'the' OR w = 'a')"))
@@ -2296,6 +2300,27 @@ ORDER BY rank"""
         (col("stop_tok") * 50L < col("n_tok")).cast("long").as("f_stop_low"),
         (col("n_distinct") * 10L < col("n_tok") * 3L).cast("long").as("f_repeat"),
         col("bpe"))
+
+  /** DuckDB twin of [[ruleFlags]] (the c/f CTE pair) — the one SQL
+   *  spelling of the rule predicates. */
+  private val ruleFlagsCte: String = """c AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_tok,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct,
+         n_chars, (n_chars + 3) // 4 AS bpe
+  FROM documents),
+f AS (
+  SELECT bpe,
+         CASE WHEN n_tok < 30 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN (n_chars - (n_tok - 1)) > n_tok * 6 THEN 1 ELSE 0 END AS f_long_word,
+         CASE WHEN punct * 50 > n_chars THEN 1 ELSE 0 END AS f_symbol,
+         CASE WHEN stop_tok * 50 < n_tok THEN 1 ELSE 0 END AS f_stop_low,
+         CASE WHEN n_distinct * 10 < n_tok * 3 THEN 1 ELSE 0 END AS f_repeat
+  FROM c)"""
+
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val flags = ruleFlags(docs)
       .withColumn("f_any",
         (col("f_short") + col("f_long_word") + col("f_symbol")
           + col("f_stop_low") + col("f_repeat") > 0L).cast("long"))
@@ -2316,22 +2341,7 @@ ORDER BY rank"""
       .orderBy("rule")
   }
 
-  val qualityRulesOracle: String = """
-WITH c AS (
-  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-         CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_tok,
-         CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct,
-         n_chars, (n_chars + 3) // 4 AS bpe
-  FROM documents),
-f AS (
-  SELECT bpe,
-         CASE WHEN n_tok < 30 THEN 1 ELSE 0 END AS f_short,
-         CASE WHEN (n_chars - (n_tok - 1)) > n_tok * 6 THEN 1 ELSE 0 END AS f_long_word,
-         CASE WHEN punct * 50 > n_chars THEN 1 ELSE 0 END AS f_symbol,
-         CASE WHEN stop_tok * 50 < n_tok THEN 1 ELSE 0 END AS f_stop_low,
-         CASE WHEN n_distinct * 10 < n_tok * 3 THEN 1 ELSE 0 END AS f_repeat
-  FROM c),
+  val qualityRulesOracle: String = "WITH " + ruleFlagsCte + """,
 g AS (
   SELECT *, CASE WHEN f_short + f_long_word + f_symbol + f_stop_low + f_repeat > 0
                  THEN 1 ELSE 0 END AS f_any
@@ -2358,6 +2368,63 @@ SELECT rule, docs_flagged, tokens_flagged,
        FLOOR((tokens_flagged * 1.0 / total_tokens) * 10000.0 + 0.5) / 10000.0 AS token_share
 FROM u
 ORDER BY rule"""
+
+  /** Pairwise rule-overlap matrix — [[signalCorrelations]]'s
+   *  redundancy question asked at the DECISION level: two rules whose
+   *  flag sets near-coincide (Jaccard → 1) gate the same documents,
+   *  and the cheaper predicate wins; a pair at Jaccard ≈ 0 is
+   *  independent coverage worth keeping ([[qualityRules]] reports
+   *  each rule's mass in isolation — this reports what dropping one
+   *  rule would actually lose). One ROW of moment sums (each flag
+   *  count + each pairwise AND count accumulate as exact integer
+   *  sums in a single map-side-combining aggregation over
+   *  [[ruleFlags]] — the one predicate definition), unpivoted to the
+   *  10 rule pairs; Jaccard = both/(a+b−both), 0.0 when the union is
+   *  empty. */
+  def ruleOverlapMatrix(docs: DataFrame): DataFrame = {
+    val rules = Seq("long_word", "repeat", "short", "stop_low", "symbol")
+    val pairs = for (i <- rules.indices; j <- rules.indices if i < j)
+      yield (rules(i), rules(j))
+    val aggCols = rules.map(r => sum(col(s"f_$r")).as(s"d_$r")) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"f_$a") * col(s"f_$b")).as(s"p_${a}__$b") }
+    val agg = ruleFlags(docs).agg(aggCols.head, aggCols.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val union = col(s"d_$a") + col(s"d_$b") - col(s"p_${a}__$b")
+      agg.select(
+        lit(a).as("rule_a"), lit(b).as("rule_b"),
+        col(s"d_$a").as("n_a"), col(s"d_$b").as("n_b"),
+        col(s"p_${a}__$b").as("n_both"),
+        when(union === 0L, lit(0.0))
+          .otherwise(r4(col(s"p_${a}__$b") * lit(1.0) / union)).as("jaccard"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("rule_a", "rule_b")
+  }
+
+  /** Rides [[ruleFlagsCte]] — the one SQL predicate spelling. */
+  lazy val ruleOverlapMatrixOracle: String = {
+    val rules = Seq("long_word", "repeat", "short", "stop_low", "symbol")
+    val pairs = for (i <- rules.indices; j <- rules.indices if i < j)
+      yield (rules(i), rules(j))
+    val sums = (rules.map(r => s"CAST(SUM(f_$r) AS BIGINT) AS d_$r") ++
+      pairs.map { case (a, b) =>
+        s"CAST(SUM(f_$a * f_$b) AS BIGINT) AS p_${a}__$b" })
+      .mkString(",\n         ")
+    val rows = pairs.map { case (a, b) =>
+      s"""
+SELECT '$a' AS rule_a, '$b' AS rule_b, d_$a AS n_a, d_$b AS n_b,
+       p_${a}__$b AS n_both,
+       CASE WHEN d_$a + d_$b - p_${a}__$b = 0 THEN 0.0
+            ELSE FLOOR((p_${a}__$b * 1.0 / (d_$a + d_$b - p_${a}__$b))
+                       * 10000.0 + 0.5) / 10000.0 END AS jaccard
+FROM a"""
+    }.mkString("\nUNION ALL")
+    "WITH " + ruleFlagsCte + s""",
+a AS (
+  SELECT $sums
+  FROM f)$rows
+ORDER BY rule_a, rule_b"""
+  }
 
   /** Dup x quality interaction: per 0.05-wide quality bucket (the
    *  [[qualitySweep]] grid — shared expression, no drift), how much of
