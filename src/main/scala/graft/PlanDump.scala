@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round utility: dump `explain("formatted")` for a
+  * comma-separated list of `SparkEntry.queries` keys to
+  * `<outDir>/<key>_<suffix>.txt` — the before/after plan evidence the
+  * optimization rounds commit under plans/r16 etc. Runs at the bench's
+  * core count/shuffle settings so plan shapes (broadcast decisions,
+  * AQE) match what the bench times.
+  *
+  * Usage: runMain graft.PlanDump <keys> <sfDir> <outDir> <suffix> */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val keys = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 2) args(2) else "plans/r16"
+    val suffix = if (args.length > 3) args(3) else "before"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (k <- keys) {
+      try {
+        val df = SparkEntry.queries(k)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, s"${k}_$suffix.txt"), plan)
+        println(s"[plandump] wrote $outDir/${k}_$suffix.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $k failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

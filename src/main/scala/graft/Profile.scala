@@ -22,6 +22,24 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-job wall-clock breakdown (r16): a composite operator runs
+    // many internal jobs (eager caches, checkpoints, bounded probes);
+    // the bench's single number can't localise which of them moved.
+    // This listener prints every job's duration + stage/task counts.
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(js.jobId, (System.nanoTime(), js.stageInfos.size,
+            js.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(je.jobId)).foreach { case (t0, st, tk) =>
+            println(f"[profile]   job ${je.jobId}%3d: ${(System.nanoTime() - t0) / 1e9}%6.2f s ($st stages, $tk tasks)")
+          }
+        }
+      })
     var lastDf: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to iters) {
       spark.catalog.clearCache()

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
+import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, QuantizeMilli, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -34,6 +34,9 @@ import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, SimhashFp, Winnow
  *  - `cdc_chunks(string, int) -> array<struct<fp,len>>` — codegen'd
  *    complete content-defined chunking of a document under the poly
  *    family ([[graft.functions.CdcChunks]]).
+ *  - `quantize_milli(array<float|double>) -> array<bigint>` —
+ *    codegen'd milli-unit round-half-up quantization, the embedding
+ *    family's entry projection ([[graft.functions.QuantizeMilli]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -107,6 +110,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cdc_chunks expects exactly 2 arguments")
         CdcChunks(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_milli"),
+      new ExpressionInfo(classOf[QuantizeMilli].getName, "quantize_milli"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "quantize_milli expects exactly 1 argument")
+        QuantizeMilli(children.head)
       }))
   }
 }

@@ -63,7 +63,17 @@ object Curation {
     val pairs = Dedup.dedupNgram(exact).select("doc_a", "doc_b")
     val dropped = Clustering.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("label")).select("doc_id")
-    val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+    // r16: the survivor frame feeds BOTH stage 4 (split) and stage 5
+    // (pack); left lazy, each consumer re-ran the whole quality gate +
+    // exact-dedup window + anti-join chain. Pin the survivor ID SET
+    // (ids only — tiny at any scale) and re-derive each consumer's
+    // input as one column-pruned docs scan + a broadcast semi-join:
+    // identical row set (survivor ids are a subset of the quality-
+    // gated set, and split/pack read only doc_id/text, unchanged).
+    val survivorIds = exact.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
     // 4+5. split + pack, the library operators verbatim on the final set
     val split = Sampling.splitAssign(survivors, trainPct, valPct)
       .select("doc_id", "split")

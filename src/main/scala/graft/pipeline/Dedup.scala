@@ -828,13 +828,39 @@ shid AS (
       out
     }
 
-  private[pipeline] def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+  private[pipeline] def withJaccard(cands: DataFrame, sh: DataFrame,
+                                    restrict: Boolean = true): DataFrame = {
+    // r16 (guide §3.2/§2.3): verification is candidate-driven, so (1)
+    // PIN the candidate frame once — the plan otherwise re-executes
+    // the whole candidate-generation subtree (df agg + bucket
+    // self-join + distinct) per reference, and this body references
+    // it three times (endpoint list, intersection join, final join) —
+    // and (2) cut the shingle frame to candidate ENDPOINTS (one
+    // left-semi on the pinned candidate ids) BEFORE the size
+    // aggregate and the two intersection joins, so the (doc, gram)
+    // rows of never-touched docs never enter the verify's exchanges
+    // (the heavy one is the (doc_b, gram)-keyed intersection join,
+    // which previously shuffled the WHOLE shingle frame). Results
+    // identical by construction: every downstream join keys on the
+    // candidates' endpoints, and a doc's size/intersection counts
+    // only need its own grams, all retained. A restrict-without-pin
+    // variant was measured 1.3-3.4x SLOWER at sf0.1 (the endpoint
+    // list re-ran candidate generation twice more); the pin is what
+    // makes the restriction free. Incremental callers pass
+    // restrict = false — their candidate and state frames arrive
+    // already pinned + endpoint-restricted (pinnedVerify). The
+    // graft.pin.results=false seam preserves the fully-lazy shape for
+    // plan audits (the pinnedVerify discipline).
+    val pin = restrict &&
+      cands.sparkSession.conf.get("graft.pin.results", "true") != "false"
+    val c = if (pin) cands.localCheckpoint() else cands
+    val shT = if (restrict) endpointRestrict(sh, c) else sh
+    val sizes = shT.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = c
+      .join(shT.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(shT.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
-    cands.join(inter, Seq("doc_a", "doc_b"))
+    c.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
@@ -1870,7 +1896,16 @@ ORDER BY c.doc_a, c.doc_b"""
     // frame is scanned + broadcast-filtered, never exchanged at state
     // cardinality on the gram key.
     val rareBatchGrams = df.filter(col("df_cnt") <= maxDf).select("gram")
+    // r16: consumed twice (the rareShBatch broadcast side AND the left
+    // side of the pair join) — uncached, each consumption re-scanned
+    // the WHOLE shingle store behind the broadcast filter, so every
+    // trigger paid the O(state) columnar scan twice for candidates
+    // alone. The frame is rare-batch-gram-bounded (≤ maxDf docs per
+    // batch gram — candidate-source cardinality, never the store), so
+    // caching it is the pinnedVerify class of delta-sized cache, not
+    // the forbidden state-store cache.
     val shTouch = sh.join(broadcast(rareBatchGrams), Seq("gram"), "left_semi")
+      .cache()
     val newIds = batch.select(col("doc_id")).distinct()
     // Every batch-touching pair has >=1 batch member, so the pair join
     // is (rare batch-gram shingles) x (BATCH rare shingles only) — the
@@ -1888,12 +1923,13 @@ ORDER BY c.doc_a, c.doc_b"""
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
     val out = pinnedVerify(cands, sh) { (c, touched) =>
-      withJaccard(c, touched)
+      withJaccard(c, touched, restrict = false)
         .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
     if (shCached) sh.unpersist()
+    shTouch.unpersist()
     batchSh.unpersist()
     out
   }
@@ -1932,7 +1968,11 @@ ORDER BY c.doc_a, c.doc_b"""
     val corpusShCached = corpusShingles.isEmpty
     val corpusSh = corpusShingles.map(_.select("doc_id", "gram"))
       .getOrElse(shingles(corpus.select("doc_id", "text")).cache())
-    val batchSig = minhashSigWide(shingleIds(batchSh, idFamily))
+    // r16: consumed twice (the union side of allBands AND the
+    // broadcast batch-band side of the candidate join) — uncached,
+    // the batch's shingle-id + 16-min signature agg ran twice per
+    // call. Batch-bounded (one row per batch doc).
+    val batchSig = minhashSigWide(shingleIds(batchSh, idFamily)).cache()
     val corpusSig = corpusSignatures
       .map(_.select(col("doc_id") +: (0 until NumHashes).map(j => col(s"mh$j")): _*))
       .getOrElse(minhashSigWide(shingleIds(corpusSh, idFamily)))
@@ -1951,12 +1991,13 @@ ORDER BY c.doc_a, c.doc_b"""
               greatest(col("id_any"), col("id_new")).as("doc_b"))
       .distinct()
     val out = pinnedVerify(cands, corpusSh.unionByName(batchSh)) { (c, touched) =>
-      withJaccard(c, touched)
+      withJaccard(c, touched, restrict = false)
         .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
     if (corpusShCached) corpusSh.unpersist()
+    batchSig.unpersist()
     batchSh.unpersist()
     out
   }
@@ -2701,7 +2742,12 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
                               corpusFingerprints: Option[DataFrame] = None,
                               fpBits: Int = SimBits): DataFrame = {
     val bandBits = fpBits / SimBands
-    val batchFp = simhashFingerprints(batch, idFamily, fpBits)
+    // r16: the batch fingerprint frame is consumed TWICE (the union
+    // side of allFp AND the broadcast nibble side of the candidate
+    // join) — uncached, the batch's whole shingle+vote pass ran twice
+    // per call. Batch-bounded by the incremental contract, so the
+    // cache is delta-sized (one long per batch doc), never state.
+    val batchFp = simhashFingerprints(batch, idFamily, fpBits).cache()
     val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
       .getOrElse(simhashFingerprints(corpus, idFamily, fpBits))
     val allFp = corpusFp.unionByName(batchFp).cache()
@@ -2721,6 +2767,7 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
       simhashVerify(c, touched, maxHamming)
     }
     allFp.unpersist()
+    batchFp.unpersist()
     out
   }
 

@@ -40,13 +40,17 @@ object Embeddings {
   val NibbleBands = 4
 
   /** vec_id, qarr (array<long> milli-units), nq (exact squared norm).
-   *  Dot products use the native codegen'd [[graft.functions.QDot]]
-   *  (`qdot`, registered by [[graft.ext.GraftExtensions]]) — the
-   *  equivalent `aggregate(zip_with(...))` built-in composition
-   *  evaluates interpreted and allocates per row. */
+   *  Both steps are native codegen'd expressions
+   *  ([[graft.functions.QuantizeMilli]] / [[graft.functions.QDot]],
+   *  registered by [[graft.ext.GraftExtensions]]) — the equivalent
+   *  `transform`/`aggregate(zip_with(...))` built-in compositions
+   *  evaluate their lambdas interpreted and allocate per row, and
+   *  this projection is the entry pass of EVERY embedding-family
+   *  query (r16: the HOF quantize was the one interpreted expression
+   *  left on the family's hot path). */
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        call_function("quantize_milli", col("embedding"))
           .as("qarr"))
       .withColumn("nq", expr("qdot(qarr, qarr)"))
 
@@ -1651,8 +1655,7 @@ ORDER BY pn.nprobe"""
   def labelStats(emb: DataFrame): DataFrame = {
     val perDim = emb
       .select(col("label"),
-        posexplode(expr(
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+        posexplode(call_function("quantize_milli", col("embedding")))
           .as(Seq("dim", "q")))
       .groupBy("label", "dim").agg(
         count(lit(1)).as("cnt"),
@@ -1836,8 +1839,7 @@ ORDER BY cent_id, lang"""
    *  the family's standard projection pass, no joins. */
   def embDimVariance(emb: DataFrame, deadVar: Double = 1.0): DataFrame = {
     val qd = emb.select(
-        posexplode(expr(
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+        posexplode(call_function("quantize_milli", col("embedding")))
           .as(Seq("dim", "q")))
     qd.groupBy("dim").agg(
         count(lit(1)).as("n_vecs"),
@@ -1879,7 +1881,7 @@ ORDER BY dim"""
     val spark = emb.sparkSession
     import spark.implicits._
     val qv = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+      call_function("quantize_milli", col("embedding"))
         .as("qarr"))
     val pairs = qv
       .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))

@@ -474,14 +474,22 @@ class PipelineSpec extends SparkSpec {
       (1L, Array.fill(64)(0.5f), 0),
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
-        Embeddings.dedupEmbedding(emb))) {
-      val plan = df.queryExecution.executedPlan.toString
-      // saltedBucketPairs signature: pmod(xxhash64(id)) on the left,
-      // an exploded salt sequence on the right, salt in the join key.
-      assert(plan.contains("pmod(xxhash64("), "salt column missing:\n" +
-        plan.linesIterator.take(8).mkString("\n"))
-    }
+    // r16: withJaccard pins the candidate frame (localCheckpoint), so
+    // under default pins the salted candidate join is executed inside
+    // the checkpoint job and no longer visible in the FINAL plan —
+    // audit the lazy composed shape via the pin seam instead (the
+    // PlanAuditSpec withLazyPins discipline).
+    spark.conf.set("graft.pin.results", "false")
+    try {
+      for (df <- Seq(Dedup.dedupMinhash(docs), Dedup.dedupSimhash(docs),
+          Embeddings.dedupEmbedding(emb))) {
+        val plan = df.queryExecution.executedPlan.toString
+        // saltedBucketPairs signature: pmod(xxhash64(id)) on the left,
+        // an exploded salt sequence on the right, salt in the join key.
+        assert(plan.contains("pmod(xxhash64("), "salt column missing:\n" +
+          plan.linesIterator.take(8).mkString("\n"))
+      }
+    } finally spark.conf.unset("graft.pin.results")
   }
 
   test("scale-mode minhash (xxhash64 ids) finds the same verified pairs") {
