@@ -448,7 +448,7 @@ ORDER BY n.source"""
    *  doc-cardinality (never the shingle store); the body result is
    *  localCheckpoint-pinned before the caches drop. */
   private def withDetectorPairSets(sh: DataFrame)(
-      body: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+      body: DataFrame => DataFrame): DataFrame = {
     val dfc = sh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     val rareSh = sh.join(dfc.filter(col("df_cnt") <= 5L).select("gram"), "gram")
     val ngCands = rareSh.select(col("gram"), col("doc_id").as("doc_a"))
@@ -463,27 +463,33 @@ ORDER BY n.source"""
     val verified = withJaccard(ngCands.union(mhCands).distinct(), sh)
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b").cache()
-    // Eagerly checkpoint the three PAIR-CARDINALITY sets before the
+    // Eagerly checkpoint the PAIR-CARDINALITY detector sets before the
     // body sees them: the semi-join split makes each family's lazy
     // plan carry the whole union-verify lineage (both families'
     // candidate generation), so a body that unions and self-joins
     // them hands Catalyst a plan with the detector chains inlined
     // 6+ times — measured round 12 as dedup_pair_venn 7.5 s
     // standalone vs 30-46 s inside the warmed bench JVM, pure
-    // driver-side optimize/codegen blowup. Checkpointing truncates
-    // each to an RDD scan of a few thousand rows; the checkpoint
-    // jobs themselves share the caches below.
-    val ngPairs = verified.join(ngCands, Seq("doc_a", "doc_b"), "left_semi")
-      .localCheckpoint()
-    val mhPairs = verified.join(mhCands, Seq("doc_a", "doc_b"), "left_semi")
-      .localCheckpoint()
+    // driver-side optimize/codegen blowup. r16: ONE tagged
+    // (det, doc_a, doc_b) checkpoint instead of three per-family ones
+    // — all four composite bodies tag-and-union anyway, so pinning
+    // the union directly drops two eager checkpoint jobs per call
+    // (profiled at ~0.6 s each, the composite is job-count-bound at
+    // sf0.1) and every body consumer scans one pinned block set.
     val fp = sigBoth.select(col("doc_id"), simhashFpCol.as("fp"))
     val shPairs = simhashVerify(
         saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id"),
         fp, maxHamming = 3)
       .select("doc_a", "doc_b")
-      .localCheckpoint()
-    val out = body(ngPairs, mhPairs, shPairs).localCheckpoint()
+    def tag(det: String, df: DataFrame) =
+      df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
+    val tagged =
+      tag("ngram", verified.join(ngCands, Seq("doc_a", "doc_b"), "left_semi"))
+        .union(tag("minhash",
+          verified.join(mhCands, Seq("doc_a", "doc_b"), "left_semi")))
+        .union(tag("simhash", shPairs))
+        .localCheckpoint()
+    val out = body(tagged).localCheckpoint()
     Seq(verified, mhCands, sigBoth, ngCands).foreach(_.unpersist())
     out
   }
@@ -1380,14 +1386,9 @@ ORDER BY p.source_a, p.source_b"""
     // in-memory cache here), and the bracket deletes it once the
     // 3-row result is checkpointed.
     withSharedShingles(docs, precomputedShingles) { sh =>
-      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
-      def tag(det: String, df: DataFrame) =
-        df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
-      val tagged = tag("ngram", ngPairs)
-        .union(tag("minhash", mhPairs))
-        .union(tag("simhash", shPairs))
-        .cache()
-      tagged.count() // eager: consumed by 3 scans below (sizes + self-join)
+      withDetectorPairSets(sh) { tagged =>
+      // `tagged` arrives checkpoint-pinned: the 3 scans below (sizes +
+      // both self-join sides) read pinned blocks, no cache needed
       val sizes = tagged.groupBy("det").agg(count(lit(1)).as("n"))
       val common = tagged.select(col("det").as("det_a"), col("doc_a"), col("doc_b"))
         .join(tagged.select(col("det").as("det_b"), col("doc_a"), col("doc_b")),
@@ -1410,9 +1411,7 @@ ORDER BY p.source_a, p.source_b"""
           r4(col("common") * lit(1.0) /
             greatest(col("pairs_a") + col("pairs_b") - col("common"), lit(1L))))
         .orderBy("det_a", "det_b")
-        .localCheckpoint() // pin the 3 rows, then drop the pair cache
-      tagged.unpersist()
-      out
+      out // the bracket checkpoints the 3 rows
       }
     }
   }
@@ -1545,14 +1544,12 @@ ORDER BY p.det_a, p.det_b"""
       .localCheckpoint()
     val embIds = emb.select(col("vec_id"))
     withSharedShingles(docs, precomputedShingles) { sh =>
-      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
-        def tag(det: String, df: DataFrame) = df
+      withDetectorPairSets(sh) { allTagged =>
+        // one embedding-id restriction over the pinned tagged union
+        // (was one semi-join pair per detector)
+        val tagged = allTagged
           .join(embIds.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_semi")
           .join(embIds.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_semi")
-          .select(lit(det).as("det"), col("doc_a"), col("doc_b"))
-        val tagged = tag("ngram", ngPairs)
-          .union(tag("minhash", mhPairs))
-          .union(tag("simhash", shPairs))
         val per = tagged.join(truth, Seq("doc_a", "doc_b"), "left")
           .groupBy("det").agg(
             count(lit(1)).as("det_pairs"),
@@ -1647,7 +1644,7 @@ ORDER BY d.det"""
     val spark = docs.sparkSession
     import spark.implicits._
     withSharedShingles(docs, precomputedShingles) { sh =>
-      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
+      withDetectorPairSets(sh) { tagged =>
       val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
       val totals = tok.agg(count(lit(1)).as("n_docs_total"),
         sum("tok").as("tokens_total"))
@@ -1656,12 +1653,11 @@ ORDER BY d.det"""
       val exactDrops = h.join(firsts, "content_hash")
         .filter(col("doc_id") > col("first_id"))
         .select(lit("exact").as("det"), col("doc_id"))
-      def laterSide(det: String, pairs: DataFrame) =
-        pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
+      // per-det later-side drop sets in ONE distinct over the pinned
+      // tagged union (det rides the key, so this equals the old
+      // union-of-per-detector-distincts row for row)
       val base = exactDrops
-        .union(laterSide("ngram", ngPairs))
-        .union(laterSide("minhash", mhPairs))
-        .union(laterSide("simhash", shPairs))
+        .union(tagged.select(col("det"), col("doc_b").as("doc_id")).distinct())
         .cache()
       base.count() // eager: consumed twice below (per-det + union rollup)
       val flagged = base.union(
@@ -1739,27 +1735,24 @@ ORDER BY d.det"""
   def dropProvenance(docs: DataFrame,
                      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     withSharedShingles(docs, precomputedShingles) { sh =>
-      withDetectorPairSets(sh) { (ngPairs, mhPairs, shPairs) =>
+      withDetectorPairSets(sh) { tagged =>
       val tok = docs.select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
       val h = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       val firsts = h.groupBy("content_hash").agg(min("doc_id").as("first_id"))
       val exactDrops = h.join(firsts, "content_hash")
         .filter(col("doc_id") > col("first_id"))
         .select(lit("exact").as("det"), col("doc_id"))
-      def laterSide(det: String, pairs: DataFrame) =
-        pairs.select(lit(det).as("det"), col("doc_b").as("doc_id")).distinct()
+      // collect_set dedupes per (doc, det), so the pinned tagged union
+      // drops in directly — no per-detector distinct needed
       val base = exactDrops
-        .union(laterSide("ngram", ngPairs))
-        .union(laterSide("minhash", mhPairs))
-        .union(laterSide("simhash", shPairs))
+        .union(tagged.select(col("det"), col("doc_b").as("doc_id")))
       base.groupBy("doc_id")
         .agg(array_join(array_sort(collect_set(col("det"))), "+").as("combo"))
         .join(tok, "doc_id")
         .groupBy("combo")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
         .orderBy("combo")
-        // pin the <=15 rows, then let the bracket drop the store
-        .localCheckpoint()
+        // the bracket pins the <=15 rows
       }
     }
   }

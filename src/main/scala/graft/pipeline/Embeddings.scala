@@ -716,7 +716,12 @@ ORDER BY threshold"""
     val corpusQv = corpusQuantized
       .map(_.select(col("vec_id"), col("qarr"), col("nq")))
       .getOrElse(quantized(emb))
-    val batchQv = quantized(batch)
+    // r16: batch-bounded frames consumed twice each (batchQv by the
+    // allQv union AND the fp derivation; batchNib by the union side
+    // AND the broadcast side of the candidate join) — uncached, the
+    // batch's 64-plane qdot fingerprint pass ran twice per call.
+    // Delta-sized caches (the pinnedVerify class), dropped below.
+    val batchQv = quantized(batch).cache()
     val allQv = corpusQv.unionByName(batchQv).cache()
     // Corpus banding side: the maintained fp store when provided (an
     // 8-byte-per-vector scan — see [[embFingerprints]] for why the
@@ -724,7 +729,7 @@ ORDER BY threshold"""
     // derived from the quantized frame. Batch fps always derive
     // (O(batch)).
     val batchNib = nibblesFromFp(signFp(batchQv, NumPlanesWide)
-      .select(col("vec_id"), col("fp")), planes)
+      .select(col("vec_id"), col("fp")), planes).cache()
     val corpusNib = corpusFingerprints match {
       case Some(fps) => nibblesFromFp(fps.select("vec_id", "fp"), planes)
       case None => nibbles(corpusQv, planes)
@@ -748,6 +753,8 @@ ORDER BY threshold"""
         .orderBy("vec_a", "vec_b")
     }
     allQv.unpersist()
+    batchNib.unpersist()
+    batchQv.unpersist()
     out
   }
 
@@ -946,9 +953,14 @@ ORDER BY vec_id, rank"""
                        numCentroids: Int = AutoCentroids,
                        precomputedQuantized: Option[DataFrame] = None,
                        trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    // r16: pin the k-bounded thresholded edge list before the mutual
+    // self-join — both join sides otherwise re-ran the kNN rank window
+    // (and everything above the verify's reused exchange) once each;
+    // pinned, the mutual filter is a self-join of |V|·k-row blocks.
     val e = knnGraph(emb, k, numCentroids, precomputedQuantized, trainedCentroids)
       .filter(col("cosine") >= minCosine)
       .select("vec_id", "neighbor_id")
+      .localCheckpoint()
     val mutual = e.join(
         e.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")),
         Seq("vec_id", "neighbor_id"))
@@ -1310,11 +1322,19 @@ ORDER BY rank"""
                   numCentroids: Int = AutoCentroids): DataFrame = {
     val nodes = emb.select("vec_id")
     val nFrame = nodes.agg(count(lit(1)).as("n"))
+    // r16: pin the k-bounded edge list ONCE — `edges` feeds both the
+    // degree aggregate and the edgesDeg join, and uncached the whole
+    // kNN-graph chain (capped pairs + verify + rank window) re-ran
+    // above its reused exchange per reference; pinned, everything
+    // downstream of the graph reads |V|·k rows of blocks.
     val edges = knnGraph(emb, k, numCentroids)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").cache()
-    val nodesN = nodes.crossJoin(broadcast(nFrame))
+    // one (vec_id, n) row per vector, consumed by every iteration —
+    // cached so the parquet scan + broadcast count runs once, not 6x
+    val nodesN = nodes.crossJoin(broadcast(nFrame)).cache()
     var r = nodesN.select(col("vec_id"), col("n"),
       expr("1000000000000 div n").as("rank_fp"))
     for (_ <- 1 to iters) {
