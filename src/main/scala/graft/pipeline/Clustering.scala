@@ -111,7 +111,7 @@ object Clustering {
     val pairs = precomputedPairs.getOrElse(
         Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
       .select("doc_a", "doc_b")
-    val comp = connectedComponents(pairs, reliable = reliable)
+    val comp = componentsAuto(pairs, reliable)
     val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "label")
       .select(col("label").as("cluster_id"), col("doc_id"),
@@ -219,6 +219,26 @@ object Clustering {
    *  non-integral id columns (the union-find runs over primitive
    *  longs). Null endpoints are dropped — a null edge cannot join
    *  components in either engine. */
+  /** CC dispatch for the BATCH cluster family (r16): pin the
+   *  pair-cardinality edge frame once, then run the bounded driver
+   *  union-find (≤ 4M edges — every test SF and most real corpora's
+   *  verified near-dup graphs) or, above the bound / for non-integral
+   *  ids, the distributed fixpoint over the SAME pinned blocks. The
+   *  iterative fixpoint costs 4-8 scheduled jobs (per-round
+   *  propagate + checkpoint + convergence count) even on a
+   *  100-edge graph — pure scheduling floor at small scale; the
+   *  union-find replaces that with one bounded `take`. Pinning first
+   *  means an above-bound graph pays the probe against stored blocks,
+   *  not a re-execution of the verified-pair chain. Bit-identical
+   *  output by construction (min-rooted union = min-label fixpoint;
+   *  property-tested). `reliable` mode skips the executor-pinned
+   *  localCheckpoint (a lost executor would kill a multi-hour run)
+   *  and defers to the fixpoint's own reliable checkpointing. */
+  private[graft] def componentsAuto(pairs: DataFrame,
+                                    reliable: Boolean = false): DataFrame =
+    if (reliable) connectedComponentsBounded(pairs, reliable = true)
+    else connectedComponentsBounded(pairs.localCheckpoint())
+
   def connectedComponentsBounded(pairs: DataFrame,
                                  localMax: Int = 4000000,
                                  reliable: Boolean = false): DataFrame = {
@@ -458,7 +478,7 @@ ORDER BY cluster_size, n_sources"""
     val pairs = precomputedPairs.getOrElse(
         Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
       .select("doc_a", "doc_b")
-    val comp = connectedComponents(pairs, reliable = reliable)
+    val comp = componentsAuto(pairs, reliable)
     val cred = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
@@ -529,7 +549,7 @@ ORDER BY t.cluster_id"""
     val pairs = precomputedPairs.getOrElse(
         Dedup.dedupNgram(docs, precomputedShingles = precomputedShingles))
       .select("doc_a", "doc_b")
-    val comp = connectedComponents(pairs, reliable = reliable)
+    val comp = componentsAuto(pairs, reliable)
     val sizes = comp.groupBy("label").agg(count(lit(1)).as("csize"))
     val mem = comp.join(sizes, "label")
       .select(col("doc_id"), col("label"), col("csize"))

@@ -61,7 +61,7 @@ object Curation {
     val exact = scored.join(keepIds, Seq("doc_id"), "left_semi")
     // 3. near-dup clusters over the exact-deduped set; survivors only
     val pairs = Dedup.dedupNgram(exact).select("doc_a", "doc_b")
-    val dropped = Clustering.connectedComponents(pairs)
+    val dropped = Clustering.componentsAuto(pairs)
       .filter(col("doc_id") =!= col("label")).select("doc_id")
     // r16: the survivor frame feeds BOTH stage 4 (split) and stage 5
     // (pack); left lazy, each consumer re-ran the whole quality gate +

@@ -966,7 +966,7 @@ ORDER BY vec_id, rank"""
         Seq("vec_id", "neighbor_id"))
       .filter(col("vec_id") < col("neighbor_id"))
       .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
-    val comp = Clustering.connectedComponents(mutual)
+    val comp = Clustering.componentsAuto(mutual)
     val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "label")
       .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),

@@ -684,7 +684,7 @@ ORDER BY lang, rank"""
                    precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val pairs = precomputedPairs.getOrElse(Dedup.dedupNgram(docs))
       .select("doc_a", "doc_b")
-    val comp = Clustering.connectedComponents(pairs)
+    val comp = Clustering.componentsAuto(pairs)
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
