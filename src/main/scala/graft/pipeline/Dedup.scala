@@ -2733,14 +2733,22 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
                               maxHamming: Int = 3,
                               idFamily: String = "md5",
                               corpusFingerprints: Option[DataFrame] = None,
-                              fpBits: Int = SimBits): DataFrame = {
+                              fpBits: Int = SimBits,
+                              batchFingerprints: Option[DataFrame] = None): DataFrame = {
     val bandBits = fpBits / SimBands
     // r16: the batch fingerprint frame is consumed TWICE (the union
     // side of allFp AND the broadcast nibble side of the candidate
     // join) — uncached, the batch's whole shingle+vote pass ran twice
     // per call. Batch-bounded by the incremental contract, so the
     // cache is delta-sized (one long per batch doc), never state.
-    val batchFp = simhashFingerprints(batch, idFamily, fpBits).cache()
+    // `batchFingerprints` lets a streaming caller that ALSO appends
+    // the batch's fps to its store share ONE fingerprint pass
+    // (StreamingSimhashDedup.processBatch) — must be the exact
+    // [[simhashFingerprints]] frame of `batch` at the same
+    // family/width.
+    val batchFp = batchFingerprints
+      .map(_.select(col("doc_id"), col("fp")))
+      .getOrElse(simhashFingerprints(batch, idFamily, fpBits)).cache()
     val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
       .getOrElse(simhashFingerprints(corpus, idFamily, fpBits))
     val allFp = corpusFp.unionByName(batchFp).cache()

@@ -56,11 +56,12 @@ object StreamingSimhashDedup {
    *  is the fp store). */
   def triggerPairs(spark: SparkSession, batch: DataFrame, fpDir: String,
                    maxHamming: Int, idFamily: String,
-                   fpBits: Int = Dedup.SimBitsWide): DataFrame =
+                   fpBits: Int = Dedup.SimBitsWide,
+                   batchFingerprints: Option[DataFrame] = None): DataFrame =
     Dedup.dedupSimhashIncremental(
       batch.limit(0), batch, maxHamming, idFamily,
       corpusFingerprints = Some(readOrEmpty(spark, fpDir, fpSchema)),
-      fpBits = fpBits)
+      fpBits = fpBits, batchFingerprints = batchFingerprints)
 
   /** One micro-batch: detect pairs, append survivors to the doc store,
    *  append the survivors' fingerprints to the fp store. Both appends
@@ -75,7 +76,12 @@ object StreamingSimhashDedup {
                    fpBits: Int = Dedup.SimBitsWide): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text")
-    val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily, fpBits)
+    // r16: ONE fingerprint pass per trigger — the probe and the fp
+    // store append previously each ran the batch's shingle+vote pass
+    // from text; the shared frame is delta-sized and dropped below.
+    val batchFp = Dedup.simhashFingerprints(b, idFamily, fpBits).cache()
+    val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily, fpBits,
+        batchFingerprints = Some(batchFp))
       .cache()
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)
@@ -89,10 +95,14 @@ object StreamingSimhashDedup {
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("doc_id"), "left_anti").cache()
     survivors.write.mode("append").parquet(storeDir)
-    Dedup.simhashFingerprints(survivors, idFamily, fpBits)
+    // survivor fps = the shared batch fp frame restricted to survivor
+    // ids (fingerprints are per-doc deterministic — identical rows to
+    // re-deriving them from survivor text)
+    batchFp.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
       .write.mode("append").parquet(fpDir)
     survivors.unpersist()
     pairs.unpersist()
+    batchFp.unpersist()
   }
 
   /** Offline state maintenance between stream restarts: replayed
