@@ -109,7 +109,9 @@ LIMIT 1000"""
         count(when(col("locality").isin("PROCESS_LOCAL", "NODE_LOCAL"), 1))
           .as("locality_hits"),
         expr("max(peak_memory_bytes div 1048576)").as("peak_memory_mb"),
-        array_join(array_sort(collect_set(col("app_id"))), ",").as("apps_served"))
+        // sort_array: same ascending order (collect_set yields no
+        // nulls) without array_sort's interpreted comparator lambda
+        array_join(sort_array(collect_set(col("app_id"))), ",").as("apps_served"))
       .orderBy(col("total_tasks").desc, col("executor_id"), col("host"))
       .limit(limit)
 

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, QuantizeMilli, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
+import graft.functions.{CdcChunks, Int8Milli, MinhashSig, PolyHash, QDot, QuantizeMilli, SimhashFp, WinnowFps, WordNGrams, WordNGramsAll}
 
 /**
  * SparkSessionExtensions entry point registering graft's native
@@ -37,6 +37,9 @@ import graft.functions.{CdcChunks, MinhashSig, PolyHash, QDot, QuantizeMilli, Si
  *  - `quantize_milli(array<float|double>) -> array<bigint>` —
  *    codegen'd milli-unit round-half-up quantization, the embedding
  *    family's entry projection ([[graft.functions.QuantizeMilli]]).
+ *  - `int8_milli(array<bigint>) -> array<bigint>` — codegen'd
+ *    symmetric per-vector int8 quantization of a milli-quantized
+ *    vector ([[graft.functions.Int8Milli]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -118,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "quantize_milli expects exactly 1 argument")
         QuantizeMilli(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_milli"),
+      new ExpressionInfo(classOf[Int8Milli].getName, "int8_milli"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "int8_milli expects exactly 1 argument")
+        Int8Milli(children.head)
       }))
   }
 }

@@ -860,17 +860,30 @@ shid AS (
     val pin = restrict &&
       cands.sparkSession.conf.get("graft.pin.results", "true") != "false"
     val c = if (pin) cands.localCheckpoint() else cands
-    val shT = if (restrict) endpointRestrict(sh, c) else sh
+    // r17: the endpoint-restricted frame is consumed THREE times
+    // (size agg + both intersection sides) — uncached, each
+    // consumption re-scans the shingle store behind the semi-join.
+    // shT is dup-endpoint-bounded (never the store), so cache it and
+    // pin the pair-cardinality verify result, then drop the cache —
+    // pinnedVerify's bracket applied to the batch path.
+    val shT0 = if (restrict) endpointRestrict(sh, c) else sh
+    val shT = if (pin) shT0.cache() else shT0
     val sizes = shT.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = c
       .join(shT.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
       .join(shT.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
-    c.join(inter, Seq("doc_a", "doc_b"))
+    val composed = c.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("inter_n") * lit(1.0) / (col("n_a") + col("n_b") - col("inter_n")))
+    if (!pin) composed
+    else {
+      val out = composed.localCheckpoint()
+      shT.unpersist()
+      out
+    }
   }
 
   /** n-gram Jaccard near-dup with rare-gram blocking: candidate pairs
@@ -1747,7 +1760,7 @@ ORDER BY d.det"""
       val base = exactDrops
         .union(tagged.select(col("det"), col("doc_b").as("doc_id")))
       base.groupBy("doc_id")
-        .agg(array_join(array_sort(collect_set(col("det"))), "+").as("combo"))
+        .agg(array_join(sort_array(collect_set(col("det"))), "+").as("combo"))
         .join(tok, "doc_id")
         .groupBy("combo")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
@@ -2657,12 +2670,18 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
    *  corpus grows. The mask truncates the arithmetic shift's sign
    *  fill, so a bit-63 fingerprint bands correctly. */
   private def simhashNibbles(fp: DataFrame,
-                             bandBits: Int = SimBandBits): DataFrame =
-    fp.select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${SimBands - 1}), bd -> " +
-          s"named_struct('band', cast(bd as long), 'nib', shiftright(fp, $bandBits * bd) & ${(1L << bandBits) - 1}))"))
-          .as("nb"))
+                             bandBits: Int = SimBandBits): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    // Lambda-free banding (the embedding family's nibblesFromFp
+    // discipline): explode over an array of codegen'd structs instead
+    // of an interpreted transform(sequence(...)) lambda per fp row.
+    val bands = (0 until SimBands).map { bd =>
+      struct(lit(bd.toLong).as("band"),
+        shiftright(col("fp"), bandBits * bd).bitwiseAND(lit(mask)).as("nib"))
+    }
+    fp.select(col("doc_id"), explode(array(bands: _*)).as("nb"))
       .select(col("doc_id"), col("nb.band").as("band"), col("nb.nib").as("nib"))
+  }
 
   /** Hamming verify of an oriented candidate pair set against the
    *  fingerprint frame — band collisions are necessary, not
@@ -2714,6 +2733,14 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     simhashFingerprints(docs, idFamily, fpBits)
       .write.mode("overwrite").parquet(path)
 
+  /** A precomputed [[simhashFingerprints]] frame TAGGED with the
+   *  family/width it was produced at, so a consumer can `require()`
+   *  the tag matches its own parameters — a mismatched frame would
+   *  otherwise yield wrong pairs (and, via the streaming path, a
+   *  corrupted fp store) with no failure signal (ADVICE r16). */
+  case class TaggedFingerprints(frame: DataFrame, idFamily: String,
+                                fpBits: Int)
+
   /** Incremental SimHash near-dup — the third incremental family
    *  member ([[dedupNgramIncremental]], [[dedupMinhashIncremental]]),
    *  with the BEST incremental story of the three: fingerprints are
@@ -2734,7 +2761,7 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
                               idFamily: String = "md5",
                               corpusFingerprints: Option[DataFrame] = None,
                               fpBits: Int = SimBits,
-                              batchFingerprints: Option[DataFrame] = None): DataFrame = {
+                              batchFingerprints: Option[TaggedFingerprints] = None): DataFrame = {
     val bandBits = fpBits / SimBands
     // r16: the batch fingerprint frame is consumed TWICE (the union
     // side of allFp AND the broadcast nibble side of the candidate
@@ -2743,11 +2770,16 @@ shid AS (SELECT s.doc_id, """ + gramIdSql + " AS gid FROM shingle s)," +
     // cache is delta-sized (one long per batch doc), never state.
     // `batchFingerprints` lets a streaming caller that ALSO appends
     // the batch's fps to its store share ONE fingerprint pass
-    // (StreamingSimhashDedup.processBatch) — must be the exact
-    // [[simhashFingerprints]] frame of `batch` at the same
-    // family/width.
+    // (StreamingSimhashDedup.processBatch) — the [[TaggedFingerprints]]
+    // tag lets this call fail fast on a family/width mismatch instead
+    // of silently producing wrong pairs (ADVICE r16).
     val batchFp = batchFingerprints
-      .map(_.select(col("doc_id"), col("fp")))
+      .map { tf =>
+        require(tf.idFamily == idFamily && tf.fpBits == fpBits,
+          s"batchFingerprints produced at (${tf.idFamily}, ${tf.fpBits}) " +
+            s"but dedupSimhashIncremental runs at ($idFamily, $fpBits)")
+        tf.frame.select(col("doc_id"), col("fp"))
+      }
       .getOrElse(simhashFingerprints(batch, idFamily, fpBits)).cache()
     val corpusFp = corpusFingerprints.map(_.select("doc_id", "fp"))
       .getOrElse(simhashFingerprints(corpus, idFamily, fpBits))

@@ -300,10 +300,16 @@ ORDER BY query_id, rank"""
    *  vector, width chosen at read time. */
   private def nibblesFromFp(fp: DataFrame, planes: Int): DataFrame = {
     val bandBits = planes / 4
-    fp.select(col("vec_id"),
-        explode(expr("transform(sequence(0, 3), bd -> " +
-          s"named_struct('band', cast(bd as long), 'nibv', shiftright(fp, $bandBits * bd) & ${(1L << bandBits) - 1}))"))
-          .as("nb"))
+    val mask = (1L << bandBits) - 1
+    // Lambda-free banding: explode over an array of codegen'd struct
+    // expressions. The transform(sequence(0,3), bd -> ...) HOF it
+    // replaces evaluated its lambda INTERPRETED per corpus row at the
+    // head of every LSH-banded key; same values, same element order.
+    val bands = (0 until 4).map { bd =>
+      struct(lit(bd.toLong).as("band"),
+        shiftright(col("fp"), bandBits * bd).bitwiseAND(lit(mask)).as("nibv"))
+    }
+    fp.select(col("vec_id"), explode(array(bands: _*)).as("nb"))
       .select(col("vec_id"), col("nb.band").as("band"), col("nb.nibv").as("nibv"))
   }
 
@@ -1346,12 +1352,25 @@ ORDER BY rank"""
           (expr("(15 * 1000000000000) div (100 * n)")
             + expr("(85 * coalesce(s, 0)) div 100")).as("rank_fp"))
     }
-    r.join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+    val composed = r
+      .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("deg"), lit(0L)).as("out_deg"),
         col("rank_fp"),
         r4(col("rank_fp") * col("n") * lit(1.0) / lit(1.0e12)).as("rank_rel"))
       .orderBy("vec_id")
+    // pinnedVerify cache-bracket discipline (ADVICE r16): force the
+    // |V|-row result, then DROP the iteration caches — returning a
+    // lazy frame over them leaked a CacheManager entry per call that
+    // only the bench's clearCache() reclaimed.
+    if (emb.sparkSession.conf.get("graft.pin.results", "true") == "false")
+      composed
+    else {
+      val out = composed.localCheckpoint()
+      nodesN.unpersist()
+      edgesDeg.unpersist()
+      out
+    }
   }
 
   /** Same kranked chain as [[knnGraphOracle]]; the power iterations
@@ -2404,20 +2423,22 @@ ORDER BY query_id, rank"""
     hashCentroids(qv, numCodes)
       .withColumn("cidx",
         (row_number().over(Window.orderBy("cent_id")) - 1).cast("long"))
-      .select(col("cidx"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
-          s"'m', CAST(mm AS BIGINT), 'sub_c', slice(qarr_a, mm * $subDims + 1, $subDims)))"))
-        .as("e"))
+      .select(col("cidx"), explode(array((0 until nSub).map { mm =>
+          struct(lit(mm.toLong).as("m"),
+            slice(col("qarr_a"), mm * subDims + 1, subDims).as("sub_c"))
+        }: _*)).as("e"))
       .select(col("cidx"), col("e.m").as("m"), col("e.sub_c").as("sub_c"))
   }
 
   private def pqSubvectors(frame: DataFrame, idCol: String,
                            subDims: Int): DataFrame = {
     val nSub = Dims / subDims
-    frame.select(col("vec_id").as(idCol), explode(expr(
-      s"transform(sequence(0, ${nSub - 1}), mm -> named_struct(" +
-        s"'m', CAST(mm AS BIGINT), 'sub_v', slice(qarr, mm * $subDims + 1, $subDims)))"))
-      .as("e"))
+    // Lambda-free sub-vector explode (the nibblesFromFp discipline):
+    // the transform(sequence(...)) HOF ran interpreted per vector row.
+    frame.select(col("vec_id").as(idCol), explode(array((0 until nSub).map { mm =>
+        struct(lit(mm.toLong).as("m"),
+          slice(col("qarr"), mm * subDims + 1, subDims).as("sub_v"))
+      }: _*)).as("e"))
       .select(col(idCol), col("e.m").as("m"), col("e.sub_v").as("sub_v"))
   }
 
@@ -2436,8 +2457,10 @@ ORDER BY query_id, rank"""
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cidx"))).as("best"))
       .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(named_struct(" +
-        "'m', m, 'cidx', best.cidx))), s -> s.cidx)").as("codes"))
+      // arr.cidx (GetArrayStructFields) replaces the interpreted
+      // transform(..., s -> s.cidx) field pluck — codegen'd, same array
+      .agg(expr("sort_array(collect_list(named_struct(" +
+        "'m', m, 'cidx', best.cidx))).cidx").as("codes"))
       .join(qv.select(col("vec_id"), col("nq")), "vec_id")
 
   /** Per-query ADC lookup table, flattened to one array ordered by
@@ -2447,8 +2470,8 @@ ORDER BY query_id, rank"""
     pqSubvectors(qq, "query_id", subDims).join(broadcast(cb), "m")
       .withColumn("ldot", call_function("qdot", col("sub_v"), col("sub_c")))
       .groupBy("query_id")
-      .agg(expr("transform(array_sort(collect_list(named_struct(" +
-        "'m', m, 'cidx', cidx, 'ldot', ldot))), s -> s.ldot)").as("lut"))
+      .agg(expr("sort_array(collect_list(named_struct(" +
+        "'m', m, 'cidx', cidx, 'ldot', ldot))).ldot").as("lut"))
       .join(qq.select(col("vec_id").as("query_id"), col("nq").as("nq_q")),
         "query_id")
 
@@ -2461,9 +2484,13 @@ ORDER BY query_id, rank"""
     val nSub = Dims / subDims
     val adcTop = pairs
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adc_dot", expr(
-        s"aggregate(sequence(0, ${nSub - 1}), CAST(0 AS BIGINT), " +
-          s"(acc, mm) -> acc + lut[CAST(mm * $numCodes + codes[mm] AS INT)])"))
+      // lambda-free unrolled lookup fold: nSub is a literal, so the
+      // 8-step in-row ADC sum is 8 codegen'd GetArrayItems — the
+      // aggregate(sequence(...)) HOF it replaces ran interpreted per
+      // (query x candidate) row, the PQ family's hottest expression
+      .withColumn("adc_dot", (0 until nSub).map { mm =>
+        col("lut")((lit(mm.toLong * numCodes) + col("codes")(mm)).cast("int"))
+      }.reduce(_ + _))
       .withColumn("pq_cosine",
         col("adc_dot") / (sqrt(col("nq_q")) * sqrt(col("nq"))))
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
@@ -3313,11 +3340,9 @@ ORDER BY vec_id, rank"""
     val qv = quantized(emb)
       .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
         "vec_id")
-    qv.withColumn("mabs",
-        expr("aggregate(qarr, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("q8",
-        expr("transform(qarr, x -> CASE WHEN mabs = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE CAST(FLOOR(x * 127.0 / mabs + 0.5) AS BIGINT) END)"))
+    // int8_milli fuses the max-abs fold + scale pass into one codegen'd
+    // loop (bit-parity with the two-lambda HOF chain: Int8MilliSpec)
+    qv.withColumn("q8", call_function("int8_milli", col("qarr")))
       .withColumn("dot8", expr("qdot(qarr, q8)"))
       .withColumn("nq8", expr("qdot(q8, q8)"))
       .withColumn("cos_q",
@@ -3778,11 +3803,7 @@ ORDER BY shortlist"""
                  ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
     val kmax = ks.max
     def toInt8(df: DataFrame): DataFrame = quantized(df)
-      .withColumn("mabs",
-        expr("aggregate(qarr, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("q8",
-        expr("transform(qarr, x -> CASE WHEN mabs = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE CAST(FLOOR(x * 127.0 / mabs + 0.5) AS BIGINT) END)"))
+      .withColumn("q8", call_function("int8_milli", col("qarr")))
       .withColumn("nq8", expr("qdot(q8, q8)"))
       .select("vec_id", "q8", "nq8")
     val apx = toInt8(emb)

@@ -443,8 +443,12 @@ ORDER BY gold_lang, lang_guess"""
   private[pipeline] def qualityCol: org.apache.spark.sql.Column = {
     val nTok = size(split(col("text"), " ")).cast("long")
     val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
-    val stopTok = size(expr(
-      "filter(split(text, ' '), w -> w = 'the' OR w = 'a')")).cast("long")
+    // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
+    // (the filter(...) HOF spelling ran its lambda interpreted per
+    // token per row; array_remove is codegen'd, values identical)
+    val stopTok = (size(split(col("text"), " ")) -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
+      .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
     val divScore = nDistinct * lit(1.0) / nTok
@@ -469,8 +473,12 @@ ORDER BY gold_lang, lang_guess"""
   def qualityScore(docs: DataFrame): DataFrame = {
     val nTok = size(split(col("text"), " ")).cast("long")
     val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
-    val stopTok = size(expr(
-      "filter(split(text, ' '), w -> w = 'the' OR w = 'a')")).cast("long")
+    // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
+    // (the filter(...) HOF spelling ran its lambda interpreted per
+    // token per row; array_remove is codegen'd, values identical)
+    val stopTok = (size(split(col("text"), " ")) -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
+      .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
     val divScore = nDistinct * lit(1.0) / nTok
@@ -530,8 +538,12 @@ ORDER BY doc_id"""
   def signalCorrelations(docs: DataFrame): DataFrame = {
     val nTok = size(split(col("text"), " ")).cast("long")
     val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
-    val stopTok = size(expr(
-      "filter(split(text, ' '), w -> w = 'the' OR w = 'a')")).cast("long")
+    // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
+    // (the filter(...) HOF spelling ran its lambda interpreted per
+    // token per row; array_remove is codegen'd, values identical)
+    val stopTok = (size(split(col("text"), " ")) -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
+      .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val xs = docs.select(
         nTok.as("n_tok"), nDistinct.as("n_distinct"),
@@ -2003,7 +2015,8 @@ ORDER BY k"""
     for (r <- 1 to rounds if !exhausted) {
       val best = words
         .select(col("cnt"),
-          expr(s"filter(split(sym_str, '$sep2'), x -> x != '')").as("syms"))
+          // lambda-free: removing '' equals the x != '' filter
+          array_remove(split(col("sym_str"), sep2), "").as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1)," +
@@ -2042,7 +2055,7 @@ ORDER BY k"""
     val sep2 = BpeSep + BpeSep
     val words = bpeTrain(docs, rounds)._1
     val syms = words.select(col("word"),
-      size(expr(s"filter(split(sym_str, '$sep2'), x -> x != '')"))
+      size(array_remove(split(col("sym_str"), sep2), ""))
         .cast("long").as("n_syms"))
     docs.select(col("doc_id"), col("n_chars"),
         explode(split(col("text"), " ")).as("word"))
@@ -2207,7 +2220,9 @@ FROM o ORDER BY doc_id"""
       docs.select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))) {
       case (df, (t, i)) => df.withColumn(s"tf$i",
-        size(expr(s"filter(split(text, ' '), w -> w = '$t')")).cast("long"))
+        // lambda-free term frequency: |split| - |split minus t|
+        (size(split(col("text"), " ")) -
+          size(array_remove(split(col("text"), " "), t))).cast("long"))
     }.drop("text")
     val statCols = Seq(count(lit(1)).as("n_docs"),
       sum("n_tok").as("tok_sum")) ++
@@ -2286,7 +2301,8 @@ ORDER BY rank"""
     docs.select(
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
-      size(expr("filter(split(text, ' '), w -> w = 'the' OR w = 'a')"))
+      (size(split(col("text"), " ")) -
+        size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
         .cast("long").as("stop_tok"),
       size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
         .as("punct"),

@@ -57,7 +57,7 @@ object StreamingSimhashDedup {
   def triggerPairs(spark: SparkSession, batch: DataFrame, fpDir: String,
                    maxHamming: Int, idFamily: String,
                    fpBits: Int = Dedup.SimBitsWide,
-                   batchFingerprints: Option[DataFrame] = None): DataFrame =
+                   batchFingerprints: Option[Dedup.TaggedFingerprints] = None): DataFrame =
     Dedup.dedupSimhashIncremental(
       batch.limit(0), batch, maxHamming, idFamily,
       corpusFingerprints = Some(readOrEmpty(spark, fpDir, fpSchema)),
@@ -81,7 +81,8 @@ object StreamingSimhashDedup {
     // from text; the shared frame is delta-sized and dropped below.
     val batchFp = Dedup.simhashFingerprints(b, idFamily, fpBits).cache()
     val pairs = triggerPairs(spark, b, fpDir, maxHamming, idFamily, fpBits,
-        batchFingerprints = Some(batchFp))
+        batchFingerprints =
+          Some(Dedup.TaggedFingerprints(batchFp, idFamily, fpBits)))
       .cache()
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)

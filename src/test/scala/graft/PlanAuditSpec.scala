@@ -217,14 +217,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("fuzzy decontamination broadcasts the benchmark band signatures — corpus never self-joins") {
+  test("fuzzy decontamination broadcasts the benchmark band signatures — corpus never self-joins") { withLazyPins {
+    // withLazyPins: r17's withJaccard bracket pins the verify result
+    // eagerly; the seam keeps the composed join shape auditable.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.pipeline.Decontamination.contaminationMinhash(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0)))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-  }
+  }}
 
   test("cdc incremental probe: chunk store scanned, never exchanged — batch side broadcasts") {
     // The measured sf10 lesson (STRESS_SF1.md): the shuffled-store
@@ -595,13 +597,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("knn pagerank: no cartesian, the only nested-loop join is the broadcast 1-row count") {
+  test("knn pagerank: no cartesian, the only nested-loop join is the broadcast 1-row count") { withLazyPins {
+    // withLazyPins: r17 pins the pagerank result (the ADVICE cache-
+    // bracket fix); the seam keeps the iteration chain auditable.
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.pipeline.Embeddings.knnPagerank(emb))
     assert(!p.contains("CartesianProduct"), p)
     // nodes x count(*) is a broadcast of ONE row, never a shuffle
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-  }
+  }}
 
   test("tfidf and novelty plans are partial-agg joins, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

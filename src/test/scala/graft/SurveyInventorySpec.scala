@@ -52,4 +52,53 @@ class SurveyInventorySpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("SURVEY §4 generated block equals bench_local_last.json at HEAD " +
+    "(CLAUDE.md closing-commit gate)") {
+    // The gate text exists since r12 and was violated by hand in r12,
+    // r13 AND r16 — each time the closing commit updated
+    // bench_local_last.json without re-running tools/survey_numbers.py.
+    // This makes `sbt test` itself the enforcement: parse the block's
+    // headline numbers and diff them against the artifact.
+    val survey = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val block = survey
+      .split(java.util.regex.Pattern.quote(
+        "<!-- BEGIN GENERATED NUMBERS (tools/survey_numbers.py) -->"))(1)
+      .split(java.util.regex.Pattern.quote("<!-- END GENERATED NUMBERS -->"))(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bench = mapper.readTree(new java.io.File("bench_local_last.json"))
+    val headline =
+      """- (\d+) benched queries at sf[0-9.]+ / local\[\d+\]: ([0-9.]+) s total""".r
+    val m = headline.findFirstMatchIn(block)
+      .getOrElse(fail("SURVEY §4 generated block has no headline line"))
+    val claimedN = m.group(1).toInt
+    val claimedTotal = m.group(2).toDouble
+    val queries = bench.get("queries")
+    val actualN = queries.size()
+    val actualTotal = bench.get("value").asDouble()
+    assert(claimedN === actualN,
+      s"SURVEY §4 claims $claimedN benched queries; bench_local_last.json has $actualN — rerun tools/survey_numbers.py")
+    assert(math.abs(claimedTotal - actualTotal) <= 0.06,
+      f"SURVEY §4 claims $claimedTotal%.1f s total; bench_local_last.json says $actualTotal%.1f — rerun tools/survey_numbers.py")
+    val slowest = """- Slowest query: ([a-z0-9_]+) at ([0-9.]+) s median""".r
+    val sm = slowest.findFirstMatchIn(block)
+      .getOrElse(fail("SURVEY §4 generated block has no slowest-query line"))
+    val actualSlowest = {
+      val it = queries.fields()
+      var best: (String, Double) = ("", Double.MinValue)
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.asDouble() > best._2)
+          best = (e.getKey, e.getValue.asDouble())
+      }
+      best
+    }
+    assert(sm.group(1) === actualSlowest._1 &&
+      math.abs(sm.group(2).toDouble - actualSlowest._2) <= 0.006,
+      s"SURVEY §4 slowest-query line (${sm.group(1)} ${sm.group(2)}) != artifact " +
+        f"(${actualSlowest._1} ${actualSlowest._2}%.2f) — rerun tools/survey_numbers.py")
+  }
 }
