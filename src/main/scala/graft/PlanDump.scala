@@ -27,6 +27,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PLAN_LAZY=1: dump through the graft.pin.results=false test
+    // seam so operators that eagerly pin intermediate results (the
+    // pinnedVerify/withJaccard brackets) show their COMPOSED plan
+    // instead of an RDD scan over pinned blocks — the shape the plan
+    // audits assert and the optimization evidence reviews.
+    if (sys.env.get("GRAFT_PLAN_LAZY").contains("1"))
+      spark.conf.set("graft.pin.results", "false")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (k <- keys) {
       try {

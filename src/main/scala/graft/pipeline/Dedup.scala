@@ -460,9 +460,6 @@ ORDER BY n.source"""
       .groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*).cache()
     val mhCands = saltedBucketPairs(minhashBandSig(sigBoth),
       Seq("band", "bsig"), "doc_id").cache()
-    val verified = withJaccard(ngCands.union(mhCands).distinct(), sh)
-      .filter(col("jaccard") >= 0.2)
-      .select("doc_a", "doc_b").cache()
     // Eagerly checkpoint the PAIR-CARDINALITY detector sets before the
     // body sees them: the semi-join split makes each family's lazy
     // plan carry the whole union-verify lineage (both families'
@@ -471,16 +468,40 @@ ORDER BY n.source"""
     // 6+ times — measured round 12 as dedup_pair_venn 7.5 s
     // standalone vs 30-46 s inside the warmed bench JVM, pure
     // driver-side optimize/codegen blowup. r16: ONE tagged
-    // (det, doc_a, doc_b) checkpoint instead of three per-family ones
-    // — all four composite bodies tag-and-union anyway, so pinning
-    // the union directly drops two eager checkpoint jobs per call
-    // (profiled at ~0.6 s each, the composite is job-count-bound at
-    // sf0.1) and every body consumer scans one pinned block set.
+    // (det, doc_a, doc_b) checkpoint instead of three per-family ones.
+    // r17 (guide §2.6 overlap-independent-subtrees): the composite is
+    // job-COUNT-bound at small scale (Profile: ~60 sequential sub-
+    // second jobs per call) and its two verify chains are independent
+    // once the shared signature frame is pinned — materialize sigBoth
+    // once, then run the union-Jaccard verify and the simhash
+    // band+hamming verify as CONCURRENT driver jobs (actions are only
+    // sequential because the driver calls them sequentially; the
+    // second chain's tasks back-fill the first chain's stage tails).
+    // Lazy-pin mode (plan audits) keeps the old single-threaded lazy
+    // shape — no actions, nothing to overlap.
     val fp = sigBoth.select(col("doc_id"), simhashFpCol.as("fp"))
-    val shPairs = simhashVerify(
+    val shPairsLazy = simhashVerify(
         saltedBucketPairs(simhashNibbles(fp), Seq("band", "nib"), "doc_id"),
         fp, maxHamming = 3)
       .select("doc_a", "doc_b")
+    val lazyPins =
+      sh.sparkSession.conf.get("graft.pin.results", "true") == "false"
+    def mkVerified() = withJaccard(ngCands.union(mhCands).distinct(), sh)
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b")
+    val (verified, shPairs) =
+      if (lazyPins) (mkVerified(), shPairsLazy)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val fVer = scala.concurrent.Future { mkVerified() } // pinned by withJaccard
+          val fSh = scala.concurrent.Future { shPairsLazy.localCheckpoint() }
+          (scala.concurrent.Await.result(fVer, scala.concurrent.duration.Duration.Inf),
+            scala.concurrent.Await.result(fSh, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
     def tag(det: String, df: DataFrame) =
       df.select(lit(det).as("det"), col("doc_a"), col("doc_b"))
     val tagged =
@@ -490,7 +511,7 @@ ORDER BY n.source"""
         .union(tag("simhash", shPairs))
         .localCheckpoint()
     val out = body(tagged).localCheckpoint()
-    Seq(verified, mhCands, sigBoth, ngCands).foreach(_.unpersist())
+    Seq(mhCands, sigBoth, ngCands).foreach(_.unpersist())
     out
   }
 
@@ -698,6 +719,17 @@ shid AS (
    *  cell — the price lands on per-pair consumers (kNN edges), the
    *  same trade the IVF cell restriction itself makes. */
   val HotCellCap: Int = 4096
+
+  /** Bound for the driver-collected rare-batch-gram In-pushdown list
+   *  in [[dedupNgramIncremental]]; beyond it the trigger falls back to
+   *  the broadcast left-semi. MEASURED bound, not a memory guard: a
+   *  7.5k-string In literal in the trigger plan cost ~3-5 s of
+   *  driver-side plan work per trigger (sf0.1 quarter-seed probe) —
+   *  plan-embedded literal lists stop paying for themselves long
+   *  before driver memory matters, so only compact lists (the
+   *  common large-store case, where most batch grams are NOT rare)
+   *  take the pushdown path. */
+  val RareGramPushdownMax: Int = 1024
 
   /** [[saltedBucketPairs]] with a HARD per-bucket pair bound — the
    *  skew guard for bucket families whose key has no df-cap (the IVF
@@ -1910,7 +1942,25 @@ ORDER BY c.doc_a, c.doc_b"""
     // batch gram — candidate-source cardinality, never the store), so
     // caching it is the pinnedVerify class of delta-sized cache, not
     // the forbidden state-store cache.
-    val shTouch = sh.join(broadcast(rareBatchGrams), Seq("gram"), "left_semi")
+    // r17 (guide §6 / VERDICT item 5): the rare-batch-gram set is
+    // BATCH-bounded, so collect it (the connectedComponentsBounded
+    // driver-side precedent, same guard idiom) and filter the store
+    // scan with a PUSHABLE In predicate instead of a broadcast
+    // left-semi: PushedFilters now reaches the parquet footer, so a
+    // gram-clustered compacted store ([[graft.streaming.StreamingDedup
+    // .compactState]] sorts within partitions) row-group-skips the
+    // non-matching bulk of the state at scale, and the trigger drops
+    // the broadcast-exchange build job. Identical row set (the In list
+    // IS the semi-join key set, distinct by construction — df is
+    // grouped by gram). An adversarial over-bound batch falls back to
+    // the broadcast semi-join.
+    val rareList = rareBatchGrams.limit(RareGramPushdownMax + 1)
+      .collect().map(_.getString(0))
+    if (sys.env.contains("GRAFT_DEBUG_RARELIST"))
+      System.err.println(s"[debug] rareList size = ${rareList.length}")
+    val shTouch = (if (rareList.length <= RareGramPushdownMax)
+        sh.filter(col("gram").isin(rareList.toIndexedSeq: _*))
+      else sh.join(broadcast(rareBatchGrams), Seq("gram"), "left_semi"))
       .cache()
     val newIds = batch.select(col("doc_id")).distinct()
     // Every batch-touching pair has >=1 batch member, so the pair join

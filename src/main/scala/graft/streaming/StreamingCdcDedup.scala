@@ -68,9 +68,13 @@ object StreamingCdcDedup {
       .filter(col("dup_tokens") =!= col("n_tokens"))
       .select("doc_id")
     val survivors = b.join(keep, "doc_id").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    Dedup.cdcChunkStore(survivors, avgChunk)
-      .write.mode("append").parquet(chunksDir)
+    // r17 (guide §2.6 via StateWrites): both appends read the
+    // materialized survivor cache — overlap them.
+    survivors.count()
+    StateWrites.overlap(
+      () => survivors.write.mode("append").parquet(storeDir),
+      () => Dedup.cdcChunkStore(survivors, avgChunk)
+        .write.mode("append").parquet(chunksDir))
     survivors.unpersist()
     ()
   }

@@ -72,10 +72,15 @@ object StreamingDecontamination {
     val b = batch.select("doc_id", "text")
     val flagged =
       triggerOverlap(spark, b, benchShingleDir, minOverlap).cache()
-    flagged.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(ledgerDir)
-    b.join(flagged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(storeDir)
+    // r17 (guide §2.6 via StateWrites): ledger and admitted-store
+    // appends both read the materialized flag cache.
+    flagged.count()
+    StateWrites.overlap(
+      () => flagged.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(ledgerDir),
+      () => b.join(flagged.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(storeDir))
     flagged.unpersist()
   }
 

@@ -88,8 +88,16 @@ object StreamingDedup {
     val b = batch.select("doc_id", "text")
     val pairs = triggerPairs(spark, b, shingleDir, gramDfDir, maxDf, minJaccard)
       .cache()
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(pairsDir)
+    // r17 (guide §2.6): the four per-trigger writes were sequential
+    // driver actions, but the pairs append is independent of the
+    // survivor chain once the pair cache is filled, and the shingle /
+    // gram-df appends are independent of each other once the survivor-
+    // shingle cache is filled — overlap them from a 2-thread pool so a
+    // write's task tail back-fills with the next write's tasks. Replay
+    // semantics are unchanged: every write is the same idempotent
+    // append, and the at-least-once contract already tolerates a crash
+    // between ANY two of them (re-appended rows are exact duplicates).
+    pairs.count()
     // doc_b of any pair is always dropped; doc_a is dropped only
     // when its partner is a corpus doc (anti-join on batch ids) —
     // for batch-batch pairs the smaller doc_a survives.
@@ -100,15 +108,23 @@ object StreamingDedup {
     val dupIds = pairs.select(col("doc_b").as("doc_id"))
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("doc_id"), "left_anti").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    // advance the dedup state: the survivors' shingles extend the
-    // shingle store, and their per-gram counts land as an append-only
-    // df delta (folded by SUM at read time — no store rewrite)
-    val survivorSh = Dedup.shingles(survivors).cache()
-    survivorSh.write.mode("append").parquet(shingleDir)
-    survivorSh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
-      .write.mode("append").parquet(gramDfDir)
-    survivorSh.unpersist()
+    StateWrites.overlap(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsDir),
+      () => {
+        survivors.write.mode("append").parquet(storeDir)
+        // advance the dedup state: the survivors' shingles extend the
+        // shingle store, and their per-gram counts land as an
+        // append-only df delta (folded by SUM at read time — no store
+        // rewrite)
+        val survivorSh = Dedup.shingles(survivors).cache()
+        survivorSh.count()
+        StateWrites.overlap(
+          () => survivorSh.write.mode("append").parquet(shingleDir),
+          () => survivorSh.groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+            .write.mode("append").parquet(gramDfDir))
+        survivorSh.unpersist()
+      })
     survivors.unpersist()
     pairs.unpersist()
   }
@@ -144,8 +160,13 @@ object StreamingDedup {
     }
     val shDir = Option(shingleDir).getOrElse(storeDir + "_shingles")
     val dfDir = Option(gramDfDir).getOrElse(storeDir + "_gramdf")
+    // sortWithinPartitions: tight per-row-group gram min/max, so the
+    // trigger's pushed-down rare-gram In predicate (dedupNgram
+    // Incremental's r17 shape) row-group-skips the non-matching bulk
+    // of a compacted store.
     swapIn(shDir, tmp => spark.read.schema(shingleSchema).parquet(shDir)
       .repartition(partitions, col("gram"))
+      .sortWithinPartitions("gram")
       .write.parquet(tmp))
     swapIn(dfDir, tmp => spark.read.schema(gramDfSchema).parquet(dfDir)
       .groupBy("gram").agg(sum("df_cnt").as("df_cnt"))

@@ -157,8 +157,15 @@ object StreamingEmbeddingDedup {
     val b = batch.select("vec_id", "embedding")
     val pairs = triggerPairs(spark, b, qvDir, minCosine, planes, dir,
       autoWideAt).cache()
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(pairsDir)
+    // r17 (guide §2.6 via StateWrites): the pairs append is
+    // independent of the survivor chain once the pair cache is
+    // filled. The qv and fp appends previously EACH quantized the
+    // survivors (embFingerprints = signFp ∘ quantized) — the fp
+    // append now derives from the same survivor-quantized frame
+    // (embFingerprintsFromQuantized, bit-identical by definition),
+    // and the three survivor-side appends run overlapped against the
+    // materialized caches.
+    pairs.count()
     // Same orientation-blind rule as StreamingDedup: vec_b of any pair
     // drops; vec_a drops only when its partner is a corpus vector.
     val batchIds = b.select("vec_id")
@@ -168,11 +175,20 @@ object StreamingEmbeddingDedup {
     val dupIds = pairs.select(col("vec_b").as("vec_id"))
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("vec_id"), "left_anti").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    Embeddings.quantizedIndex(survivors)
-      .write.mode("append").parquet(qvDir)
-    Embeddings.embFingerprints(survivors)
-      .write.mode("append").parquet(dir)
+    val survQv = Embeddings.quantizedIndex(survivors).cache()
+    StateWrites.overlap(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsDir),
+      () => {
+        survivors.count()
+        survQv.count()
+        StateWrites.overlap(
+          () => survivors.write.mode("append").parquet(storeDir),
+          () => survQv.write.mode("append").parquet(qvDir),
+          () => Embeddings.embFingerprintsFromQuantized(survQv)
+            .write.mode("append").parquet(dir))
+      })
+    survQv.unpersist()
     survivors.unpersist()
     pairs.unpersist()
   }

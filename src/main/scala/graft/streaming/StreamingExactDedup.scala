@@ -78,12 +78,17 @@ object StreamingExactDedup {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("text"), col("content_hash"))
       .cache()
-    survivors.select("doc_id", "text")
-      .write.mode("append").parquet(storeDir)
-    survivors.select("doc_id", "content_hash")
-      .write.mode("append").parquet(hashDir)
-    Dedup.bloomWords(survivors, mBits, probes)
-      .write.mode("append").parquet(wordsDir)
+    // r17 (guide §2.6 via StateWrites): the three state appends all
+    // read the materialized survivor cache and are independent of
+    // each other — overlap them as concurrent driver jobs.
+    survivors.count()
+    StateWrites.overlap(
+      () => survivors.select("doc_id", "text")
+        .write.mode("append").parquet(storeDir),
+      () => survivors.select("doc_id", "content_hash")
+        .write.mode("append").parquet(hashDir),
+      () => Dedup.bloomWords(survivors, mBits, probes)
+        .write.mode("append").parquet(wordsDir))
     survivors.unpersist()
     ()
   }

@@ -69,8 +69,11 @@ object StreamingMinhashDedup {
     val b = batch.select("doc_id", "text")
     val pairs = triggerPairs(spark, b, shingleDir, sigDir, minJaccard, idFamily)
       .cache()
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(pairsDir)
+    // r17 (guide §2.6 via StateWrites): the pairs append is
+    // independent of the survivor chain once the pair cache is
+    // filled; the shingle and signature appends both read the
+    // materialized survivor cache and are independent of each other.
+    pairs.count()
     // Same orientation-blind rule as StreamingDedup: doc_b of any pair
     // drops; doc_a drops only when its partner is a corpus doc.
     val batchIds = b.select("doc_id")
@@ -80,12 +83,17 @@ object StreamingMinhashDedup {
     val dupIds = pairs.select(col("doc_b").as("doc_id"))
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("doc_id"), "left_anti").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    val survivorSh = Dedup.shingles(survivors).cache()
-    survivorSh.write.mode("append").parquet(shingleDir)
-    Dedup.minhashSignatures(survivors, idFamily)
-      .write.mode("append").parquet(sigDir)
-    survivorSh.unpersist()
+    StateWrites.overlap(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsDir),
+      () => {
+        survivors.write.mode("append").parquet(storeDir)
+        StateWrites.overlap(
+          () => Dedup.shingles(survivors)
+            .write.mode("append").parquet(shingleDir),
+          () => Dedup.minhashSignatures(survivors, idFamily)
+            .write.mode("append").parquet(sigDir))
+      })
     survivors.unpersist()
     pairs.unpersist()
   }

@@ -84,8 +84,11 @@ object StreamingSimhashDedup {
         batchFingerprints =
           Some(Dedup.TaggedFingerprints(batchFp, idFamily, fpBits)))
       .cache()
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(pairsDir)
+    // r17 (guide §2.6 via StateWrites): the pairs append is
+    // independent of the survivor chain once the pair cache is
+    // filled; within the chain the doc-store and fp-store appends
+    // both read the materialized survivor cache.
+    pairs.count()
     // Same orientation-blind rule as StreamingDedup: doc_b of any pair
     // drops; doc_a drops only when its partner is a corpus doc.
     val batchIds = b.select("doc_id")
@@ -95,12 +98,20 @@ object StreamingSimhashDedup {
     val dupIds = pairs.select(col("doc_b").as("doc_id"))
       .union(dropAsA).distinct()
     val survivors = b.join(dupIds, Seq("doc_id"), "left_anti").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    // survivor fps = the shared batch fp frame restricted to survivor
-    // ids (fingerprints are per-doc deterministic — identical rows to
-    // re-deriving them from survivor text)
-    batchFp.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
-      .write.mode("append").parquet(fpDir)
+    StateWrites.overlap(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsDir),
+      () => {
+        survivors.count()
+        StateWrites.overlap(
+          () => survivors.write.mode("append").parquet(storeDir),
+          // survivor fps = the shared batch fp frame restricted to
+          // survivor ids (fingerprints are per-doc deterministic —
+          // identical rows to re-deriving them from survivor text)
+          () => batchFp
+            .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(fpDir))
+      })
     survivors.unpersist()
     pairs.unpersist()
     batchFp.unpersist()

@@ -69,14 +69,24 @@ object StreamingSpanDedup {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text")
     val stats = triggerStats(spark, b, gramCntDir, k).cache()
-    stats.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(statsDir)
+    // r17 (guide §2.6 via StateWrites): the stats append is
+    // independent of the survivor chain once the stats cache is
+    // filled; within the chain the store and gram-count appends both
+    // read the materialized survivor cache.
+    stats.count()
     val rejected = stats.filter(col("dup_ratio") >= maxDupRatio)
       .select("doc_id")
     val survivors = b.join(rejected, Seq("doc_id"), "left_anti").cache()
-    survivors.write.mode("append").parquet(storeDir)
-    TextAnalysis.spanGramCounts(survivors, k)
-      .write.mode("append").parquet(gramCntDir)
+    StateWrites.overlap(
+      () => stats.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(statsDir),
+      () => {
+        survivors.count()
+        StateWrites.overlap(
+          () => survivors.write.mode("append").parquet(storeDir),
+          () => TextAnalysis.spanGramCounts(survivors, k)
+            .write.mode("append").parquet(gramCntDir))
+      })
     survivors.unpersist()
     stats.unpersist()
   }

@@ -398,6 +398,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(locations.forall(l =>
       l.contains("shinglestore") || l.contains("gramdfstore")), locations.toString)
     assert(!plan(pairs).contains("corpusdocs"), plan(pairs))
+    // r17: the rare-batch-gram restriction reaches the shingle-store
+    // scan as a PUSHED In predicate (row-group skipping on a
+    // gram-clustered compacted store), not a broadcast semi-join —
+    // the batch here is far below RareGramPushdownMax.
+    assert(plan(pairs).contains("In(gram"), plan(pairs))
     // and the result is still right: 10 is a near-dup of stored doc 0
     val got = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
