@@ -446,9 +446,9 @@ ORDER BY gold_lang, lang_guess"""
     // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
     // (the filter(...) HOF spelling ran its lambda interpreted per
     // token per row; array_remove is codegen'd, values identical)
-    val stopTok = (size(split(col("text"), " ")) -
-      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
-      .cast("long")
+    val stopTok = nTok -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a"))
+        .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
     val divScore = nDistinct * lit(1.0) / nTok
@@ -476,9 +476,9 @@ ORDER BY gold_lang, lang_guess"""
     // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
     // (the filter(...) HOF spelling ran its lambda interpreted per
     // token per row; array_remove is codegen'd, values identical)
-    val stopTok = (size(split(col("text"), " ")) -
-      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
-      .cast("long")
+    val stopTok = nTok -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a"))
+        .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val lenScore = least(lit(1.0), col("n_chars") / lit(500.0))
     val divScore = nDistinct * lit(1.0) / nTok
@@ -541,9 +541,9 @@ ORDER BY doc_id"""
     // lambda-free stop-token count: |split| - |split minus 'the'/'a'|
     // (the filter(...) HOF spelling ran its lambda interpreted per
     // token per row; array_remove is codegen'd, values identical)
-    val stopTok = (size(split(col("text"), " ")) -
-      size(array_remove(array_remove(split(col("text"), " "), "the"), "a")))
-      .cast("long")
+    val stopTok = nTok -
+      size(array_remove(array_remove(split(col("text"), " "), "the"), "a"))
+        .cast("long")
     val punct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long")
     val xs = docs.select(
         nTok.as("n_tok"), nDistinct.as("n_distinct"),
@@ -2219,10 +2219,13 @@ FROM o ORDER BY doc_id"""
     val base = terms.zipWithIndex.foldLeft(
       docs.select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))) {
+      // Deliberately the filter-HOF spelling: the lambda-free
+      // `n_tok - size(array_remove(split, t))` variant measured 1.2x
+      // at sf1 (reps=5; array_remove allocates a full array copy per
+      // term per row, costlier than the interpreted per-token
+      // predicate here) — measured and rejected, r17.
       case (df, (t, i)) => df.withColumn(s"tf$i",
-        // lambda-free term frequency: |split| - |split minus t|
-        (size(split(col("text"), " ")) -
-          size(array_remove(split(col("text"), " "), t))).cast("long"))
+        size(expr(s"filter(split(text, ' '), w -> w = '$t')")).cast("long"))
     }.drop("text")
     val statCols = Seq(count(lit(1)).as("n_docs"),
       sum("n_tok").as("tok_sum")) ++
